@@ -1,0 +1,63 @@
+"""Benchmark runner — driver contract (BASELINE.md).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Timing excludes session startup (JVM launch is a fixed cost, not query
+throughput) and includes full materialization of each result via a
+count+collect, mirroring the reference's collect() semantics
+(src/core.rs:119).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from datafusion_wasm_bindings_spark.session import get_spark
+    from datafusion_wasm_bindings_spark.queries import load_all
+
+    spark = get_spark("dfwb-spark-bench")
+    registry = load_all()
+    headline = {n: s for n, s in registry.items() if s.headline} or registry
+
+    # warm the JVM + parquet footers once, outside the timed section
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    spark.sql("SELECT COUNT(*) FROM lineitem").collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(headline.items()):
+        t0 = time.perf_counter()
+        df = spec.spark_fn(spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,200 @@
+"""SQLEngine — the PySpark analogue of the reference's
+``DataFusionContext`` (src/core.rs:34-99).
+
+API surface parity (SURVEY.md §0 table):
+
+| reference                         | here                         |
+|-----------------------------------|------------------------------|
+| ``DataFusionContext::new()``      | ``SQLEngine()``              |
+| ``greet()``                       | ``greet()``                  |
+| ``execute_sql(sql)`` (multi-stmt) | ``execute_sql(sql)``         |
+| ``set_s3_config(root,bucket,region,ak,sk)`` | ``set_s3_config(...)`` |
+| ``set_result_format(fmt)``        | ``set_result_format(fmt)``   |
+
+Differences by design (documented quirks, SURVEY.md §0):
+- the reference's ``set_result_format`` is dead code in its SQL path
+  (core.rs:120-122 hardcodes the table formatter); we honor it.
+- the reference hardcodes the S3 endpoint (object_store.rs:52); we
+  allow an endpoint override.
+- multi-statement scripts return per-statement outputs joined with
+  newlines, matching core.rs:127.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_wasm_bindings_spark.errors import EngineError, classify_spark_error
+from datafusion_wasm_bindings_spark.formats import ResultFormat, format_result
+from datafusion_wasm_bindings_spark.session import get_spark
+
+
+def split_statements(sql: str) -> list[str]:
+    """Split a script on ``;`` outside quotes/comments (reference parses
+    multi-statement scripts via DFParser, core.rs:103-111)."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(sql)
+    in_s = in_d = in_line_comment = in_block_comment = False
+    while i < n:
+        ch = sql[i]
+        nxt = sql[i + 1] if i + 1 < n else ""
+        if in_line_comment:
+            buf.append(ch)
+            if ch == "\n":
+                in_line_comment = False
+        elif in_block_comment:
+            buf.append(ch)
+            if ch == "*" and nxt == "/":
+                buf.append(nxt)
+                i += 1
+                in_block_comment = False
+        elif in_s:
+            buf.append(ch)
+            if ch == "'":
+                if nxt == "'":
+                    buf.append(nxt)
+                    i += 1
+                else:
+                    in_s = False
+        elif in_d:
+            buf.append(ch)
+            if ch == '"':
+                in_d = False
+        elif ch == "-" and nxt == "-":
+            buf.append(ch)
+            in_line_comment = True
+        elif ch == "/" and nxt == "*":
+            buf.append(ch)
+            in_block_comment = True
+        elif ch == "'":
+            buf.append(ch)
+            in_s = True
+        elif ch == '"':
+            buf.append(ch)
+            in_d = True
+        elif ch == ";":
+            stmts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    stmts.append("".join(buf))
+    return [s.strip() for s in stmts if s.strip()]
+
+
+_EXTERNAL_TABLE_RE = re.compile(
+    r"CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)"
+    r"(?P<cols>\s*\(.*?\))?\s+STORED\s+AS\s+(?P<format>\w+)"
+    r"(?:\s+.*?)?\s+LOCATION\s+'(?P<location>[^']+)'",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+class SQLEngine:
+    """SQL string in → formatted result string out, over Spark.
+
+    >>> eng = SQLEngine()
+    >>> eng.greet()
+    'hello from datafusion-wasm-bindings-spark'
+    >>> print(eng.execute_sql("SELECT 1 AS one"))
+    +-----+
+    | one |
+    +-----+
+    | 1   |
+    +-----+
+    """
+
+    def __init__(self, spark: SparkSession | None = None) -> None:
+        # Reference builds its SessionContext eagerly (core.rs:47-72);
+        # we accept an injected session (tests) or build the tuned one.
+        self.spark = spark if spark is not None else get_spark()
+        self.result_format = ResultFormat.TABLE
+        self.max_rows: int | None = None  # None = full materialization, like core.rs:119
+
+    # -- reference: core.rs:43-45 ------------------------------------
+    def greet(self) -> str:
+        return "hello from datafusion-wasm-bindings-spark"
+
+    # -- reference: core.rs:96-98 ------------------------------------
+    def set_result_format(self, fmt: ResultFormat | str) -> None:
+        self.result_format = ResultFormat(fmt) if isinstance(fmt, str) else fmt
+
+    # -- reference: core.rs:78-94 + object_store.rs:45-56 ------------
+    def set_s3_config(
+        self,
+        root: str,
+        bucket: str,
+        region: str,
+        access_key_id: str,
+        secret_access_key: str,
+        endpoint: str | None = None,
+    ) -> None:
+        """Configure s3a access. The reference hardcodes the AWS endpoint
+        (object_store.rs:52); ``endpoint`` here overrides it."""
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        conf.set("fs.s3a.access.key", access_key_id)
+        conf.set("fs.s3a.secret.key", secret_access_key)
+        conf.set("fs.s3a.endpoint", endpoint or f"s3.{region}.amazonaws.com")
+        conf.set("fs.s3a.endpoint.region", region)
+        self._s3_root = root
+        self._s3_bucket = bucket
+
+    # -- reference: core.rs:74-76,102-127 -----------------------------
+    def execute_sql(self, sql: str) -> str:
+        """Execute a (possibly multi-statement) SQL script; return the
+        statements' rendered outputs joined by newlines (core.rs:127)."""
+        outputs: list[str] = []
+        for stmt in split_statements(sql):
+            outputs.append(self._execute_statement(stmt))
+        return "\n".join(outputs)
+
+    def sql(self, stmt: str) -> DataFrame:
+        """Single statement → DataFrame (the lazy, composable surface)."""
+        try:
+            df = self._dispatch(stmt)
+        except EngineError:
+            raise
+        except Exception as exc:  # noqa: BLE001 - re-raise classified
+            raise classify_spark_error(exc) from exc
+        return df
+
+    def _execute_statement(self, stmt: str) -> str:
+        df = self.sql(stmt)
+        return format_result(df, self.result_format, self.max_rows)
+
+    def _dispatch(self, stmt: str) -> DataFrame:
+        m = _EXTERNAL_TABLE_RE.match(stmt)
+        if m:
+            return self._create_external_table(m)
+        return self.spark.sql(stmt)
+
+    def _create_external_table(self, m: re.Match) -> DataFrame:
+        """``CREATE EXTERNAL TABLE name [(cols)] STORED AS fmt LOCATION 'url'``
+        → spark.read registration as a temp view (SURVEY.md §7.5).
+
+        The reference resolves the location's scheme through its object
+        store registry at scan time (object_store.rs:43-74); Spark's
+        Hadoop FileSystem does the scheme dispatch for us (file/, s3a://).
+        """
+        name = m.group("name").strip('"')
+        fmt = m.group("format").lower()
+        location = m.group("location")
+        if location.startswith("s3://"):
+            location = "s3a://" + location[len("s3://"):]
+        reader = self.spark.read
+        if fmt == "parquet":
+            df = reader.parquet(location)
+        elif fmt == "csv":
+            df = reader.option("header", "true").option("inferSchema", "true").csv(location)
+        elif fmt == "json":
+            df = reader.json(location)
+        else:
+            from datafusion_wasm_bindings_spark.errors import PlanError
+
+            raise PlanError(f"unsupported STORED AS format: {fmt}")
+        df.createOrReplaceTempView(name)
+        # DDL yields an empty result relation, like DataFusion's DDL path
+        return self.spark.createDataFrame([], "result string")

@@ -1,0 +1,1 @@
+"""operators subpackage (filled in during the build; see SURVEY.md §7)."""

@@ -1,0 +1,1 @@
+"""plans subpackage (filled in during the build; see SURVEY.md §7)."""

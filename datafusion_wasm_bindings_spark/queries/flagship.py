@@ -1,0 +1,76 @@
+"""Flagship query: TPC-H-Q1-style pricing summary over lineitem.
+
+One query exercising the reference's whole hot path (SURVEY.md §7.1):
+parquet scan with predicate pushdown (§2.1) → filter (§2.2) →
+hash aggregation with 8 aggregates (§2.4) → sort (§2.6). The reference
+runs this class of query through FilterExec/AggregateExec/SortExec
+(inherited DataFusion 45 operators, Cargo.lock:978); Spark runs it as
+one whole-stage-codegen'd scan + partial-agg stage, a single shuffle on
+the 6-row group-key space, and a final agg + sort.
+
+Scale posture: the only shuffle is on (l_returnflag, l_linestatus) —
+~6 groups — after map-side partial aggregation, so bytes shuffled are
+O(partitions × groups), independent of input rows. The shipdate filter
+pushes into the parquet scan (PushedFilters). This plan survives
+100 TB unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_wasm_bindings_spark.queries import query
+from datafusion_wasm_bindings_spark.queries._util import davg, davg_sql, dsum, dsum_sql
+from datafusion_wasm_bindings_spark.sources.catalog import table
+
+
+def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    disc_price = price * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(price, "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(price, "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_last(), F.col("l_linestatus").asc_nulls_last())
+    )
+
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {dsum_sql("l_quantity", "sum_qty")},
+  {dsum_sql("l_extendedprice", "sum_base_price")},
+  {dsum_sql("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+  {dsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+  {davg_sql("l_quantity", "avg_qty")},
+  {davg_sql("l_extendedprice", "avg_price")},
+  {davg_sql("l_discount", "avg_disc")},
+  COUNT(1) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST
+"""
+
+query("q_flagship_pricing_summary", _Q1_ORACLE, headline=True, tags=("flagship", "agg"))(_q1)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point used by __spark_entry__.entry (driver smoke check)."""
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    return _q1(spark, sf_dir)

@@ -1,0 +1,83 @@
+"""SparkSession construction for the engine.
+
+Maps the reference's context construction (src/core.rs:47-72) onto
+Spark. Deliberate non-replications (SURVEY.md §0):
+
+- ``target_partitions = 1`` (core.rs:61) is a WASM single-thread
+  constraint, not a semantic — we parallelize.
+- ``DiskManagerConfig::Disabled`` (core.rs:55) means the reference
+  OOMs instead of spilling; Spark spills natively and we keep that ON
+  (required for the 100 TB design point).
+
+Scale posture: shuffle partitions default to the local core count for
+tests/bench; on a real cluster this would be executors*cores*2-3 or
+left to AQE coalescing, which is enabled here and does the right thing
+at any scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "datafusion-wasm-bindings-spark"
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return max(1, int(cpus))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Config choices, mapped from the reference session setup
+    (src/core.rs:53-62) plus oracle-parity pins:
+
+    - UTC session timezone: DuckDB oracle timestamps are UTC-naive.
+    - case-insensitive resolution: DataFusion lowercases unquoted
+      identifiers (Postgres style); Spark's default case-insensitive
+      matching gives the same observable behavior for our queries.
+    - AQE on: runtime re-plan (broadcast conversion, skew-join split,
+      partition coalescing) — the scale story for 100 TB inputs.
+    - Arrow transfers on: vectorized toPandas/createDataFrame paths.
+    """
+    par = shuffle_partitions if shuffle_partitions is not None else default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(par))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.caseSensitive", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+        # default (FIXTURES.md: ns → µs policy). Read nanos as long and
+        # convert to µs timestamps at the view layer (sources/catalog.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_CONNECT_MODE_ENABLED"):
+        builder = builder.master(f"local[{default_parallelism()}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,1 @@
+"""streaming subpackage (filled in during the build; see SURVEY.md §7)."""

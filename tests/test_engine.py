@@ -1,0 +1,64 @@
+"""SQLEngine surface tests — parity with DataFusionContext
+(reference src/core.rs:34-99)."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_wasm_bindings_spark.engine import SQLEngine, split_statements
+from datafusion_wasm_bindings_spark.errors import EngineError, ParseError, PlanError
+from datafusion_wasm_bindings_spark.formats import ResultFormat
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return SQLEngine(spark)
+
+
+def test_greet(engine):
+    # analogue of core.rs:43-45
+    assert "hello from datafusion" in engine.greet()
+
+
+def test_execute_sql_single(engine):
+    out = engine.execute_sql("SELECT 1 AS one")
+    assert "one" in out and "1" in out and out.startswith("+")
+
+
+def test_execute_sql_multi_statement(engine):
+    # core.rs:103-127: statements run sequentially, outputs joined by \n
+    out = engine.execute_sql("SELECT 1 AS a; SELECT 2 AS b")
+    assert "a" in out and "b" in out
+    assert out.count("+--") >= 2
+
+
+def test_result_format_switch(engine):
+    engine.set_result_format(ResultFormat.JSON)
+    try:
+        out = engine.execute_sql("SELECT 1 AS one")
+        assert out.startswith("[") and '"one":1' in out.replace(" ", "")
+    finally:
+        engine.set_result_format(ResultFormat.TABLE)
+
+
+def test_split_statements_quoting():
+    stmts = split_statements("SELECT 'a;b' AS x; SELECT 2 -- c;\n; SELECT 3")
+    assert stmts[0] == "SELECT 'a;b' AS x"
+    assert len(stmts) == 3
+
+
+def test_error_hierarchy(engine):
+    with pytest.raises(ParseError):
+        engine.sql("SELEKT 1")
+    with pytest.raises(PlanError):
+        engine.sql("SELECT * FROM no_such_table_xyz")
+    with pytest.raises(EngineError):
+        engine.sql("SELEKT 1")
+
+
+def test_create_external_table(engine, sf_dir):
+    engine.execute_sql(
+        f"CREATE EXTERNAL TABLE ext_nation STORED AS PARQUET LOCATION '{sf_dir}/nation.parquet'"
+    )
+    out = engine.execute_sql("SELECT COUNT(*) AS n FROM ext_nation")
+    assert "25" in out
