@@ -35,9 +35,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query id (omit => rows-only check)."""
+    """DuckDB-runnable oracle SQL per query id (omit => rows-only check).
+
+    The driver's oracle comparison runs at sf=0.01 (TESTDATA.md), so
+    file-path-bearing oracles resolve their {TAG} placeholder to sf0.01.
+    """
+    from datafusion_wasm_bindings_spark.queries import resolve_oracle
+
     return {
-        name: spec.oracle
+        name: resolve_oracle(spec.oracle, "/root/testdata/sf0.01")
         for name, spec in load_all().items()
         if spec.oracle is not None
     }

@@ -169,7 +169,17 @@ class SQLEngine:
         m = _EXTERNAL_TABLE_RE.match(stmt)
         if m:
             return self._create_external_table(m)
-        return self.spark.sql(stmt)
+        from datafusion_wasm_bindings_spark import compat
+
+        if compat.needs_information_schema(stmt):
+            # reference enables information_schema at session build
+            # (core.rs:62); we materialize the emulation on demand
+            from datafusion_wasm_bindings_spark.sources.infoschema import (
+                register_information_schema,
+            )
+
+            register_information_schema(self.spark)
+        return self.spark.sql(compat.rewrite(stmt))
 
     def _create_external_table(self, m: re.Match) -> DataFrame:
         """``CREATE EXTERNAL TABLE name [(cols)] STORED AS fmt LOCATION 'url'``

@@ -1,0 +1,104 @@
+"""DataFusion-name → Spark-function shim registry (SURVEY.md §7.3).
+
+Nearly every scalar function the reference compiles in
+(datafusion-functions*, Cargo.lock:783-861) is a pure name-mapping to
+a Spark builtin — those mappings live in ``NAME_MAP`` and cost
+nothing at runtime (Catalyst sees the builtin). Only functions with
+no Spark equivalent get a real implementation, preferring expression
+composition (JVM-side, codegen-friendly) and falling back to an
+Arrow-vectorized pandas UDF only for gcd/lcm, which have no closed
+expression form.
+
+``ensure_registered(spark)`` makes the SQL-callable shims available
+under a ``dfwb_`` prefix (Spark has no schema-qualified function
+namespaces for session UDFs).
+
+Scale note: the pandas UDFs here are Arrow-batched; at 100 TB they
+run once per ~10k-row batch per core — acceptable for the rare
+queries using gcd/lcm, and everything else stays in codegen.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# DataFusion name -> pyspark.sql.functions name, where it is a pure
+# rename (identical semantics). Identity mappings are omitted.
+NAME_MAP = {
+    "ln": "log",
+    "power": "pow",
+    "signum": "signum",
+    "array_agg": "collect_list",
+    "approx_distinct": "approx_count_distinct",
+    "approx_median": "percentile_approx",  # with p=0.5
+    "character_length": "char_length",
+    "strpos": "locate",  # arg order differs: locate(sub, str)
+    "substr_index": "substring_index",
+    "datepart": "date_part",
+    "datetrunc": "date_trunc",
+    "now": "current_timestamp",
+    "today": "current_date",
+    "mean": "avg",
+    "nvl": "ifnull",
+}
+
+
+# --- expression-composition shims (stay JVM-side) --------------------
+
+def iszero(col: Column) -> Column:
+    """DataFusion iszero(x) — true when x == ±0.0 (not for NaN/null)."""
+    return F.when(col.isNull(), F.lit(None).cast("boolean")).otherwise(col == 0.0)
+
+
+def nanvl(x: Column, y: Column) -> Column:
+    """Spark has a native nanvl; exposed here for the name registry."""
+    return F.nanvl(x, y)
+
+
+def date_bin(stride_seconds: int, ts: Column, origin_epoch_us: int = 0) -> Column:
+    """DataFusion date_bin(stride, ts, origin): floor ts into stride-
+    aligned buckets. Pure integer arithmetic on epoch micros — stays in
+    whole-stage codegen (SURVEY §2.8 datetime gaps).
+    """
+    stride_us = F.lit(int(stride_seconds) * 1_000_000)
+    off = F.unix_micros(ts) - F.lit(origin_epoch_us)
+    bucket = F.floor(off / stride_us).cast("long") * stride_us + F.lit(origin_epoch_us)
+    return F.timestamp_micros(bucket.cast("long"))
+
+
+# --- pandas UDFs (Arrow-vectorized; only where no expression exists) --
+
+@F.pandas_udf(T.LongType())
+def _gcd_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if x is None or y is None else math.gcd(int(x), int(y)) for x, y in zip(a, b)],
+        dtype="Int64",
+    )
+
+
+@F.pandas_udf(T.LongType())
+def _lcm_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if x is None or y is None else math.lcm(int(x), int(y)) for x, y in zip(a, b)],
+        dtype="Int64",
+    )
+
+
+gcd = _gcd_udf
+lcm = _lcm_udf
+
+_registered_sessions: set[int] = set()
+
+
+def ensure_registered(spark: SparkSession) -> None:
+    """Register the SQL-callable shims once per session."""
+    if id(spark) in _registered_sessions:
+        return
+    spark.udf.register("dfwb_gcd", _gcd_udf)
+    spark.udf.register("dfwb_lcm", _lcm_udf)
+    _registered_sessions.add(id(spark))

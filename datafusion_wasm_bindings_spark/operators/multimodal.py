@@ -1,0 +1,95 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+North-star pattern (BASELINE.json): image/audio/video travel as
+``binary`` columns beside a struct of metadata; decode / feature
+extraction runs as Arrow-batched pandas functions over mapInPandas.
+
+The container has no image/audio libraries, so the *decode* step is a
+deterministic fake keyed off the payload bytes (clearly marked below);
+everything around it — schema, batch iteration, partitioning, UDF
+signatures — is the real production plumbing and is tested/oracle-
+checked numerically.
+
+Scale notes: mapInPandas streams Arrow batches (~10k rows) per
+partition — memory is bounded by batch size × payload size, not
+partition size; decode parallelism = task parallelism. Binary payloads
+never pass through a shuffle here (metadata-only results leave the
+UDF), which is the rule to keep at 100 TB: shuffle features, not media.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = "doc_id long, media binary, meta struct<format:string, declared_len:bigint>"
+FEATURE_SCHEMA = "doc_id long, format string, n_bytes long, width int, height int, checksum long"
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Build a multimodal table from the documents fixture: the UTF-8
+    text bytes stand in for an encoded media payload."""
+    return documents.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+        F.struct(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("png")).otherwise(F.lit("jpeg")).alias("format"),
+            F.col("n_chars").alias("declared_len"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """STUB decoder — deterministic stand-in for PIL/ffmpeg, which are
+    not in this container. A real deployment replaces this body with
+    e.g. ``PIL.Image.open(io.BytesIO(payload)).size``; the function
+    signature and batch plumbing stay identical.
+    """
+    n = len(payload)
+    width = 64 + (n % 577)
+    height = 64 + ((n * 31) % 479)
+    checksum = 0
+    for b in payload[:128]:
+        checksum = (checksum * 131 + b) % 1_000_000_007
+    return width, height, checksum
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [_fake_decode(bytes(m)) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": [m["format"] for m in pdf["meta"]],
+                    "n_bytes": [len(bytes(m)) for m in pdf["media"]],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "checksum": [d[2] for d in dims],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 100) -> DataFrame:
+    """'Frame sampling' stand-in: slice the payload at a fixed stride,
+    emitting one row per sample — the explode-shaped pattern a video
+    pipeline uses for frames. Pure built-in functions (substring on
+    binary), no Python."""
+    n_frames = F.greatest((F.length("media") / every_n_bytes).cast("int"), F.lit(1))
+    return media.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_frames - 1),
+                lambda i: F.substring(F.col("media"), i * every_n_bytes + 1, 16),
+            )
+        ).alias("frame_no", "frame_bytes"),
+    )

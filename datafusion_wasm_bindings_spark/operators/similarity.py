@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star extension (BASELINE.json): brute-force cosine top-k as the
+exactness baseline, plus an LSH-bucketed variant as the scale path.
+
+Numeric determinism for oracle checking: embeddings are float32; dot
+products summed in different orders diverge in the last bits. All
+*checked* scores therefore quantize each component to an integer
+(round(x*1000)) so dot products and norms are exact int64 sums —
+identical in Spark and DuckDB — and the final cosine is one IEEE
+division/sqrt on exact integers. The unquantized float path is the
+same plan shape.
+
+Design for 100 TB:
+- query set is small → broadcast it; the corpus never shuffles for
+  scoring (map-side nested loop over a broadcast list).
+- top-k per query via window row_number over (score desc) — at scale,
+  per-partition partial top-k (AQE handles via TakeOrdered when the
+  query set is 1; for many queries the window shuffles only
+  (query_id, score) pairs, not vectors).
+- the LSH variant buckets by random-hyperplane sign bits so each
+  probe touches ~corpus/2^bits candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantized(col: F.Column, scale: int = 1000) -> F.Column:
+    """array<float> → array<bigint> with deterministic per-component
+    rounding (same IEEE double in every engine)."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def _norm2(a: F.Column) -> F.Column:
+    return F.aggregate(F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int],
+    k: int = 3,
+) -> DataFrame:
+    """Exact cosine top-k of every corpus vector against each query
+    vector (quantized for cross-engine determinism).
+
+    Plan: broadcast the |Q| query vectors, map-side score every corpus
+    row (no shuffle), then one shuffle on query_id for the top-k
+    window. Scales linearly in corpus size.
+    """
+    q = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            quantized(F.col("embedding")).alias("qv"),
+        )
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("cand_id"), quantized(F.col("embedding")).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .withColumn("dot", _dot(F.col("qv"), F.col("cv")))
+        .withColumn("cos", F.col("dot") / F.sqrt(_norm2(F.col("qv")) * _norm2(F.col("cv"))))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def cosine_pairs_threshold(embeddings: DataFrame, *, threshold: float = 0.8, max_id: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold
+    (quantized — exact cross-engine). Used by the dedup suite."""
+    e = embeddings if max_id is None else embeddings.filter(F.col("vec_id") <= max_id)
+    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("dot", _dot(F.col("a.qv"), F.col("b.qv")))
+        .withColumn(
+            "cos", F.col("dot") / F.sqrt(_norm2(F.col("a.qv")) * _norm2(F.col("b.qv")))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int],
+    k: int = 3,
+    planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH.
+
+    Hyperplane h ∈ [planes] assigns bit sign(Σ_d w(h,d)·x_d) with
+    pseudo-random ±1 weights w(h,d) = murmur3(h, d) parity — fully
+    deterministic, no stored model. Candidates = corpus vectors whose
+    bucket matches the query's in any of 2 band splits, re-scored
+    exactly. Recall is probabilistic → rows-only oracle; bounded-recall
+    assertion lives in tests/test_operators.py.
+
+    At 100 TB the bucket table is the only shuffle (key = 1-byte
+    bucket), and probing is a broadcast semi-join on bucket ids.
+    """
+
+    def bucket_bits(vec: F.Column) -> F.Column:
+        bits = []
+        for h in range(planes):
+            # ±1 weight stream per (plane, dim): parity of murmur3
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda x, i: F.when(
+                        F.pmod(F.hash(F.lit(seed + h), i), F.lit(2)) == 1, x
+                    ).otherwise(-x),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1 << h)).otherwise(F.lit(0)))
+        return sum(bits[1:], bits[0]).alias("bucket")
+
+    base = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("bucket", bucket_bits(F.col("v")))
+
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    cands = base.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cands.withColumn(
+        "cos",
+        F.aggregate(F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
+        / (
+            F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
+            * F.sqrt(F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("cand_id"), "rank", F.round("cos", 6).alias("cos"))
+    )

@@ -50,7 +50,6 @@ _MODULES = (
     "functions_agg",
     "sources_q",
     "statements",
-    "compat_q",
     "extensions",
 )
 
@@ -98,6 +97,16 @@ def sql_query(
 
     fn.__name__ = name
     QUERIES[name] = QuerySpec(name, fn, sql if oracle == "same" else oracle, headline, tags)
+
+
+def resolve_oracle(oracle: str | None, sf_dir: str) -> str | None:
+    """Fill the ``{TAG}`` placeholder some file-path-bearing oracles
+    carry (CSV/JSON/COPY fixtures live under /tmp/<sf-tag>/…) with the
+    scale-factor tag of the directory being queried."""
+    if oracle is None:
+        return None
+    tag = __import__("os").path.basename(__import__("os").path.normpath(sf_dir)) or "sf"
+    return oracle.replace("{TAG}", tag)
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -1,0 +1,443 @@
+"""North-star extension queries (SURVEY.md §7.6, BASELINE.json):
+deduplication, similarity search, text analysis, multimodal columns,
+event-time windows. Implementations live in operators/ and streaming/;
+this module registers the oracle-checked entry points.
+
+Oracle strategy per family:
+- relational algorithms (exact dedup, inverted-index Jaccard,
+  quantized cosine, text stats, fingerprints, windows) → full DuckDB
+  value check, bit-deterministic by construction;
+- hash-sketch algorithms (MinHash, SimHash, hyperplane LSH) depend on
+  Spark's Murmur3 which DuckDB lacks → rows-only here, with recall /
+  containment property tests in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_wasm_bindings_spark.queries import query, sql_query
+from datafusion_wasm_bindings_spark.queries._util import dsum_sql
+from datafusion_wasm_bindings_spark.sources.catalog import table
+
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+# ====================== deduplication =================================
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(table(spark, sf_dir, "documents"))
+
+
+query(
+    "q_dedup_exact",
+    """
+    SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    tags=("extension", "dedup"),
+)(_dedup_exact)
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), bands=8, rows_per_band=2, jaccard_threshold=0.5
+    )
+
+
+query("q_dedup_minhash", None, tags=("extension", "dedup"))(_dedup_minhash)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.dedup import simhash
+
+    return simhash(table(spark, sf_dir, "documents"))
+
+
+query("q_dedup_simhash", None, tags=("extension", "dedup"))(_dedup_simhash)
+
+
+def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 200")
+    return ngram_jaccard_pairs(docs, threshold=0.9)
+
+
+query(
+    "q_dedup_ngram_jaccard",
+    """
+    WITH w0 AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents WHERE doc_id < 200
+    ),
+    words AS (SELECT DISTINCT doc_id, tok FROM w0),
+    sizes AS (SELECT doc_id, count(*) AS n_tok FROM words GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM words a JOIN words b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.n_tok + sb.n_tok - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter * 1.0 / (sa.n_tok + sb.n_tok - inter) >= 0.9
+    """,
+    tags=("extension", "dedup"),
+)(_dedup_ngram)
+
+
+def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.similarity import cosine_pairs_threshold
+
+    return cosine_pairs_threshold(
+        table(spark, sf_dir, "embeddings"), threshold=0.35, max_id=300
+    )
+
+
+_COMP = """
+    q AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          FROM embeddings {where}),
+    comp AS (SELECT vec_id, unnest(qv) AS val, generate_subscripts(qv, 1) AS i FROM q),
+    norms AS (SELECT vec_id, sum(val * val) AS n2 FROM comp GROUP BY vec_id)
+"""
+
+query(
+    "q_dedup_embedding",
+    f"""
+    WITH {_COMP.format(where="WHERE vec_id <= 300")},
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.val * b.val) AS dot
+      FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(dot / sqrt(na.n2 * nb.n2), 6) AS cos
+    FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+    WHERE dot / sqrt(na.n2 * nb.n2) >= 0.35
+    """,
+    tags=("extension", "dedup", "similarity"),
+)(_dedup_embedding)
+
+
+# ====================== similarity search ==============================
+_QUERY_IDS = [1, 2, 3, 4, 5]
+
+
+def _sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.similarity import cosine_topk_bruteforce
+
+    return cosine_topk_bruteforce(
+        table(spark, sf_dir, "embeddings"), query_ids=_QUERY_IDS, k=3
+    )
+
+
+query(
+    "q_sim_topk",
+    f"""
+    WITH {_COMP.format(where="")},
+    dots AS (
+      SELECT qq.vec_id AS query_id, c.vec_id AS cand_id, sum(qq2.val * c.val) AS dot
+      FROM (SELECT vec_id FROM q WHERE vec_id IN (1,2,3,4,5)) qq
+      JOIN comp qq2 ON qq2.vec_id = qq.vec_id
+      JOIN comp c ON c.i = qq2.i AND c.vec_id <> qq.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, cand_id,
+             dot / sqrt(nq.n2 * nc.n2) AS cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot / sqrt(nq.n2 * nc.n2) DESC, cand_id ASC) AS rank
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = cand_id
+    )
+    SELECT query_id, cand_id, rank, round(cos_raw, 6) AS cos
+    FROM scored WHERE rank <= 3
+    """,
+    headline=True,
+    tags=("extension", "similarity"),
+)(_sim_topk)
+
+
+def _sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.similarity import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(
+        table(spark, sf_dir, "embeddings"), query_ids=_QUERY_IDS, k=3, planes=4
+    )
+
+
+query("q_sim_lsh_topk", None, tags=("extension", "similarity"))(_sim_lsh)
+
+
+# ====================== text analysis ===================================
+def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.text import token_counts
+
+    return token_counts(table(spark, sf_dir, "documents"))
+
+
+query(
+    "q_text_tokens",
+    f"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS ws_tokens,
+           len({_TOK}) AS re_tokens,
+           length(text) AS n_chars_measured,
+           n_chars AS n_chars_given
+    FROM documents
+    """,
+    tags=("extension", "text"),
+)(_text_tokens)
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.text import quality_scores
+
+    return quality_scores(table(spark, sf_dir, "documents"))
+
+
+_EN_STOP_SQL = "['the','and','of','to','in','is','it','for','with','on']"
+
+query(
+    "q_text_quality",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             {_TOK} AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n_chars, alpha_chars,
+             len(toks) AS n_tok,
+             len(list_filter(toks, t -> list_contains({_EN_STOP_SQL}, t))) AS n_stop
+      FROM f
+    )
+    SELECT doc_id,
+           n_tok AS n_tokens,
+           round(alpha_chars * 1.0 / greatest(n_chars, 1), 6) AS alpha_ratio,
+           round(n_stop * 1.0 / greatest(n_tok, 1), 6) AS stopword_ratio,
+           round(CASE WHEN n_tok > 0 THEN alpha_chars * 1.0 / n_tok ELSE 0.0 END, 6) AS mean_token_len,
+           round(
+             least(n_chars / 400.0, 1.0) * 0.3
+             + (alpha_chars * 1.0 / greatest(n_chars, 1)) * 0.3
+             + least(n_stop * 1.0 / greatest(n_tok, 1) * 4.0, 1.0) * 0.2
+             + CASE WHEN (CASE WHEN n_tok > 0 THEN alpha_chars * 1.0 / n_tok ELSE 0.0 END) BETWEEN 3 AND 8
+                    THEN 0.2 ELSE 0.0 END,
+           6) AS quality
+    FROM g
+    """,
+    tags=("extension", "text"),
+)(_text_quality)
+
+
+def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.text import language_id
+
+    return language_id(table(spark, sf_dir, "documents"), spark)
+
+
+def _lex_values() -> str:
+    from datafusion_wasm_bindings_spark.operators.text import LANG_LEXICON
+
+    return ", ".join(
+        f"('{lang}', '{w}')" for lang, words in LANG_LEXICON.items() for w in words
+    )
+
+
+query(
+    "q_text_langid",
+    f"""
+    WITH lex(lang_cand, tok) AS (VALUES {_lex_values()}),
+    toks AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+    hits AS (
+      SELECT doc_id, lang_cand, count(*) AS hits
+      FROM toks JOIN lex USING (tok) GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, lang_cand AS lang_pred, hits AS best_hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang_cand DESC) AS rn
+      FROM hits
+    )
+    SELECT d.doc_id,
+           coalesce(b.lang_pred, 'und') AS lang_pred,
+           coalesce(b.best_hits, 0) AS best_hits,
+           d.lang
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """,
+    tags=("extension", "text"),
+)(_text_langid)
+
+
+def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.text import fingerprints
+
+    return fingerprints(table(spark, sf_dir, "documents"))
+
+
+query(
+    "q_text_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({_TOK},
+                 t -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(t, ''),
+                                         c -> CAST(ascii(c) AS BIGINT))),
+                        (a, b) -> (a * 131 + b) % 1000000007))),
+             (a, t) -> (a * 31 + t) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+    tags=("extension", "text"),
+)(_text_fingerprint)
+
+
+# ====================== multimodal columns ===============================
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    return extract_features(synthesize_media(table(spark, sf_dir, "documents")))
+
+
+query(
+    "q_multimodal_features",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+             octet_length(encode(text)) AS n_bytes,
+             substr(text, 1, 128) AS head
+      FROM documents
+    )
+    SELECT doc_id, format, n_bytes,
+           CAST(64 + (n_bytes % 577) AS INT) AS width,
+           CAST(64 + ((n_bytes * 31) % 479) AS INT) AS height,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(head, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 131 + b) % 1000000007) AS checksum
+    FROM m
+    """,
+    tags=("extension", "multimodal"),
+)(_multimodal_features)
+
+
+def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.multimodal import (
+        frame_sample,
+        synthesize_media,
+    )
+    from pyspark.sql import functions as F
+
+    frames = frame_sample(synthesize_media(table(spark, sf_dir, "documents")))
+    return frames.select(
+        "doc_id", "frame_no", F.col("frame_bytes").cast("string").alias("frame_text")
+    )
+
+
+query(
+    "q_multimodal_frames",
+    """
+    WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+    idx AS (
+      SELECT doc_id, text, unnest(range(0, greatest(n // 100, 1))) AS frame_no FROM m
+    )
+    SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+           substr(text, CAST(frame_no AS INT) * 100 + 1, 16) AS frame_text
+    FROM idx
+    """,
+    tags=("extension", "multimodal"),
+)(_multimodal_frames)
+
+
+# ====================== event-time windows (batch) ========================
+def _events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.streaming.events import tumbling
+
+    return tumbling(table(spark, sf_dir, "events"))
+
+
+query(
+    "q_events_tumbling",
+    f"""
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS ws,
+           event_type,
+           count(*) AS n,
+           {dsum_sql("value", "total_value")}
+    FROM events
+    GROUP BY 1, 2
+    """,
+    headline=True,
+    tags=("extension", "events"),
+)(_events_tumbling)
+
+
+def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.streaming.events import sliding
+
+    return sliding(table(spark, sf_dir, "events"))
+
+
+query(
+    "q_events_sliding",
+    f"""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS ws, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE AS ws, value
+      FROM events
+    )
+    SELECT ws, count(*) AS n, {dsum_sql("value", "total_value")}
+    FROM assigned GROUP BY ws
+    """,
+    tags=("extension", "events"),
+)(_events_sliding)
+
+
+def _events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.streaming.events import sessionized
+
+    return sessionized(table(spark, sf_dir, "events"))
+
+
+query(
+    "q_events_session",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n,
+           {dsum_sql("value", "total_value")}
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    tags=("extension", "events"),
+)(_events_session)

@@ -1,0 +1,223 @@
+"""Aggregate function catalog — SURVEY.md §2.4 function table
+(datafusion-functions-aggregate 45, Cargo.lock:809).
+
+Float-stat caveat: variance/corr/regr merge partial states across
+partitions in Spark while DuckDB scans sequentially — results agree
+only to ~1e-12 relative. Checked queries therefore (a) use
+small-magnitude columns (discount/tax ∈ [0, 0.1]) so the absolute
+error is tiny and (b) round on both sides (FIXTURES.md rules).
+
+Approx sketches (HLL / t-digest) differ by construction between
+engines → oracle=None (driver records rows-only), with bounded-error
+assertions in tests/test_approx.py instead.
+"""
+
+from __future__ import annotations
+
+from datafusion_wasm_bindings_spark.queries import sql_query
+from datafusion_wasm_bindings_spark.queries._util import davg_sql, dsum_sql
+
+sql_query(
+    "q_fn_count",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_star,
+           COUNT(1) AS n_one,
+           COUNT(l_orderkey) AS n_col,
+           COUNT(DISTINCT l_suppkey) AS n_distinct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg_fn",),
+)
+
+sql_query(
+    "q_fn_sum_avg_min_max",
+    f"""
+    SELECT o_orderstatus,
+           {dsum_sql("o_totalprice", "total")},
+           {davg_sql("o_totalprice", "mean_price")},
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           SUM(o_orderkey) AS key_sum,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg_fn",),
+)
+
+# median: exact interpolating median in both engines
+sql_query(
+    "q_fn_median",
+    """
+    SELECT l_returnflag,
+           round(median(l_quantity), 6) AS med_qty,
+           round(median(l_discount), 6) AS med_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg_fn",),
+)
+
+# --- approx sketches: rows-only (different sketch impls per engine) ---
+sql_query(
+    "q_fn_approx_distinct",
+    """
+    SELECT l_returnflag, approx_count_distinct(l_partkey) AS approx_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    oracle=None,
+    tags=("agg_fn", "approx"),
+)
+
+sql_query(
+    "q_fn_approx_median",
+    """
+    SELECT l_returnflag, percentile_approx(l_extendedprice, 0.5) AS approx_med
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    oracle=None,
+    tags=("agg_fn", "approx"),
+)
+
+sql_query(
+    "q_fn_approx_percentile",
+    """
+    SELECT l_returnflag,
+           percentile_approx(l_extendedprice, 0.1) AS p10,
+           percentile_approx(l_extendedprice, 0.9) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    oracle=None,
+    tags=("agg_fn", "approx"),
+)
+
+# array_agg: order-normalized via sort (plain array_agg is order-
+# nondeterministic in a parallel engine — SURVEY §5 determinism rules)
+sql_query(
+    "q_fn_array_agg",
+    """
+    SELECT n_regionkey,
+           array_sort(collect_list(n_nationkey)) AS keys_sorted,
+           array_sort(collect_set(n_name)) AS names_distinct
+    FROM nation GROUP BY n_regionkey
+    """,
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(array_agg(n_nationkey)) AS keys_sorted,
+           list_sort(list_distinct(array_agg(n_name))) AS names_distinct
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg_fn",),
+)
+
+# string_agg(x, sep ORDER BY y) → Spark: ordered-struct-sort rewrite
+sql_query(
+    "q_fn_string_agg",
+    """
+    SELECT n_regionkey,
+           concat_ws(',', transform(array_sort(collect_list(struct(n_nationkey, n_name))),
+                                    s -> s.n_name)) AS names_csv
+    FROM nation GROUP BY n_regionkey
+    """,
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_nationkey ASC) AS names_csv
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg_fn",),
+)
+
+# first_value(x ORDER BY y) / last_value → min_by / max_by (both engines)
+sql_query(
+    "q_fn_first_last_value",
+    """
+    SELECT o_orderstatus,
+           min_by(o_orderkey, o_totalprice) AS cheapest_order,
+           max_by(o_orderkey, o_totalprice) AS priciest_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg_fn",),
+)
+
+sql_query(
+    "q_fn_bool_and_or",
+    """
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.09) AS any_big_discount,
+           every(l_tax >= 0) AS every_taxed
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.09) AS any_big_discount,
+           bool_and(l_tax >= 0) AS every_taxed
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg_fn",),
+)
+
+sql_query(
+    "q_fn_bit_agg",
+    """
+    SELECT o_orderstatus,
+           bit_and(o_orderkey) AS band,
+           bit_or(o_orderkey) AS bor,
+           bit_xor(o_orderkey) AS bxor
+    FROM orders WHERE o_orderkey <= 1000 GROUP BY o_orderstatus
+    """,
+    tags=("agg_fn",),
+)
+
+# variance family on small-magnitude columns, rounded (module doc)
+sql_query(
+    "q_fn_stddev_var",
+    """
+    SELECT l_returnflag,
+           round(stddev(l_discount), 8) AS sd,
+           round(stddev_pop(l_discount), 8) AS sd_pop,
+           round(variance(l_discount), 8) AS va,
+           round(var_pop(l_discount), 8) AS va_pop
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_discount), 8) AS sd,
+           round(stddev_pop(l_discount), 8) AS sd_pop,
+           round(var_samp(l_discount), 8) AS va,
+           round(var_pop(l_discount), 8) AS va_pop
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg_fn", "stats"),
+)
+
+sql_query(
+    "q_fn_corr_covar",
+    """
+    SELECT l_returnflag,
+           round(corr(l_discount, l_tax), 8) AS c,
+           round(covar_samp(l_discount, l_tax), 10) AS cv_s,
+           round(covar_pop(l_discount, l_tax), 10) AS cv_p
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg_fn", "stats"),
+)
+
+sql_query(
+    "q_fn_regr",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_tax, l_discount), 6) AS slope,
+           round(regr_intercept(l_tax, l_discount), 6) AS icept,
+           round(regr_r2(l_tax, l_discount), 6) AS r2,
+           regr_count(l_tax, l_discount) AS n,
+           round(regr_avgx(l_tax, l_discount), 8) AS ax,
+           round(regr_avgy(l_tax, l_discount), 8) AS ay,
+           round(regr_sxx(l_tax, l_discount), 6) AS sxx,
+           round(regr_syy(l_tax, l_discount), 6) AS syy,
+           round(regr_sxy(l_tax, l_discount), 6) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg_fn", "stats"),
+)

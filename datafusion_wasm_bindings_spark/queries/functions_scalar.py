@@ -1,0 +1,415 @@
+"""Scalar function catalog — SURVEY.md §2.8.
+
+One oracle-checked query per function family the reference compiles in
+(core, math, string, unicode, regex, datetime, encoding —
+Cargo.lock:783-807). Crypto and nested/array functions are OFF in the
+reference build (lockfile proof, SURVEY §2.8) and are deliberately
+absent here; crypto reappears in extensions (dedup fingerprints).
+
+Dialect shims exercised (oracle text differs where DuckDB lacks the
+function): nvl2, overlay, substring_index, find_in_set, btrim,
+initcap, regexp_count, from_unixtime, date_bin, to_char.
+
+libm caveat: exp/trig differ between JVM and C libm in the last ulp —
+all transcendental outputs are rounded to 6 decimals on BOTH sides
+(FIXTURES.md determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_wasm_bindings_spark.queries import query, sql_query
+from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+# --- core: null handling ----------------------------------------------
+sql_query(
+    "q_fn_null_handling",
+    """
+    SELECT p_partkey,
+           coalesce(nullif(p_type, 'STANDARD'), 'was-standard') AS type_or_marker,
+           ifnull(nullif(p_size, 10), -1) AS size_or_neg,
+           nvl2(nullif(p_brand, 'Brand#1'), 'other', 'brand1') AS brand_class
+    FROM part WHERE p_partkey <= 200
+    """,
+    oracle="""
+    SELECT p_partkey,
+           coalesce(nullif(p_type, 'STANDARD'), 'was-standard') AS type_or_marker,
+           ifnull(nullif(p_size, 10), -1) AS size_or_neg,
+           CASE WHEN nullif(p_brand, 'Brand#1') IS NOT NULL
+                THEN 'other' ELSE 'brand1' END AS brand_class
+    FROM part WHERE p_partkey <= 200
+    """,
+    tags=("functions", "core"),
+)
+
+sql_query(
+    "q_fn_greatest_least",
+    """
+    SELECT o_orderkey,
+           greatest(o_totalprice, 50000.0, o_orderkey * 1.0) AS hi,
+           least(o_totalprice, 50000.0, o_orderkey * 1.0) AS lo
+    FROM orders WHERE o_orderkey <= 300
+    """,
+    tags=("functions", "core"),
+)
+
+# --- core: struct build + get_field -----------------------------------
+# Output scalar fields (struct cell rendering differs across drivers).
+sql_query(
+    "q_fn_struct",
+    """
+    SELECT t.s.k AS k_out, t.s.nm AS nm_out
+    FROM (SELECT named_struct('k', n_nationkey, 'nm', n_name) AS s FROM nation) t
+    """,
+    oracle="""
+    SELECT t.s.k AS k_out, t.s.nm AS nm_out
+    FROM (SELECT {'k': n_nationkey, 'nm': n_name} AS s FROM nation) t
+    """,
+    tags=("functions", "core"),
+)
+
+# --- math: exact family -------------------------------------------------
+sql_query(
+    "q_fn_math_basic",
+    """
+    SELECT p_partkey,
+           abs(p_size - 25) AS a,
+           ceil(p_retailprice / 100) AS c,
+           floor(p_retailprice / 100) AS f,
+           round(p_retailprice, 1) AS r1,
+           sign(p_size - 25) AS sg,
+           round(sqrt(p_size), 6) AS sq,
+           round(cbrt(p_size), 6) AS cb
+    FROM part WHERE p_partkey <= 300
+    """,
+    tags=("functions", "math"),
+)
+
+# --- math: log / trig (libm-sensitive → round 6) -------------------------
+sql_query(
+    "q_fn_math_log_trig",
+    """
+    SELECT p_partkey,
+           round(ln(p_retailprice), 6) AS l_n,
+           round(log10(p_retailprice), 6) AS l10,
+           round(log2(p_retailprice), 6) AS l2,
+           round(log(2, p_size), 6) AS l2s,
+           round(exp(p_size / 25.0), 6) AS e,
+           round(power(p_size, 1.5), 6) AS pw,
+           round(sin(p_size / 10.0), 6) AS sn,
+           round(cos(p_size / 10.0), 6) AS cs,
+           round(atan2(p_size, 7.0), 6) AS at2,
+           round(degrees(p_size / 10.0), 6) AS dg,
+           round(radians(p_size * 1.0), 6) AS rd,
+           round(pi(), 6) AS p_i
+    FROM part WHERE p_partkey <= 300 AND p_retailprice > 0
+    """,
+    tags=("functions", "math"),
+)
+
+# --- math: Spark gaps (gcd/lcm UDF shims, factorial, isnan/nanvl) --------
+def _math_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.functions.shims import ensure_registered
+
+    ensure_registered(spark)
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               dfwb_gcd(p_size, 24) AS g,
+               dfwb_lcm(p_size, 4) AS l,
+               factorial(p_size % 10) AS fac,
+               isnan(p_retailprice / 1.0) AS is_nan,
+               nanvl(p_retailprice, -1.0) AS nan_fixed,
+               (p_size = 0) AS is_zero
+        FROM part WHERE p_partkey <= 200 AND p_size > 0
+        """
+    )
+
+
+query(
+    "q_fn_math_gaps",
+    """
+    SELECT p_partkey,
+           gcd(p_size, 24) AS g,
+           lcm(p_size, 4) AS l,
+           factorial(p_size % 10) AS fac,
+           isnan(p_retailprice / 1.0) AS is_nan,
+           CASE WHEN isnan(p_retailprice) THEN -1.0 ELSE p_retailprice END AS nan_fixed,
+           (p_size = 0) AS is_zero
+    FROM part WHERE p_partkey <= 200 AND p_size > 0
+    """,
+    tags=("functions", "math"),
+)(_math_gaps)
+
+# --- strings: basic -------------------------------------------------------
+sql_query(
+    "q_fn_string_basic",
+    """
+    SELECT c_custkey,
+           length(c_name) AS len,
+           upper(c_mktsegment) AS up,
+           lower(c_name) AS lo,
+           concat(c_name, '~', c_mktsegment) AS cat,
+           concat_ws('|', c_name, c_mktsegment, 'x') AS catws,
+           repeat(left(c_mktsegment, 2), 3) AS rep,
+           reverse(c_mktsegment) AS rev,
+           replace(c_name, 'Customer', 'Cust') AS repl,
+           ascii(c_mktsegment) AS asc_first,
+           chr(65 + CAST(c_custkey % 26 AS INT)) AS letter,
+           bit_length(c_mktsegment) AS bits,
+           octet_length(c_name) AS octets
+    FROM customer WHERE c_custkey <= 200
+    """,
+    # DuckDB's octet_length takes BLOB, not VARCHAR
+    oracle="""
+    SELECT c_custkey,
+           length(c_name) AS len,
+           upper(c_mktsegment) AS up,
+           lower(c_name) AS lo,
+           concat(c_name, '~', c_mktsegment) AS cat,
+           concat_ws('|', c_name, c_mktsegment, 'x') AS catws,
+           repeat(left(c_mktsegment, 2), 3) AS rep,
+           reverse(c_mktsegment) AS rev,
+           replace(c_name, 'Customer', 'Cust') AS repl,
+           ascii(c_mktsegment) AS asc_first,
+           chr(65 + CAST(c_custkey % 26 AS INT)) AS letter,
+           bit_length(c_mktsegment) AS bits,
+           octet_length(encode(c_name)) AS octets
+    FROM customer WHERE c_custkey <= 200
+    """,
+    tags=("functions", "string"),
+)
+
+# --- strings: pad / trim ---------------------------------------------------
+sql_query(
+    "q_fn_string_pad_trim",
+    """
+    SELECT c_custkey,
+           lpad(c_mktsegment, 12, '.') AS lp,
+           rpad(c_mktsegment, 12, '.') AS rp,
+           ltrim(concat('  ', c_name)) AS lt,
+           rtrim(concat(c_name, '  ')) AS rt,
+           trim(concat(' ', c_name, ' ')) AS tr,
+           btrim(concat('xx', c_mktsegment, 'xx'), 'x') AS bt,
+           left(c_name, 6) AS l6,
+           right(c_name, 4) AS r4
+    FROM customer WHERE c_custkey <= 200
+    """,
+    oracle="""
+    SELECT c_custkey,
+           lpad(c_mktsegment, 12, '.') AS lp,
+           rpad(c_mktsegment, 12, '.') AS rp,
+           ltrim(concat('  ', c_name)) AS lt,
+           rtrim(concat(c_name, '  ')) AS rt,
+           trim(concat(' ', c_name, ' ')) AS tr,
+           trim(concat('xx', c_mktsegment, 'xx'), 'x') AS bt,
+           left(c_name, 6) AS l6,
+           right(c_name, 4) AS r4
+    FROM customer WHERE c_custkey <= 200
+    """,
+    tags=("functions", "string"),
+)
+
+# --- strings: search / edit ------------------------------------------------
+sql_query(
+    "q_fn_string_search",
+    """
+    SELECT c_custkey,
+           contains(c_name, '5') AS has5,
+           startswith(c_name, 'Customer') AS pre,
+           endswith(c_name, '7') AS suf,
+           instr(c_name, '#') AS pos_hash,
+           position('er' IN c_name) AS pos_er,
+           split_part(c_name, '#', 2) AS num_part,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS transl,
+           levenshtein(c_mktsegment, 'BUILDING') AS lev,
+           initcap(c_mktsegment) AS cap,
+           substring_index(c_name, '0', 1) AS before_zero,
+           overlay(c_mktsegment PLACING '__' FROM 2 FOR 2) AS ovl
+    FROM customer WHERE c_custkey <= 200
+    """,
+    oracle="""
+    SELECT c_custkey,
+           contains(c_name, '5') AS has5,
+           starts_with(c_name, 'Customer') AS pre,
+           ends_with(c_name, '7') AS suf,
+           instr(c_name, '#') AS pos_hash,
+           position('er' IN c_name) AS pos_er,
+           split_part(c_name, '#', 2) AS num_part,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS transl,
+           levenshtein(c_mktsegment, 'BUILDING') AS lev,
+           concat(upper(left(c_mktsegment, 1)), lower(substr(c_mktsegment, 2))) AS cap,
+           CASE WHEN instr(c_name, '0') = 0 THEN c_name
+                ELSE left(c_name, instr(c_name, '0') - 1) END AS before_zero,
+           concat(left(c_mktsegment, 1), '__', substr(c_mktsegment, 4)) AS ovl
+    FROM customer WHERE c_custkey <= 200
+    """,
+    tags=("functions", "string"),
+)
+
+# --- unicode family (substr/locate/char_length on multibyte-safe API) -------
+sql_query(
+    "q_fn_unicode",
+    """
+    SELECT n_nationkey,
+           substr(n_name, 2, 3) AS mid,
+           substring(n_name, 1, 4) AS head,
+           char_length(n_name) AS clen,
+           locate('A', n_name) AS a_at,
+           lpad(n_name, 12, '*') AS padded,
+           reverse(n_name) AS rev
+    FROM nation
+    """,
+    oracle="""
+    SELECT n_nationkey,
+           substr(n_name, 2, 3) AS mid,
+           substring(n_name, 1, 4) AS head,
+           length(n_name) AS clen,
+           strpos(n_name, 'A') AS a_at,
+           lpad(n_name, 12, '*') AS padded,
+           reverse(n_name) AS rev
+    FROM nation
+    """,
+    tags=("functions", "string"),
+)
+
+# --- regex -------------------------------------------------------------------
+# Patterns chosen valid in both Java regex (Spark) and RE2 (DuckDB).
+sql_query(
+    "q_fn_regex",
+    """
+    SELECT c_custkey,
+           regexp_like(c_name, '[0-9]{3}') AS has3digits,
+           regexp_replace(c_name, '[0-9]', '#') AS masked,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_count(c_name, '[05]') AS n05
+    FROM customer WHERE c_custkey <= 300
+    """,
+    oracle="""
+    SELECT c_custkey,
+           regexp_matches(c_name, '[0-9]{3}') AS has3digits,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           len(regexp_extract_all(c_name, '[05]')) AS n05
+    FROM customer WHERE c_custkey <= 300
+    """,
+    tags=("functions", "regex"),
+)
+
+# --- datetime: extract ---------------------------------------------------------
+sql_query(
+    "q_fn_datetime_extract",
+    """
+    SELECT o_orderkey,
+           extract(YEAR FROM o_orderdate) AS y,
+           extract(MONTH FROM o_orderdate) AS m,
+           extract(DAY FROM o_orderdate) AS d,
+           extract(HOUR FROM o_orderdate) AS h,
+           extract(MINUTE FROM o_orderdate) AS mi,
+           CAST(date_part('QUARTER', o_orderdate) AS BIGINT) AS q
+    FROM orders WHERE o_orderkey <= 400
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           extract(YEAR FROM o_orderdate) AS y,
+           extract(MONTH FROM o_orderdate) AS m,
+           extract(DAY FROM o_orderdate) AS d,
+           extract(HOUR FROM o_orderdate) AS h,
+           extract(MINUTE FROM o_orderdate) AS mi,
+           CAST(date_part('QUARTER', o_orderdate) AS BIGINT) AS q
+    FROM orders WHERE o_orderkey <= 400
+    """,
+    tags=("functions", "datetime"),
+)
+
+# --- datetime: trunc + date_bin --------------------------------------------------
+# DuckDB date_trunc returns DATE for day-level units while Spark returns
+# TIMESTAMP → both sides cast explicitly. date_bin (DataFusion) ==
+# time_bucket (DuckDB) == integer floor on epoch micros (Spark shim).
+sql_query(
+    "q_fn_datetime_trunc_bin",
+    """
+    SELECT event_id,
+           CAST(date_trunc('MONTH', ts) AS DATE) AS mon,
+           CAST(date_trunc('DAY', ts) AS DATE) AS day,
+           CAST(date_trunc('HOUR', ts) AS TIMESTAMP) AS hr,
+           timestamp_micros((unix_micros(ts) div 900000000) * 900000000) AS bin15m
+    FROM events WHERE event_id <= 400
+    """,
+    oracle="""
+    SELECT event_id,
+           CAST(date_trunc('MONTH', CAST(ts AS TIMESTAMP)) AS DATE) AS mon,
+           CAST(date_trunc('DAY', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(date_trunc('HOUR', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hr,
+           time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS bin15m
+    FROM events WHERE event_id <= 400
+    """,
+    tags=("functions", "datetime"),
+)
+
+# --- datetime: conversions ----------------------------------------------------------
+sql_query(
+    "q_fn_datetime_convert",
+    """
+    SELECT o_orderkey,
+           unix_timestamp(o_orderdate) AS epoch_s,
+           from_unixtime(o_orderkey * 86400) AS from_epoch,
+           make_date(2024, 1 + CAST(o_orderkey % 12 AS INT), 1 + CAST(o_orderkey % 28 AS INT)) AS made,
+           to_date('2021-03-05') AS fixed_date,
+           datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS days_since
+    FROM orders WHERE o_orderkey <= 400
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           strftime(CAST(to_timestamp(o_orderkey * 86400) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS from_epoch,
+           make_date(2024, 1 + CAST(o_orderkey % 12 AS INT), 1 + CAST(o_orderkey % 28 AS INT)) AS made,
+           CAST('2021-03-05' AS DATE) AS fixed_date,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+    FROM orders WHERE o_orderkey <= 400
+    """,
+    tags=("functions", "datetime"),
+)
+
+# --- to_char: chrono (%Y…) vs Java (yyyy…) pattern translation (SURVEY §7.4) ---
+sql_query(
+    "q_fn_to_char",
+    """
+    SELECT o_orderkey,
+           date_format(o_orderdate, 'yyyy-MM-dd') AS d_iso,
+           date_format(o_orderdate, 'dd/MM/yyyy HH:mm') AS d_eu,
+           date_format(o_orderdate, 'yyyy') AS d_y
+    FROM orders WHERE o_orderkey <= 300
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS d_iso,
+           strftime(o_orderdate, '%d/%m/%Y %H:%M') AS d_eu,
+           strftime(o_orderdate, '%Y') AS d_y
+    FROM orders WHERE o_orderkey <= 300
+    """,
+    tags=("functions", "datetime"),
+)
+
+# --- encoding ---------------------------------------------------------------------
+sql_query(
+    "q_fn_encoding",
+    """
+    SELECT n_nationkey,
+           base64(CAST(n_name AS BINARY)) AS b64,
+           CAST(unbase64(base64(CAST(n_name AS BINARY))) AS STRING) AS roundtrip,
+           lower(hex(n_name)) AS hx,
+           CAST(unhex(hex(n_name)) AS STRING) AS hex_roundtrip
+    FROM nation
+    """,
+    oracle="""
+    SELECT n_nationkey,
+           base64(encode(n_name)) AS b64,
+           decode(from_base64(base64(encode(n_name)))) AS roundtrip,
+           lower(hex(n_name)) AS hx,
+           decode(unhex(hex(n_name))) AS hex_roundtrip
+    FROM nation
+    """,
+    tags=("functions", "encoding"),
+)

@@ -1,0 +1,298 @@
+"""Scans / sources / sinks — SURVEY.md §2.1, plus UNNEST (§2.8) and
+catalog introspection.
+
+CSV/JSON scan fixtures are derived deterministically from the driver's
+nation.parquet (sorted, single file, fixed path under /tmp) so both
+Spark and the DuckDB oracle read the *same bytes* — the capability
+under test is the reader, mirroring the reference's `STORED AS
+CSV/JSON` external tables (arrow-csv/arrow-json, Cargo.lock:170,212).
+
+Sinks (COPY TO ≈ df.write.*, INSERT INTO) write under /tmp and read
+their own output back; oracles read the same files via DuckDB's
+read_parquet or recompute the expected relation.
+
+Scale notes: writers shown here coalesce tiny fixture outputs to one
+file for determinism; at 100 TB you would drop the coalesce(1) and let
+each task write its own part file — noted inline where it applies.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_wasm_bindings_spark.queries import query, sql_query
+from datafusion_wasm_bindings_spark.sources.catalog import TABLE_NAMES
+
+_FIXTURE_ROOT = "/tmp/dfwb_fixtures"
+_OUT_ROOT = "/tmp/dfwb_out"
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf"
+
+
+def _ensure_text_fixtures(sf_dir: str) -> tuple[str, str]:
+    """Write nation as sorted CSV + NDJSON once per sf (deterministic)."""
+    tag = _sf_tag(sf_dir)
+    d = os.path.join(_FIXTURE_ROOT, tag)
+    csv_path = os.path.join(d, "nation.csv")
+    json_path = os.path.join(d, "nation.ndjson")
+    if not (os.path.exists(csv_path) and os.path.exists(json_path)):
+        os.makedirs(d, exist_ok=True)
+        pdf = (
+            pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+            .to_pandas()
+            .sort_values("n_nationkey")
+        )
+        pdf.to_csv(csv_path + ".tmp", index=False)
+        os.replace(csv_path + ".tmp", csv_path)
+        pdf.to_json(json_path + ".tmp", orient="records", lines=True)
+        os.replace(json_path + ".tmp", json_path)
+    return csv_path, json_path
+
+
+# --- q_scan_parquet ----------------------------------------------------
+sql_query(
+    "q_scan_parquet",
+    """
+    SELECT l_returnflag, COUNT(*) AS n, MIN(l_orderkey) AS min_key,
+           MAX(l_orderkey) AS max_key
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("scan",),
+)
+
+
+# --- q_scan_csv ----------------------------------------------------------
+def _scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    csv_path, _ = _ensure_text_fixtures(sf_dir)
+    # header + schema inference — the reference's CSV scan also infers
+    # by sampling (SURVEY §1 schema row)
+    df = spark.read.csv(csv_path, header=True, inferSchema=True)
+    df.createOrReplaceTempView("nation_csv")
+    return spark.sql(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation_csv WHERE n_regionkey <= 3"
+    )
+
+
+def _scan_csv_oracle(sf_dir_tag: str) -> str:
+    return f"""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM read_csv_auto('{_FIXTURE_ROOT}/{sf_dir_tag}/nation.csv', header=true)
+    WHERE n_regionkey <= 3
+    """
+
+
+# oracle path must be static → pin to the driver's sf0.01 tag AND the
+# test's sf0.001 tag by generating fixtures for the dir being queried;
+# the path embeds the sf tag the Spark side wrote.
+query("q_scan_csv", _scan_csv_oracle("{TAG}"), tags=("scan",))(_scan_csv)
+
+
+# --- q_scan_json (newline-delimited) --------------------------------------
+def _scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, json_path = _ensure_text_fixtures(sf_dir)
+    df = spark.read.json(json_path)
+    df.createOrReplaceTempView("nation_json")
+    return spark.sql(
+        "SELECT n_nationkey, n_name FROM nation_json WHERE n_nationkey < 20"
+    )
+
+
+query(
+    "q_scan_json",
+    f"""
+    SELECT n_nationkey, n_name
+    FROM read_json_auto('{_FIXTURE_ROOT}/{{TAG}}/nation.ndjson')
+    WHERE n_nationkey < 20
+    """,
+    tags=("scan",),
+)(_scan_json)
+
+
+# --- q_values_inline ---------------------------------------------------------
+sql_query(
+    "q_values_inline",
+    """
+    SELECT k, v FROM VALUES (1, 'a'), (2, 'b'), (3, NULL) AS t(k, v)
+    """,
+    oracle="""
+    SELECT k, v FROM (VALUES (1, 'a'), (2, 'b'), (3, NULL)) t(k, v)
+    """,
+    tags=("values",),
+)
+
+
+# --- q_values_ctas: CREATE TABLE AS VALUES → MemTable equivalent --------------
+def _values_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW ctas_colors AS
+        SELECT k, color FROM VALUES (1, 'red'), (2, 'green'), (3, 'blue') AS t(k, color)
+        """
+    )
+    return spark.sql("SELECT k, upper(color) AS c FROM ctas_colors WHERE k >= 2")
+
+
+query(
+    "q_values_ctas",
+    """
+    WITH ctas_colors(k, color) AS (VALUES (1, 'red'), (2, 'green'), (3, 'blue'))
+    SELECT k, upper(color) AS c FROM ctas_colors WHERE k >= 2
+    """,
+    tags=("values", "ddl"),
+)(_values_ctas)
+
+
+# --- q_generate_series ----------------------------------------------------------
+sql_query(
+    "q_generate_series",
+    """
+    SELECT explode(sequence(1, 49, 2)) AS x
+    """,
+    oracle="""
+    SELECT x FROM generate_series(1, 49, 2) t(x)
+    """,
+    tags=("table_fn",),
+)
+
+
+# --- q_info_schema: catalog introspection (emulated information_schema) -----------
+def _info_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.sources.infoschema import information_schema_tables
+
+    df = information_schema_tables(spark)
+    return df.filter(df.table_name.isin(list(TABLE_NAMES))).select("table_name")
+
+
+query(
+    "q_info_schema",
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{t}')" for t in TABLE_NAMES)
+    + ") t(table_name)",
+    tags=("catalog",),
+)(_info_schema)
+
+
+# --- q_copy_parquet: COPY (SELECT…) TO 'file' STORED AS PARQUET --------------------
+def _copy_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(_OUT_ROOT, _sf_tag(sf_dir), "copy_nation_parquet")
+    # coalesce(1): deterministic single file for the oracle glob; at
+    # scale you would keep task-parallel part files instead.
+    (
+        spark.sql("SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <= 2")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out)
+
+
+query(
+    "q_copy_parquet",
+    f"""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM read_parquet('{_OUT_ROOT}/{{TAG}}/copy_nation_parquet/*.parquet')
+    """,
+    tags=("sink",),
+)(_copy_parquet)
+
+
+# --- q_insert_into ------------------------------------------------------------------
+def _insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    loc = os.path.join(_OUT_ROOT, _sf_tag(sf_dir), "insert_target")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS dfwb_insert_target")
+    spark.sql(
+        f"""
+        CREATE TABLE dfwb_insert_target (k BIGINT, name STRING)
+        USING PARQUET LOCATION '{loc}'
+        """
+    )
+    spark.sql("INSERT INTO dfwb_insert_target SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0")
+    spark.sql("INSERT INTO dfwb_insert_target VALUES (100, 'atlantis'), (101, 'lemuria')")
+    return spark.sql("SELECT k, name FROM dfwb_insert_target")
+
+
+query(
+    "q_insert_into",
+    """
+    SELECT n_nationkey AS k, n_name AS name FROM nation WHERE n_regionkey = 0
+    UNION ALL
+    SELECT * FROM (VALUES (100, 'atlantis'), (101, 'lemuria')) t(k, name)
+    """,
+    tags=("sink", "ddl"),
+)(_insert_into)
+
+
+# --- result sinks: exact formatted strings (reference result_format.rs) -------------
+_FIXTURE_TABLE = (
+    "+----+---------+\n"
+    "| id | name    |\n"
+    "+----+---------+\n"
+    "| 1  | Alice   |\n"
+    "| 2  | Bob     |\n"
+    "| 3  | Charlie |\n"
+    "+----+---------+"
+)
+_FIXTURE_JSON = '[{"id":1,"name":"Alice"},{"id":2,"name":"Bob"},{"id":3,"name":"Charlie"}]'
+
+
+def _result_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.formats import format_table
+
+    df = spark.createDataFrame(
+        [(1, "Alice"), (2, "Bob"), (3, "Charlie")], "id int, name string"
+    )
+    return spark.createDataFrame([(format_table(df),)], "rendered string")
+
+
+query(
+    "q_result_table",
+    f"SELECT '{_FIXTURE_TABLE}' AS rendered",
+    tags=("sink", "format"),
+)(_result_table)
+
+
+def _result_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.formats import format_json
+
+    df = spark.createDataFrame(
+        [(1, "Alice"), (2, "Bob"), (3, "Charlie")], "id int, name string"
+    )
+    return spark.createDataFrame([(format_json(df),)], "rendered string")
+
+
+query(
+    "q_result_json",
+    f"SELECT '{_FIXTURE_JSON}' AS rendered",
+    tags=("sink", "format"),
+)(_result_json)
+
+
+# --- q_unnest: UNNEST plan operator over the embeddings list column ------------------
+# Reference: UnnestExec is compiled in even though array *functions*
+# are not (SURVEY §2.8 OFF-list) → explode/posexplode in Spark.
+sql_query(
+    "q_unnest",
+    """
+    SELECT vec_id, pos AS idx, CAST(val AS DOUBLE) AS v
+    FROM embeddings
+    LATERAL VIEW posexplode(embedding) AS pos, val
+    WHERE vec_id <= 20
+    """,
+    oracle="""
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS idx,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+    WHERE vec_id <= 20
+    """,
+    tags=("unnest",),
+)

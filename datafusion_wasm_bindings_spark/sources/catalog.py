@@ -55,6 +55,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle side. The truncation is a cheap projection; the pushdown
     loss on ts-filters is confined to this one fixture column.
     """
+    if name == "events":
+        # the driver hands us ITS SparkSession (no session.py configs);
+        # without this, the ns-timestamp column aborts the read outright
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer `div`, not `/`: epoch-nanos exceed 2^53 so a double
@@ -76,6 +80,10 @@ def register_tables(spark: SparkSession, sf_dir: str, force: bool = False) -> No
     key = id(spark)
     if not force and _registered.get(key) == sf_dir:
         return
+    if not os.path.isdir(sf_dir):
+        # without this, a bad sf_dir would silently keep the previous
+        # registration's views bound — wrong data, no error
+        raise FileNotFoundError(f"scale-factor directory does not exist: {sf_dir}")
     for name in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):

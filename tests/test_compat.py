@@ -1,0 +1,64 @@
+"""Dialect-rewrite tests: SIMILAR TO, arrow_cast, information_schema
+(compat.py), driven through the engine surface."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_wasm_bindings_spark.compat import rewrite, similar_to_regex
+from datafusion_wasm_bindings_spark.engine import SQLEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return SQLEngine(spark)
+
+
+def test_similar_to_translation():
+    assert similar_to_regex("abc%") == "^(?:abc.*)$"
+    assert similar_to_regex("a_c") == "^(?:a.c)$"
+    out = rewrite("SELECT * FROM t WHERE x SIMILAR TO 'ab%'")
+    assert "RLIKE" in out and "'^(?:ab.*)$'" in out
+
+
+def test_similar_to_executes(engine, spark, sf_dir):
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    df = engine.sql("SELECT n_name FROM nation WHERE n_name SIMILAR TO 'A%A'")
+    names = {r.n_name for r in df.collect()}
+    assert all(n.startswith("A") and n.endswith("A") for n in names)
+
+
+def test_arrow_cast(engine):
+    df = engine.sql("SELECT arrow_cast(3.9, 'Int64') AS v, arrow_cast(7, 'Utf8') AS s")
+    row = df.first()
+    assert row.v == 3 and row.s == "7"
+    assert dict(df.dtypes) == {"v": "bigint", "s": "string"}
+
+
+def test_literal_protection():
+    out = rewrite("SELECT 'keep SIMILAR TO % as-is' AS s")
+    assert "keep SIMILAR TO % as-is" in out and "RLIKE" not in out
+
+
+def test_information_schema_tables(engine, spark, sf_dir):
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    df = engine.sql(
+        "SELECT table_name FROM information_schema.tables WHERE table_name = 'nation'"
+    )
+    assert df.count() == 1
+
+
+def test_information_schema_columns(engine, spark, sf_dir):
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    df = engine.sql(
+        "SELECT column_name, data_type FROM information_schema.columns "
+        "WHERE table_name = 'region' ORDER BY ordinal_position"
+    )
+    cols = [r.column_name for r in df.collect()]
+    assert cols == ["r_regionkey", "r_name"]

@@ -1,0 +1,100 @@
+"""Property tests for hash-sketch operators that cannot be
+DuckDB-oracle-checked (MinHash-LSH, SimHash, hyperplane LSH): recall /
+containment / determinism properties instead of value equality."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datafusion_wasm_bindings_spark.operators import dedup, similarity
+from datafusion_wasm_bindings_spark.sources.catalog import table
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return table(spark, sf_dir, "embeddings")
+
+
+def test_minhash_pairs_are_verified_true_positives(documents):
+    """Every emitted pair carries its exact shingle Jaccard ≥ threshold
+    (LSH only generates candidates; the verify step makes output exact
+    w.r.t. precision — recall is the probabilistic part)."""
+    pairs = dedup.minhash_lsh_pairs(
+        documents, bands=8, rows_per_band=2, jaccard_threshold=0.5
+    ).collect()
+    for row in pairs:
+        assert row.jaccard >= 0.5
+        assert row.id_a < row.id_b
+
+
+def test_minhash_finds_the_obvious_near_dups(documents):
+    """The fixture contains docs with shingle-Jaccard ≥ 0.9 (measured in
+    survey probing); 8 bands × 2 rows collides such pairs with
+    probability 1-(1-J²)⁸ ≈ 1 — they must be found."""
+    high = dedup.minhash_lsh_pairs(
+        documents, bands=8, rows_per_band=2, jaccard_threshold=0.9
+    )
+    assert high.count() > 0
+
+
+def test_minhash_signatures_deterministic(documents):
+    s1 = dedup.minhash_signatures(documents.limit(50)).collect()
+    s2 = dedup.minhash_signatures(documents.limit(50)).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+
+
+def test_simhash_close_docs_have_close_hashes(documents):
+    """SimHash property: near-identical token multisets → small hamming
+    distance. Use the highest-Jaccard pair from the exact operator."""
+    top = (
+        dedup.ngram_jaccard_pairs(documents.filter("doc_id < 200"), threshold=0.95)
+        .orderBy(F.desc("jaccard"))
+        .first()
+    )
+    if top is None:
+        pytest.skip("no >=0.95 pairs at this sf")
+    sims = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash(
+            documents.filter(F.col("doc_id").isin([top.id_a, top.id_b]))
+        ).collect()
+    }
+    xor = sims[top.id_a] ^ sims[top.id_b]
+    hamming = bin(xor).count("1")
+    assert hamming <= 10, f"hamming {hamming} too large for jaccard {top.jaccard}"
+
+
+def test_lsh_topk_subset_of_bruteforce_pool(embeddings):
+    """Every LSH hit must be a genuine corpus vector with the exact
+    cosine the brute-force path computes (floats, so compare loosely),
+    and recall@3 over the 5 fixture queries should be non-trivial."""
+    brute = {
+        (r.query_id, r.cand_id): r.rank
+        for r in similarity.cosine_topk_bruteforce(
+            embeddings, query_ids=[1, 2, 3, 4, 5], k=3
+        ).collect()
+    }
+    lsh = similarity.lsh_bucketed_topk(
+        embeddings, query_ids=[1, 2, 3, 4, 5], k=3, planes=4
+    ).collect()
+    assert len(lsh) > 0
+    overlap = sum(1 for r in lsh if (r.query_id, r.cand_id) in brute)
+    # 4 planes → each bucket holds ~1/16 of corpus; exact-match recall
+    # is probabilistic, but total misses would mean broken bucketing
+    assert overlap >= 1
+
+
+def test_exact_dedup_keeps_every_distinct_text(documents):
+    n_docs = documents.count()
+    n_distinct = documents.select("text").distinct().count()
+    out = dedup.exact_dedup(documents)
+    assert out.count() == n_distinct
+    total = out.agg(F.sum("n_copies")).first()[0]
+    assert total == n_docs

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pytest
 
-from datafusion_wasm_bindings_spark.queries import load_all
+from datafusion_wasm_bindings_spark.queries import load_all, resolve_oracle
 from tests.conftest import assert_oracle_match
 
 REGISTRY = load_all()
@@ -25,5 +25,5 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         assert df.columns, f"{name}: no columns"
         df.collect()
         return
-    rel = duck.sql(spec.oracle)
+    rel = duck.sql(resolve_oracle(spec.oracle, sf_dir))
     assert_oracle_match(df, rel, name)
