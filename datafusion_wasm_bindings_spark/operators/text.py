@@ -108,6 +108,33 @@ def language_id(documents: DataFrame, spark: SparkSession | None = None) -> Data
     )
 
 
+def corpus_stats(documents: DataFrame) -> DataFrame:
+    """Per-language corpus rollup (SURVEY.md §7.6 `q_text_stats`):
+    doc counts, char/token totals and means, distinct sources.
+
+    One map stage (length/size are codegen'd) + one partial-combining
+    groupBy on `lang` (~5 groups): bytes shuffled are O(partitions ×
+    languages), independent of corpus size.
+    """
+    per_doc = documents.select(
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(tokens_col()).alias("n_tokens"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy(F.col("lang").asc_nulls_last())
+    )
+
+
 def fingerprints(documents: DataFrame, modulus: int = 1_000_000_007) -> DataFrame:
     """Polynomial rolling-hash fingerprint over the document's token
     stream: fp = Σ tok_i · 31^i (mod p), computed as a left fold.

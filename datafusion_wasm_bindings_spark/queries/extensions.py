@@ -304,6 +304,29 @@ query(
 )(_text_fingerprint)
 
 
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.text import corpus_stats
+
+    return corpus_stats(table(spark, sf_dir, "documents"))
+
+
+query(
+    "q_text_stats",
+    f"""
+    SELECT lang,
+           COUNT(1) AS n_docs,
+           SUM(length(text)) AS total_chars,
+           SUM(len({_TOK})) AS total_tokens,
+           CAST(SUM(len({_TOK})) AS DOUBLE) / COUNT(1) AS avg_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang ASC NULLS LAST
+    """,
+    tags=("extension", "text"),
+)(_text_stats)
+
+
 # ====================== multimodal columns ===============================
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.multimodal import (

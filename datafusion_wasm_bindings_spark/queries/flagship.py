@@ -68,6 +68,58 @@ ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST
 query("q_flagship_pricing_summary", _Q1_ORACLE, headline=True, tags=("flagship", "agg"))(_q1)
 
 
+def _q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style shipping priority: the multi-join hot path.
+
+    Scale posture: customer (smallest side after the segment filter) is
+    explicitly broadcast — zero shuffle for that join; orders⋈lineitem
+    shuffles once on orderkey; AQE can convert it too when the filtered
+    orders side fits the broadcast threshold. All three date/segment
+    filters push into the parquet scans (PushedFilters), so at 100 TB
+    the shuffle carries only the ~1/5 segment × date-window slice.
+    """
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), "revenue"))
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc_nulls_last(), F.col("l_orderkey").asc_nulls_last())
+        .limit(10)
+    )
+
+
+_Q3_ORACLE = f"""
+SELECT
+  l_orderkey,
+  CAST(o_orderdate AS DATE) AS orderdate,
+  o_orderpriority,
+  {dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC NULLS LAST, l_orderkey ASC NULLS LAST
+LIMIT 10
+"""
+
+query("q_flagship_shipping_priority", _Q3_ORACLE, headline=True, tags=("flagship", "join", "agg"))(
+    _q3
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry point used by __spark_entry__.entry (driver smoke check)."""
     from datafusion_wasm_bindings_spark.sources.catalog import register_tables

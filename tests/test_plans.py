@@ -60,6 +60,17 @@ def test_flagship_partial_aggregation(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_q3_broadcasts_customer_and_pushes_filters(spark, sf_dir):
+    df = REGISTRY["q_flagship_shipping_priority"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # segment + date predicates reach the parquet scans
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan, plan
+    assert "LessThan(o_orderdate" in plan and "GreaterThan(l_shipdate" in plan, plan
+    # the orders⋈lineitem join shuffles each side at most once
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
 def test_similarity_broadcasts_queries(spark, sf_dir):
     df = REGISTRY["q_sim_topk"].spark_fn(spark, sf_dir)
     assert "BroadcastExchange" in _plan(df)
