@@ -43,27 +43,33 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """STUB decoder — deterministic stand-in for PIL/ffmpeg, which are
-    not in this container. A real deployment replaces this body with
-    e.g. ``PIL.Image.open(io.BytesIO(payload)).size``; the function
-    signature and batch plumbing stay identical.
-    """
-    n = len(payload)
-    width = 64 + (n % 577)
-    height = 64 + ((n * 31) % 479)
-    checksum = 0
-    for b in payload[:128]:
-        checksum = (checksum * 131 + b) % 1_000_000_007
-    return width, height, checksum
-
-
 def extract_features(media: DataFrame) -> DataFrame:
-    """Decode + feature-extract via mapInPandas (Arrow batches)."""
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    The worker function is a fully self-contained closure: executors
+    deserialize it by value, so it runs even when the package is not
+    importable on the Python workers (the driver harness invokes us
+    from an arbitrary cwd with sys.path patched only in its driver
+    process).
+    """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_decode(payload: bytes) -> tuple[int, int, int]:
+            # STUB decoder — deterministic stand-in for PIL/ffmpeg,
+            # which are not in this container. A real deployment
+            # replaces this body with e.g.
+            # ``PIL.Image.open(io.BytesIO(payload)).size``; the
+            # signature and batch plumbing stay identical.
+            n = len(payload)
+            width = 64 + (n % 577)
+            height = 64 + ((n * 31) % 479)
+            checksum = 0
+            for b in payload[:128]:
+                checksum = (checksum * 131 + b) % 1_000_000_007
+            return width, height, checksum
+
         for pdf in it:
-            dims = [_fake_decode(bytes(m)) for m in pdf["media"]]
+            dims = [fake_decode(bytes(m)) for m in pdf["media"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
