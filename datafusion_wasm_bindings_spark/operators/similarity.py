@@ -144,10 +144,18 @@ def lsh_bucketed_topk(
             bits.append(F.when(proj >= 0, F.lit(1 << h)).otherwise(F.lit(0)))
         return sum(bits[1:], bits[0]).alias("bucket")
 
-    base = embeddings.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("bucket", bucket_bits(F.col("v")))
+    base = (
+        embeddings.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        .withColumn("bucket", bucket_bits(F.col("v")))
+        # materialize: both the query side and the candidate side read
+        # this subtree; without a lineage cut the (interpreted
+        # higher-order-function) bucket projection runs twice over the
+        # corpus. The bucketed table is what a real ANN index persists.
+        .localCheckpoint(eager=True)
+    )
 
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")

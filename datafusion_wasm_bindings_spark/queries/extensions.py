@@ -327,6 +327,30 @@ query(
 )(_text_stats)
 
 
+# ====================== scale machinery ==================================
+def _join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.scale import salted_join
+    from pyspark.sql import functions as F
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
+    )
+    return salted_join(orders, cust, "custkey", factor=4)
+
+
+query(
+    "q_join_salted",
+    """
+    SELECT o_custkey AS custkey, o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("extension", "scale", "join"),
+)(_join_salted)
+
+
 # ====================== multimodal columns ===============================
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.multimodal import (

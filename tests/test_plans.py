@@ -74,3 +74,47 @@ def test_q3_broadcasts_customer_and_pushes_filters(spark, sf_dir):
 def test_similarity_broadcasts_queries(spark, sf_dir):
     df = REGISTRY["q_sim_topk"].spark_fn(spark, sf_dir)
     assert "BroadcastExchange" in _plan(df)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.scale import salted_join
+    from datafusion_wasm_bindings_spark.sources.catalog import table as t
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey"
+    )
+    cust = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"), "c_name")
+    salted = salted_join(orders, cust, "custkey", factor=4)
+    plain = orders.join(cust, "custkey")
+    assert salted.columns == plain.columns
+    assert salted.exceptAll(plain).isEmpty() and plain.exceptAll(salted).isEmpty()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.scale import bucketed_join, write_bucketed
+    from datafusion_wasm_bindings_spark.sources.catalog import table as t
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey"
+    )
+    cust = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"), "c_name")
+    write_bucketed(orders, "bkt_orders", "custkey", buckets=4, path=str(tmp_path / "o"))
+    write_bucketed(cust, "bkt_cust", "custkey", buckets=4, path=str(tmp_path / "c"))
+    try:
+        # disable auto-broadcast so the bucket layout (not broadcast)
+        # is what eliminates the exchange, as it would at 100 TB where
+        # neither side fits the broadcast threshold
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "bkt_orders", "bkt_cust", "custkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == orders.join(cust, "custkey").count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_cust")
