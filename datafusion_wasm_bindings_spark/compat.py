@@ -122,6 +122,11 @@ def rewrite(sql: str) -> str:
         return f"CAST({m.group('expr').strip()} AS {spark_type})"
 
     masked = _ARROW_CAST_RE.sub(cast_repl, masked)
+    # arrow_typeof(x) → Spark's typeof(x). Type *names* differ (Arrow
+    # "Int32" vs Spark "int") — documented approximation: the callable
+    # works, the spelling is the host engine's, exactly as DataFusion
+    # reports its own engine's names.
+    masked = re.sub(r"\barrow_typeof\s*\(", "typeof(", masked, flags=re.IGNORECASE)
     masked = _INFO_SCHEMA_RE.sub(lambda m: f"information_schema_{m.group(1).lower()}", masked)
     return _unmask(masked, lits)
 

@@ -93,6 +93,42 @@ def _scan_csv_oracle(sf_dir_tag: str) -> str:
 query("q_scan_csv", _scan_csv_oracle("{TAG}"), tags=("scan",))(_scan_csv)
 
 
+# --- q_scan_arrow: Arrow IPC file scan (STORED AS ARROW, arrow-ipc) --------
+def _scan_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC scan (reference: `STORED AS ARROW`, Cargo.lock:198):
+    pyarrow reads the IPC file, Arrow-backed createDataFrame hands the
+    batches to Spark. Fine for dimension-sized data; a 100 TB fact
+    table would land as parquet instead (IPC is an interchange format,
+    not a scan-optimized one — no row groups/statistics to prune)."""
+    import pyarrow.ipc as ipc
+
+    tag = _sf_tag(sf_dir)
+    d = os.path.join(_FIXTURE_ROOT, tag)
+    arrow_path = os.path.join(d, "nation.arrow")
+    if not os.path.exists(arrow_path):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "nation.parquet")).sort_by("n_nationkey")
+        with ipc.new_file(arrow_path + ".tmp", t.schema) as w:
+            w.write_table(t)
+        os.replace(arrow_path + ".tmp", arrow_path)
+    with ipc.open_file(arrow_path) as r:
+        tbl = r.read_all()
+    df = spark.createDataFrame(tbl.to_pandas())
+    df.createOrReplaceTempView("nation_arrow")
+    return spark.sql(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation_arrow WHERE n_regionkey <= 3"
+    )
+
+
+# the IPC file is a byte-faithful copy of nation.parquet, so the
+# authoritative relation itself is the oracle
+query(
+    "q_scan_arrow",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <= 3",
+    tags=("scan",),
+)(_scan_arrow)
+
+
 # --- q_scan_json (newline-delimited) --------------------------------------
 def _scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, json_path = _ensure_text_fixtures(sf_dir)

@@ -62,3 +62,44 @@ def test_create_external_table(engine, sf_dir):
     )
     out = engine.execute_sql("SELECT COUNT(*) AS n FROM ext_nation")
     assert "25" in out
+
+
+def test_set_show_config_through_engine(engine):
+    # SET / SHOW pass through to Spark's native statement handlers
+    # (reference: datafusion.* vars via SET, SURVEY §2.9)
+    engine.execute_sql("SET spark.sql.cbo.enabled=false")
+    out = engine.execute_sql("SET spark.sql.cbo.enabled")
+    assert "false" in out
+
+
+def test_show_tables_through_engine(engine, sf_dir):
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(engine.spark, sf_dir)
+    out = engine.execute_sql("SHOW TABLES")
+    assert "lineitem" in out and "nation" in out
+
+
+def test_explain_through_engine(engine):
+    out = engine.execute_sql("EXPLAIN SELECT 1 AS one")
+    assert "Project" in out or "plan" in out.lower()
+
+
+def test_information_schema_tables(engine, sf_dir):
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(engine.spark, sf_dir)
+    out = engine.execute_sql(
+        "SELECT table_name FROM information_schema.tables WHERE table_name = 'nation'"
+    )
+    assert "nation" in out
+
+
+def test_arrow_typeof_rewrite(engine):
+    out = engine.execute_sql("SELECT arrow_typeof(1) AS t")
+    assert "int" in out
+
+
+def test_arrow_cast_rewrite(engine):
+    out = engine.execute_sql("SELECT arrow_cast(1, 'Int64') AS v")
+    assert "1" in out
