@@ -71,6 +71,14 @@ def date_bin(stride_seconds: int, ts: Column, origin_epoch_us: int = 0) -> Colum
     return F.timestamp_micros(bucket.cast("long"))
 
 
+def concat(*cols: Column) -> Column:
+    """DataFusion/Postgres ``concat``: NULL arguments are skipped.
+    Spark's ``concat`` null-propagates instead (found by the
+    differential fuzzer, tests/test_fuzz_differential.py) —
+    ``concat_ws('', …)`` reproduces the reference semantics."""
+    return F.concat_ws("", *cols)
+
+
 # --- pandas UDFs (Arrow-vectorized; only where no expression exists) --
 
 @F.pandas_udf(T.LongType())

@@ -327,6 +327,24 @@ query(
 )(_text_stats)
 
 
+# ====================== custom stateful streaming ========================
+def _stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.streaming.events import streaming_running_totals
+
+    return streaming_running_totals(spark, sf_dir).select("user_id", "events_seen")
+
+
+# the stateful operator's final counts are SQL-checkable even though
+# the operator itself (explicit group state across micro-batches) is
+# not SQL-expressible; float sums are excluded (accumulation order
+# differs), so the oracle check stays exact
+query(
+    "q_stream_stateful_totals",
+    "SELECT user_id, COUNT(1) AS events_seen FROM events GROUP BY user_id",
+    tags=("extension", "streaming", "stateful"),
+)(_stream_stateful)
+
+
 # ====================== scale machinery ==================================
 def _join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.scale import salted_join

@@ -95,3 +95,78 @@ def streaming_demo(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> D
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def streaming_running_totals(
+    spark: SparkSession, sf_dir: str, *, num_input_files: int = 3
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the PySpark surface for operators Spark's built-ins can't express
+    — task brief "custom stateful operators").
+
+    Per-user running totals maintained in explicit group state across
+    micro-batches: the events table is split into ``num_input_files``
+    parquet files streamed one file per trigger, so state genuinely
+    carries over multiple triggers. Each trigger appends the group's
+    updated running total; the last row per user equals the batch
+    groupBy total (asserted in tests/test_streaming.py).
+
+    Scale notes: state is per-user (two longs + a double), partitioned
+    by the group key across executors — the state store grows with
+    |users|, not |events|; at 100 TB you bound it with a timeout
+    (``GroupStateTimeout.ProcessingTimeTimeout``) evicting idle keys.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # bare driver sessions reject the ns-timestamp column otherwise
+    # (same runtime opt-in as sources.catalog.table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    src = tempfile.mkdtemp(prefix="dfwb_stream_src_")
+    events.repartition(num_input_files).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    out_schema = "user_id bigint, events_seen bigint, value_sum double"
+    state_schema = "events_seen bigint, value_sum double"
+
+    # self-contained closure (no module globals): executors deserialize
+    # it by value even when the package isn't importable on workers
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "events_seen": [n], "value_sum": [s]}
+        )
+
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    name = "dfwb_stream_state_demo"
+    q = updates.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # final per-user totals = the row with the highest events_seen
+    # (monotonic per trigger; value_sum itself may go down when values
+    # are negative, so max_by on the counter, not MAX of the sum)
+    return spark.sql(
+        f"SELECT user_id, MAX(events_seen) AS events_seen, "
+        f"MAX_BY(value_sum, events_seen) AS value_sum "
+        f"FROM {name} GROUP BY user_id"
+    )

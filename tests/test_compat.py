@@ -62,3 +62,14 @@ def test_information_schema_columns(engine, spark, sf_dir):
     )
     cols = [r.column_name for r in df.collect()]
     assert cols == ["r_regionkey", "r_name"]
+
+
+def test_concat_shim_skips_nulls(spark):
+    # DataFusion/Postgres concat skips NULLs; Spark's null-propagates.
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.functions.shims import concat
+
+    df = spark.createDataFrame([("a", None), (None, None)], "x string, y string")
+    rows = df.select(concat(F.col("x"), F.lit("-"), F.col("y")).alias("r")).collect()
+    assert [r.r for r in rows] == ["a-", "-"]

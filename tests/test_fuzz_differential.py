@@ -63,8 +63,8 @@ def _bool_expr(depth: int):
     )
 
 
-def _run_both(spark, duck, select_expr: str, where: str | None = None):
-    sql = f"SELECT {select_expr} AS r FROM {VALUES_SQL}"
+def _run_both(spark, duck, select_expr: str, where: str | None = None, relation: str | None = None):
+    sql = f"SELECT {select_expr} AS r FROM {relation or VALUES_SQL}"
     if where:
         sql += f" WHERE {where}"
     got = sorted(
@@ -90,6 +90,56 @@ def test_predicates_agree(spark, duck, pred):
     # in the projection — both engines must agree on both paths)
     _run_both(spark, duck, f"({pred}) IS TRUE")
     _run_both(spark, duck, "1", where=pred)
+
+
+# --- string expression grammar (dialect-intersection semantics) -------
+
+STR_VALUES_SQL = (
+    "(VALUES ('abc', 'x'), ('', 'yz'), (NULL, 'abc'), ('Hello World', NULL), "
+    "('aaa', 'a'), ('MiXeD', 'mIxEd')) AS t(s, u)"
+)
+
+_str_leaf = st.sampled_from(["s", "u", "''", "'ab'", "'Z'", "NULL"])
+
+
+def _str_expr(depth: int):
+    if depth <= 0:
+        return _str_leaf
+    sub = st.deferred(lambda: _str_expr(depth - 1))
+    return st.one_of(
+        _str_leaf,
+        # CONCAT is NOT in the dialect intersection bare: Spark
+        # null-propagates, DuckDB (Postgres-style, like DataFusion)
+        # skips NULL args — so the grammar only emits the COALESCE'd
+        # form. The engine-level name shim documents the same gap.
+        st.tuples(sub, sub).map(
+            lambda t: f"CONCAT(COALESCE({t[0]}, ''), COALESCE({t[1]}, ''))"
+        ),
+        sub.map(lambda e: f"UPPER({e})"),
+        sub.map(lambda e: f"LOWER({e})"),
+        sub.map(lambda e: f"TRIM({e})"),
+        sub.map(lambda e: f"REVERSE({e})"),
+        st.tuples(sub, st.integers(1, 4), st.integers(0, 4)).map(
+            lambda t: f"SUBSTR({t[0]}, {t[1]}, {t[2]})"
+        ),
+        st.tuples(sub, sub).map(lambda t: f"COALESCE({t[0]}, {t[1]})"),
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(expr=_str_expr(3))
+def test_string_expressions_agree(spark, duck, expr):
+    _run_both(spark, duck, expr, relation=STR_VALUES_SQL)
+
+
+@settings(max_examples=20, deadline=None)
+@given(expr=_str_expr(2))
+def test_string_lengths_and_predicates_agree(spark, duck, expr):
+    _run_both(spark, duck, f"LENGTH({expr})", relation=STR_VALUES_SQL)
+    sql = f"SELECT COUNT(1) AS n FROM {STR_VALUES_SQL.replace('t(s, u)', 'q(s, u)')} WHERE {expr} = s"
+    got = [r.n for r in spark.sql(sql).collect()]
+    want = [v for (v,) in duck.sql(sql).fetchall()]
+    assert got == want, sql
 
 
 @settings(max_examples=20, deadline=None)

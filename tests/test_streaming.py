@@ -8,6 +8,30 @@ from datafusion_wasm_bindings_spark.sources.catalog import table
 from datafusion_wasm_bindings_spark.streaming.events import streaming_demo, tumbling
 
 
+def test_stateful_running_totals_match_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.streaming.events import streaming_running_totals
+
+    got = {
+        r.user_id: (r.events_seen, round(r.value_sum, 6))
+        for r in streaming_running_totals(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    # counts exact; sums to float tolerance (state accumulates in file
+    # order, batch sums in partition order)
+    for u in want:
+        assert got[u][0] == want[u][0], u
+        assert abs(got[u][1] - want[u][1]) < 1e-6, u
+
+
 def test_streaming_matches_batch(spark, sf_dir):
     stream_out = {
         (r.ws, r.event_type): r.n for r in streaming_demo(spark, sf_dir).collect()
