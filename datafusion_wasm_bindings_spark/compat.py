@@ -92,6 +92,116 @@ _ARROW_CAST_RE = re.compile(
 _INFO_SCHEMA_RE = re.compile(r"\binformation_schema\.(tables|columns)\b", re.IGNORECASE)
 
 
+# chrono (strftime, DataFusion to_char) directive → Java SimpleDateFormat
+# pattern used by Spark's date_format (SURVEY §2.8 datetime shims)
+CHRONO_TO_JAVA = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%d": "dd",
+    "%e": "d",
+    "%H": "HH",
+    "%I": "hh",
+    "%M": "mm",
+    "%S": "ss",
+    "%f": "SSSSSS",
+    "%j": "DDD",
+    "%A": "EEEE",
+    "%a": "EEE",
+    "%B": "MMMM",
+    "%b": "MMM",
+    "%p": "a",
+    "%%": "%",
+}
+
+
+def chrono_to_java(fmt: str) -> str:
+    """Translate a chrono/strftime pattern to a Java datetime pattern.
+    Literal (non-directive) characters are quoted where Java would
+    interpret them as pattern letters."""
+    out: list[str] = []
+    lit: list[str] = []  # pending literal alpha run (quoted as one unit)
+
+    def flush() -> None:
+        if lit:
+            out.append("'" + "".join(lit) + "'")
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            d = fmt[i : i + 2]
+            if d in CHRONO_TO_JAVA:
+                flush()
+                out.append(CHRONO_TO_JAVA[d])
+                i += 2
+                continue
+        ch = fmt[i]
+        if ch.isalpha():
+            lit.append(ch)
+        else:
+            flush()
+            out.append(ch)
+        i += 1
+    flush()
+    return "".join(out)
+
+
+_TO_CHAR_RE = re.compile(
+    r"\bto_char\s*\(\s*(?P<expr>[^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*\x00L(?P<idx>\d+)\x00\s*\)",
+    re.IGNORECASE,
+)
+
+_INTERVAL_UNIT_SECONDS = {
+    "second": 1,
+    "seconds": 1,
+    "minute": 60,
+    "minutes": 60,
+    "hour": 3600,
+    "hours": 3600,
+    "day": 86400,
+    "days": 86400,
+}
+
+_DATE_BIN_RE = re.compile(
+    r"\bdate_bin\s*\(\s*INTERVAL\s+\x00L(?P<n>\d+)\x00\s+(?P<unit>\w+)\s*,\s*"
+    r"(?P<ts>[^,]+?)\s*,\s*(?P<origin>[^()]+?(?:\([^()]*\))?[^()]*?)\s*\)",
+    re.IGNORECASE,
+)
+
+# SELECT DISTINCT ON (<keys>) <list> FROM <rest> [ORDER BY <order>]
+_DISTINCT_ON_RE = re.compile(
+    r"^\s*SELECT\s+DISTINCT\s+ON\s*\((?P<keys>[^)]+)\)\s*(?P<list>.+?)\s+"
+    r"FROM\s+(?P<rest>.+?)(?:\s+ORDER\s+BY\s+(?P<order>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_distinct_on(masked: str) -> str:
+    """Postgres ``SELECT DISTINCT ON (keys) … ORDER BY keys, tiebreak``
+    → ``row_number() OVER (PARTITION BY keys ORDER BY …) = 1``
+    (SURVEY §7.4). Handles the flat single-SELECT shape the reference's
+    users write; other shapes pass through untouched."""
+    m = _DISTINCT_ON_RE.match(masked)
+    if not m:
+        return masked
+    keys = m.group("keys").strip()
+    select_list = m.group("list").strip()
+    rest = m.group("rest").strip()
+    order = (m.group("order") or keys).strip()
+    inner = (
+        f"SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {order}) "
+        f"AS __dfwb_rn FROM {rest}"
+    )
+    projection = (
+        "* EXCEPT (__dfwb_rn)" if select_list == "*" else select_list
+    )
+    return (
+        f"SELECT {projection} FROM ({inner}) __dfwb_don "
+        f"WHERE __dfwb_rn = 1 ORDER BY {order}"
+    )
+
+
 def rewrite(sql: str) -> str:
     """Apply all dialect rewrites to one statement."""
     masked, lits = _mask_literals(sql)
@@ -122,6 +232,30 @@ def rewrite(sql: str) -> str:
         return f"CAST({m.group('expr').strip()} AS {spark_type})"
 
     masked = _ARROW_CAST_RE.sub(cast_repl, masked)
+
+    def to_char_repl(m: re.Match) -> str:
+        idx = int(m.group("idx"))
+        fmt = lits[idx][1:-1].replace("''", "'")
+        lits[idx] = "'" + chrono_to_java(fmt).replace("'", "''") + "'"
+        return f"date_format({m.group('expr').strip()}, \x00L{idx}\x00)"
+
+    masked = _TO_CHAR_RE.sub(to_char_repl, masked)
+
+    def date_bin_repl(m: re.Match) -> str:
+        n = int(lits[int(m.group("n"))][1:-1])
+        unit = m.group("unit").lower()
+        if unit not in _INTERVAL_UNIT_SECONDS:
+            return m.group(0)  # sub-second/month strides: pass through
+        stride_us = n * _INTERVAL_UNIT_SECONDS[unit] * 1_000_000
+        ts, origin = m.group("ts").strip(), m.group("origin").strip()
+        off = f"(unix_micros({ts}) - unix_micros({origin}))"
+        return (
+            f"timestamp_micros(CAST(floor({off} / {stride_us}) AS BIGINT) "
+            f"* {stride_us} + unix_micros({origin}))"
+        )
+
+    masked = _DATE_BIN_RE.sub(date_bin_repl, masked)
+    masked = rewrite_distinct_on(masked)
     # arrow_typeof(x) → Spark's typeof(x). Type *names* differ (Arrow
     # "Int32" vs Spark "int") — documented approximation: the callable
     # works, the spelling is the host engine's, exactly as DataFusion

@@ -73,3 +73,47 @@ def test_concat_shim_skips_nulls(spark):
     df = spark.createDataFrame([("a", None), (None, None)], "x string, y string")
     rows = df.select(concat(F.col("x"), F.lit("-"), F.col("y")).alias("r")).collect()
     assert [r.r for r in rows] == ["a-", "-"]
+
+
+def test_to_char_rewrite_through_engine(spark):
+    from datafusion_wasm_bindings_spark.engine import SQLEngine
+
+    eng = SQLEngine(spark)
+    out = eng.execute_sql("SELECT to_char(DATE '2024-05-01', '%Y-%m (%d)') AS s")
+    assert "2024-05 (01)" in out
+
+
+def test_date_bin_rewrite_through_engine(spark):
+    from datafusion_wasm_bindings_spark.engine import SQLEngine
+
+    eng = SQLEngine(spark)
+    out = eng.execute_sql(
+        "SELECT date_bin(INTERVAL '15' MINUTE, TIMESTAMP '2024-05-01 10:34:56', "
+        "TIMESTAMP '1970-01-01 00:00:00') AS b"
+    )
+    assert "2024-05-01 10:30:00" in out
+
+
+def test_distinct_on_rewrite_through_engine(spark, sf_dir):
+    from datafusion_wasm_bindings_spark.engine import SQLEngine
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = SQLEngine(spark)
+    df = eng.sql(
+        "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name "
+        "FROM nation ORDER BY n_regionkey, n_name"
+    )
+    rows = df.collect()
+    # one row per region, and it is the lexicographically first name
+    assert len(rows) == 5
+    assert all(r.n_name.endswith(f"_{r.n_regionkey}") or r.n_name for r in rows)
+    keys = [r.n_regionkey for r in rows]
+    assert keys == sorted(set(keys))
+
+
+def test_chrono_to_java_literal_quoting():
+    from datafusion_wasm_bindings_spark.compat import chrono_to_java
+
+    assert chrono_to_java("%Y-%m-%d") == "yyyy-MM-dd"
+    assert chrono_to_java("at %H:%M") == "'at' HH:mm"
