@@ -42,6 +42,14 @@ def oracle_sql() -> dict[str, str]:
     """
     from datafusion_wasm_bindings_spark.queries import resolve_oracle
 
+    # materialize the CSV/NDJSON scan fixtures for the oracle's scale
+    # factor up front: their oracles read the files directly, and the
+    # driver may evaluate an oracle before the matching Spark query
+    # (which would otherwise be what creates the files)
+    from datafusion_wasm_bindings_spark.queries.sources_q import _ensure_text_fixtures
+
+    _ensure_text_fixtures("/root/testdata/sf0.01")
+
     return {
         name: resolve_oracle(spec.oracle, "/root/testdata/sf0.01")
         for name, spec in load_all().items()
