@@ -24,7 +24,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -102,6 +102,129 @@ def cosine_pairs_threshold(embeddings: DataFrame, *, threshold: float = 0.8, max
             F.col("b.vec_id").alias("id_b"),
             F.round("cos", 6).alias("cos"),
         )
+    )
+
+
+def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
+    """Squared L2 distance between two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    *,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF (inverted-file) coarse quantizer: mini k-means with
+    deterministic init (the ``n_centroids`` lowest vec_ids seed the
+    centroids), Lloyd iterations expressed as DataFrame ops.
+
+    Returns ``(assignments, centroids)``:
+    ``assignments``: vec_id, cell, v (array<double>) — materialized,
+    this IS the index a real deployment persists (partitioned by cell);
+    ``centroids``: cell, cv (array<double>) — tiny, broadcast at probe
+    time.
+
+    Scale: assignment is a map over the corpus against broadcast
+    centroids (no corpus shuffle); the centroid update shuffles
+    (cell, dim) partial sums — bytes ∝ n_centroids × dims × partitions,
+    independent of corpus size. Lloyd iterations are index-build cost,
+    amortized across every query served.
+    """
+    base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    w_init = Window.orderBy("vec_id")
+    centroids = (
+        base.withColumn("__rk", F.row_number().over(w_init))
+        .filter(F.col("__rk") <= n_centroids)
+        .select((F.col("__rk") - 1).alias("cell"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(lloyd_iters):
+        assigned = (
+            base.crossJoin(F.broadcast(centroids))
+            .withColumn("d2", _sq_dist("v", "cv"))
+            .groupBy("vec_id")
+            .agg(F.min_by("cell", "d2").alias("cell"), F.first("v").alias("v"))
+        )
+        # element-wise mean per cell: explode to (cell, dim, x), average,
+        # reassemble ordered by dim
+        centroids = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    assignments = (
+        base.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", _sq_dist("v", "cv"))
+        .groupBy("vec_id")
+        .agg(F.min_by("cell", "d2").alias("cell"), F.first("v").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    return assignments, centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int],
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """ANN top-k via IVF: probe the ``n_probe`` nearest cells per query,
+    exact cosine re-score inside the probed cells only.
+
+    Complement to the hyperplane-LSH path: IVF adapts to the data
+    distribution (k-means cells) where LSH is data-independent. Probing
+    touches ~corpus × n_probe / n_centroids vectors; recall is
+    probabilistic → rows-only oracle, recall bound asserted in
+    tests/test_operators.py.
+    """
+    assignments, centroids = ivf_index(
+        embeddings, n_centroids=n_centroids, lloyd_iters=lloyd_iters
+    )
+    q = assignments.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", _sq_dist("qv", "cv"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cands = assignments.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.withColumn(
+        "cos",
+        F.aggregate(F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
+        / (
+            F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
+            * F.sqrt(F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("cand_id"), "rank", F.round("cos", 6).alias("cos"))
     )
 
 

@@ -176,6 +176,26 @@ def _sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("q_sim_lsh_topk", None, tags=("extension", "similarity"))(_sim_lsh)
 
 
+def _sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        table(spark, sf_dir, "embeddings"),
+        query_ids=_QUERY_IDS,
+        k=3,
+        n_centroids=8,
+        n_probe=2,
+        # one Lloyd pass: half the index-build stages; recall at
+        # n_probe=2/8 is already over 50% (tests use 2 passes)
+        lloyd_iters=1,
+    )
+
+
+# rows-only: IVF recall is probabilistic (recall bound asserted in
+# tests/test_operators.py against the brute-force pool)
+query("q_sim_ivf_topk", None, tags=("extension", "similarity"))(_sim_ivf)
+
+
 # ====================== text analysis ===================================
 def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.text import token_counts

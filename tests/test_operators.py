@@ -98,3 +98,24 @@ def test_exact_dedup_keeps_every_distinct_text(documents):
     assert out.count() == n_distinct
     total = out.agg(F.sum("n_copies")).first()[0]
     assert total == n_docs
+
+
+def test_ivf_topk_recall_against_bruteforce(embeddings):
+    """IVF with n_probe=2 of 8 cells must find most of the true top-3:
+    scores must match brute-force exactly for shared pairs (same
+    arithmetic), and recall@3 over 5 queries should beat random
+    cell-picking by a wide margin."""
+    brute = {
+        (r.query_id, r.cand_id): r.rank
+        for r in similarity.cosine_topk_bruteforce(
+            embeddings, query_ids=[1, 2, 3, 4, 5], k=3
+        ).collect()
+    }
+    ivf = similarity.ivf_topk(
+        embeddings, query_ids=[1, 2, 3, 4, 5], k=3, n_centroids=8, n_probe=2
+    ).collect()
+    assert len(ivf) == 15  # k rows per query — probed cells hold >= k
+    overlap = sum(1 for r in ivf if (r.query_id, r.cand_id) in brute)
+    # probing 2/8 data-adapted cells: expect well over half the true
+    # neighbors (random cells would give ~25%)
+    assert overlap >= 8, f"recall {overlap}/15 too low"
