@@ -153,3 +153,48 @@ def test_aggregates_over_fuzzed_exprs_agree(spark, duck, expr, pred):
     want = [tuple(int(v) if v is not None else None for v in r) for r in duck.sql(sql).fetchall()]
     norm = lambda rows: [tuple(None if v is None else int(v) for v in r) for r in rows]
     assert norm(got) == norm(want), sql
+
+
+# --- datetime expression grammar (dialect-intersection semantics) ------
+
+DT_VALUES_SQL = (
+    "(VALUES (DATE '2024-01-31', DATE '2024-03-01'), "
+    "(DATE '1999-12-31', NULL), (NULL, DATE '2000-02-29'), "
+    "(DATE '2024-02-29', DATE '2024-02-28')) AS t(d, e)"
+)
+
+# typed NULL: DuckDB cannot bind EXTRACT/date functions on an untyped
+# NULL literal (binder ambiguity, not a semantic difference)
+_dt_leaf = st.sampled_from(["d", "e", "DATE '2020-06-15'", "CAST(NULL AS DATE)"])
+
+
+def _date_expr(depth: int):
+    if depth <= 0:
+        return _dt_leaf
+    sub = st.deferred(lambda: _date_expr(depth - 1))
+    return st.one_of(
+        _dt_leaf,
+        st.tuples(sub, sub).map(lambda t: f"COALESCE({t[0]}, {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"LEAST({t[0]}, {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"GREATEST({t[0]}, {t[1]})"),
+        sub.map(lambda e: f"LAST_DAY({e})"),
+        st.tuples(sub, st.sampled_from(["<", "=", ">"]), sub, sub, sub).map(
+            lambda t: f"(CASE WHEN {t[0]} {t[1]} {t[2]} THEN {t[3]} ELSE {t[4]} END)"
+        ),
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(expr=_date_expr(3), part=st.sampled_from(["YEAR", "MONTH", "DAY"]))
+def test_datetime_expressions_agree(spark, duck, expr, part):
+    # surfaced as an int (EXTRACT) so normalization is engine-neutral
+    _run_both(spark, duck, f"EXTRACT({part} FROM {expr})", relation=DT_VALUES_SQL)
+
+
+@settings(max_examples=20, deadline=None)
+@given(expr=_date_expr(2))
+def test_datetime_predicates_agree(spark, duck, expr):
+    _run_both(
+        spark, duck, "1",
+        where=f"{expr} >= DATE '2000-01-01'", relation=DT_VALUES_SQL,
+    )
