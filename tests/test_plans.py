@@ -118,3 +118,45 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_cust")
+
+
+def test_partition_pruning_on_hive_layout(spark, sf_dir, tmp_path):
+    """Hive-partitioned parquet + a partition-key filter must prune at
+    plan time (PartitionFilters), reading only matching directories —
+    the mechanism that turns a 100 TB scan into a 1-partition scan."""
+    from datafusion_wasm_bindings_spark.sources.catalog import table as t
+
+    out = str(tmp_path / "li_part")
+    t(spark, sf_dir, "lineitem").write.partitionBy("l_returnflag").mode(
+        "overwrite"
+    ).parquet(out)
+    df = spark.read.parquet(out).filter("l_returnflag = 'R'").select("l_orderkey")
+    plan = _plan(df)
+    part_filters = plan.split("PartitionFilters:", 1)[1].splitlines()[0]
+    assert "l_returnflag" in part_filters, plan
+    assert df.count() > 0
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """A filter on the dimension side must prune fact partitions at
+    runtime (DPP): the fact side's scan carries a dynamicpruning
+    subquery on the partition key."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.sources.catalog import table as t
+
+    out = str(tmp_path / "li_by_flag")
+    t(spark, sf_dir, "lineitem").write.partitionBy("l_returnflag").mode(
+        "overwrite"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("R", "returned")], "flag string, meaning string"
+    ).filter("meaning = 'returned'")
+    joined = fact.join(dim, fact.l_returnflag == dim.flag).groupBy("flag").agg(
+        F.count("*").alias("n")
+    )
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    physical = _plan(joined)
+    assert "dynamicpruning" in (plan + physical).lower(), physical
+    assert joined.count() == 1
