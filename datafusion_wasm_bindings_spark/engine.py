@@ -92,6 +92,59 @@ _EXTERNAL_TABLE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# PREPARE name [(types)] AS <statement>  /  EXECUTE name(args)  /
+# DEALLOCATE name — DataFusion statement surface (SURVEY §2.9);
+# Spark SQL has no PREPARE, so the engine stores the template and
+# substitutes positional $n parameters with literal argument text.
+_PREPARE_RE = re.compile(
+    r"^PREPARE\s+(?P<name>\w+)\s*(?:\([^)]*\))?\s+AS\s+(?P<body>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EXECUTE_RE = re.compile(
+    r"^EXECUTE\s+(?P<name>\w+)\s*(?:\((?P<args>.*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DEALLOCATE_RE = re.compile(r"^DEALLOCATE\s+(?:PREPARE\s+)?(?P<name>\w+)\s*$", re.IGNORECASE)
+
+
+def _split_exec_args(args: str) -> list[str]:
+    """Split EXECUTE's argument list on top-level commas (respects
+    quoted strings and parentheses)."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_s = False
+    i = 0
+    while i < len(args):
+        ch = args[i]
+        if in_s:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < len(args) and args[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_s = False
+        elif ch == "'":
+            buf.append(ch)
+            in_s = True
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
 
 class SQLEngine:
     """SQL string in → formatted result string out, over Spark.
@@ -113,6 +166,7 @@ class SQLEngine:
         self.spark = spark if spark is not None else get_spark()
         self.result_format = ResultFormat.TABLE
         self.max_rows: int | None = None  # None = full materialization, like core.rs:119
+        self._prepared: dict[str, str] = {}  # PREPARE name -> statement template
 
     # -- reference: core.rs:43-45 ------------------------------------
     def greet(self) -> str:
@@ -169,6 +223,28 @@ class SQLEngine:
         m = _EXTERNAL_TABLE_RE.match(stmt)
         if m:
             return self._create_external_table(m)
+        m = _PREPARE_RE.match(stmt)
+        if m:
+            self._prepared[m.group("name").lower()] = m.group("body").strip()
+            return self.spark.createDataFrame([], "result string")
+        m = _DEALLOCATE_RE.match(stmt)
+        if m:
+            self._prepared.pop(m.group("name").lower(), None)
+            return self.spark.createDataFrame([], "result string")
+        m = _EXECUTE_RE.match(stmt)
+        if m and m.group("name").lower() in self._prepared:
+            body = self._prepared[m.group("name").lower()]
+            args = _split_exec_args(m.group("args") or "")
+            # substitute $n positional parameters, highest index first
+            # so $12 is not clobbered by $1
+            for n in range(len(args), 0, -1):
+                body = body.replace(f"${n}", args[n - 1])
+            return self._dispatch(body)
+        if stmt.strip().upper() == "SHOW ALL":
+            # reference: SHOW ALL lists datafusion.* settings via
+            # information_schema.df_settings (core.rs:62); Spark's
+            # equivalent listing is SET -v
+            stmt = "SET -v"
         from datafusion_wasm_bindings_spark import compat
 
         if compat.needs_information_schema(stmt):

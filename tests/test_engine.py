@@ -103,3 +103,31 @@ def test_arrow_typeof_rewrite(engine):
 def test_arrow_cast_rewrite(engine):
     out = engine.execute_sql("SELECT arrow_cast(1, 'Int64') AS v")
     assert "1" in out
+
+
+def test_prepare_execute_deallocate(engine, sf_dir):
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(engine.spark, sf_dir)
+    out = engine.execute_sql(
+        "PREPARE topn AS SELECT n_nationkey, n_name FROM nation "
+        "WHERE n_regionkey = $1 ORDER BY n_nationkey LIMIT $2; "
+        "EXECUTE topn(2, 3)"
+    )
+    assert "n_name" in out
+    assert out.count("NATION_") == 3
+    # re-execution with different args reuses the template
+    out2 = engine.execute_sql("EXECUTE topn(1, 1)")
+    assert out2.count("NATION_") == 1
+    engine.execute_sql("DEALLOCATE topn")
+    import pytest as _pytest
+
+    from datafusion_wasm_bindings_spark.errors import EngineError
+
+    with _pytest.raises(EngineError):
+        engine.sql("EXECUTE topn(1, 1)")
+
+
+def test_show_all_lists_settings(engine):
+    out = engine.execute_sql("SHOW ALL")
+    assert "spark.sql" in out
