@@ -169,6 +169,71 @@ _DATE_BIN_RE = re.compile(
     re.IGNORECASE,
 )
 
+# DataFusion function spelling → Spark builtin, where a bare token
+# rename is exact (args and semantics identical). Applied to the
+# masked statement so string literals are never touched.
+FN_RENAMES = {
+    "ends_with": "endswith",
+    "starts_with": "startswith",
+    "to_hex": "hex",
+    "datetrunc": "date_trunc",
+    "datepart": "date_part",
+    "today": "current_date",
+    "substr_index": "substring_index",
+    "list_extract": "element_at",  # both 1-based
+    "character_length": "char_length",
+    "gcd": "dfwb_gcd",  # registered pandas UDFs (functions/shims.py)
+    "lcm": "dfwb_lcm",
+    "regexp_match": "dfwb_regexp_match",
+}
+
+_FN_RENAME_RE = re.compile(
+    r"\b(" + "|".join(FN_RENAMES) + r")\s*\(", re.IGNORECASE
+)
+
+
+def _parse_args(s: str, open_paren: int) -> tuple[list[str], int]:
+    """Parse a balanced argument list starting at ``s[open_paren] ==
+    '('``; returns (args, index just past the closing paren). Operates
+    on literal-masked text, so quotes need no handling."""
+    args: list[str] = []
+    buf: list[str] = []
+    depth = 1
+    i = open_paren + 1
+    while i < len(s) and depth:
+        ch = s[i]
+        if ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            if depth:
+                buf.append(ch)
+        elif ch == "," and depth == 1:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail or args:
+        args.append(tail)
+    return args, i
+
+
+def _rewrite_calls(masked: str, name: str, make: "callable") -> str:
+    """Replace every ``name(args…)`` call with ``make(args)`` output,
+    re-scanning until no occurrences remain (handles nesting as long as
+    the replacement does not reintroduce ``name``)."""
+    pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(masked)
+        if m is None:
+            return masked
+        args, end = _parse_args(masked, m.end() - 1)
+        masked = masked[: m.start()] + make(args) + masked[end:]
+
+
 # SELECT DISTINCT ON (<keys>) <list> FROM <rest> [ORDER BY <order>]
 _DISTINCT_ON_RE = re.compile(
     r"^\s*SELECT\s+DISTINCT\s+ON\s*\((?P<keys>[^)]+)\)\s*(?P<list>.+?)\s+"
@@ -255,6 +320,19 @@ def rewrite(sql: str) -> str:
         )
 
     masked = _DATE_BIN_RE.sub(date_bin_repl, masked)
+    masked = _FN_RENAME_RE.sub(
+        lambda m: FN_RENAMES[m.group(1).lower()] + "(", masked
+    )
+    # strpos(str, sub) → locate(sub, str): arg order swaps
+    masked = _rewrite_calls(
+        masked,
+        "strpos",
+        lambda a: f"locate({a[1]}, {a[0]})" if len(a) == 2 else f"locate({', '.join(a)})",
+    )
+    # iszero(x) → exact ±0.0 test, null-safe like any comparison
+    masked = _rewrite_calls(
+        masked, "iszero", lambda a: f"(CAST({a[0]} AS DOUBLE) = 0.0D)"
+    )
     masked = rewrite_distinct_on(masked)
     # arrow_typeof(x) → Spark's typeof(x). Type *names* differ (Arrow
     # "Int32" vs Spark "int") — documented approximation: the callable

@@ -246,7 +246,11 @@ class SQLEngine:
             # equivalent listing is SET -v
             stmt = "SET -v"
         from datafusion_wasm_bindings_spark import compat
+        from datafusion_wasm_bindings_spark.functions.shims import ensure_registered
 
+        # SQL-callable shims (dfwb_gcd/lcm/regexp_match) that compat
+        # renames target; cached per session, so this is a dict lookup
+        ensure_registered(self.spark)
         if compat.needs_information_schema(stmt):
             # reference enables information_schema at session build
             # (core.rs:62); we materialize the emulation on demand

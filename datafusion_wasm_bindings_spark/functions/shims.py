@@ -103,10 +103,26 @@ lcm = _lcm_udf
 _registered_sessions: set[int] = set()
 
 
+def _regexp_match_impl(s, p):
+    # DataFusion regexp_match: first match; capture groups if the
+    # pattern has any, else the whole match, as array<string>.
+    # self-contained import: runs on Python workers that may not have
+    # the package importable
+    import re as _re
+
+    if s is None or p is None:
+        return None
+    m = _re.search(p, s)
+    if m is None:
+        return None
+    return list(m.groups()) if m.groups() else [m.group(0)]
+
+
 def ensure_registered(spark: SparkSession) -> None:
     """Register the SQL-callable shims once per session."""
     if id(spark) in _registered_sessions:
         return
     spark.udf.register("dfwb_gcd", _gcd_udf)
     spark.udf.register("dfwb_lcm", _lcm_udf)
+    spark.udf.register("dfwb_regexp_match", _regexp_match_impl, T.ArrayType(T.StringType()))
     _registered_sessions.add(id(spark))

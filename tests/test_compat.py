@@ -117,3 +117,32 @@ def test_chrono_to_java_literal_quoting():
 
     assert chrono_to_java("%Y-%m-%d") == "yyyy-MM-dd"
     assert chrono_to_java("at %H:%M") == "'at' HH:mm"
+
+
+def test_datafusion_function_spellings_through_engine(spark):
+    """Every DataFusion spelling from SURVEY §2.8 that Spark SQL lacks
+    must work through execute_sql via the compat rename/shim layer."""
+    from datafusion_wasm_bindings_spark.engine import SQLEngine
+
+    eng = SQLEngine(spark)
+    cases = {
+        "SELECT strpos('hello','ll') AS r": "3",
+        "SELECT strpos(upper(concat('he','llo')),'LL') AS r": "3",  # nested args
+        "SELECT regexp_match('ab123cd','[0-9]+') AS r": "123",
+        "SELECT regexp_match('ab123cd','([a-z]+)([0-9]+)') AS r": "ab",
+        "SELECT to_hex(255) AS r": "FF",
+        "SELECT ends_with('hello','lo') AS r": "true",
+        "SELECT starts_with('hello','he') AS r": "true",
+        "SELECT list_extract(array(1,2,3), 2) AS r": "2",
+        "SELECT gcd(12, 18) AS r": "6",
+        "SELECT lcm(4, 6) AS r": "12",
+        "SELECT iszero(0.0) AS r": "true",
+        "SELECT iszero(1.5) AS r": "false",
+        "SELECT datetrunc('month', TIMESTAMP '2024-05-15 10:00:00') AS r": "2024-05-01",
+        "SELECT substr_index('a.b.c', '.', 2) AS r": "a.b",
+        "SELECT today() IS NOT NULL AS r": "true",
+        "SELECT character_length('abc') AS r": "3",
+    }
+    for sql, want in cases.items():
+        out = eng.execute_sql(sql)
+        assert want.lower() in out.lower(), f"{sql} -> {out}"
