@@ -240,7 +240,21 @@ class SQLEngine:
             for n in range(len(args), 0, -1):
                 body = body.replace(f"${n}", args[n - 1])
             return self._dispatch(body)
-        if stmt.strip().upper() == "SHOW ALL":
+        up = stmt.strip().upper()
+        if up.startswith("EXPLAIN ANALYZE "):
+            # reference: EXPLAIN ANALYZE executes and reports metrics.
+            # Spark's EXPLAIN never executes, so run the query first and
+            # return the post-AQE executed plan (the plan that actually
+            # ran, with runtime-chosen joins/partition counts).
+            body = stmt.strip()[len("EXPLAIN ANALYZE "):]
+            df = self._dispatch(body)
+            n = df.count()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            lines = [f"rows: {n}"] + plan.splitlines()
+            return self.spark.createDataFrame(
+                [(line,) for line in lines], "plan string"
+            )
+        if up == "SHOW ALL":
             # reference: SHOW ALL lists datafusion.* settings via
             # information_schema.df_settings (core.rs:62); Spark's
             # equivalent listing is SET -v

@@ -131,3 +131,25 @@ def test_prepare_execute_deallocate(engine, sf_dir):
 def test_show_all_lists_settings(engine):
     out = engine.execute_sql("SHOW ALL")
     assert "spark.sql" in out
+
+
+def test_explain_analyze_runs_and_reports(engine, sf_dir):
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(engine.spark, sf_dir)
+    out = engine.execute_sql(
+        "EXPLAIN ANALYZE SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag"
+    )
+    assert "rows: 3" in out
+    assert "HashAggregate" in out
+
+
+def test_create_insert_select_script(engine):
+    out = engine.execute_sql(
+        "DROP TABLE IF EXISTS t_mem; "
+        "CREATE TABLE t_mem AS SELECT * FROM VALUES (1, 'a'), (2, 'b') AS v(id, tag); "
+        "INSERT INTO t_mem VALUES (3, 'c'); "
+        "SELECT COUNT(*) AS n FROM t_mem; "
+        "DROP TABLE t_mem"
+    )
+    assert "3" in out  # the count after insert
