@@ -106,6 +106,14 @@ _EXECUTE_RE = re.compile(
 )
 _DEALLOCATE_RE = re.compile(r"^DEALLOCATE\s+(?:PREPARE\s+)?(?P<name>\w+)\s*$", re.IGNORECASE)
 
+# COPY (<query>) TO 'path' [STORED AS fmt] / COPY table TO 'path' …
+# (DataFusion statement, SURVEY §2.1 sink row)
+_COPY_RE = re.compile(
+    r"^COPY\s+(?:\((?P<query>.+)\)|(?P<table>[\w.\"]+))\s+TO\s+'(?P<path>[^']+)'"
+    r"(?:\s+STORED\s+AS\s+(?P<format>\w+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 
 def _split_exec_args(args: str) -> list[str]:
     """Split EXECUTE's argument list on top-level commas (respects
@@ -240,6 +248,9 @@ class SQLEngine:
             for n in range(len(args), 0, -1):
                 body = body.replace(f"${n}", args[n - 1])
             return self._dispatch(body)
+        m = _COPY_RE.match(stmt)
+        if m:
+            return self._copy_to(m)
         up = stmt.strip().upper()
         if up.startswith("EXPLAIN ANALYZE "):
             # reference: EXPLAIN ANALYZE executes and reports metrics.
@@ -274,6 +285,38 @@ class SQLEngine:
 
             register_information_schema(self.spark)
         return self.spark.sql(compat.rewrite(stmt))
+
+    def _copy_to(self, m: re.Match) -> DataFrame:
+        """``COPY (query)|table TO 'path' [STORED AS fmt]`` →
+        ``df.write.<fmt>`` (SURVEY §2.1 sink). Format defaults from the
+        path suffix like DataFusion, else parquet. Returns the copied
+        row count, matching DataFusion's COPY output relation.
+
+        Scale note: task-parallel part files (no coalesce) — the write
+        parallelism is the plan's partitioning.
+        """
+        src = m.group("query")
+        df = self.sql(src) if src else self.spark.table(m.group("table").strip('"'))
+        path = m.group("path")
+        if path.startswith("s3://"):
+            path = "s3a://" + path[len("s3://"):]
+        fmt = (m.group("format") or "").lower()
+        if not fmt:
+            suffix = path.rsplit(".", 1)[-1].lower()
+            fmt = suffix if suffix in ("parquet", "csv", "json") else "parquet"
+        n = df.count()
+        writer = df.write.mode("overwrite")
+        if fmt == "parquet":
+            writer.parquet(path)
+        elif fmt == "csv":
+            writer.option("header", "true").csv(path)
+        elif fmt == "json":
+            writer.json(path)
+        else:
+            from datafusion_wasm_bindings_spark.errors import PlanError
+
+            raise PlanError(f"COPY: unsupported STORED AS format: {fmt}")
+        return self.spark.createDataFrame([(n,)], "count bigint")
 
     def _create_external_table(self, m: re.Match) -> DataFrame:
         """``CREATE EXTERNAL TABLE name [(cols)] STORED AS fmt LOCATION 'url'``

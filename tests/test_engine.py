@@ -153,3 +153,23 @@ def test_create_insert_select_script(engine):
         "DROP TABLE t_mem"
     )
     assert "3" in out  # the count after insert
+
+
+def test_copy_to_statement(engine, sf_dir, tmp_path):
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(engine.spark, sf_dir)
+    dest = str(tmp_path / "nation_copy")
+    out = engine.execute_sql(
+        f"COPY (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0) "
+        f"TO '{dest}' STORED AS PARQUET"
+    )
+    assert "5" in out  # copied row count
+    back = engine.spark.read.parquet(dest)
+    assert back.count() == 5 and set(back.columns) == {"n_nationkey", "n_name"}
+    # whole-table form + format from suffix
+    dest2 = str(tmp_path / "region.csv")
+    out2 = engine.execute_sql(f"COPY region TO '{dest2}'")
+    assert "5" in out2
+    back2 = engine.spark.read.option("header", "true").csv(dest2)
+    assert back2.count() == 5
