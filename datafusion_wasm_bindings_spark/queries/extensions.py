@@ -347,6 +347,37 @@ query(
 )(_text_stats)
 
 
+# ====================== semi-structured props ============================
+# events.props carries JSON payloads — the semi-structured column
+# pattern of real event pipelines. Extraction stays JVM-side
+# (get_json_object is codegen'd); at 100 TB you'd from_json() into a
+# struct column once and let pruning drop it when unused.
+sql_query(
+    "q_events_props_json",
+    """
+    SELECT event_type,
+           COUNT(1) AS n,
+           SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(get_json_object(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(get_json_object(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type ASC NULLS LAST
+    """,
+    oracle="""
+    SELECT event_type,
+           COUNT(1) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type ASC NULLS LAST
+    """,
+    tags=("extension", "events", "json"),
+)
+
+
 # ====================== custom stateful streaming ========================
 def _stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.streaming.events import streaming_running_totals
