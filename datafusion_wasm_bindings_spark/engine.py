@@ -331,11 +331,20 @@ class SQLEngine:
         location = m.group("location")
         if location.startswith("s3://"):
             location = "s3a://" + location[len("s3://"):]
+        # declared column list → explicit schema (DataFusion requires
+        # one for CSV; we honor it when present, infer otherwise)
+        cols = (m.group("cols") or "").strip()
+        schema = cols[1:-1].strip() if cols.startswith("(") else None
         reader = self.spark.read
+        if schema:
+            reader = reader.schema(schema)
         if fmt == "parquet":
             df = reader.parquet(location)
         elif fmt == "csv":
-            df = reader.option("header", "true").option("inferSchema", "true").csv(location)
+            reader = reader.option("header", "true")
+            if not schema:
+                reader = reader.option("inferSchema", "true")
+            df = reader.csv(location)
         elif fmt == "json":
             df = reader.json(location)
         else:

@@ -173,3 +173,19 @@ def test_copy_to_statement(engine, sf_dir, tmp_path):
     assert "5" in out2
     back2 = engine.spark.read.option("header", "true").csv(dest2)
     assert back2.count() == 5
+
+
+def test_create_external_table_with_declared_schema(engine, sf_dir, tmp_path):
+    import os
+
+    # build a small headerless-ish CSV via the fixture helper path
+    from datafusion_wasm_bindings_spark.queries.sources_q import _ensure_text_fixtures
+
+    csv_path, _ = _ensure_text_fixtures(sf_dir)
+    engine.execute_sql(
+        f"CREATE EXTERNAL TABLE nation_decl (n_nationkey INT, n_name STRING, "
+        f"n_regionkey INT) STORED AS CSV LOCATION '{csv_path}'"
+    )
+    df = engine.sql("SELECT * FROM nation_decl")
+    assert dict(df.dtypes)["n_nationkey"] == "int"  # declared, not inferred
+    assert df.count() == 25
