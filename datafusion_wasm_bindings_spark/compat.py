@@ -89,7 +89,9 @@ _ARROW_CAST_RE = re.compile(
     r"arrow_cast\s*\(\s*(?P<expr>[^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*\x00L(?P<idx>\d+)\x00\s*\)",
     re.IGNORECASE,
 )
-_INFO_SCHEMA_RE = re.compile(r"\binformation_schema\.(tables|columns)\b", re.IGNORECASE)
+_INFO_SCHEMA_RE = re.compile(
+    r"\binformation_schema\.(tables|columns|views|df_settings)\b", re.IGNORECASE
+)
 
 
 # chrono (strftime, DataFusion to_char) directive → Java SimpleDateFormat

@@ -58,8 +58,30 @@ def information_schema_columns(spark: SparkSession, table: str | None = None) ->
     return spark.createDataFrame(rows, _COLUMNS_SCHEMA)
 
 
+def information_schema_views(spark: SparkSession) -> DataFrame:
+    """information_schema.views: the VIEW rows of `tables` with a NULL
+    definition (Spark's in-memory catalog does not retain temp-view
+    SQL text; DataFusion returns the definition when known)."""
+    t = information_schema_tables(spark)
+    return t.filter(t.table_type == "VIEW").selectExpr(
+        "table_catalog", "table_schema", "table_name", "CAST(NULL AS STRING) AS definition"
+    )
+
+
+def information_schema_df_settings(spark: SparkSession) -> DataFrame:
+    """information_schema.df_settings analogue: the session's settings
+    as (name, value) rows — DataFusion lists datafusion.* vars
+    (src/core.rs:62); here they are the Spark SQL confs, the settings
+    that actually govern this engine."""
+    return spark.sql("SET -v").selectExpr("key AS name", "value")
+
+
 def register_information_schema(spark: SparkSession) -> None:
     """Bind the emulated relations as temp views with is_-prefixed names
     (Spark temp views cannot live in a dotted schema)."""
     information_schema_tables(spark).createOrReplaceTempView("information_schema_tables")
     information_schema_columns(spark).createOrReplaceTempView("information_schema_columns")
+    information_schema_views(spark).createOrReplaceTempView("information_schema_views")
+    information_schema_df_settings(spark).createOrReplaceTempView(
+        "information_schema_df_settings"
+    )

@@ -146,3 +146,18 @@ def test_datafusion_function_spellings_through_engine(spark):
     for sql, want in cases.items():
         out = eng.execute_sql(sql)
         assert want.lower() in out.lower(), f"{sql} -> {out}"
+
+
+def test_information_schema_views_and_settings(engine, spark, sf_dir):
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    views = engine.sql(
+        "SELECT table_name FROM information_schema.views WHERE table_name = 'nation'"
+    )
+    assert views.count() == 1  # fixture temp views are VIEW-typed
+    settings = engine.sql(
+        "SELECT name, value FROM information_schema.df_settings "
+        "WHERE name = 'spark.sql.adaptive.enabled'"
+    )
+    assert settings.count() == 1
