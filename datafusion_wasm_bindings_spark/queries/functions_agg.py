@@ -91,6 +91,33 @@ sql_query(
     tags=("agg_fn", "approx"),
 )
 
+# weighted percentile — DataFusion's approx_percentile_cont_with_weight
+# capability (SURVEY §2.4 "— (extension)"), computed EXACTLY via a
+# cumulative-weight window so the oracle is a full value check: the
+# p-th weighted percentile is the least v whose cumulative weight
+# (RANGE frame: all peers included → deterministic under ties) reaches
+# p × total. Scale: one shuffle to sort within groups — same cost
+# class as any windowed aggregate.
+sql_query(
+    "q_fn_weighted_percentile",
+    """
+    WITH w AS (
+      SELECT p_size AS v, CAST(p_retailprice AS DECIMAL(18,2)) AS wt
+      FROM part WHERE p_partkey <= 1000
+    ), c AS (
+      SELECT v,
+             SUM(wt) OVER (ORDER BY v ASC) AS cum,
+             SUM(wt) OVER () AS tot
+      FROM w
+    )
+    SELECT MIN(CASE WHEN cum >= 0.25 * tot THEN v END) AS wp25,
+           MIN(CASE WHEN cum >= 0.50 * tot THEN v END) AS wp50,
+           MIN(CASE WHEN cum >= 0.90 * tot THEN v END) AS wp90
+    FROM c
+    """,
+    tags=("agg_fn", "percentile"),
+)
+
 # array_agg: order-normalized via sort (plain array_agg is order-
 # nondeterministic in a parallel engine — SURVEY §5 determinism rules)
 sql_query(

@@ -372,6 +372,30 @@ sql_query(
     tags=("functions", "datetime"),
 )
 
+# --- interval arithmetic (SURVEY §1.1 Interval rows) -----------------------
+sql_query(
+    "q_fn_interval_arith",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 DAY AS DATE) AS plus_days,
+           CAST(o_orderdate - INTERVAL 2 HOUR AS TIMESTAMP) AS minus_hours,
+           CAST(add_months(CAST(o_orderdate AS DATE), 2) AS DATE) AS plus_months,
+           CAST(add_months(CAST(o_orderdate AS DATE), -14) AS DATE) AS minus_months,
+           months_between(DATE '2001-06-15', CAST(o_orderdate AS DATE)) >= 0 AS before_mid_2001
+    FROM orders WHERE o_orderkey <= 300
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 DAY AS DATE) AS plus_days,
+           o_orderdate - INTERVAL 2 HOUR AS minus_hours,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_months,
+           CAST(CAST(o_orderdate AS DATE) - INTERVAL 14 MONTH AS DATE) AS minus_months,
+           CAST(o_orderdate AS DATE) <= DATE '2001-06-15' AS before_mid_2001
+    FROM orders WHERE o_orderkey <= 300
+    """,
+    tags=("functions", "datetime", "interval"),
+)
+
 # --- to_char: chrono (%Y…) vs Java (yyyy…) pattern translation (SURVEY §7.4) ---
 sql_query(
     "q_fn_to_char",
