@@ -1,0 +1,49 @@
+"""Sampling operators for training-mix construction.
+
+A 100 TB corpus is never trained on wholesale: pipelines draw
+per-language / per-source mixtures. Two strategies:
+
+- ``stratified_sample``: Spark's ``sampleBy`` — per-stratum Bernoulli
+  with a seed. Statistically clean, but membership depends on Spark's
+  RNG stream, so reruns on re-partitioned data can differ at the row
+  level (rows-only oracle).
+- ``hash_sample``: deterministic content-addressed sampling — keep a
+  row iff a stable hash of its key lands under the rate threshold.
+  Fully reproducible across runs, partitionings, and engines sharing
+  the hash; the standard choice when train/eval splits must never
+  leak into each other between pipeline versions.
+
+Both are pure maps: no shuffle, trivially parallel at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample (Spark ``sampleBy``). Strata absent
+    from ``fractions`` are dropped, matching sampleBy semantics."""
+    return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float,
+    *,
+    salt: str = "dfwb",
+) -> DataFrame:
+    """Deterministic sample: keep rows where the salted 64-bit hash of
+    ``key_col``, mapped to [0,1), is below ``rate``. Changing the salt
+    yields an independent sample — disjoint train/eval splits come from
+    complementary rate bands over the same salt."""
+    u = (F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(1_000_000)) / 1_000_000.0)
+    return df.filter(u < rate)

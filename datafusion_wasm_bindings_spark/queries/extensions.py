@@ -347,6 +347,34 @@ query(
 )(_text_stats)
 
 
+# ====================== sampling (training-mix construction) =============
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.sampling import stratified_sample
+
+    docs = table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.25, "zh": 0.1}
+    return stratified_sample(docs, "lang", fractions, seed=42).select("doc_id", "lang")
+
+
+# rows-only: membership depends on Spark's seeded RNG stream, which no
+# other engine reproduces; mixture properties asserted in
+# tests/test_operators.py
+query("q_sample_stratified", None, tags=("extension", "sampling"))(_sample_stratified)
+
+
+def _sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.sampling import hash_sample
+
+    return hash_sample(
+        table(spark, sf_dir, "documents"), "doc_id", 0.3
+    ).select("doc_id", "lang")
+
+
+# rows-only: xxhash64 is Spark-specific (deterministic across OUR runs,
+# not reproducible in DuckDB); determinism asserted in tests
+query("q_sample_hash", None, tags=("extension", "sampling"))(_sample_hash)
+
+
 # ====================== semi-structured props ============================
 # events.props carries JSON payloads — the semi-structured column
 # pattern of real event pipelines. Extraction stays JVM-side

@@ -119,3 +119,34 @@ def test_ivf_topk_recall_against_bruteforce(embeddings):
     # probing 2/8 data-adapted cells: expect well over half the true
     # neighbors (random cells would give ~25%)
     assert overlap >= 8, f"recall {overlap}/15 too low"
+
+
+def test_stratified_sample_respects_fractions(documents):
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators import sampling
+
+    fractions = {"en": 0.5, "de": 1.0, "fr": 0.0}
+    s = sampling.stratified_sample(documents, "lang", fractions, seed=7)
+    got = {r.lang: r.n for r in s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    tot = {r.lang: r.n for r in documents.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got.get("de", 0) == tot["de"]          # fraction 1.0 keeps all
+    assert got.get("fr", 0) == 0                  # fraction 0.0 drops all
+    assert set(got) <= set(fractions)             # unlisted strata dropped
+    assert 0 < got.get("en", 0) < tot["en"]       # Bernoulli strictly between
+
+
+def test_hash_sample_is_deterministic_and_splits_disjoint(documents):
+    from datafusion_wasm_bindings_spark.operators import sampling
+
+    a = {r.doc_id for r in sampling.hash_sample(documents, "doc_id", 0.3).collect()}
+    b = {r.doc_id for r in sampling.hash_sample(documents, "doc_id", 0.3).collect()}
+    assert a == b and len(a) > 0  # reproducible
+    n = documents.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # near the rate
+    # complementary band = the rest: rate 1.0 minus the first band
+    rest = {
+        r.doc_id
+        for r in sampling.hash_sample(documents, "doc_id", 1.0).collect()
+    } - a
+    assert rest.isdisjoint(a) and len(rest) + len(a) == n
