@@ -198,3 +198,52 @@ def test_datetime_predicates_agree(spark, duck, expr):
         spark, duck, "1",
         where=f"{expr} >= DATE '2000-01-01'", relation=DT_VALUES_SQL,
     )
+
+
+# --- join-shape grammar: random join type × random ON predicate --------
+
+JOIN_A_SQL = (
+    "(VALUES (1, 10), (2, 20), (3, NULL), (NULL, 40), (5, 50), (2, 21)) AS a(ak, av)"
+)
+JOIN_B_SQL = (
+    "(VALUES (1, 'x'), (2, 'y'), (4, NULL), (NULL, 'z'), (2, 'w')) AS b(bk, bv)"
+)
+
+_join_type = st.sampled_from(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+_on_extra = st.sampled_from(
+    ["", " AND av > 15", " AND bv IS NOT NULL", " AND ak <> 2", " AND av + ak < 30"]
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(jt=_join_type, extra=_on_extra)
+def test_join_shapes_agree(spark, duck, jt, extra):
+    # one synthetic value column encodes the full row, so the multiset
+    # comparison covers padding-null semantics of every outer side
+    sql = (
+        "SELECT COALESCE(ak, -1) * 1000 + COALESCE(av, -1) * 10 "
+        "+ COALESCE(LENGTH(bv), 5) AS r "
+        f"FROM {JOIN_A_SQL} {jt} {JOIN_B_SQL} ON ak = bk{extra}"
+    )
+    got = sorted([row.r for row in spark.sql(sql).collect()], key=str)
+    want = sorted([v for (v,) in duck.sql(sql).fetchall()], key=str)
+    assert got == want, f"{sql}\n spark={got}\n duck={want}"
+
+
+@settings(max_examples=25, deadline=None)
+@given(jt=st.sampled_from(["LEFT SEMI JOIN", "LEFT ANTI JOIN"]), extra=_on_extra)
+def test_semi_anti_join_shapes_agree(spark, duck, jt, extra):
+    spark_sql = (
+        f"SELECT COALESCE(ak, -1) * 100 + COALESCE(av, -1) AS r "
+        f"FROM {JOIN_A_SQL} {jt} {JOIN_B_SQL} ON ak = bk{extra}"
+    )
+    # DuckDB spells semi/anti via EXISTS / NOT EXISTS
+    exists = "EXISTS" if "SEMI" in jt else "NOT EXISTS"
+    duck_sql = (
+        f"SELECT COALESCE(ak, -1) * 100 + COALESCE(av, -1) AS r "
+        f"FROM {JOIN_A_SQL} WHERE {exists} "
+        f"(SELECT 1 FROM {JOIN_B_SQL} WHERE ak = bk{extra})"
+    )
+    got = sorted(row.r for row in spark.sql(spark_sql).collect())
+    want = sorted(v for (v,) in duck.sql(duck_sql).fetchall())
+    assert got == want, f"{spark_sql}\n vs {duck_sql}\n spark={got}\n duck={want}"
