@@ -247,3 +247,53 @@ def test_semi_anti_join_shapes_agree(spark, duck, jt, extra):
     got = sorted(row.r for row in spark.sql(spark_sql).collect())
     want = sorted(v for (v,) in duck.sql(duck_sql).fetchall())
     assert got == want, f"{spark_sql}\n vs {duck_sql}\n spark={got}\n duck={want}"
+
+
+# --- window-function grammar: frames × functions × partitioning --------
+
+WIN_VALUES_SQL = (
+    "(VALUES (1, 1, 10), (2, 1, NULL), (3, 1, 30), (4, 2, 40), "
+    "(5, 2, -5), (6, 2, 60), (7, 1, 0), (8, 2, 80)) AS t(id, g, v)"
+)
+
+_win_agg = st.sampled_from(["SUM(v)", "COUNT(v)", "MIN(v)", "MAX(v)", "AVG(v * 2)"])
+_win_part = st.sampled_from(["", "PARTITION BY g "])
+_win_frame = st.sampled_from(
+    [
+        "",  # default frame: RANGE UNBOUNDED PRECEDING..CURRENT ROW
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+    ]
+)
+_win_nav = st.sampled_from(
+    ["ROW_NUMBER()", "RANK()", "DENSE_RANK()", "LAG(v)", "LEAD(v, 2)", "LAG(v, 1, -99)"]
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(fn=_win_agg, part=_win_part, frame=_win_frame)
+def test_window_aggregate_frames_agree(spark, duck, fn, part, frame):
+    # ORDER BY the unique id → every frame content is deterministic
+    over = f"{part}ORDER BY id ASC {frame}".strip()
+    sql = (
+        f"SELECT id, CAST({fn} OVER ({over}) AS DOUBLE) AS r "
+        f"FROM {WIN_VALUES_SQL} ORDER BY id"
+    )
+    got = [row.r for row in spark.sql(sql).collect()]
+    want = [float(v) if v is not None else None for (_, v) in duck.sql(sql).fetchall()]
+    assert got == want, f"{sql}\n spark={got}\n duck={want}"
+
+
+@settings(max_examples=30, deadline=None)
+@given(fn=_win_nav, part=_win_part)
+def test_window_navigation_agree(spark, duck, fn, part):
+    sql = (
+        f"SELECT id, {fn} OVER ({part}ORDER BY id ASC) AS r "
+        f"FROM {WIN_VALUES_SQL} ORDER BY id"
+    )
+    got = [row.r for row in spark.sql(sql).collect()]
+    want = [v for (_, v) in duck.sql(sql).fetchall()]
+    assert got == want, f"{sql}\n spark={got}\n duck={want}"
