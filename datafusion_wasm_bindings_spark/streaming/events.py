@@ -157,11 +157,26 @@ def streaming_running_totals(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
     name = "dfwb_stream_state_demo"
-    q = updates.writeStream.outputMode("append").format("memory").queryName(name).start()
+    # cap the stateful shuffle width for this bounded demo: each state
+    # partition costs a Python worker + state-store round-trip PER
+    # micro-batch, and the default width (cores) makes tiny batches pay
+    # ~100 state tasks for kilobytes of data. On a real cluster with a
+    # large key space you size this to executors×cores as usual.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        q.processAllAvailable()
+        q = (
+            updates.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # final per-user totals = the row with the highest events_seen
     # (monotonic per trigger; value_sum itself may go down when values
     # are negative, so max_by on the counter, not MAX of the sum)
