@@ -106,6 +106,18 @@ _EXECUTE_RE = re.compile(
 )
 _DEALLOCATE_RE = re.compile(r"^DEALLOCATE\s+(?:PREPARE\s+)?(?P<name>\w+)\s*$", re.IGNORECASE)
 
+# CREATE VIEW / DROP VIEW — executed by Spark as-is; matched here only
+# to record the definition text for information_schema.views (DataFusion
+# reports it; Spark's in-memory catalog forgets it, SURVEY §7.5)
+_CREATE_VIEW_RE = re.compile(
+    r"^CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"`]+)\s*(?:\([^)]*\))?\s+AS\s+(?P<body>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW_RE = re.compile(
+    r"^DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"`]+)\s*$", re.IGNORECASE
+)
+
 # COPY (<query>) TO 'path' [STORED AS fmt] / COPY table TO 'path' …
 # (DataFusion statement, SURVEY §2.1 sink row)
 _COPY_RE = re.compile(
@@ -251,6 +263,23 @@ class SQLEngine:
         m = _COPY_RE.match(stmt)
         if m:
             return self._copy_to(m)
+        m = _CREATE_VIEW_RE.match(stmt.strip())
+        if m:
+            from datafusion_wasm_bindings_spark.sources.infoschema import (
+                record_view_definition,
+            )
+
+            record_view_definition(
+                m.group("name").strip('"`').split(".")[-1], m.group("body").strip()
+            )
+            # fall through: Spark executes the DDL itself
+        m = _DROP_VIEW_RE.match(stmt.strip())
+        if m:
+            from datafusion_wasm_bindings_spark.sources.infoschema import (
+                forget_view_definition,
+            )
+
+            forget_view_definition(m.group("name").strip('"`').split(".")[-1])
         up = stmt.strip().upper()
         if up.startswith("EXPLAIN ANALYZE "):
             # reference: EXPLAIN ANALYZE executes and reports metrics.

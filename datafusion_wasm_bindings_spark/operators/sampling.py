@@ -47,3 +47,52 @@ def hash_sample(
     complementary rate bands over the same salt."""
     u = (F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(1_000_000)) / 1_000_000.0)
     return df.filter(u < rate)
+
+
+def md5_threshold(rate: float) -> str:
+    """First-8-hex-chars md5 threshold for a keep rate in [0,1]. The 8
+    hex chars are a uniform draw over [0, 16^8); a row is kept iff its
+    draw is lexicographically below this threshold."""
+    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+
+def md5_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float,
+    *,
+    salt: str = "dfwb",
+) -> DataFrame:
+    """Engine-portable deterministic sample. md5 is standardized, so any
+    engine (Spark, DuckDB, Trino, ...) keeps the SAME rows for the same
+    key+salt+rate — the property train/eval split pipelines need when
+    different systems produce and consume the split. Prefer
+    ``hash_sample`` (xxhash64, no cryptographic work) when only
+    within-Spark reproducibility matters."""
+    h = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    return df.filter(h < F.lit(md5_threshold(rate)))
+
+
+def md5_stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    salt: str = "dfwb",
+) -> DataFrame:
+    """Engine-portable stratified sample: per-stratum keep rate applied
+    via the same md5 draw as ``md5_sample``. Strata absent from
+    ``fractions`` are dropped (CASE yields NULL → filter false),
+    matching ``sampleBy`` semantics. Pure map, no shuffle."""
+    h = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    thr = None
+    for stratum, rate in fractions.items():
+        t = F.lit(md5_threshold(rate))
+        cond = F.col(strata_col) == stratum
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    return df.filter(h < thr)

@@ -348,31 +348,60 @@ query(
 
 
 # ====================== sampling (training-mix construction) =============
+_STRATA_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.25, "zh": 0.1}
+
+
+def _md5_thr(rate: float) -> str:
+    from datafusion_wasm_bindings_spark.operators.sampling import md5_threshold
+
+    return md5_threshold(rate)
+
+
 def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datafusion_wasm_bindings_spark.operators.sampling import stratified_sample
+    from datafusion_wasm_bindings_spark.operators.sampling import (
+        md5_stratified_sample,
+    )
 
     docs = table(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.25, "zh": 0.1}
-    return stratified_sample(docs, "lang", fractions, seed=42).select("doc_id", "lang")
+    return md5_stratified_sample(
+        docs, "doc_id", "lang", _STRATA_FRACTIONS
+    ).select("doc_id", "lang")
 
 
-# rows-only: membership depends on Spark's seeded RNG stream, which no
-# other engine reproduces; mixture properties asserted in
-# tests/test_operators.py
-query("q_sample_stratified", None, tags=("extension", "sampling"))(_sample_stratified)
+# md5 is standardized → DuckDB keeps the identical rows: full value
+# oracle. (The seeded-RNG sampleBy variant stays as an operator,
+# property-tested in tests/test_operators.py.)
+query(
+    "q_sample_stratified",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'dfwb'), 1, 8) <
+          CASE lang """
+    + " ".join(
+        f"WHEN '{s}' THEN '{_md5_thr(r)}'" for s, r in _STRATA_FRACTIONS.items()
+    )
+    + """ END
+    """,
+    tags=("extension", "sampling"),
+)(_sample_stratified)
 
 
 def _sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datafusion_wasm_bindings_spark.operators.sampling import hash_sample
+    from datafusion_wasm_bindings_spark.operators.sampling import md5_sample
 
-    return hash_sample(
+    return md5_sample(
         table(spark, sf_dir, "documents"), "doc_id", 0.3
     ).select("doc_id", "lang")
 
 
-# rows-only: xxhash64 is Spark-specific (deterministic across OUR runs,
-# not reproducible in DuckDB); determinism asserted in tests
-query("q_sample_hash", None, tags=("extension", "sampling"))(_sample_hash)
+query(
+    "q_sample_hash",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'dfwb'), 1, 8) < '{_md5_thr(0.3)}'
+    """,
+    tags=("extension", "sampling"),
+)(_sample_hash)
 
 
 # ====================== semi-structured props ============================

@@ -58,13 +58,38 @@ def information_schema_columns(spark: SparkSession, table: str | None = None) ->
     return spark.createDataFrame(rows, _COLUMNS_SCHEMA)
 
 
+# Definition text of views created THROUGH the engine's SQL surface
+# (SQLEngine records CREATE VIEW bodies here; Spark's in-memory catalog
+# does not retain temp-view SQL text itself). Views registered by other
+# means keep a NULL definition, which DataFusion also reports when the
+# text is unknown.
+VIEW_DEFINITIONS: dict[str, str] = {}
+
+
+def record_view_definition(name: str, definition: str) -> None:
+    VIEW_DEFINITIONS[name.lower()] = definition
+
+
+def forget_view_definition(name: str) -> None:
+    VIEW_DEFINITIONS.pop(name.lower(), None)
+
+
 def information_schema_views(spark: SparkSession) -> DataFrame:
-    """information_schema.views: the VIEW rows of `tables` with a NULL
-    definition (Spark's in-memory catalog does not retain temp-view
-    SQL text; DataFusion returns the definition when known)."""
+    """information_schema.views: the VIEW rows of `tables`, with the
+    definition text when the view was created through this engine."""
     t = information_schema_tables(spark)
-    return t.filter(t.table_type == "VIEW").selectExpr(
-        "table_catalog", "table_schema", "table_name", "CAST(NULL AS STRING) AS definition"
+    views = t.filter(t.table_type == "VIEW")
+    defs = spark.createDataFrame(
+        list(VIEW_DEFINITIONS.items()) or [("", "")],
+        "def_name string, definition string",
+    )
+    from pyspark.sql import functions as F
+
+    return (
+        views.join(
+            F.broadcast(defs), F.lower(views.table_name) == defs.def_name, "left"
+        )
+        .select("table_catalog", "table_schema", "table_name", "definition")
     )
 
 

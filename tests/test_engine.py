@@ -95,6 +95,25 @@ def test_information_schema_tables(engine, sf_dir):
     assert "nation" in out
 
 
+def test_information_schema_views_records_definition(engine):
+    engine.execute_sql(
+        "CREATE OR REPLACE TEMP VIEW v_def_demo AS SELECT 1 AS one;"
+        "SELECT definition FROM information_schema.views"
+        " WHERE table_name = 'v_def_demo'"
+    )
+    out = engine.execute_sql(
+        "SELECT definition FROM information_schema.views"
+        " WHERE table_name = 'v_def_demo'"
+    )
+    assert "SELECT 1 AS one" in out
+    engine.execute_sql("DROP VIEW v_def_demo")
+    out = engine.execute_sql(
+        "SELECT count(1) AS n FROM information_schema.views"
+        " WHERE table_name = 'v_def_demo'"
+    )
+    assert "0" in out
+
+
 def test_arrow_typeof_rewrite(engine):
     out = engine.execute_sql("SELECT arrow_typeof(1) AS t")
     assert "int" in out
