@@ -103,19 +103,45 @@ lcm = _lcm_udf
 _registered_sessions: set[int] = set()
 
 
-def _regexp_match_impl(s, p):
-    # DataFusion regexp_match: first match; capture groups if the
-    # pattern has any, else the whole match, as array<string>.
-    # self-contained import: runs on Python workers that may not have
-    # the package importable
+def regexp_match(col: Column, pattern: str) -> Column:
+    """DataFusion/Postgres ``regexp_match`` for a LITERAL pattern,
+    composed from JVM builtins — stays in whole-stage codegen, unlike
+    the SQL-callable UDF below (which must accept column patterns).
+    Returns capture groups of the first match when the pattern has
+    groups, else the whole match; NULL when no match.
+
+    Edge divergence (documented, not hit by parity queries): a group
+    that exists but did not participate in the match yields '' here,
+    NULL in Postgres/DataFusion.
+    """
     import re as _re
 
-    if s is None or p is None:
-        return None
-    m = _re.search(p, s)
-    if m is None:
-        return None
-    return list(m.groups()) if m.groups() else [m.group(0)]
+    ngroups = _re.compile(pattern).groups
+    idxs = range(1, ngroups + 1) if ngroups else [0]
+    arr = F.array(*[F.regexp_extract(col, pattern, i) for i in idxs])
+    return F.when(col.rlike(pattern), arr)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _regexp_match_udf(s: pd.Series, p: pd.Series) -> pd.Series:
+    # DataFusion regexp_match: first match; capture groups if the
+    # pattern has any, else the whole match, as array<string>.
+    # Arrow-batched; compiled patterns cached per batch. Self-contained
+    # imports: runs on Python workers that may not import the package.
+    import re as _re
+
+    cache: dict[str, object] = {}
+    out = []
+    for x, pat in zip(s, p):
+        if x is None or pat is None:
+            out.append(None)
+            continue
+        rx = cache.get(pat)
+        if rx is None:
+            rx = cache[pat] = _re.compile(pat)
+        m = rx.search(x)
+        out.append(None if m is None else (list(m.groups()) if m.groups() else [m.group(0)]))
+    return pd.Series(out)
 
 
 def ensure_registered(spark: SparkSession) -> None:
@@ -124,5 +150,5 @@ def ensure_registered(spark: SparkSession) -> None:
         return
     spark.udf.register("dfwb_gcd", _gcd_udf)
     spark.udf.register("dfwb_lcm", _lcm_udf)
-    spark.udf.register("dfwb_regexp_match", _regexp_match_impl, T.ArrayType(T.StringType()))
+    spark.udf.register("dfwb_regexp_match", _regexp_match_udf)
     _registered_sessions.add(id(spark))

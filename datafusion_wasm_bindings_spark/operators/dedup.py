@@ -223,3 +223,70 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return out
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve similarity candidate pairs into duplicate CLUSTERS —
+    the step that turns pairwise near-dup evidence into a keep/drop
+    decision (keep one doc per component; near-dup is transitive only
+    through clustering, not per-pair).
+
+    Algorithm: iterative min-label propagation. Every node starts
+    labeled with itself; each round takes the min of its own and its
+    neighbors' labels; converges in O(graph diameter) rounds. Each
+    round is one shuffle join + one shuffle agg on the edge list —
+    fully distributed, no driver-side graph. ``localCheckpoint`` cuts
+    the growing lineage per round (the same fix that de-pathologized
+    MinHash re-evaluation). Dedup graphs are overwhelmingly short
+    chains/cliques, so rounds ≈ 2-4 in practice; at 100 TB with
+    adversarially long chains you would switch to the large-star/
+    small-star variant (alternating rounds, O(log n) convergence) —
+    same join/agg primitives, more rounds fused.
+
+    Returns (node, comp): every node appearing in ``pairs`` mapped to
+    its component id = min node id in the component.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.select(F.col("node").alias("b"), "comp"), "b")
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("a", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -92,6 +92,56 @@ query(
 )(_dedup_ngram)
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 200")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.9)
+    comps = connected_components(pairs)
+    return comps.selectExpr("node AS doc_id", "comp AS cluster_id")
+
+
+# oracle: same edge set (the q_dedup_ngram_jaccard SQL), components via
+# a recursive reachability CTE — min reachable node == min-label
+# propagation's fixpoint, so the two formulations must agree exactly.
+query(
+    "q_dedup_clusters",
+    """
+    WITH RECURSIVE w0 AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents WHERE doc_id < 200
+    ),
+    words AS (SELECT DISTINCT doc_id, tok FROM w0),
+    sizes AS (SELECT doc_id, count(*) AS n_tok FROM words GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM words a JOIN words b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter * 1.0 / (sa.n_tok + sb.n_tok - inter) >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.a, rc.r FROM edges e JOIN reach rc ON e.b = rc.node
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    """,
+    tags=("extension", "dedup"),
+)(_dedup_clusters)
+
+
 def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.similarity import cosine_pairs_threshold
 

@@ -150,3 +150,15 @@ def test_hash_sample_is_deterministic_and_splits_disjoint(documents):
         for r in sampling.hash_sample(documents, "doc_id", 1.0).collect()
     } - a
     assert rest.isdisjoint(a) and len(rest) + len(a) == n
+
+
+def test_connected_components_resolves_known_graph(spark):
+    from datafusion_wasm_bindings_spark.operators.dedup import connected_components
+
+    # two chains (1-2-3, transitively one cluster) and one clique edge
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
