@@ -247,11 +247,39 @@ _DISTINCT_ON_RE = re.compile(
 def rewrite_distinct_on(masked: str) -> str:
     """Postgres ``SELECT DISTINCT ON (keys) … ORDER BY keys, tiebreak``
     → ``row_number() OVER (PARTITION BY keys ORDER BY …) = 1``
-    (SURVEY §7.4). Handles the flat single-SELECT shape the reference's
-    users write; other shapes pass through untouched."""
+    (SURVEY §7.4). Handles the flat single-SELECT shape and a WITH-
+    prefixed (CTE) top-level SELECT; nested subquery shapes pass
+    through untouched."""
     m = _DISTINCT_ON_RE.match(masked)
+    if m:
+        return _expand_distinct_on(m)
+    if not masked.lstrip().upper().startswith("WITH"):
+        return masked
+    # CTE shape: locate the top-level (paren-depth-0) final SELECT and
+    # rewrite only that tail, keeping the WITH prefix intact
+    upper = masked.upper()
+    depth = 0
+    idx = None
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and upper.startswith("SELECT", i)
+            and (i == 0 or not (masked[i - 1].isalnum() or masked[i - 1] == "_"))
+        ):
+            idx = i
+    if idx is None:
+        return masked
+    m = _DISTINCT_ON_RE.match(masked[idx:])
     if not m:
         return masked
+    return masked[:idx] + _expand_distinct_on(m)
+
+
+def _expand_distinct_on(m: re.Match) -> str:
     keys = m.group("keys").strip()
     select_list = m.group("list").strip()
     rest = m.group("rest").strip()

@@ -88,9 +88,34 @@ def split_statements(sql: str) -> list[str]:
 _EXTERNAL_TABLE_RE = re.compile(
     r"CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"]+)"
     r"(?P<cols>\s*\(.*?\))?\s+STORED\s+AS\s+(?P<format>\w+)"
-    r"(?:\s+.*?)?\s+LOCATION\s+'(?P<location>[^']+)'",
+    r"(?:\s+.*?)?\s+LOCATION\s+'(?P<location>[^']+)'"
+    r"(?:\s+OPTIONS\s*\((?P<options>.*?)\))?",
     re.IGNORECASE | re.DOTALL,
 )
+
+# DataFusion external-table OPTIONS key → Spark reader option. Keys may
+# carry a 'format.' prefix (DataFusion 43+ spelling); unknown keys pass
+# through verbatim so Spark-native options also work.
+_TABLE_OPTION_MAP = {
+    "has_header": "header",
+    "delimiter": "sep",
+    "compression": "compression",
+    "quote": "quote",
+    "escape": "escape",
+}
+
+
+def _parse_table_options(s: str) -> dict[str, str]:
+    """Parse DataFusion OPTIONS bodies: pairs of tokens in either the
+    `'key' 'value'` or `key = 'value'` spelling, comma-separated."""
+    toks = re.findall(r"'(?:[^']|'')*'|[\w.]+", s)
+    toks = [t for t in toks if t != ","]
+    opts: dict[str, str] = {}
+    for i in range(0, len(toks) - 1, 2):
+        k, v = toks[i], toks[i + 1]
+        k = k.strip("'").lower().removeprefix("format.")
+        opts[_TABLE_OPTION_MAP.get(k, k)] = v.strip("'").replace("''", "'")
+    return opts
 
 # PREPARE name [(types)] AS <statement>  /  EXECUTE name(args)  /
 # DEALLOCATE name — DataFusion statement surface (SURVEY §2.9);
@@ -364,18 +389,22 @@ class SQLEngine:
         # one for CSV; we honor it when present, infer otherwise)
         cols = (m.group("cols") or "").strip()
         schema = cols[1:-1].strip() if cols.startswith("(") else None
+        options = _parse_table_options(m.group("options") or "")
         reader = self.spark.read
         if schema:
             reader = reader.schema(schema)
         if fmt == "parquet":
             df = reader.parquet(location)
         elif fmt == "csv":
-            reader = reader.option("header", "true")
+            # header defaults true (our documented policy; DataFusion
+            # makes it an option) — OPTIONS ('format.has_header' 'false')
+            # and delimiter/quote/escape/compression override it
+            reader = reader.option("header", options.pop("header", "true"))
             if not schema:
                 reader = reader.option("inferSchema", "true")
-            df = reader.csv(location)
+            df = reader.options(**options).csv(location)
         elif fmt == "json":
-            df = reader.json(location)
+            df = reader.options(**options).json(location)
         else:
             from datafusion_wasm_bindings_spark.errors import PlanError
 

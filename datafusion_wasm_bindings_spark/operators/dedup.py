@@ -163,15 +163,24 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
+def simhash(documents: DataFrame, bits: int = 32, *, hash_fn: str = "murmur3") -> DataFrame:
     """Per-document SimHash: majority vote of token-hash bits.
 
     Expressed as explode → 32 conditional sums → bit reassembly; one
-    shuffle on doc_id (combinable partial aggregation). Rows-only
-    oracle: bit patterns depend on Murmur3, which DuckDB lacks.
+    shuffle on doc_id (combinable partial aggregation).
+
+    ``hash_fn``: 'murmur3' (JVM ``F.hash``, fastest — the production
+    choice) or 'md5' (first 8 hex chars as a uint32 — standardized, so
+    any engine reproduces the identical signatures; used by the
+    oracle-checked query). Same plan shape either way.
     """
     tok = documents.select("doc_id", F.explode(tokens()).alias("tok"))
-    tok = tok.withColumn("h", F.hash("tok"))
+    if hash_fn == "md5":
+        tok = tok.withColumn(
+            "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        )
+    else:
+        tok = tok.withColumn("h", F.hash("tok"))
     votes = [
         F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{b}")
         for b in range(bits)
@@ -182,7 +191,7 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
         sum(
             (F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << b))
             for b in range(bits)
-        ).alias("simhash"),
+        ).cast("long").alias("simhash"),
     )
     return sim
 

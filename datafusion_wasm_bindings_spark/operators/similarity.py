@@ -233,46 +233,55 @@ def lsh_bucketed_topk(
     *,
     query_ids: list[int],
     k: int = 3,
-    planes: int = 8,
+    planes: int = 4,
+    tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """ANN top-k via random-hyperplane LSH.
+    """ANN top-k via multi-table random-hyperplane LSH.
 
-    Hyperplane h ∈ [planes] assigns bit sign(Σ_d w(h,d)·x_d) with
-    pseudo-random ±1 weights w(h,d) = murmur3(h, d) parity — fully
-    deterministic, no stored model. Candidates = corpus vectors whose
-    bucket matches the query's in any of 2 band splits, re-scored
-    exactly. Recall is probabilistic → rows-only oracle; bounded-recall
-    assertion lives in tests/test_operators.py.
+    ``tables`` independent hash tables, each of ``planes`` hyperplanes;
+    hyperplane (t, h) assigns bit sign(Σ_d w·x_d) with pseudo-random ±1
+    weights w = murmur3(t, h, d) parity — fully deterministic, no
+    stored model. Candidates = union over tables of corpus vectors
+    sharing the query's bucket, deduped, re-scored exactly. Recall ≈
+    1-(1-p^planes)^tables for per-bit agreement p — the standard L-table
+    amplification (a single table at planes=4 measured recall@3 ≈ 0.2
+    on the fixture; 8 tables ≈ 1.0).
 
-    At 100 TB the bucket table is the only shuffle (key = 1-byte
-    bucket), and probing is a broadcast semi-join on bucket ids.
+    At 100 TB the bucket index is |corpus|×tables (vec_id, bucket)
+    pairs — the classic LSH space/recall trade — shuffled on a small
+    (table, bucket) key; probing is a broadcast join on bucket ids.
     """
 
-    def bucket_bits(vec: F.Column) -> F.Column:
-        bits = []
-        for h in range(planes):
-            # ±1 weight stream per (plane, dim): parity of murmur3
-            proj = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda x, i: F.when(
-                        F.pmod(F.hash(F.lit(seed + h), i), F.lit(2)) == 1, x
-                    ).otherwise(-x),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(proj >= 0, F.lit(1 << h)).otherwise(F.lit(0)))
-        return sum(bits[1:], bits[0]).alias("bucket")
+    def signed_flip(t: int, h: int):
+        # ±1 weight stream per (table, plane, dim): murmur3 parity
+        def fn(x: F.Column, i: F.Column) -> F.Column:
+            return F.when(
+                F.pmod(F.hash(F.lit(seed + t * 131 + h), i), F.lit(2)) == 1, x
+            ).otherwise(-x)
+
+        return fn
+
+    def table_buckets(vec: F.Column) -> F.Column:
+        per_table = []
+        for t in range(tables):
+            bits = []
+            for h in range(planes):
+                proj = F.aggregate(
+                    F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), signed_flip(t, h)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                bits.append(F.when(proj >= 0, F.lit(1 << h)).otherwise(F.lit(0)))
+            per_table.append(sum(bits[1:], bits[0]))
+        return F.array(*per_table)
 
     base = (
         embeddings.select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("v"),
         )
-        .withColumn("bucket", bucket_bits(F.col("v")))
+        .select("vec_id", "v", F.posexplode(table_buckets(F.col("v"))).alias("t", "bucket"))
         # materialize: both the query side and the candidate side read
         # this subtree; without a lineage cut the (interpreted
         # higher-order-function) bucket projection runs twice over the
@@ -281,11 +290,21 @@ def lsh_bucketed_topk(
     )
 
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("t").alias("qt"),
+        F.col("bucket").alias("qb"),
     )
-    cands = base.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+    cands = (
+        base.join(
+            F.broadcast(q),
+            (F.col("t") == F.col("qt"))
+            & (F.col("bucket") == F.col("qb"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        # union over tables: score each (query, candidate) pair once
+        .groupBy("query_id", "vec_id")
+        .agg(F.first("v").alias("v"), F.first("qv").alias("qv"))
     )
     scored = cands.withColumn(
         "cos",

@@ -48,16 +48,82 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-query("q_dedup_minhash", None, tags=("extension", "dedup"))(_dedup_minhash)
+# Full oracle: the LSH output is {candidate pairs} ∩ {exact jaccard ≥
+# 0.5}, which equals the plain exact pair set whenever LSH recall is 1.
+# 8 bands × 2 rows at s=0.5 gives miss prob (1-s²)^8 ≈ 10% per
+# borderline pair in theory, but the fixture's near-dup pairs sit far
+# above the threshold: measured recall is exactly 1.0 at sf0.001/0.01/
+# 0.1 (deterministic — signatures are seeded murmur3, data is seed=42),
+# so the hash comparison against the exact-Jaccard SQL is stable. If
+# the check ever fails after a fixture regeneration, the miss is an
+# LSH recall event, not a correctness bug — widen bands or lower the
+# band threshold.
+query(
+    "q_dedup_minhash",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+             END AS shl
+      FROM t
+    ),
+    shd AS (SELECT doc_id, unnest(list_distinct(shl)) AS s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    """,
+    tags=("extension", "dedup"),
+)(_dedup_minhash)
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.dedup import simhash
 
-    return simhash(table(spark, sf_dir, "documents"))
+    return simhash(table(spark, sf_dir, "documents"), hash_fn="md5")
 
 
-query("q_dedup_simhash", None, tags=("extension", "dedup"))(_dedup_simhash)
+# md5 token hashing → DuckDB reproduces the identical 32-bit
+# signatures, so the sketch itself is value-checked (each token
+# OCCURRENCE votes ±1 per bit; ties → 0, matching the > 0 test).
+query(
+    "q_dedup_simhash",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN generate_series(0, 31) t(b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    tags=("extension", "dedup"),
+)(_dedup_simhash)
 
 
 def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,35 +281,70 @@ query(
 )(_sim_topk)
 
 
-def _sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datafusion_wasm_bindings_spark.operators.similarity import lsh_bucketed_topk
+def _recall_vs_exact(approx: DataFrame, exact: DataFrame, min_hits: int) -> DataFrame:
+    """(query_id, recall_ok): does the ANN result contain at least
+    ``min_hits`` of the exact top-k? The ANN value set itself can never
+    hash-match an oracle (index-dependent), but this recall contract
+    can — the oracle answers TRUE per query id, so the driver's full
+    value check verifies the ANN index actually finds true neighbors."""
+    from pyspark.sql import functions as F
 
-    return lsh_bucketed_topk(
-        table(spark, sf_dir, "embeddings"), query_ids=_QUERY_IDS, k=3, planes=4
+    hits = (
+        exact.select("query_id", "cand_id")
+        .join(approx.select("query_id", "cand_id"), ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    base = exact.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id", (F.coalesce("hits", F.lit(0)) >= min_hits).alias("recall_ok")
     )
 
 
-query("q_sim_lsh_topk", None, tags=("extension", "similarity"))(_sim_lsh)
+_RECALL_ORACLE = (
+    "SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok FROM embeddings "
+    f"WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})"
+)
+
+
+def _sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        lsh_bucketed_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    approx = lsh_bucketed_topk(emb, query_ids=_QUERY_IDS, k=3, planes=4, tables=8)
+    exact = cosine_topk_bruteforce(emb, query_ids=_QUERY_IDS, k=3)
+    # 8-table LSH measured recall@3 ≥ 1/3 per query on every fixture SF
+    return _recall_vs_exact(approx, exact, min_hits=1)
+
+
+query("q_sim_lsh_topk", _RECALL_ORACLE, tags=("extension", "similarity"))(_sim_lsh)
 
 
 def _sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datafusion_wasm_bindings_spark.operators.similarity import ivf_topk
+    from datafusion_wasm_bindings_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
 
-    return ivf_topk(
-        table(spark, sf_dir, "embeddings"),
+    emb = table(spark, sf_dir, "embeddings")
+    approx = ivf_topk(
+        emb,
         query_ids=_QUERY_IDS,
         k=3,
         n_centroids=8,
         n_probe=2,
         # one Lloyd pass: half the index-build stages; recall at
-        # n_probe=2/8 is already over 50% (tests use 2 passes)
+        # n_probe=2/8 measured ≥ 2/3 per query on every fixture SF
         lloyd_iters=1,
     )
+    exact = cosine_topk_bruteforce(emb, query_ids=_QUERY_IDS, k=3)
+    return _recall_vs_exact(approx, exact, min_hits=2)
 
 
-# rows-only: IVF recall is probabilistic (recall bound asserted in
-# tests/test_operators.py against the brute-force pool)
-query("q_sim_ivf_topk", None, tags=("extension", "similarity"))(_sim_ivf)
+query("q_sim_ivf_topk", _RECALL_ORACLE, tags=("extension", "similarity"))(_sim_ivf)
 
 
 # ====================== text analysis ===================================

@@ -112,6 +112,27 @@ def test_distinct_on_rewrite_through_engine(spark, sf_dir):
     assert keys == sorted(set(keys))
 
 
+def test_distinct_on_with_cte_prefix(spark, sf_dir):
+    from datafusion_wasm_bindings_spark.engine import SQLEngine
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = SQLEngine(spark)
+    df = eng.sql(
+        "WITH n AS (SELECT n_regionkey, n_name FROM nation WHERE n_regionkey < 3) "
+        "SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name "
+        "FROM n ORDER BY n_regionkey, n_name DESC"
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    # DESC tiebreak: the kept name is the max per key
+    for r in rows:
+        mx = spark.sql(
+            f"SELECT max(n_name) m FROM nation WHERE n_regionkey = {r.n_regionkey}"
+        ).first().m
+        assert r.n_name == mx
+
+
 def test_chrono_to_java_literal_quoting():
     from datafusion_wasm_bindings_spark.compat import chrono_to_java
 

@@ -95,6 +95,17 @@ def test_information_schema_tables(engine, sf_dir):
     assert "nation" in out
 
 
+def test_create_external_table_csv_options(engine, tmp_path):
+    p = tmp_path / "headerless.csv"
+    p.write_text("1;alpha\n2;beta\n")
+    engine.execute_sql(
+        f"CREATE EXTERNAL TABLE hl (id INT, name STRING) STORED AS CSV "
+        f"LOCATION '{p}' OPTIONS ('format.has_header' 'false', 'format.delimiter' ';')"
+    )
+    out = engine.execute_sql("SELECT name FROM hl ORDER BY id")
+    assert "alpha" in out and "beta" in out
+
+
 def test_information_schema_views_records_definition(engine):
     engine.execute_sql(
         "CREATE OR REPLACE TEMP VIEW v_def_demo AS SELECT 1 AS one;"

@@ -82,13 +82,13 @@ def test_lsh_topk_subset_of_bruteforce_pool(embeddings):
         ).collect()
     }
     lsh = similarity.lsh_bucketed_topk(
-        embeddings, query_ids=[1, 2, 3, 4, 5], k=3, planes=4
+        embeddings, query_ids=[1, 2, 3, 4, 5], k=3, planes=4, tables=8
     ).collect()
     assert len(lsh) > 0
     overlap = sum(1 for r in lsh if (r.query_id, r.cand_id) in brute)
-    # 4 planes → each bucket holds ~1/16 of corpus; exact-match recall
-    # is probabilistic, but total misses would mean broken bucketing
-    assert overlap >= 1
+    # 8 tables × 4 planes: measured recall@3 ≥ 1/3 per query on every
+    # fixture SF (the q_sim_lsh_topk oracle asserts the per-query bound)
+    assert overlap >= 5
 
 
 def test_exact_dedup_keeps_every_distinct_text(documents):
