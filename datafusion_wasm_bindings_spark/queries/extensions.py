@@ -3,13 +3,18 @@ deduplication, similarity search, text analysis, multimodal columns,
 event-time windows. Implementations live in operators/ and streaming/;
 this module registers the oracle-checked entry points.
 
-Oracle strategy per family:
+Oracle strategy per family (every query here carries a FULL value
+check):
 - relational algorithms (exact dedup, inverted-index Jaccard,
-  quantized cosine, text stats, fingerprints, windows) → full DuckDB
-  value check, bit-deterministic by construction;
-- hash-sketch algorithms (MinHash, SimHash, hyperplane LSH) depend on
-  Spark's Murmur3 which DuckDB lacks → rows-only here, with recall /
-  containment property tests in tests/test_operators.py.
+  quantized cosine, text stats, fingerprints, windows) →
+  bit-deterministic by construction;
+- hash-based algorithms (SimHash, md5 sampling) → engine-portable
+  md5 hashing so DuckDB reproduces identical signatures;
+- MinHash-LSH → oracle is the exact shingle-Jaccard pair set (valid
+  while measured recall is 1.0 on the fixtures — see q_dedup_minhash);
+- ANN (IVF / multi-table LSH) → per-query recall_ok booleans against
+  the brute-force exact top-k; the oracle answers TRUE. Recall /
+  containment property tests remain in tests/test_operators.py.
 """
 
 from __future__ import annotations
@@ -765,3 +770,83 @@ query(
     """,
     tags=("extension", "events"),
 )(_events_session)
+
+
+# ====================== end-to-end training-mix pipeline ================
+def _pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data story in one composed plan: exact dedup
+    (keep lowest doc_id per text) → quality gate (length band + minimum
+    token count) → deterministic per-language md5 sampling → corpus
+    mix summary. Every stage is the operator the standalone queries
+    check individually; this query checks their composition.
+
+    Scale posture: dedup is the only wide shuffle (keyed on text — at
+    100 TB pre-hash to xxhash64(text), same plan); the quality gate and
+    sampler are pure maps fused into the scan stage; the final rollup
+    shuffles ~|languages| rows after map-side partial aggregation.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.dedup import tokens
+    from datafusion_wasm_bindings_spark.operators.sampling import (
+        md5_stratified_sample,
+    )
+    from datafusion_wasm_bindings_spark.queries._util import davg
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    toks = F.size(tokens())
+    quality = deduped.withColumn("n_tokens", toks).filter(
+        (F.col("n_chars") >= 30) & (F.col("n_chars") <= 100000) & (toks >= 10)
+    )
+    sampled = md5_stratified_sample(
+        quality, "doc_id", "lang", _STRATA_FRACTIONS
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            davg(F.col("n_tokens").cast("double"), "avg_tokens"),
+        )
+        .orderBy(F.col("lang").asc_nulls_last())
+    )
+
+
+query(
+    "q_pipeline_training_mix",
+    """
+    WITH dedup AS (
+      SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, lang, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      FROM dedup
+      WHERE rn = 1 AND n_chars BETWEEN 30 AND 100000
+        AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 10
+    ),
+    sampled AS (
+      SELECT * FROM quality
+      WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'dfwb'), 1, 8) <
+            CASE lang """
+    + " ".join(
+        f"WHEN '{s}' THEN '{_md5_thr(r)}'" for s, r in _STRATA_FRACTIONS.items()
+    )
+    + """ END
+    )
+    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+           CAST(SUM(CAST(CAST(n_tokens AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(1)
+             AS avg_tokens
+    FROM sampled GROUP BY lang
+    ORDER BY lang ASC NULLS LAST
+    """,
+    headline=True,
+    tags=("extension", "pipeline"),
+)(_pipeline_training_mix)

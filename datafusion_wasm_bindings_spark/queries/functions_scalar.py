@@ -381,6 +381,7 @@ sql_query(
            CAST(o_orderdate - INTERVAL 2 HOUR AS TIMESTAMP) AS minus_hours,
            CAST(add_months(CAST(o_orderdate AS DATE), 2) AS DATE) AS plus_months,
            CAST(add_months(CAST(o_orderdate AS DATE), -14) AS DATE) AS minus_months,
+           CAST(o_orderdate + make_interval(0, 1, 0, 2, 0, 0, 0) AS TIMESTAMP) AS plus_mixed,
            months_between(DATE '2001-06-15', CAST(o_orderdate AS DATE)) >= 0 AS before_mid_2001
     FROM orders WHERE o_orderkey <= 300
     """,
@@ -390,6 +391,7 @@ sql_query(
            o_orderdate - INTERVAL 2 HOUR AS minus_hours,
            CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_months,
            CAST(CAST(o_orderdate AS DATE) - INTERVAL 14 MONTH AS DATE) AS minus_months,
+           o_orderdate + INTERVAL '1 month 2 days' AS plus_mixed,
            CAST(o_orderdate AS DATE) <= DATE '2001-06-15' AS before_mid_2001
     FROM orders WHERE o_orderkey <= 300
     """,

@@ -124,9 +124,12 @@ def streaming_running_totals(
     # bare driver sessions reject the ns-timestamp column otherwise
     # (same runtime opt-in as sources.catalog.table)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(events.dtypes).get("ts") == "bigint":
-        events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # the running total reads only (user_id, value): project before the
+    # staging write so neither the rewrite nor the per-trigger scans
+    # carry the other columns (the ns ts column never needs converting)
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "value"
+    )
     src = tempfile.mkdtemp(prefix="dfwb_stream_src_")
     events.repartition(num_input_files).write.mode("overwrite").parquet(src)
     stream = (
