@@ -143,11 +143,14 @@ _DROP_VIEW_RE = re.compile(
     r"^DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.\"`]+)\s*$", re.IGNORECASE
 )
 
-# COPY (<query>) TO 'path' [STORED AS fmt] / COPY table TO 'path' …
-# (DataFusion statement, SURVEY §2.1 sink row)
+# COPY (<query>) TO 'path' [STORED AS fmt] [PARTITIONED BY (cols)]
+# (DataFusion statement, SURVEY §2.1 sink row; DataFusion 45 accepts
+# the two clauses in either order)
 _COPY_RE = re.compile(
     r"^COPY\s+(?:\((?P<query>.+)\)|(?P<table>[\w.\"]+))\s+TO\s+'(?P<path>[^']+)'"
-    r"(?:\s+STORED\s+AS\s+(?P<format>\w+))?\s*$",
+    r"(?:\s+STORED\s+AS\s+(?P<format>\w+))?"
+    r"(?:\s+PARTITIONED\s+BY\s*\((?P<partcols>[^)]+)\))?"
+    r"(?:\s+STORED\s+AS\s+(?P<format2>\w+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -354,12 +357,19 @@ class SQLEngine:
         path = m.group("path")
         if path.startswith("s3://"):
             path = "s3a://" + path[len("s3://"):]
-        fmt = (m.group("format") or "").lower()
+        fmt = (m.group("format") or m.group("format2") or "").lower()
         if not fmt:
             suffix = path.rsplit(".", 1)[-1].lower()
             fmt = suffix if suffix in ("parquet", "csv", "json") else "parquet"
         n = df.count()
         writer = df.write.mode("overwrite")
+        partcols = m.group("partcols")
+        if partcols:
+            # hive-style layout (col=value dirs) — readers of the output
+            # get partition pruning on these columns for free
+            writer = writer.partitionBy(
+                *[c.strip().strip('"') for c in partcols.split(",")]
+            )
         if fmt == "parquet":
             writer.parquet(path)
         elif fmt == "csv":

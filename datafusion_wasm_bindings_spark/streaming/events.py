@@ -97,6 +97,79 @@ def streaming_demo(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> D
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def streaming_late_data_demo(spark: SparkSession) -> dict[str, int]:
+    """Watermark late-data semantics, demonstrated end-to-end: append-
+    mode windowed counts with a 1-hour watermark over three micro-batches.
+
+    Batch 0 carries three 10:xx events plus a 12:05 event, computing a
+    watermark of 11:05. Batch 1 is a benign 12:10 event — needed
+    because a computed watermark takes effect one trigger LATER
+    (measured on Spark 4.1: numRowsDroppedByWatermark fires one batch
+    after the progress metrics first report the new watermark). Batch 2
+    delivers a 10:30 event — late beyond the in-effect 11:05 watermark
+    — which Spark drops: the [10:00, 11:00) window emits count 3, not
+    4. Returns {window_start_iso: count}.
+
+    At 100 TB the same two lines (withWatermark + window) bound state:
+    the store holds only windows newer than the watermark, so state is
+    O(active windows × keys), not O(stream history).
+    """
+    import os
+    import tempfile
+    import time
+
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tempfile.mkdtemp(prefix="dfwb_stream_late_")
+    batch1 = [
+        ("2024-01-01 10:05:00", "u1"),
+        ("2024-01-01 10:20:00", "u2"),
+        ("2024-01-01 10:40:00", "u1"),
+        ("2024-01-01 12:05:00", "u3"),  # computes watermark 11:05
+    ]
+    batch_mid = [("2024-01-01 12:10:00", "u3")]  # lets the watermark take effect
+    batch2 = [("2024-01-01 10:30:00", "u2")]  # late: 10:30 < 11:05
+    pa_schema = pa.schema([("ts", pa.timestamp("us")), ("user_id", pa.string())])
+    for i, rows in enumerate([batch1, batch_mid, batch2]):
+        t = pa.table(
+            {
+                "ts": [datetime.fromisoformat(ts) for ts, _ in rows],
+                "user_id": [u for _, u in rows],
+            },
+            schema=pa_schema,
+        )
+        # one literal file per intended trigger (a df.write dir would
+        # bundle part-files + _SUCCESS, breaking maxFilesPerTrigger=1)
+        pq.write_table(t, os.path.join(src, f"b{i}.parquet"))
+        time.sleep(1.1)  # distinct mtimes → deterministic oldest-first order
+
+    schema = "ts timestamp, user_id string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    name = "dfwb_stream_late_demo"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return {
+        str(r.ws): r.n
+        for r in spark.sql(f"SELECT ws, n FROM {name}").collect()
+    }
+
+
 def streaming_running_totals(
     spark: SparkSession, sf_dir: str, *, num_input_files: int = 3
 ) -> DataFrame:

@@ -205,6 +205,28 @@ def test_copy_to_statement(engine, sf_dir, tmp_path):
     assert back2.count() == 5
 
 
+def test_copy_to_partitioned_by(engine, sf_dir, tmp_path):
+    import os
+
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(engine.spark, sf_dir)
+    dest = str(tmp_path / "nation_part")
+    out = engine.execute_sql(
+        f"COPY (SELECT n_nationkey, n_name, n_regionkey FROM nation) "
+        f"TO '{dest}' STORED AS PARQUET PARTITIONED BY (n_regionkey)"
+    )
+    assert "25" in out
+    # hive-style col=value directories
+    dirs = {d for d in os.listdir(dest) if d.startswith("n_regionkey=")}
+    assert len(dirs) == 5, dirs
+    # reading back with a partition filter prunes to one directory
+    back = engine.spark.read.parquet(dest).filter("n_regionkey = 2")
+    assert back.count() == 5
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "n_regionkey" in plan
+
+
 def test_create_external_table_with_declared_schema(engine, sf_dir, tmp_path):
     import os
 

@@ -42,3 +42,15 @@ def test_streaming_matches_batch(spark, sf_dir):
     }
     assert stream_out == batch_out
     assert len(batch_out) > 0
+
+
+def test_streaming_drops_late_data_beyond_watermark(spark):
+    from datafusion_wasm_bindings_spark.streaming.events import (
+        streaming_late_data_demo,
+    )
+
+    got = streaming_late_data_demo(spark)
+    # the finalized 10:00 window emitted exactly the 3 on-time events;
+    # the 10:30 row of batch 2 arrived past the 11:05 watermark and was
+    # dropped (a count of 4 means late data leaked in)
+    assert got.get("2024-01-01 10:00:00") == 3, got
