@@ -297,3 +297,77 @@ def test_window_navigation_agree(spark, duck, fn, part):
     got = [row.r for row in spark.sql(sql).collect()]
     want = [v for (_, v) in duck.sql(sql).fetchall()]
     assert got == want, f"{sql}\n spark={got}\n duck={want}"
+
+
+# --- grouped-aggregation grammar: GROUP BY x HAVING x grouping sets ----
+
+_grp_key = st.sampled_from(["g", "g % 2", "COALESCE(g, -1)", "(CASE WHEN g > 1 THEN 1 ELSE 0 END)"])
+_grp_agg = st.sampled_from(
+    ["COUNT(*)", "COUNT(v)", "SUM(v)", "MIN(v)", "MAX(v)", "COUNT(DISTINCT v)", "SUM(v * v)"]
+)
+_grp_having = st.sampled_from(
+    ["", " HAVING COUNT(*) > 1", " HAVING SUM(v) IS NOT NULL", " HAVING MIN(v) <= 20"]
+)
+
+GRP_VALUES_SQL = (
+    "(VALUES (1, 10), (1, 20), (2, NULL), (2, 30), (NULL, 40), (3, NULL), "
+    "(NULL, NULL), (3, 10)) AS t(g, v)"
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(key=_grp_key, agg=_grp_agg, having=_grp_having)
+def test_grouped_aggregates_agree(spark, duck, key, agg, having):
+    sql = (
+        f"SELECT {key} AS k, {agg} AS m FROM {GRP_VALUES_SQL} "
+        f"GROUP BY {key}{having}"
+    )
+    norm = lambda rows: sorted(
+        [tuple("N" if v is None else int(v) for v in r) for r in rows], key=str
+    )
+    got = norm([tuple(r) for r in spark.sql(sql).collect()])
+    want = norm(duck.sql(sql).fetchall())
+    assert got == want, sql
+
+
+@settings(max_examples=15, deadline=None)
+@given(agg=_grp_agg, form=st.sampled_from(["ROLLUP (g, h)", "CUBE (g, h)", "GROUPING SETS ((g), (h), ())"]))
+def test_grouping_set_forms_agree(spark, duck, agg, form):
+    rel = (
+        "(VALUES (1, 'x', 10), (1, 'y', 20), (2, 'x', NULL), (NULL, 'y', 30), "
+        "(2, NULL, 40)) AS t(g, h, v)"
+    )
+    sql = (
+        f"SELECT g, h, {agg} AS m, GROUPING(g) AS gg, GROUPING(h) AS gh "
+        f"FROM {rel} GROUP BY {form}"
+    )
+    norm = lambda rows: sorted(
+        [tuple("N" if v is None else str(v) for v in r) for r in rows], key=str
+    )
+    got = norm([tuple(r) for r in spark.sql(sql).collect()])
+    want = norm(duck.sql(sql).fetchall())
+    assert got == want, sql
+
+
+# --- set-operation grammar: UNION / INTERSECT / EXCEPT chains ----------
+
+SET_A_SQL = "(VALUES (1), (2), (2), (3), (NULL)) AS a(x)"
+SET_B_SQL = "(VALUES (2), (3), (3), (4), (NULL), (NULL)) AS b(x)"
+
+_set_op = st.sampled_from(
+    ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"]
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(op1=_set_op, op2=_set_op)
+def test_set_operation_chains_agree(spark, duck, op1, op2):
+    # parenthesized left-assoc chain so both parsers bind identically
+    sql = (
+        f"SELECT * FROM ((SELECT x FROM {SET_A_SQL}) {op1} "
+        f"(SELECT x FROM {SET_B_SQL})) s {op2} (SELECT x FROM {SET_A_SQL})"
+    )
+    norm = lambda rows: sorted(("N" if r[0] is None else int(r[0]) for r in rows), key=str)
+    got = norm([tuple(r) for r in spark.sql(sql).collect()])
+    want = norm(duck.sql(sql).fetchall())
+    assert got == want, sql
