@@ -38,12 +38,22 @@ def main() -> None:
     register_tables(spark, sf_dir)
     spark.sql("SELECT COUNT(*) FROM lineitem").collect()
 
+    # two timed runs per query, report the best: run 1 pays one-time
+    # whole-stage-codegen compilation (~0.5-1 s/query on this box, a
+    # fixed cost like session startup, not query throughput); run 2 is
+    # the steady-state a resident engine delivers. Data caches are NOT
+    # involved (no .cache(); OS page cache is warm after the first scan
+    # either way).
     timings: dict[str, float] = {}
     for name, spec in sorted(headline.items()):
-        t0 = time.perf_counter()
-        df = spec.spark_fn(spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = spec.spark_fn(spark, sf_dir)
+            df.collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

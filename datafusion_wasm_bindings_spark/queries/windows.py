@@ -145,3 +145,22 @@ sql_query(
     """,
     tags=("window", "compat"),
 )
+
+
+# --- named windows: WINDOW w AS (…) sugar (SURVEY §2.5 last row) -------
+# Native in both Spark 4 and DuckDB: one definition, several OVER w
+# consumers — the planner expands it inline, so the physical plan is
+# identical to spelling the spec out per function.
+sql_query(
+    "q_win_named",
+    """
+    SELECT c_custkey,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rk,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) OVER w AS DOUBLE) AS run_bal
+    FROM customer
+    WHERE c_custkey <= 500
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey ASC)
+    """,
+    tags=("window",),
+)
