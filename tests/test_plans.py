@@ -160,3 +160,29 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
     physical = _plan(joined)
     assert "dynamicpruning" in (plan + physical).lower(), physical
     assert joined.count() == 1
+
+
+def test_pipeline_training_mix_plan_shape(spark, sf_dir):
+    """The composed pipeline plan must (a) prune the documents scan to
+    the 4 needed columns, (b) push the partition-key-safe token filter
+    below the dedup window, and (c) apply WindowGroupLimit so each
+    text-partition is cut to its first row map-side before the final
+    rollup."""
+    from datafusion_wasm_bindings_spark.queries import load_all
+
+    df = load_all()["q_pipeline_training_mix"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "source" not in read_schema, read_schema  # unused column pruned
+    assert "WindowGroupLimit" in plan, plan
+    # the token-count filter sits between the Window and the Scan in
+    # the printed tree (top-down: Window … Filter … Scan), i.e. it was
+    # pushed below the dedup window — sound because it is a
+    # deterministic function of the partition key
+    # "+- Filter" = the operator node (plain "Filter" also matches the
+    # scan line's DataFilters/PushedFilters annotations)
+    assert (
+        plan.index("WindowGroupLimit")
+        < plan.rindex("+- Filter")
+        < plan.rindex("FileScan parquet")
+    ), plan
