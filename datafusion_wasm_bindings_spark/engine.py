@@ -382,6 +382,30 @@ class SQLEngine:
             raise PlanError(f"COPY: unsupported STORED AS format: {fmt}")
         return self.spark.createDataFrame([(n,)], "count bigint")
 
+    def _stage_http_object(self, url: str) -> str:
+        """Download an http(s) object to a local staging file (keyed by
+        URL hash, fetched once per engine) and return its path."""
+        import hashlib
+        import os
+        import tempfile
+        import urllib.request
+
+        staging = os.path.join(tempfile.gettempdir(), "dfwb_http_staging")
+        os.makedirs(staging, exist_ok=True)
+        suffix = os.path.basename(url.split("?", 1)[0]) or "object"
+        dest = os.path.join(
+            staging, hashlib.sha256(url.encode()).hexdigest()[:16] + "_" + suffix
+        )
+        if not os.path.exists(dest):
+            try:
+                urllib.request.urlretrieve(url, dest + ".part")  # noqa: S310
+                os.replace(dest + ".part", dest)
+            except Exception as exc:  # noqa: BLE001 - classified below
+                from datafusion_wasm_bindings_spark.errors import ExecutionError
+
+                raise ExecutionError(f"HTTP object fetch failed for {url}: {exc}") from exc
+        return dest
+
     def _create_external_table(self, m: re.Match) -> DataFrame:
         """``CREATE EXTERNAL TABLE name [(cols)] STORED AS fmt LOCATION 'url'``
         → spark.read registration as a temp view (SURVEY.md §7.5).
@@ -395,6 +419,14 @@ class SQLEngine:
         location = m.group("location")
         if location.startswith("s3://"):
             location = "s3a://" + location[len("s3://"):]
+        elif location.startswith(("http://", "https://")):
+            # the reference reads http(s) locations through its OpenDAL
+            # HTTP store (object_store.rs:57-71). Hadoop has no http
+            # FileSystem, so fetch to a local staging file once at DDL
+            # time and scan that — the whole-object read matches the
+            # reference's store, which supports only whole-object get
+            # (unsafe_opendal_store.rs:109-135; no range reads).
+            location = self._stage_http_object(location)
         # declared column list → explicit schema (DataFusion requires
         # one for CSV; we honor it when present, infer otherwise)
         cols = (m.group("cols") or "").strip()

@@ -227,6 +227,33 @@ def test_copy_to_partitioned_by(engine, sf_dir, tmp_path):
     assert "n_regionkey" in plan
 
 
+def test_create_external_table_http_location(engine, sf_dir):
+    """http(s) locations stage through a one-shot whole-object fetch —
+    served here by a loopback HTTP server over the fixture parquet."""
+    import http.server
+    import threading
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=sf_dir, **kw)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        engine.execute_sql(
+            f"CREATE EXTERNAL TABLE nation_http STORED AS PARQUET "
+            f"LOCATION 'http://127.0.0.1:{port}/nation.parquet'"
+        )
+        out = engine.execute_sql("SELECT COUNT(*) AS n FROM nation_http")
+        assert "25" in out
+    finally:
+        srv.shutdown()
+
+
 def test_create_external_table_with_declared_schema(engine, sf_dir, tmp_path):
     import os
 
