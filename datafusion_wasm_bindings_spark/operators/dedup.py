@@ -306,4 +306,104 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent wrong labels are worse than failure: a graph whose
+        # diameter exceeds max_iters (long chains) needs the O(log n)
+        # variant below
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter too large) — use connected_components_star"
+        )
     return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star —
+    the 100 TB scale path (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014).
+
+    Min-label propagation (``connected_components``) needs O(graph
+    diameter) rounds — fine for dedup cliques/short chains, pathological
+    for long chains. Large-star/small-star contracts the graph itself:
+
+    - **large-star**: every node u links each *strictly larger*
+      neighbor to m = min(Γ(u) ∪ {u});
+    - **small-star**: orient edges high→low; every node u links its
+      smaller neighbors (and itself) to their minimum.
+
+    Both are one groupBy(min) + one join on the edge list; the edge set
+    converges to per-component stars rooted at the component minimum in
+    O(log n) alternations regardless of diameter. Convergence is
+    detected with an order-insensitive edge-set signature
+    (count + bit_xor of xxhash64(a, b)) — one cheap aggregate per round
+    instead of a set-difference join.
+
+    Returns (node, comp) exactly like ``connected_components``: every
+    node appearing in ``pairs`` mapped to the min node id of its
+    component.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(e: DataFrame) -> tuple:
+        # canonical orientation so (a,b) and (b,a) sign identically
+        row = e.select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(least(a, b), greatest(a, b)))").alias("sig"),
+        ).collect()[0]
+        return (row["n"], row["sig"])
+
+    prev_sig = signature(edges)
+    for _ in range(max_iters):
+        # -- large-star: for each u, attach neighbors v > u to the
+        #    minimum of the closed neighborhood of u
+        und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        lmins = (
+            und.groupBy("a")
+            .agg(F.min("b").alias("mn"))
+            .select("a", F.least("a", "mn").alias("m"))
+        )
+        large = (
+            und.join(lmins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # -- small-star: orient high→low, attach each node's smaller
+        #    neighbors (and the node itself) to their minimum
+        oriented = large.select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        smins = oriented.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            oriented.join(smins, "hi")
+            .select(F.col("lo").alias("a"), F.col("m").alias("b"))
+            .union(smins.select(F.col("hi").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = small
+        sig = signature(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # converged edge set is a forest of stars (child → component min):
+    # children label from their edge, roots label themselves
+    children = edges.select(F.col("a").alias("node"), F.col("b").alias("comp"))
+    roots = edges.select(F.col("b").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    return children.union(roots).distinct()

@@ -178,9 +178,7 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle: same edge set (the q_dedup_ngram_jaccard SQL), components via
 # a recursive reachability CTE — min reachable node == min-label
 # propagation's fixpoint, so the two formulations must agree exactly.
-query(
-    "q_dedup_clusters",
-    """
+_DEDUP_CLUSTERS_ORACLE = """
     WITH RECURSIVE w0 AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
       FROM documents WHERE doc_id < 200
@@ -208,9 +206,35 @@ query(
       SELECT e.a, rc.r FROM edges e JOIN reach rc ON e.b = rc.node
     )
     SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
-    """,
+    """
+
+query(
+    "q_dedup_clusters",
+    _DEDUP_CLUSTERS_ORACLE,
     tags=("extension", "dedup"),
 )(_dedup_clusters)
+
+
+def _dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.dedup import (
+        connected_components_star,
+        ngram_jaccard_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 200")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.9)
+    comps = connected_components_star(pairs)
+    return comps.selectExpr("node AS doc_id", "comp AS cluster_id")
+
+
+# same oracle as q_dedup_clusters: both algorithms must reach the same
+# fixpoint (node → min node id of its component); the star variant is
+# the O(log n)-round scale path for long-diameter graphs.
+query(
+    "q_dedup_clusters_star",
+    _DEDUP_CLUSTERS_ORACLE,
+    tags=("extension", "dedup", "scale"),
+)(_dedup_clusters_star)
 
 
 def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

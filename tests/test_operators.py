@@ -162,3 +162,59 @@ def test_connected_components_resolves_known_graph(spark):
     )
     got = {r.node: r.comp for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def _cc_truth(edges):
+    """Union-find ground truth: node → min node id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = {}
+    for n in list(parent):
+        members.setdefault(find(n), []).append(n)
+    return {n: min(ns) for ns in members.values() for n in ns}
+
+
+def test_star_cc_matches_union_find_on_adversarial_graphs(spark):
+    import random
+
+    from datafusion_wasm_bindings_spark.operators.dedup import connected_components_star
+
+    random.seed(7)
+    rand = [(random.randrange(80), random.randrange(80)) for _ in range(60)]
+    graphs = {
+        # diameter 120 — far beyond label propagation's round budget,
+        # the case the O(log n) star alternation exists for
+        "long_chain": [(i, i + 1) for i in range(120)],
+        "cliques_bridged": [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(50, 55) for b in range(a + 1, 55)]
+        + [(4, 50)],
+        "random": [(a, b) for a, b in rand if a != b],
+        "already_star": [(i, 0) for i in range(1, 15)],
+    }
+    for name, edges in graphs.items():
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.node: r.comp for r in connected_components_star(df).collect()}
+        assert got == _cc_truth(edges), name
+
+
+def test_label_propagation_raises_rather_than_returning_unconverged(spark):
+    import pytest
+
+    from datafusion_wasm_bindings_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=3)
