@@ -118,11 +118,18 @@ def _parse_table_options(s: str) -> dict[str, str]:
     return opts
 
 # PREPARE name [(types)] AS <statement>  /  EXECUTE name(args)  /
-# DEALLOCATE name — DataFusion statement surface (SURVEY §2.9);
-# Spark SQL has no PREPARE, so the engine stores the template and
-# substitutes positional $n parameters with literal argument text.
+# DEALLOCATE name — DataFusion statement surface (SURVEY §2.9).
+# Spark SQL has no PREPARE; the engine stores the template plus the
+# declared parameter types. EXECUTE of a query-shaped body uses genuine
+# typed binding: arguments are evaluated ONCE (with declared-type
+# coercion) in a single one-row driver query, then bound as named
+# parameters through Spark's parameterized ``spark.sql(..., args=...)``
+# — so a parameter is always one typed literal, never spliced clause
+# text. Non-query bodies (e.g. a prepared COPY) fall back to
+# typed-literal text substitution of $n.
 _PREPARE_RE = re.compile(
-    r"^PREPARE\s+(?P<name>\w+)\s*(?:\([^)]*\))?\s+AS\s+(?P<body>.+)$",
+    r"^PREPARE\s+(?P<name>\w+)\s*"
+    r"(?:\((?P<types>(?:[^()]|\([^()]*\))*)\))?\s+AS\s+(?P<body>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _EXECUTE_RE = re.compile(
@@ -194,6 +201,42 @@ def _split_exec_args(args: str) -> list[str]:
     return out
 
 
+_QUERY_SHAPED_RE = re.compile(r"^\s*(SELECT|WITH|VALUES|TABLE)\b", re.IGNORECASE)
+
+# DataFusion PREPARE parameter type spellings → Spark cast targets
+# (same family mapping as SURVEY §1.1; unlisted spellings pass through
+# to Spark's DDL type parser, e.g. DECIMAL(p,s))
+_PREPARE_TYPE_MAP = {
+    "TEXT": "STRING",
+    "VARCHAR": "STRING",
+    "CHAR": "STRING",
+    "REAL": "FLOAT",
+    "INTEGER": "INT",
+}
+
+
+def _split_prepare_types(types: str | None) -> list[str]:
+    """Split a PREPARE type list on top-level commas (DECIMAL(18, 2)
+    contains a nested comma) and normalize spellings."""
+    if not types or not types.strip():
+        return []
+    out: list[str] = []
+    depth, buf = 0, []
+    for ch in types:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if "".join(buf).strip():
+        out.append("".join(buf).strip())
+    return [_PREPARE_TYPE_MAP.get(t.upper(), t.upper()) for t in out]
+
+
 class SQLEngine:
     """SQL string in → formatted result string out, over Spark.
 
@@ -214,7 +257,8 @@ class SQLEngine:
         self.spark = spark if spark is not None else get_spark()
         self.result_format = ResultFormat.TABLE
         self.max_rows: int | None = None  # None = full materialization, like core.rs:119
-        self._prepared: dict[str, str] = {}  # PREPARE name -> statement template
+        # PREPARE name -> (statement template, declared parameter types)
+        self._prepared: dict[str, tuple[str, list[str]]] = {}
 
     # -- reference: core.rs:43-45 ------------------------------------
     def greet(self) -> str:
@@ -273,7 +317,10 @@ class SQLEngine:
             return self._create_external_table(m)
         m = _PREPARE_RE.match(stmt)
         if m:
-            self._prepared[m.group("name").lower()] = m.group("body").strip()
+            self._prepared[m.group("name").lower()] = (
+                m.group("body").strip(),
+                _split_prepare_types(m.group("types")),
+            )
             return self.spark.createDataFrame([], "result string")
         m = _DEALLOCATE_RE.match(stmt)
         if m:
@@ -281,12 +328,24 @@ class SQLEngine:
             return self.spark.createDataFrame([], "result string")
         m = _EXECUTE_RE.match(stmt)
         if m and m.group("name").lower() in self._prepared:
-            body = self._prepared[m.group("name").lower()]
+            body, types = self._prepared[m.group("name").lower()]
             args = _split_exec_args(m.group("args") or "")
-            # substitute $n positional parameters, highest index first
-            # so $12 is not clobbered by $1
+            if types and len(types) != len(args):
+                from datafusion_wasm_bindings_spark.errors import PlanError
+
+                raise PlanError(
+                    f"EXECUTE {m.group('name')}: expected {len(types)} "
+                    f"parameters, got {len(args)}"
+                )
+            if args and _QUERY_SHAPED_RE.match(body):
+                return self._execute_bound(body, args, types)
+            # non-query template (COPY, DDL): typed-literal substitution,
+            # highest index first so $12 is not clobbered by $1
             for n in range(len(args), 0, -1):
-                body = body.replace(f"${n}", args[n - 1])
+                lit = args[n - 1]
+                if types:
+                    lit = f"CAST(({lit}) AS {types[n - 1]})"
+                body = body.replace(f"${n}", lit)
             return self._dispatch(body)
         m = _COPY_RE.match(stmt)
         if m:
@@ -327,6 +386,11 @@ class SQLEngine:
             # information_schema.df_settings (core.rs:62); Spark's
             # equivalent listing is SET -v
             stmt = "SET -v"
+        return self._run_sql(stmt)
+
+    def _run_sql(self, stmt: str, args: dict | None = None) -> DataFrame:
+        """Dialect-rewrite and run one plain SQL statement, optionally
+        with named bind parameters (Spark parameterized sql)."""
         from datafusion_wasm_bindings_spark import compat
         from datafusion_wasm_bindings_spark.functions.shims import ensure_registered
 
@@ -341,7 +405,33 @@ class SQLEngine:
             )
 
             register_information_schema(self.spark)
-        return self.spark.sql(compat.rewrite(stmt))
+        rewritten = compat.rewrite(stmt)
+        if args:
+            return self.spark.sql(rewritten, args=args)
+        return self.spark.sql(rewritten)
+
+    def _execute_bound(self, body: str, args: list[str], types: list[str]) -> DataFrame:
+        """EXECUTE a prepared query with typed parameter binding.
+
+        The argument literals are evaluated once, together, in a single
+        one-row query (declared types applied as CASTs there — the
+        coercion DataFusion performs at bind time), then the template's
+        $n markers are bound as named parameters via Spark's
+        parameterized ``sql()``. Repeated markers ($1 used twice) bind
+        the same value; a parameter can never inject clause text.
+        Limitation (documented): a literal ``$n`` inside a string
+        constant in the template is also treated as a marker.
+        """
+        exprs = []
+        for i, a in enumerate(args):
+            e = f"({a})"
+            if types:
+                e = f"CAST({e} AS {types[i]})"
+            exprs.append(f"{e} AS p{i}")
+        row = self._run_sql("SELECT " + ", ".join(exprs)).collect()[0]
+        values = {f"dfwb_p{i + 1}": row[i] for i in range(len(args))}
+        bound = re.sub(r"\$(\d+)", r":dfwb_p\1", body)
+        return self._run_sql(bound, args=values)
 
     def _copy_to(self, m: re.Match) -> DataFrame:
         """``COPY (query)|table TO 'path' [STORED AS fmt]`` →

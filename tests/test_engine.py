@@ -158,6 +158,49 @@ def test_prepare_execute_deallocate(engine, sf_dir):
         engine.sql("EXECUTE topn(1, 1)")
 
 
+def test_prepare_typed_binding_coerces_and_reuses_markers(engine):
+    # declared types coerce at bind time (DataFusion semantics): the
+    # string '41' binds as INT and participates in arithmetic; $1 is
+    # bound twice from one evaluation
+    out = engine.execute_sql(
+        "PREPARE tq (INT, TEXT) AS SELECT $1 + 1 AS a, upper($2) AS b, $1 * 2 AS c; "
+        "EXECUTE tq('41', 'abc')"
+    )
+    assert "42" in out and "ABC" in out and "82" in out
+    # DATE coercion: bound value is a real date, not spliced text
+    out = engine.execute_sql(
+        "PREPARE td (DATE) AS SELECT $1 + INTERVAL '1' DAY AS nxt; "
+        "EXECUTE td('2024-02-28')"
+    )
+    assert "2024-02-29" in out
+    # nested comma in the declared type list
+    out = engine.execute_sql(
+        "PREPARE tdec (DECIMAL(10, 2), INT) AS SELECT $1 * $2 AS v; "
+        "EXECUTE tdec(1.5, 3)"
+    )
+    assert "4.50" in out
+
+
+def test_prepare_typed_binding_rejects_wrong_arity(engine):
+    import pytest as _pytest
+
+    from datafusion_wasm_bindings_spark.errors import PlanError
+
+    engine.execute_sql("PREPARE ta (INT, INT) AS SELECT $1 + $2 AS s")
+    with _pytest.raises(PlanError, match="expected 2 parameters"):
+        engine.sql("EXECUTE ta(1)")
+
+
+def test_prepare_binding_does_not_splice_clause_text(engine):
+    # a bound parameter is a single literal value: injected SQL stays a
+    # string, it does not become a predicate
+    out = engine.execute_sql(
+        "PREPARE ts AS SELECT x FROM VALUES ('a'), ('b') t(x) WHERE x = $1; "
+        "EXECUTE ts('a'' OR ''1''=''1')"
+    )
+    assert "a" not in out.replace("| x |", "").replace("-", "")
+
+
 def test_show_all_lists_settings(engine):
     out = engine.execute_sql("SHOW ALL")
     assert "spark.sql" in out
