@@ -359,6 +359,99 @@ _set_op = st.sampled_from(
 )
 
 
+# --- correlated-subquery grammar: EXISTS / IN / scalar, null-rich ------
+#
+# The classic dialect-divergence area: three-valued NOT IN over NULLs,
+# the COUNT(*) "count bug" in correlated scalar subqueries, non-equality
+# correlation decorrelated into joins by both optimizers.
+
+CORR_O_SQL = "(VALUES (1, 10), (2, NULL), (3, 30), (NULL, 40), (2, 21), (5, -5)) AS o(ok, ov)"
+CORR_I_SQL = "(VALUES (1, 3), (2, 8), (4, NULL), (NULL, 7), (2, 1), (6, 2)) AS i(ik, iv)"
+
+_corr_op = st.sampled_from(["=", "<", "<=", ">", ">=", "<>"])
+_corr_extra = st.sampled_from(["", " AND iv IS NOT NULL", " AND iv > 2", " AND ik <> 2"])
+
+
+@settings(max_examples=30, deadline=None)
+@given(neg=st.sampled_from(["EXISTS", "NOT EXISTS"]), op=_corr_op, extra=_corr_extra)
+def test_exists_subquery_shapes_agree(spark, duck, neg, op, extra):
+    sub = f"(SELECT 1 FROM {CORR_I_SQL} WHERE ik {op} ok{extra})"
+    sql = (
+        "SELECT COALESCE(ok, -1) * 100 + COALESCE(ov, -2) AS r "
+        f"FROM {CORR_O_SQL} WHERE {neg} {sub}"
+    )
+    got = sorted(row.r for row in spark.sql(sql).collect())
+    # fuzzer finding (2026-08-13, DuckDB 1.0.0): DuckDB's WHERE-EXISTS
+    # decorrelation keeps an outer row whose NULL correlation value
+    # makes every inner predicate UNKNOWN (e.g. `ik <> ok` with
+    # ok = NULL) — its own *projected* EXISTS evaluates the same
+    # subquery correctly to FALSE, agreeing with Spark and the
+    # standard. Oracle therefore uses the projected form.
+    duck_sql = (
+        "SELECT COALESCE(ok, -1) * 100 + COALESCE(ov, -2) AS r, "
+        f"EXISTS {sub} AS e FROM {CORR_O_SQL}"
+    )
+    keep = neg == "EXISTS"
+    want = sorted(r for (r, e) in duck.sql(duck_sql).fetchall() if bool(e) is keep)
+    assert got == want, f"{sql}\n spark={got}\n duck={want}"
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    neg=st.sampled_from(["IN", "NOT IN"]),
+    inner=st.sampled_from(["ik", "iv", "ik + 1", "NULLIF(ik, 2)"]),
+    extra=_corr_extra,
+)
+def test_in_subquery_shapes_agree(spark, duck, neg, inner, extra):
+    # NOT IN over a list containing NULL must yield zero rows — the
+    # three-valued-logic trap both engines must implement identically
+    where = extra.removeprefix(" AND ") or "TRUE"
+    sql = (
+        "SELECT COALESCE(ok, -1) * 100 + COALESCE(ov, -2) AS r "
+        f"FROM {CORR_O_SQL} WHERE ok {neg} "
+        f"(SELECT {inner} FROM {CORR_I_SQL} WHERE {where})"
+    )
+    got = sorted(row.r for row in spark.sql(sql).collect())
+    want = sorted(v for (v,) in duck.sql(sql).fetchall())
+    assert got == want, f"{sql}\n spark={got}\n duck={want}"
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    agg=st.sampled_from(["COUNT(*)", "COUNT(iv)", "MAX(iv)", "MIN(iv)", "SUM(iv)"]),
+    op=st.sampled_from(["=", "<=", "<", ">"]),
+)
+def test_scalar_correlated_subqueries_agree(spark, duck, agg, op):
+    # COUNT over an empty correlated group is 0, not NULL (the "count
+    # bug" decorrelation must preserve); MAX/MIN/SUM are NULL
+    sql = (
+        "SELECT COALESCE(ok, -1) AS k, "
+        f"CAST((SELECT {agg} FROM {CORR_I_SQL} WHERE ik {op} ok) AS DOUBLE) AS m "
+        f"FROM {CORR_O_SQL}"
+    )
+    norm = lambda rows: sorted(
+        [(k, None if m is None else float(m)) for (k, m) in rows], key=str
+    )
+    got = norm([tuple(r) for r in spark.sql(sql).collect()])
+    want = norm(duck.sql(sql).fetchall())
+    assert got == want, f"{sql}\n spark={got}\n duck={want}"
+
+
+@settings(max_examples=20, deadline=None)
+@given(op=_corr_op, extra=_corr_extra)
+def test_correlated_in_subqueries_agree(spark, duck, op, extra):
+    # correlation in the subquery filter AND membership on a computed
+    # expression — decorrelates to a join with a non-trivial condition
+    sql = (
+        "SELECT COALESCE(ok, -1) * 100 + COALESCE(ov, -2) AS r "
+        f"FROM {CORR_O_SQL} WHERE ov IN "
+        f"(SELECT iv * 10 FROM {CORR_I_SQL} WHERE ik {op} ok{extra})"
+    )
+    got = sorted(row.r for row in spark.sql(sql).collect())
+    want = sorted(v for (v,) in duck.sql(sql).fetchall())
+    assert got == want, f"{sql}\n spark={got}\n duck={want}"
+
+
 @settings(max_examples=25, deadline=None)
 @given(op1=_set_op, op2=_set_op)
 def test_set_operation_chains_agree(spark, duck, op1, op2):
