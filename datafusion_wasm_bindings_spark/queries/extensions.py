@@ -633,6 +633,31 @@ query(
 )(_stream_stateful)
 
 
+def _stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.streaming.events import streaming_enriched_windows
+
+    return streaming_enriched_windows(spark, sf_dir)
+
+
+# a REAL readStream → broadcast-join → windowed-agg run; the result is
+# SQL-checkable because a stream-static join over bounded input equals
+# the batch join, and the decimal-cast weighted sum removes
+# accumulation-order float drift
+query(
+    "q_stream_static_join",
+    """
+    SELECT time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) AS ws,
+           event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)) * LENGTH(event_type)) AS DOUBLE)
+             AS weighted_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("extension", "streaming", "join"),
+)(_stream_static_join)
+
+
 # ====================== scale machinery ==================================
 def _join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.scale import salted_join

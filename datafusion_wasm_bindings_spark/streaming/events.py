@@ -97,6 +97,72 @@ def streaming_demo(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> D
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def streaming_enriched_windows(
+    spark: SparkSession, sf_dir: str, width: str = "1 day"
+) -> DataFrame:
+    """Stream-static join: enrich an event stream with a static
+    dimension in-flight, then window-aggregate — the canonical
+    training-pipeline enrichment shape (stream of raw examples joined
+    to a metadata/quality table loaded once per job).
+
+    The dimension (event_type → weight) is built from a batch read and
+    explicitly ``F.broadcast`` — in a stream-static join Spark ships
+    the static side to every executor once; NO stream-side shuffle and
+    no state store are involved in the join itself (state exists only
+    in the downstream windowed agg). At 100 TB of stream the join cost
+    is per-row hash-probe against an in-memory table, exactly like the
+    batch broadcast-hash-join.
+
+    The weighted sum is computed on decimal-cast values so streaming
+    and batch accumulation orders produce bit-identical results (the
+    oracle-determinism recipe used across the registry).
+    """
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    dim = (
+        raw.select("event_type")
+        .distinct()
+        .withColumn("type_weight", F.length("event_type"))
+    )
+
+    raw_schema = raw.schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("path", os.path.join(sf_dir))
+        .option("pathGlobFilter", "events.parquet")
+        .load()
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    enriched = stream.join(F.broadcast(dim), "event_type")
+    agg = (
+        enriched.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)") * F.col("type_weight"))
+            .cast("double")
+            .alias("weighted_value"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "weighted_value")
+    )
+    name = "dfwb_stream_enrich_demo"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def streaming_late_data_demo(spark: SparkSession) -> dict[str, int]:
     """Watermark late-data semantics, demonstrated end-to-end: append-
     mode windowed counts with a 1-hour watermark over three micro-batches.

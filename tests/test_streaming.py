@@ -54,3 +54,67 @@ def test_streaming_drops_late_data_beyond_watermark(spark):
     # the 10:30 row of batch 2 arrived past the 11:05 watermark and was
     # dropped (a count of 4 means late data leaked in)
     assert got.get("2024-01-01 10:00:00") == 3, got
+
+
+def test_stream_static_join_matches_batch_and_broadcasts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.streaming.events import (
+        streaming_enriched_windows,
+    )
+
+    out = streaming_enriched_windows(spark, sf_dir)
+    got = {
+        (r.ws, r.event_type): (r.n, round(r.weighted_value, 6))
+        for r in out.collect()
+    }
+
+    events = table(spark, sf_dir, "events")
+    batch = (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)") * F.length("event_type"))
+            .cast("double")
+            .alias("wv"),
+        )
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "wv")
+    )
+    want = {(r.ws, r.event_type): (r.n, round(r.wv, 6)) for r in batch.collect()}
+    assert got == want
+    assert len(want) > 0
+
+
+def test_stream_static_join_plan_is_broadcast(spark, sf_dir):
+    """The static dimension must reach executors as a broadcast — a
+    shuffled stream-static join would re-shuffle the unbounded side."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    dim = (
+        raw.select("event_type").distinct()
+        .withColumn("type_weight", F.length("event_type"))
+    )
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .format("parquet")
+        .option("path", sf_dir)
+        .option("pathGlobFilter", "events.parquet")
+        .load()
+    )
+    joined = stream.join(F.broadcast(dim), "event_type").groupBy("event_type").count()
+    q = (
+        joined.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("dfwb_bcast_plan_probe")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        plan = q._jsq.explainInternal(False)
+    finally:
+        q.stop()
+    assert "BroadcastHashJoin" in plan, plan
