@@ -84,6 +84,41 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_media(media: DataFrame, scale_denominator: int = 4) -> DataFrame:
+    """'Resize' via mapInPandas: decimate the payload to every k-th
+    byte and re-emit BINARY + updated metadata — the real pipeline
+    shape, where resized media continues downstream (into
+    ``extract_features``, storage, or a model input writer).
+
+    The decimation is the STUB for an actual decode→scale→re-encode
+    (PIL/ffmpeg are not in this container); the production swap-in
+    changes only the ``fake_resize`` body. Payload stays columnar Arrow
+    end-to-end and is never shuffled (map-only plan).
+    """
+    k = int(scale_denominator)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_resize(payload: bytes) -> bytes:
+            # STUB resizer — deterministic stand-in for a real
+            # decode→scale→re-encode; keeps every k-th byte
+            return payload[::k]
+
+        for pdf in it:
+            resized = [fake_resize(bytes(m)) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": resized,
+                    "meta": [
+                        {"format": m["format"], "declared_len": len(r)}
+                        for m, r in zip(pdf["meta"], resized)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 100) -> DataFrame:
     """'Frame sampling' stand-in: slice the payload at a fixed stride,
     emitting one row per sample — the explode-shaped pattern a video

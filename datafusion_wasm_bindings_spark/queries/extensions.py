@@ -715,6 +715,51 @@ query(
 )(_multimodal_features)
 
 
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.multimodal import (
+        extract_features,
+        resize_media,
+        synthesize_media,
+    )
+
+    return extract_features(
+        resize_media(synthesize_media(table(spark, sf_dir, "documents")), 4)
+    )
+
+
+# oracle: stride-decimation in SQL — every 4th CHAR equals every 4th
+# BYTE because the documents fixture is pure ASCII at every SF (checked
+# directly; same equivalence q_multimodal_features' head-128 checksum
+# already relies on), then the same width/height/checksum formulas
+# applied to the decimated payload
+query(
+    "q_multimodal_resize",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+             array_to_string(
+               list_transform(
+                 range(0, CAST(ceil(length(text) / 4.0) AS BIGINT)),
+                 i -> substr(text, CAST(1 + i * 4 AS INT), 1)),
+               '') AS rt
+      FROM documents
+    ),
+    r AS (SELECT doc_id, format, rt, octet_length(encode(rt)) AS n_bytes FROM m)
+    SELECT doc_id, format, n_bytes,
+           CAST(64 + (n_bytes % 577) AS INT) AS width,
+           CAST(64 + ((n_bytes * 31) % 479) AS INT) AS height,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(substr(rt, 1, 128), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 131 + b) % 1000000007) AS checksum
+    FROM r
+    """,
+    tags=("extension", "multimodal"),
+)(_multimodal_resize)
+
+
 def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.multimodal import (
         frame_sample,

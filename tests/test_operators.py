@@ -218,3 +218,24 @@ def test_label_propagation_raises_rather_than_returning_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iters=3)
+
+
+def test_resize_media_decimates_and_composes_downstream(documents):
+    from datafusion_wasm_bindings_spark.operators.multimodal import (
+        extract_features,
+        frame_sample,
+        resize_media,
+        synthesize_media,
+    )
+
+    media = synthesize_media(documents.limit(50))
+    resized = resize_media(media, 4)
+    orig = {r.doc_id: r.n for r in media.select("doc_id", F.length("media").alias("n")).collect()}
+    new = {r.doc_id: r.n for r in resized.select("doc_id", F.length("media").alias("n")).collect()}
+    assert set(orig) == set(new)
+    for d, n in orig.items():
+        assert new[d] == -(-n // 4), d  # ceil(n/4): payload[::4]
+    # the resized binary keeps flowing: feature extraction and frame
+    # sampling run on it unchanged
+    assert extract_features(resized).count() == 50
+    assert frame_sample(resized).count() >= 50
