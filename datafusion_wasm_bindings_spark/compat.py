@@ -297,8 +297,17 @@ def _expand_distinct_on(m: re.Match) -> str:
     )
 
 
+_SHOW_VAR_RE = re.compile(r"^\s*SHOW\s+((?:\w+\.)+\w+)\s*$", re.IGNORECASE)
+
+
 def rewrite(sql: str) -> str:
     """Apply all dialect rewrites to one statement."""
+    # SHOW <dotted.variable> (DataFusion reads one config var) → Spark
+    # reads a conf with valueless SET; keyword SHOW forms (TABLES,
+    # VIEWS, ...) never start with a dotted identifier
+    m = _SHOW_VAR_RE.match(sql)
+    if m:
+        sql = f"SET {m.group(1)}"
     masked, lits = _mask_literals(sql)
 
     def similar_repl(m: re.Match) -> str:

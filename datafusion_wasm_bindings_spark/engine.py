@@ -138,6 +138,32 @@ _EXECUTE_RE = re.compile(
 )
 _DEALLOCATE_RE = re.compile(r"^DEALLOCATE\s+(?:PREPARE\s+)?(?P<name>\w+)\s*$", re.IGNORECASE)
 
+# SET datafusion.<knob> = <value> — the reference's config surface
+# (core.rs:62 enables information_schema so SHOW ALL lists these).
+# Spark's SET stores any key, so the raw datafusion.* key round-trips
+# through SHOW / df_settings for free; the knobs with a genuine Spark
+# equivalent are ALSO applied to the session so they change behavior,
+# not just bookkeeping.
+_SET_DF_RE = re.compile(
+    r"^SET\s+(?P<key>datafusion\.[\w.]+)\s*(?:=|\s+TO\s+)\s*(?P<value>.+?)\s*$",
+    re.IGNORECASE,
+)
+
+_DF_SETTING_TO_SPARK: dict[str, tuple[str, bool]] = {
+    # (spark conf, invert-boolean?)
+    "datafusion.execution.target_partitions": ("spark.sql.shuffle.partitions", False),
+    "datafusion.execution.batch_size": (
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        False,
+    ),
+    # DataFusion prefers hash join when true; Spark's knob is the
+    # inverse preference
+    "datafusion.optimizer.prefer_hash_join": (
+        "spark.sql.join.preferSortMergeJoin",
+        True,
+    ),
+}
+
 # CREATE VIEW / DROP VIEW — executed by Spark as-is; matched here only
 # to record the definition text for information_schema.views (DataFusion
 # reports it; Spark's in-memory catalog forgets it, SURVEY §7.5)
@@ -312,6 +338,19 @@ class SQLEngine:
         return format_result(df, self.result_format, self.max_rows)
 
     def _dispatch(self, stmt: str) -> DataFrame:
+        m = _SET_DF_RE.match(stmt.strip())
+        if m:
+            mapped = _DF_SETTING_TO_SPARK.get(m.group("key").lower())
+            if mapped:
+                conf, invert = mapped
+                value = m.group("value").strip().strip("'\"")
+                if invert:
+                    value = {"true": "false", "false": "true"}.get(
+                        value.lower(), value
+                    )
+                self.spark.conf.set(conf, value)
+            # fall through: Spark's SET also stores the raw
+            # datafusion.* key, so SHOW and df_settings reflect it
         m = _EXTERNAL_TABLE_RE.match(stmt)
         if m:
             return self._create_external_table(m)

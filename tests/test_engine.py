@@ -311,3 +311,22 @@ def test_create_external_table_with_declared_schema(engine, sf_dir, tmp_path):
     df = engine.sql("SELECT * FROM nation_decl")
     assert dict(df.dtypes)["n_nationkey"] == "int"  # declared, not inferred
     assert df.count() == 25
+
+
+def test_set_datafusion_knobs_apply_to_spark(engine):
+    prev_parts = engine.spark.conf.get("spark.sql.shuffle.partitions")
+    prev_smj = engine.spark.conf.get("spark.sql.join.preferSortMergeJoin")
+    try:
+        engine.execute_sql("SET datafusion.execution.target_partitions = 7")
+        assert engine.spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        # inverse-mapped boolean knob
+        engine.execute_sql("SET datafusion.optimizer.prefer_hash_join = true")
+        assert engine.spark.conf.get("spark.sql.join.preferSortMergeJoin") == "false"
+        # the raw key round-trips through DataFusion's SHOW spelling
+        out = engine.execute_sql("SHOW datafusion.execution.target_partitions")
+        assert "7" in out
+        # unmapped datafusion keys are stored without error
+        engine.execute_sql("SET datafusion.explain.logical_plan_only = true")
+    finally:
+        engine.spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        engine.spark.conf.set("spark.sql.join.preferSortMergeJoin", prev_smj)
