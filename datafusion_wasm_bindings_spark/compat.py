@@ -244,39 +244,39 @@ _DISTINCT_ON_RE = re.compile(
 )
 
 
+_DON_START_RE = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
+
+
 def rewrite_distinct_on(masked: str) -> str:
     """Postgres ``SELECT DISTINCT ON (keys) … ORDER BY keys, tiebreak``
     → ``row_number() OVER (PARTITION BY keys ORDER BY …) = 1``
-    (SURVEY §7.4). Handles the flat single-SELECT shape and a WITH-
-    prefixed (CTE) top-level SELECT; nested subquery shapes pass
-    through untouched."""
-    m = _DISTINCT_ON_RE.match(masked)
-    if m:
-        return _expand_distinct_on(m)
-    if not masked.lstrip().upper().startswith("WITH"):
-        return masked
-    # CTE shape: locate the top-level (paren-depth-0) final SELECT and
-    # rewrite only that tail, keeping the WITH prefix intact
-    upper = masked.upper()
-    depth = 0
-    idx = None
-    for i, ch in enumerate(masked):
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif (
-            depth == 0
-            and upper.startswith("SELECT", i)
-            and (i == 0 or not (masked[i - 1].isalnum() or masked[i - 1] == "_"))
-        ):
-            idx = i
-    if idx is None:
-        return masked
-    m = _DISTINCT_ON_RE.match(masked[idx:])
-    if not m:
-        return masked
-    return masked[:idx] + _expand_distinct_on(m)
+    (SURVEY §7.4), at ANY nesting level: each occurrence's SELECT spans
+    to the close of its enclosing parenthesis (or end of statement at
+    the top level), and that span is rewritten in place — covering the
+    flat shape, CTE bodies, the final SELECT of a WITH, derived tables,
+    and subquery expressions alike."""
+    while True:
+        m2 = _DON_START_RE.search(masked)
+        if not m2:
+            return masked
+        s = m2.start()
+        depth = 0
+        e = len(masked)
+        for i in range(s, len(masked)):
+            ch = masked[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    e = i
+                    break
+        m = _DISTINCT_ON_RE.match(masked[s:e])
+        if not m:
+            # unparseable shape: leave the statement untouched rather
+            # than emitting a half-rewritten query
+            return masked
+        masked = masked[:s] + _expand_distinct_on(m) + masked[e:]
 
 
 def _expand_distinct_on(m: re.Match) -> str:

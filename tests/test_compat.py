@@ -182,3 +182,36 @@ def test_information_schema_views_and_settings(engine, spark, sf_dir):
         "WHERE name = 'spark.sql.adaptive.enabled'"
     )
     assert settings.count() == 1
+
+
+def test_distinct_on_in_nested_subquery_and_cte_body(spark, sf_dir):
+    import duckdb
+
+    from datafusion_wasm_bindings_spark.engine import SQLEngine
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    eng = SQLEngine(spark)
+    duck = duckdb.connect()
+    duck.sql(f"CREATE VIEW nation AS FROM '{sf_dir}/nation.parquet'")
+
+    shapes = [
+        # derived table
+        "SELECT t.n_regionkey, t.n_name FROM "
+        "(SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name "
+        " FROM nation ORDER BY n_regionkey, n_name) t "
+        "WHERE t.n_regionkey < 3 ORDER BY t.n_regionkey",
+        # CTE *body* (not the final SELECT)
+        "WITH firsts AS (SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name "
+        "  FROM nation ORDER BY n_regionkey, n_name DESC) "
+        "SELECT n_regionkey, n_name FROM firsts ORDER BY n_regionkey",
+        # two occurrences: CTE body and final SELECT
+        "WITH firsts AS (SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name "
+        "  FROM nation ORDER BY n_regionkey, n_name) "
+        "SELECT DISTINCT ON (n_name) n_name, n_regionkey FROM firsts "
+        "ORDER BY n_name, n_regionkey",
+    ]
+    for sql in shapes:
+        got = sorted(tuple(r) for r in eng.sql(sql).collect())
+        want = sorted(tuple(r) for r in duck.sql(sql).fetchall())
+        assert got == want, sql
