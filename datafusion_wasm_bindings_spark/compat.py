@@ -372,6 +372,33 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_calls(
         masked, "iszero", lambda a: f"(CAST({a[0]} AS DOUBLE) = 0.0D)"
     )
+
+    # trunc(x[, d]) — DataFusion's trunc is NUMERIC truncation toward
+    # zero with optional decimal places (datafusion-functions math
+    # catalog, SURVEY §2.8); its date truncation is spelled date_trunc.
+    # Spark's only `trunc` is trunc(date, 'fmt'), so a 2-arg call whose
+    # second argument is a string literal is the Spark date form and
+    # passes through (emitted via a sentinel so the re-scan loop in
+    # _rewrite_calls terminates). FLOOR/CEILING on DOUBLE return
+    # BIGINT, so |x·10^d| beyond ~9.2e18 overflows — far outside the
+    # reference's f64-exact range (2^53) anyway.
+    def trunc_repl(a: list[str]) -> str:
+        if len(a) == 2 and re.fullmatch(r"\x00L\d+\x00", a[1].strip()):
+            return f"\x00TRUNC\x00({a[0]}, {a[1]})"
+        x = a[0]
+        if len(a) == 1:
+            return (
+                f"CAST((CASE WHEN ({x}) >= 0 THEN FLOOR({x}) "
+                f"ELSE CEILING({x}) END) AS DOUBLE)"
+            )
+        d = a[1]
+        return (
+            f"CAST((CASE WHEN ({x}) >= 0 THEN FLOOR(({x}) * POWER(10, {d})) "
+            f"ELSE CEILING(({x}) * POWER(10, {d})) END) / POWER(10, {d}) AS DOUBLE)"
+        )
+
+    masked = _rewrite_calls(masked, "trunc", trunc_repl)
+    masked = masked.replace("\x00TRUNC\x00", "trunc")
     masked = rewrite_distinct_on(masked)
     # arrow_typeof(x) → Spark's typeof(x). Type *names* differ (Arrow
     # "Int32" vs Spark "int") — documented approximation: the callable

@@ -71,6 +71,21 @@ def date_bin(stride_seconds: int, ts: Column, origin_epoch_us: int = 0) -> Colum
     return F.timestamp_micros(bucket.cast("long"))
 
 
+def trunc(col: Column, decimals: int = 0) -> Column:
+    """DataFusion numeric ``trunc(x[, d])`` — truncate toward zero to
+    ``d`` decimal places (d may be negative). Spark's builtin ``trunc``
+    is date-only; this composition stays in whole-stage codegen.
+    Differential note: DuckDB/Postgres ``trunc`` agrees; Spark's bare
+    ``CAST(double AS INT)`` also truncates while DuckDB's CAST rounds
+    half-even (tests/test_fuzz_differential.py cast grammar)."""
+    if decimals == 0:
+        t = F.when(col >= 0, F.floor(col)).otherwise(F.ceil(col))
+    else:
+        f = F.lit(10.0) ** F.lit(decimals)
+        t = (F.when(col >= 0, F.floor(col * f)).otherwise(F.ceil(col * f))) / f
+    return t.cast("double")
+
+
 def concat(*cols: Column) -> Column:
     """DataFusion/Postgres ``concat``: NULL arguments are skipped.
     Spark's ``concat`` null-propagates instead (found by the

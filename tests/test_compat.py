@@ -161,6 +161,12 @@ def test_datafusion_function_spellings_through_engine(spark):
         "SELECT iszero(1.5) AS r": "false",
         "SELECT datetrunc('month', TIMESTAMP '2024-05-15 10:00:00') AS r": "2024-05-01",
         "SELECT substr_index('a.b.c', '.', 2) AS r": "a.b",
+        "SELECT trunc(1.9) AS r": "1.0",
+        "SELECT trunc(-1.9) AS r": "-1.0",
+        "SELECT trunc(3.14159, 2) AS r": "3.14",
+        "SELECT trunc(123.456, -1) AS r": "120.0",
+        # 2-arg with a string literal = Spark's DATE trunc: passes through
+        "SELECT trunc(DATE '2024-05-15', 'MM') AS r": "2024-05-01",
         "SELECT today() IS NOT NULL AS r": "true",
         "SELECT character_length('abc') AS r": "3",
     }

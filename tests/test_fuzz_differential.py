@@ -464,3 +464,153 @@ def test_set_operation_chains_agree(spark, duck, op1, op2):
     got = norm([tuple(r) for r in spark.sql(sql).collect()])
     want = norm(duck.sql(sql).fetchall())
     assert got == want, sql
+
+
+# --- cast grammar (dialect intersection + documented divergences) -----
+#
+# Exploration findings (2026-08-13, Spark 4.1.2 vs DuckDB):
+#   1. CAST(double AS INT/BIGINT): Spark TRUNCATES toward zero, DuckDB
+#      rounds half-even (1.5 -> 1 vs 2). DataFusion (Arrow cast) also
+#      truncates, so Spark matches the reference; oracle queries must
+#      write CAST(ROUND(x) AS BIGINT) (half-away in BOTH engines) or
+#      FLOOR/CEILING when an integer result is compared.
+#   2. TRY_CAST(string AS INT/BIGINT): Spark accepts only integer-shaped
+#      strings (sign + digits + surrounding spaces); DuckDB additionally
+#      parses decimal/scientific/hex forms ('1.5'->2, '1e2'->100,
+#      '0x1A'->26). Intersection grammar: integer-shaped only.
+#   3. TRY_CAST(string AS DATE): both accept ISO y-m-d with or without
+#      zero padding and surrounding spaces, and agree on invalid
+#      calendar dates (NULL); DuckDB additionally accepts '2020/01/02'.
+#   4. TRY_CAST(string AS BOOLEAN): Spark accepts 'yes'/'no'/'y'/'n',
+#      DuckDB does not; 't'/'f'/'true'/'false'/'0'/'1' agree.
+#   5. High-precision DECIMAL literal -> DOUBLE: DuckDB converts via
+#      double arithmetic (unscaled_int * 10^-scale) and can land 1 ulp
+#      off the correctly-rounded value (900719.9999999999 becomes
+#      exactly 900720.0); Spark is correctly rounded. STRING -> DOUBLE
+#      parses correctly rounded in BOTH — so fuzzers (and oracle
+#      queries needing exact doubles) inject doubles as string casts.
+#   6. TRY_CAST(string AS DATE) with a year under 4 digits: DuckDB
+#      parses '1-1-1', Spark requires >= 4-digit-ish years (NULL).
+# The fuzzers below stay inside the intersection; the divergences are
+# pinned by test_cast_divergences_documented so a Spark upgrade that
+# silently changes policy fails loudly.
+
+_ONE_ROW = "(VALUES (1)) AS t(one)"
+
+_int_shaped = st.tuples(
+    st.sampled_from(["", " ", "  "]),
+    st.sampled_from(["", "+", "-"]),
+    st.integers(0, 10**12).map(str),
+    st.sampled_from(["", " "]),
+).map(lambda t: "".join(t))
+
+# no digits => unparseable as a number in both engines (BIGINT target)
+_garbage = st.text(alphabet="abcxyz_ .-+", min_size=1, max_size=8)
+
+
+@settings(max_examples=30, deadline=None)
+@given(s=st.one_of(_int_shaped, _garbage))
+def test_try_cast_string_to_bigint_agree(spark, duck, s):
+    lit = s.replace("'", "''")
+    _run_both(spark, duck, f"TRY_CAST('{lit}' AS BIGINT)", relation=_ONE_ROW)
+
+
+_float_shaped = st.tuples(
+    st.sampled_from(["", "-"]),
+    st.integers(0, 10**6).map(str),
+    st.sampled_from(["", ".", ".5", ".25", ".0"]),
+    st.sampled_from(["", "e2", "e-3", "E4"]),
+).map(lambda t: "".join(t))
+
+
+@settings(max_examples=30, deadline=None)
+@given(s=_float_shaped)
+def test_try_cast_string_to_double_agree(spark, duck, s):
+    _run_both(spark, duck, f"TRY_CAST('{s}' AS DOUBLE)", relation=_ONE_ROW)
+
+
+_bounded_double = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(x=_bounded_double)
+def test_double_round_cast_recipe_agrees(spark, duck, x):
+    # the portable double->integer recipe oracle queries must use
+    # (ROUND is half-away-from-zero in both engines; bare CAST is not
+    # portable, see divergence 1 above). Doubles enter as STRING casts
+    # (divergence 5).
+    _run_both(
+        spark, duck, f"CAST(ROUND(CAST('{x!r}' AS DOUBLE)) AS BIGINT)", relation=_ONE_ROW
+    )
+    _run_both(spark, duck, f"CAST(FLOOR(CAST('{x!r}' AS DOUBLE)) AS BIGINT)", relation=_ONE_ROW)
+
+
+@settings(max_examples=30, deadline=None)
+@given(x=_bounded_double)
+def test_double_to_decimal_and_string_agree(spark, duck, x):
+    # double -> DECIMAL(18,2) rounds half-even in both engines; the
+    # decimal's string form is then canonical in both
+    _run_both(
+        spark,
+        duck,
+        f"CAST(CAST(CAST('{x!r}' AS DOUBLE) AS DECIMAL(18,2)) AS STRING)",
+        relation=_ONE_ROW,
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(x=_bounded_double)
+def test_numeric_trunc_shim_agrees(spark, duck, x):
+    # engine trunc(x) rewrite (compat.py) vs DuckDB's native trunc;
+    # doubles enter as STRING casts (divergence 5)
+    from datafusion_wasm_bindings_spark.compat import rewrite
+
+    lit = f"CAST('{x!r}' AS DOUBLE)"
+    expr = rewrite(f"SELECT trunc({lit}) AS r").split("SELECT ")[1].rsplit(" AS r")[0]
+    got = spark.sql(f"SELECT {expr} AS r FROM {_ONE_ROW}").collect()[0].r
+    want = duck.sql(f"SELECT trunc({lit}) AS r").fetchall()[0][0]
+    assert got == want, f"trunc({x!r}): spark={got} duck={want}"
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    y=st.integers(1000, 2400),
+    mo=st.integers(0, 13),
+    dy=st.integers(0, 32),
+    pad=st.booleans(),
+)
+def test_try_cast_string_to_date_agree(spark, duck, y, mo, dy, pad):
+    s = f"{y:04d}-{mo:02d}-{dy:02d}" if pad else f"{y}-{mo}-{dy}"
+    _run_both(spark, duck, f"TRY_CAST('{s}' AS DATE)", relation=_ONE_ROW)
+
+
+def test_cast_divergences_documented(spark, duck):
+    """Pin the known cast-policy divergences so an engine upgrade that
+    silently changes either side fails here first (SURVEY §1.1 lists
+    the division/null-order analogues)."""
+    # 1. double->int: Spark truncates (matches DataFusion/Arrow), DuckDB
+    #    rounds half-even
+    assert spark.sql("SELECT CAST(CAST(1.5 AS DOUBLE) AS INT) AS r").collect()[0].r == 1
+    assert duck.sql("SELECT CAST(CAST(1.5 AS DOUBLE) AS INT) AS r").fetchall()[0][0] == 2
+    # 2. decimal-shaped string->int: Spark NULL, DuckDB parses+rounds
+    assert spark.sql("SELECT TRY_CAST('1.5' AS INT) AS r").collect()[0].r is None
+    assert duck.sql("SELECT TRY_CAST('1.5' AS INT) AS r").fetchall()[0][0] == 2
+    # 3. slash dates: Spark NULL, DuckDB parses
+    assert spark.sql("SELECT TRY_CAST('2020/01/02' AS DATE) AS r").collect()[0].r is None
+    assert duck.sql("SELECT TRY_CAST('2020/01/02' AS DATE) AS r").fetchall()[0][0] is not None
+    # 4. 'yes' boolean: Spark parses, DuckDB NULL
+    assert spark.sql("SELECT TRY_CAST('yes' AS BOOLEAN) AS r").collect()[0].r is True
+    assert duck.sql("SELECT TRY_CAST('yes' AS BOOLEAN) AS r").fetchall()[0][0] is None
+    # 5. high-precision decimal literal -> double: DuckDB lands 1 ulp
+    #    off correctly-rounded; string -> double agrees in both
+    q = "SELECT CAST(CAST(900719.9999999999 AS DOUBLE) AS STRING) AS r"
+    assert spark.sql(q).collect()[0].r == "900719.9999999999"
+    assert duck.sql(q).fetchall()[0][0] == "900720.0"
+    q = "SELECT CAST(CAST('900719.9999999999' AS DOUBLE) AS STRING) AS r"
+    assert spark.sql(q).collect()[0].r == "900719.9999999999"
+    assert duck.sql(q).fetchall()[0][0] == "900719.9999999999"
+    # 6. sub-4-digit years: DuckDB parses, Spark NULL
+    assert spark.sql("SELECT TRY_CAST('1-1-1' AS DATE) AS r").collect()[0].r is None
+    assert duck.sql("SELECT TRY_CAST('1-1-1' AS DATE) AS r").fetchall()[0][0] is not None
