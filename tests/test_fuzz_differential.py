@@ -614,3 +614,41 @@ def test_cast_divergences_documented(spark, duck):
     # 6. sub-4-digit years: DuckDB parses, Spark NULL
     assert spark.sql("SELECT TRY_CAST('1-1-1' AS DATE) AS r").collect()[0].r is None
     assert duck.sql("SELECT TRY_CAST('1-1-1' AS DATE) AS r").fetchall()[0][0] is not None
+
+
+# --- ORDER BY / LIMIT / OFFSET grammar --------------------------------
+#
+# Explicit NULLS FIRST/LAST always (the oracle determinism recipe):
+# the engines' DEFAULTS differ (SURVEY §1.1 — Spark ASC defaults to
+# NULLS FIRST, DuckDB/Postgres/DataFusion to NULLS LAST), pinned below.
+# Column `a` is unique in VALUES_SQL, so appending it as a tiebreak
+# makes every generated ordering total and the row sequence comparable.
+
+@settings(max_examples=25, deadline=None)
+@given(
+    key=_int_expr(2),
+    d=st.sampled_from(["ASC", "DESC"]),
+    nl=st.sampled_from([" NULLS FIRST", " NULLS LAST"]),
+    lim=st.integers(0, 7),
+    off=st.integers(0, 4),
+)
+def test_order_limit_offset_agree(spark, duck, key, d, nl, lim, off):
+    sql = (
+        f"SELECT COALESCE(a, -999) AS r FROM {VALUES_SQL} "
+        f"ORDER BY ({key}) {d}{nl}, a ASC NULLS LAST LIMIT {lim} OFFSET {off}"
+    )
+    got = [row.r for row in spark.sql(sql).collect()]
+    want = [v for (v,) in duck.sql(sql).fetchall()]
+    assert got == want, f"{sql}\n spark={got}\n duck={want}"
+
+
+def test_default_null_ordering_divergence_documented(spark, duck):
+    """Pin SURVEY §1.1: with no NULLS clause, ASC puts NULLs first in
+    Spark but last in DuckDB/Postgres/DataFusion — why every checked
+    query spells the null position explicitly."""
+    sql = f"SELECT COALESCE(b, -999) AS r FROM {VALUES_SQL} ORDER BY b ASC, a ASC NULLS LAST"
+    got = [row.r for row in spark.sql(sql).collect()]
+    want = [v for (v,) in duck.sql(sql).fetchall()]
+    assert got[0] == -999 and got[1] == -999  # Spark: NULLs first
+    assert want[-1] == -999 and want[-2] == -999  # DuckDB: NULLs last
+    assert sorted(got, key=str) == sorted(want, key=str)
