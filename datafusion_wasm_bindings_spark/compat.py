@@ -297,6 +297,192 @@ def _expand_distinct_on(m: re.Match) -> str:
     )
 
 
+# --- GROUPS window frames (SURVEY §2.5, §7.4) -------------------------
+#
+# Spark's window grammar has ROWS and RANGE but no GROUPS. A GROUPS
+# frame over ORDER BY o counts *peer groups* (distinct o values), which
+# is exactly a RANGE frame with the same integer offsets applied to
+# DENSE_RANK() over the same (PARTITION BY, ORDER BY) — dense ranks
+# enumerate peer groups contiguously. The rewrite precomputes that rank
+# in a derived subquery (after this SELECT's WHERE, preserving window
+# input semantics) and retargets the frame:
+#
+#   SELECT k, SUM(x) OVER (PARTITION BY p ORDER BY o GROUPS BETWEEN
+#                          1 PRECEDING AND 1 FOLLOWING) FROM t WHERE c
+#   →
+#   SELECT k, SUM(x) OVER (PARTITION BY p ORDER BY __dfwb_gr0 RANGE
+#                          BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+#   FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY p ORDER BY o)
+#         AS __dfwb_gr0 FROM t WHERE c) __dfwb_gframe0
+#
+# Supported shape: the owning SELECT has no GROUP BY/HAVING/WINDOW at
+# its own depth (windows over plain rows — the reference's test shapes)
+# and the frame has no EXCLUDE clause. Unsupported shapes pass through
+# untouched, so Spark's parser rejects the GROUPS keyword loudly rather
+# than silently computing something else.
+
+_OVER_RE = re.compile(r"\bOVER\s*\(", re.IGNORECASE)
+
+_GROUPS_WIN_RE = re.compile(
+    r"^\s*(?:PARTITION\s+BY\s+(?P<p>.+?)\s+)?ORDER\s+BY\s+(?P<o>.+?)\s+"
+    r"GROUPS\s+(?P<frame>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_SELECT_RE = re.compile(r"\bSELECT\b", re.IGNORECASE)
+_FROM_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+_TAIL_KW_RE = re.compile(
+    r"\b(WHERE|GROUP\s+BY|HAVING|WINDOW|QUALIFY|ORDER\s+BY|LIMIT|OFFSET|UNION|INTERSECT|EXCEPT)\b",
+    re.IGNORECASE,
+)
+
+
+def _depths(masked: str) -> list:
+    """Paren depth at each character index of literal-masked text."""
+    out = [0] * len(masked)
+    d = 0
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            out[i] = d
+            d += 1
+        elif ch == ")":
+            d -= 1
+            out[i] = d
+        else:
+            out[i] = d
+    return out
+
+
+def _balanced_end(masked: str, open_paren: int) -> int:
+    """Index just past the ')' matching ``masked[open_paren] == '('``."""
+    depth = 0
+    for i in range(open_paren, len(masked)):
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    return len(masked)
+
+
+def rewrite_groups_frames(masked: str) -> str:
+    counter = 0
+    while re.search(r"\bGROUPS\b", masked, re.IGNORECASE):
+        target = None
+        for m in _OVER_RE.finditer(masked):
+            op = m.end() - 1
+            end = _balanced_end(masked, op)
+            wm = _GROUPS_WIN_RE.match(masked[op + 1 : end - 1])
+            if wm and "EXCLUDE" not in wm.group("frame").upper():
+                target = (m.start(), end, wm)
+                break
+        if target is None:
+            return masked
+        s_over, _, _ = target
+        depth = _depths(masked)
+        d0 = depth[s_over]
+        sel_start = None
+        for sm in _SELECT_RE.finditer(masked, 0, s_over):
+            if depth[sm.start()] == d0:
+                sel_start = sm.start()
+        if sel_start is None:
+            return masked
+        span_end = len(masked)
+        for i in range(s_over, len(masked)):
+            if depth[i] < d0:
+                span_end = i
+                break
+        from_pos = None
+        for fm in _FROM_RE.finditer(masked, sel_start, span_end):
+            if depth[fm.start()] == d0:
+                from_pos = fm
+                break
+        if from_pos is None:
+            return masked
+
+        # rewrite every depth-d0 GROUPS window in this select list;
+        # one dense-rank column per distinct (partition, order) spec
+        sel_list = masked[sel_start + len("SELECT") : from_pos.start()]
+        base = sel_start + len("SELECT")
+        dr_names: dict = {}
+        replacements = []  # (abs_start, abs_end, new_text)
+        for m in _OVER_RE.finditer(sel_list):
+            abs_over = base + m.start()
+            if depth[abs_over] != d0:
+                continue
+            op = base + m.end() - 1
+            end = _balanced_end(masked, op)
+            wm = _GROUPS_WIN_RE.match(masked[op + 1 : end - 1])
+            if wm is None or "EXCLUDE" in wm.group("frame").upper():
+                continue
+            p = (wm.group("p") or "").strip()
+            o = wm.group("o").strip()
+            key = (re.sub(r"\s+", " ", p.lower()), re.sub(r"\s+", " ", o.lower()))
+            if key not in dr_names:
+                dr_names[key] = (f"__dfwb_gr{counter}", p, o)
+                counter += 1
+            name = dr_names[key][0]
+            part = f"PARTITION BY {p} " if p else ""
+            replacements.append(
+                (abs_over, end, f"OVER ({part}ORDER BY {name} RANGE {wm.group('frame').strip()})")
+            )
+        if not replacements:
+            return masked
+
+        # split the tail after FROM: relation [WHERE w] [order/limit tail]
+        rest = masked[from_pos.end() : span_end]
+        rest_base = from_pos.end()
+        rel_end = len(rest)
+        where_span = None
+        tail_start = len(rest)
+        for km in _TAIL_KW_RE.finditer(rest):
+            if depth[rest_base + km.start()] != d0:
+                continue
+            kw = re.sub(r"\s+", " ", km.group(1).upper())
+            if kw in ("GROUP BY", "HAVING", "WINDOW", "QUALIFY", "UNION", "INTERSECT", "EXCEPT"):
+                return masked  # unsupported shape: leave untouched
+            if kw == "WHERE" and where_span is None:
+                rel_end = min(rel_end, km.start())
+                where_span = km.start()
+            else:  # ORDER BY / LIMIT / OFFSET
+                rel_end = min(rel_end, km.start())
+                tail_start = km.start()
+                break
+        relation = rest[: where_span if where_span is not None else rel_end].strip()
+        where_sql = (
+            rest[where_span:tail_start].strip() if where_span is not None else ""
+        )
+        tail_sql = rest[tail_start:].strip()
+
+        new_list = sel_list
+        for abs_s, abs_e, txt in sorted(replacements, reverse=True):
+            new_list = new_list[: abs_s - base] + txt + new_list[abs_e - base :]
+        drcols = ", ".join(
+            f"DENSE_RANK() OVER ({'PARTITION BY ' + p + ' ' if p else ''}ORDER BY {o}) AS {nm}"
+            for nm, p, o in dr_names.values()
+        )
+        alias = f"__dfwb_gframe{counter}"
+        hidden = ", ".join(nm for nm, _, _ in dr_names.values())
+        # a bare `*` projection item would now leak the rank columns:
+        # only a `*` at the start of the list or right after a comma is
+        # a projection item (never `a * b` or `count(*)`)
+        new_list = re.sub(
+            r"(^\s*|,\s*)\*(\s*)(?=,|$)",
+            lambda mm: f"{mm.group(1)}* EXCEPT ({hidden}){mm.group(2)}",
+            new_list,
+            count=1,
+        )
+        inner = f"SELECT *, {drcols} FROM {relation}"
+        if where_sql:
+            inner += f" {where_sql}"
+        rebuilt = f"SELECT{new_list}FROM ({inner}) {alias}"
+        if tail_sql:
+            rebuilt += f" {tail_sql}"
+        masked = masked[:sel_start] + rebuilt + masked[span_end:]
+    return masked
+
+
 _SHOW_VAR_RE = re.compile(r"^\s*SHOW\s+((?:\w+\.)+\w+)\s*$", re.IGNORECASE)
 
 
@@ -400,6 +586,7 @@ def rewrite(sql: str) -> str:
     masked = _rewrite_calls(masked, "trunc", trunc_repl)
     masked = masked.replace("\x00TRUNC\x00", "trunc")
     masked = rewrite_distinct_on(masked)
+    masked = rewrite_groups_frames(masked)
     # arrow_typeof(x) → Spark's typeof(x). Type *names* differ (Arrow
     # "Int32" vs Spark "int") — documented approximation: the callable
     # works, the spelling is the host engine's, exactly as DataFusion

@@ -221,3 +221,19 @@ def test_distinct_on_in_nested_subquery_and_cte_body(spark, sf_dir):
         got = sorted(tuple(r) for r in eng.sql(sql).collect())
         want = sorted(tuple(r) for r in duck.sql(sql).fetchall())
         assert got == want, sql
+
+
+def test_groups_frame_through_engine(spark):
+    """GROUPS window frames (SURVEY §2.5) through the SQL-text surface:
+    rewritten to DENSE_RANK + RANGE (compat.rewrite_groups_frames)."""
+    from datafusion_wasm_bindings_spark.engine import SQLEngine
+
+    eng = SQLEngine(spark)
+    out = eng.execute_sql(
+        "SELECT id, SUM(x) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s "
+        "FROM (VALUES (1, 10, 1), (2, 10, 2), (3, 20, 4), (4, 30, 8)) AS t(id, o, x) "
+        "ORDER BY id"
+    )
+    # peers {10}={1,2}, {20}={4}, {30}={8}: frames -> 7, 7, 15, 12
+    for v in ("7", "15", "12"):
+        assert v in out

@@ -652,3 +652,95 @@ def test_default_null_ordering_divergence_documented(spark, duck):
     assert got[0] == -999 and got[1] == -999  # Spark: NULLs first
     assert want[-1] == -999 and want[-2] == -999  # DuckDB: NULLs last
     assert sorted(got, key=str) == sorted(want, key=str)
+
+
+# --- GROUPS window frames (compat rewrite vs a pure-Python oracle) ---
+#
+# DuckDB 1.x does not implement GROUPS frames ("not implemented yet"
+# parser error), so the oracle here is an independent direct
+# implementation of the SQL-standard semantics: the frame selects whole
+# PEER GROUPS (distinct order-key values) at group-index offsets from
+# the current row's group. Ties in the order key are the whole point —
+# peer groups of size > 1 distinguish GROUPS from ROWS. x values are
+# powers of two, so every aggregate value identifies the exact member
+# set of the frame.
+
+GROUPS_ROWS = [
+    # (id, p, o, x)
+    (1, 1, 10, 1), (2, 1, 10, 2), (3, 1, 20, 4), (4, 1, 30, 8),
+    (5, 2, 10, 16), (6, 2, 10, 32), (7, 2, 40, 64), (8, 2, 40, 128),
+    (9, 2, 50, 256),
+]
+
+GROUPS_VALUES_SQL = (
+    "(VALUES " + ", ".join(f"({i}, {p}, {o}, {x})" for i, p, o, x in GROUPS_ROWS)
+    + ") AS t(id, p, o, x)"
+)
+
+
+def _groups_oracle(rows, partitioned, desc, lo, hi, agg):
+    """{id: aggregate over the GROUPS frame} per the SQL standard."""
+    out = {}
+    part_key = (lambda r: r[1]) if partitioned else (lambda r: 0)
+    for k in {part_key(r) for r in rows}:
+        grp = sorted((r for r in rows if part_key(r) == k),
+                     key=lambda r: r[2], reverse=desc)
+        uniq = sorted({r[2] for r in grp}, reverse=desc)
+        gidx = {o: i for i, o in enumerate(uniq)}
+        n = len(uniq)
+        for r in grp:
+            g = gidx[r[2]]
+            lo_g = (0 if lo == "UNBOUNDED PRECEDING"
+                    else g if lo == "CURRENT ROW" else g - int(lo.split()[0]))
+            hi_g = (n - 1 if hi == "UNBOUNDED FOLLOWING"
+                    else g if hi == "CURRENT ROW" else g + int(hi.split()[0]))
+            sel = [s[3] for s in grp if lo_g <= gidx[s[2]] <= hi_g]
+            if agg == "COUNT(x)":
+                out[r[0]] = len(sel)
+            elif not sel:
+                out[r[0]] = None
+            elif agg == "SUM(x)":
+                out[r[0]] = sum(sel)
+            elif agg == "MIN(x)":
+                out[r[0]] = min(sel)
+            else:
+                out[r[0]] = max(sel)
+    return out
+
+
+_g_lo = st.sampled_from(["UNBOUNDED PRECEDING", "2 PRECEDING", "1 PRECEDING", "CURRENT ROW"])
+_g_hi = st.sampled_from(["CURRENT ROW", "1 FOLLOWING", "2 FOLLOWING", "UNBOUNDED FOLLOWING"])
+_g_agg = st.sampled_from(["SUM(x)", "MIN(x)", "MAX(x)", "COUNT(x)"])
+_g_part = st.sampled_from(["", "PARTITION BY p "])
+_g_dir = st.sampled_from(["ASC", "DESC"])
+
+
+@settings(max_examples=30, deadline=None)
+@given(agg=_g_agg, part=_g_part, d=_g_dir, lo=_g_lo, hi=_g_hi)
+def test_groups_frames_match_python_oracle(spark, agg, part, d, lo, hi):
+    from datafusion_wasm_bindings_spark.compat import rewrite
+
+    sql = (
+        f"SELECT id, {agg} OVER ({part}ORDER BY o {d} "
+        f"GROUPS BETWEEN {lo} AND {hi}) AS r FROM {GROUPS_VALUES_SQL} ORDER BY id"
+    )
+    got = {row.id: row.r for row in spark.sql(rewrite(sql)).collect()}
+    want = _groups_oracle(GROUPS_ROWS, bool(part), d == "DESC", lo, hi, agg)
+    assert got == want, f"{sql}\n spark={got}\n oracle={want}"
+
+
+def test_groups_frame_with_where_and_two_windows(spark):
+    from datafusion_wasm_bindings_spark.compat import rewrite
+
+    sql = (
+        "SELECT id, "
+        "SUM(x) OVER (PARTITION BY p ORDER BY o GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s, "
+        "COUNT(x) OVER (ORDER BY o GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c "
+        f"FROM {GROUPS_VALUES_SQL} WHERE id <> 4 ORDER BY id LIMIT 7"
+    )
+    rows = [r for r in GROUPS_ROWS if r[0] != 4]
+    s = _groups_oracle(rows, True, False, "1 PRECEDING", "1 FOLLOWING", "SUM(x)")
+    c = _groups_oracle(rows, False, False, "UNBOUNDED PRECEDING", "CURRENT ROW", "COUNT(x)")
+    want = [(i, s[i], c[i]) for i, _, _, _ in rows][:7]
+    got = [tuple(r) for r in spark.sql(rewrite(sql)).collect()]
+    assert got == want, f"{sql}\n spark={got}\n oracle={want}"
