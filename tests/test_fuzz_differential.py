@@ -744,3 +744,49 @@ def test_groups_frame_with_where_and_two_windows(spark):
     want = [(i, s[i], c[i]) for i, _, _, _ in rows][:7]
     got = [tuple(r) for r in spark.sql(rewrite(sql)).collect()]
     assert got == want, f"{sql}\n spark={got}\n oracle={want}"
+
+
+# --- LIKE / ILIKE pattern grammar -------------------------------------
+#
+# Exploration (2026-08-13): without an ESCAPE clause Spark treats
+# backslash as the implicit escape character (Postgres/DataFusion
+# semantics — so Spark matches the reference), while DuckDB treats
+# backslash as a literal character. With an explicit ESCAPE clause the
+# engines agree. Intersection grammar: no backslash in patterns;
+# explicit ESCAPE '!' for literal wildcards.
+
+_like_s = st.text(alphabet="abAB_%", max_size=6)
+_like_p = st.text(alphabet="ab%_", max_size=6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    s=_like_s,
+    p=_like_p,
+    op=st.sampled_from(["LIKE", "ILIKE", "NOT LIKE", "NOT ILIKE"]),
+)
+def test_like_patterns_agree(spark, duck, s, p, op):
+    _run_both(spark, duck, f"('{s}' {op} '{p}')", relation=_ONE_ROW)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    s=_like_s,
+    pre=st.text(alphabet="ab", max_size=3),
+    wc=st.sampled_from(["_", "%"]),
+    suf=st.text(alphabet="ab%_", max_size=3),
+    escaped=st.booleans(),
+)
+def test_like_escape_clause_agrees(spark, duck, s, pre, wc, suf, escaped):
+    pat = pre + ("!" + wc if escaped else wc) + suf
+    _run_both(spark, duck, f"('{s}' LIKE '{pat}' ESCAPE '!')", relation=_ONE_ROW)
+
+
+def test_like_backslash_divergence_documented(spark, duck):
+    """Pin the implicit-escape divergence: Spark/Postgres/DataFusion
+    treat backslash in a LIKE pattern as an escape; DuckDB treats it as
+    a literal. Oracle queries must avoid bare backslash patterns or
+    spell ESCAPE explicitly."""
+    q = r"SELECT 'a_c' LIKE 'a\_c' AS r"
+    assert spark.sql(q).collect()[0].r is True  # escape: literal _
+    assert duck.sql(q).fetchall()[0][0] is False  # literal backslash
