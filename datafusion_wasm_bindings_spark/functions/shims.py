@@ -5,22 +5,21 @@ Nearly every scalar function the reference compiles in
 a Spark builtin — those mappings live in ``NAME_MAP`` and cost
 nothing at runtime (Catalyst sees the builtin). Only functions with
 no Spark equivalent get a real implementation, preferring expression
-composition (JVM-side, codegen-friendly) and falling back to an
-Arrow-vectorized pandas UDF only for gcd/lcm, which have no closed
-expression form.
+composition (JVM-side, codegen-friendly): even gcd/lcm, which have no
+closed form, run as a bounded Euclid fold via the ``aggregate``
+higher-order function — pure JVM, no Python workers.
 
 ``ensure_registered(spark)`` makes the SQL-callable shims available
 under a ``dfwb_`` prefix (Spark has no schema-qualified function
-namespaces for session UDFs).
+namespaces for session UDFs); gcd/lcm register as Spark 4 SQL UDFs
+that Catalyst inlines into the calling plan.
 
-Scale note: the pandas UDFs here are Arrow-batched; at 100 TB they
-run once per ~10k-row batch per core — acceptable for the rare
-queries using gcd/lcm, and everything else stays in codegen.
+Scale note: the only remaining pandas UDF (regexp_match with column
+patterns) is Arrow-batched; at 100 TB it runs once per ~10k-row batch
+per core. Everything else stays in codegen.
 """
 
 from __future__ import annotations
-
-import math
 
 import pandas as pd
 from pyspark.sql import Column, SparkSession
@@ -94,26 +93,61 @@ def concat(*cols: Column) -> Column:
     return F.concat_ws("", *cols)
 
 
-# --- pandas UDFs (Arrow-vectorized; only where no expression exists) --
+# Euclid's algorithm as a bounded fold: each mod step at least halves
+# the smaller operand every two iterations, and the worst case
+# (consecutive Fibonacci numbers) needs ~91 steps for 64-bit inputs,
+# so folding 96 steps over a constant sequence is exact for any BIGINT
+# pair. The fold is a Catalyst higher-order function — pure JVM,
+# no Python workers (was an Arrow pandas UDF before).
+_GCD_STEPS = 96
 
-@F.pandas_udf(T.LongType())
-def _gcd_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [None if x is None or y is None else math.gcd(int(x), int(y)) for x, y in zip(a, b)],
-        dtype="Int64",
+
+def gcd(a: Column, b: Column) -> Column:
+    """DataFusion/Postgres ``gcd(a, b)`` on BIGINT, JVM-side.
+
+    Nulls propagate through the fold naturally; gcd(0, 0) = 0 as in
+    Postgres/``math.gcd``. Caveat: abs(-2^63) overflows BIGINT (ANSI
+    error) — Postgres raises on the same input.
+    """
+    pair = F.struct(
+        F.abs(a.cast("long")).alias("x"), F.abs(b.cast("long")).alias("y")
+    )
+    res = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_GCD_STEPS)),
+        pair,
+        lambda acc, _: F.when(acc.y == 0, acc).otherwise(
+            F.struct(acc.y.alias("x"), (acc.x % acc.y).alias("y"))
+        ),
+    )
+    return res.getField("x")
+
+
+def lcm(a: Column, b: Column) -> Column:
+    """DataFusion/Postgres ``lcm(a, b)`` on BIGINT, JVM-side.
+
+    lcm(0, 0) = 0; divides by gcd before multiplying to minimize
+    overflow (|a|/g * |b|).
+    """
+    g = gcd(a, b)
+    ax = F.abs(a.cast("long"))
+    bx = F.abs(b.cast("long"))
+    return F.when((ax == 0) | (bx == 0), F.lit(0).cast("long")).otherwise(
+        (ax / g).cast("long") * bx
     )
 
 
-@F.pandas_udf(T.LongType())
-def _lcm_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [None if x is None or y is None else math.lcm(int(x), int(y)) for x, y in zip(a, b)],
-        dtype="Int64",
-    )
+# SQL UDF bodies (Spark 4 CREATE TEMPORARY FUNCTION ... RETURN expr):
+# inlined into the calling plan by Catalyst, so gcd/lcm in SQL text
+# stay inside whole-stage codegen too.
+_GCD_BODY = f"""
+    aggregate(sequence(1, {_GCD_STEPS}),
+              struct(abs(CAST({{a}} AS BIGINT)) AS x, abs(CAST({{b}} AS BIGINT)) AS y),
+              (acc, i) -> IF(acc.y = 0L, acc, struct(acc.y AS x, acc.x % acc.y AS y))).x
+"""
 
 
-gcd = _gcd_udf
-lcm = _lcm_udf
+def _gcd_sql(a: str, b: str) -> str:
+    return _GCD_BODY.format(a=a, b=b)
 
 _registered_sessions: set[int] = set()
 
@@ -160,10 +194,25 @@ def _regexp_match_udf(s: pd.Series, p: pd.Series) -> pd.Series:
 
 
 def ensure_registered(spark: SparkSession) -> None:
-    """Register the SQL-callable shims once per session."""
+    """Register the SQL-callable shims once per session.
+
+    gcd/lcm are SQL scalar UDFs (Spark 4 ``CREATE TEMPORARY FUNCTION …
+    RETURN expr``) — Catalyst inlines the body into the calling plan,
+    so they codegen like any builtin. Only regexp_match (column
+    patterns) remains a Python UDF.
+    """
     if id(spark) in _registered_sessions:
         return
-    spark.udf.register("dfwb_gcd", _gcd_udf)
-    spark.udf.register("dfwb_lcm", _lcm_udf)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION dfwb_gcd(a BIGINT, b BIGINT) "
+        "RETURNS BIGINT RETURN CASE WHEN a IS NULL OR b IS NULL THEN "
+        "CAST(NULL AS BIGINT) ELSE " + _gcd_sql("a", "b") + " END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION dfwb_lcm(a BIGINT, b BIGINT) "
+        "RETURNS BIGINT RETURN CASE WHEN a IS NULL OR b IS NULL THEN "
+        "CAST(NULL AS BIGINT) WHEN a = 0L OR b = 0L THEN 0L ELSE "
+        "abs(a) DIV (" + _gcd_sql("a", "b") + ") * abs(b) END"
+    )
     spark.udf.register("dfwb_regexp_match", _regexp_match_udf)
     _registered_sessions.add(id(spark))

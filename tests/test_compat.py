@@ -75,6 +75,34 @@ def test_concat_shim_skips_nulls(spark):
     assert [r.r for r in rows] == ["a-", "-"]
 
 
+def test_gcd_lcm_jvm_shims_exact(spark):
+    # gcd/lcm run as a bounded Euclid fold (96 mod steps) in Catalyst's
+    # `aggregate` higher-order function — no Python workers. The
+    # consecutive-Fibonacci pair near 2^62 is the worst case for
+    # Euclid's algorithm on BIGINT (~91 steps), pinning the bound.
+    import math
+
+    from datafusion_wasm_bindings_spark.functions.shims import ensure_registered
+
+    ensure_registered(spark)
+    fa, fb = 2880067194370816120, 4660046610375530309  # F(90), F(91)
+    rows = spark.sql(
+        f"SELECT dfwb_gcd(a, b) AS g, a, b FROM VALUES (12L, 18L), (0L, 0L), "
+        f"(-8L, 12L), (CAST(NULL AS BIGINT), 5L), (987654321987L, 1234567890L), "
+        f"(1L, 0L), ({fa}L, {fb}L), (-6L, -4L) t(a, b)"
+    ).collect()
+    for r in rows:
+        expected = None if r.a is None or r.b is None else math.gcd(r.a, r.b)
+        assert r.g == expected, (r.a, r.b, r.g, expected)
+    rows = spark.sql(
+        "SELECT dfwb_lcm(a, b) AS l, a, b FROM VALUES (12L, 18L), (0L, 0L), "
+        "(4L, 6L), (CAST(NULL AS BIGINT), 5L), (1L, 0L), (-6L, -4L) t(a, b)"
+    ).collect()
+    for r in rows:
+        expected = None if r.a is None or r.b is None else math.lcm(r.a, r.b)
+        assert r.l == expected, (r.a, r.b, r.l, expected)
+
+
 def test_to_char_rewrite_through_engine(spark):
     from datafusion_wasm_bindings_spark.engine import SQLEngine
 
