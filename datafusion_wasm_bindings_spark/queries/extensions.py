@@ -944,3 +944,39 @@ query(
     headline=True,
     tags=("extension", "pipeline"),
 )(_pipeline_training_mix)
+
+
+def _pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.packing import pack_sequences
+
+    return pack_sequences(table(spark, sf_dir, "documents"), budget=512, n_shards=8)
+
+
+query(
+    "q_pipeline_pack",
+    f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 8 AS shard, len({_TOK}) AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS end_off
+      FROM d
+    ),
+    cut AS (
+      SELECT shard, n_tokens,
+             CAST(floor((end_off - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+             (n_tokens > 0 AND
+              floor((end_off - 1) / 512.0) > floor((end_off - n_tokens) / 512.0))
+               AS crosses
+      FROM placed
+    )
+    SELECT shard, seq_id, count(*) AS n_docs, sum(n_tokens) AS start_tokens,
+           sum(CASE WHEN crosses THEN 1 ELSE 0 END) AS n_split
+    FROM cut GROUP BY shard, seq_id ORDER BY shard, seq_id
+    """,
+    tags=("extension", "pipeline", "packing"),
+)(_pipeline_pack)

@@ -239,3 +239,23 @@ def test_resize_media_decimates_and_composes_downstream(documents):
     # sampling run on it unchanged
     assert extract_features(resized).count() == 50
     assert frame_sample(resized).count() >= 50
+
+
+def test_pack_sequences_concat_and_chunk_semantics(spark):
+    # Hand-computed concat-and-chunk: budget 5, shards by doc_id parity.
+    # shard0 docs (id: tokens) 0:3 2:2 4:1 -> seqs [(0,2 docs,5 tok,0
+    # split), (1,1,1,0)]; shard1 1:4 3:5 5:6 -> doc3 starts at offset 4
+    # and crosses the cut at 5, doc5 starts at 9 and crosses 10.
+    from datafusion_wasm_bindings_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "w " * c) for i, c in enumerate([3, 4, 2, 5, 1, 6])],
+        "doc_id long, text string",
+    )
+    rows = [tuple(r) for r in pack_sequences(df, budget=5, n_shards=2).collect()]
+    assert rows == [
+        (0, 0, 2, 5, 0),
+        (0, 1, 1, 1, 0),
+        (1, 0, 2, 9, 1),
+        (1, 1, 1, 6, 1),
+    ], rows

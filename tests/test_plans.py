@@ -186,3 +186,15 @@ def test_pipeline_training_mix_plan_shape(spark, sf_dir):
         < plan.rindex("+- Filter")
         < plan.rindex("FileScan parquet")
     ), plan
+
+
+def test_pipeline_pack_single_wide_exchange(spark, sf_dir):
+    """Sequence packing must shuffle once: the window's hash partition
+    on shard also satisfies the (shard, seq_id) rollup's clustering, so
+    Catalyst must not insert a second hash exchange between them (the
+    final rangepartitioning belongs to the presentation ORDER BY)."""
+    import re
+
+    df = REGISTRY["q_pipeline_pack"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
