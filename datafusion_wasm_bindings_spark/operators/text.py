@@ -158,3 +158,86 @@ def fingerprints(documents: DataFrame, modulus: int = 1_000_000_007) -> DataFram
         lambda acc, tok: (acc * 31 + char_fold(tok)) % p,
     )
     return documents.select("doc_id", fp.alias("fingerprint"))
+
+
+def repetition_scores(documents: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition features — the standard
+    pretraining repetition filter (duplicate tokens, dominant and
+    duplicated 2-grams) applied before model-based quality scoring.
+
+    Per doc: ``dup_token_ratio`` (1 − distinct/total tokens),
+    ``top_bigram_frac`` (occurrences of the most frequent bigram over
+    all bigrams), ``dup_bigram_frac`` (fraction of bigram occurrences
+    whose bigram appears more than once).
+
+    Shape: a pure map — no explode, no shuffle, no join. Bigrams are a
+    zip of the token list with its own shift; per-bigram frequencies
+    come from a run-length fold (`aggregate`) over the *sorted* bigram
+    array, so every feature is computed inside one projection over the
+    scan. An explode → groupBy formulation measured 5× slower at sf0.1
+    (Catalyst placed the per-doc array expressions above the Generate,
+    re-evaluating them per exploded row) and would shuffle ~100× the
+    corpus token count at 100 TB; this shape does per-doc O(n log n)
+    work with zero exchanges. Tokenize and fold live in their own
+    selects so CollapseProject cannot re-evaluate them per reference.
+    """
+    base = documents.select("doc_id", tokens_col().alias("toks"))
+    m = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("toks", F.lit(1), m),
+        F.slice("toks", F.lit(2), m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    stats = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.array_sort(bigrams).alias("bgs"),
+    )
+
+    # run-length fold over the sorted bigrams: longest run = top bigram
+    # count; runs of length k >= 2 contribute k duplicated occurrences
+    # (+2 when the run reaches 2, +1 for each further repeat)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("maxrun"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        dup = acc.getField("dup") + (
+            F.when(run == 2, 2).when(run > 2, 1).otherwise(0)
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("maxrun"), run).alias("maxrun"),
+            dup.alias("dup"),
+        )
+
+    folded = stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.size("bgs").alias("total_bg"),
+        F.aggregate(F.col("bgs"), zero, step).alias("fold"),
+    )
+    nonempty = F.col("total_bg") > 0
+    return folded.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            1.0 - F.col("n_distinct") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+        ).alias("dup_token_ratio"),
+        F.round(
+            F.when(nonempty, F.col("fold.maxrun") / F.col("total_bg")).otherwise(0.0),
+            6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(nonempty, F.col("fold.dup") / F.col("total_bg")).otherwise(0.0), 6
+        ).alias("dup_bigram_frac"),
+    )

@@ -479,6 +479,39 @@ query(
 )(_text_langid)
 
 
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.text import repetition_scores
+
+    return repetition_scores(table(spark, sf_dir, "documents"))
+
+
+query(
+    "q_text_repetition",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS toks FROM documents
+    ),
+    b AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+      FROM t, unnest(range(1, len(toks))) AS r(i)
+    ),
+    c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+    d AS (
+      SELECT doc_id AS d_id, max(c) AS top_bg, sum(c) AS total_bg,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bg
+      FROM c GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(toks) AS n_tokens,
+           round(1.0 - len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 6)
+             AS dup_token_ratio,
+           round(coalesce(top_bg * 1.0 / total_bg, 0), 6) AS top_bigram_frac,
+           round(coalesce(dup_bg * 1.0 / total_bg, 0), 6) AS dup_bigram_frac
+    FROM t LEFT JOIN d ON t.doc_id = d.d_id
+    """,
+    tags=("extension", "text"),
+)(_text_repetition)
+
+
 def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.text import fingerprints
 

@@ -198,3 +198,14 @@ def test_pipeline_pack_single_wide_exchange(spark, sf_dir):
     df = REGISTRY["q_pipeline_pack"].spark_fn(spark, sf_dir)
     plan = _plan(df)
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_text_repetition_is_shuffle_free(spark, sf_dir):
+    """Repetition features are per-document array folds — the plan must
+    be a single map stage over the scan: no Exchange, no Generate
+    (the explode → groupBy formulation re-evaluated per-doc arrays per
+    exploded row and shuffled the whole bigram stream)."""
+    df = REGISTRY["q_text_repetition"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
