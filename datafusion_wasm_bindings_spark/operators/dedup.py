@@ -288,22 +288,20 @@ def connected_components(
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("a", "node")
         )
+        # the change flag falls out of the same row (old comp vs
+        # neighbor min) — checking it on the checkpointed result avoids
+        # a per-round convergence join
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+                (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
     else:
