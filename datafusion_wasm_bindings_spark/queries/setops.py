@@ -54,6 +54,26 @@ sql_query(
 )
 
 sql_query(
+    "q_intersect_all",
+    """
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000
+    INTERSECT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("setop",),
+)
+
+sql_query(
+    "q_except_all",
+    """
+    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT ALL
+    SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'F'
+    """,
+    tags=("setop",),
+)
+
+sql_query(
     "q_distinct",
     """
     SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
