@@ -35,16 +35,23 @@ def recursive_fixpoint(
     deduplicated against everything accumulated so far, which also
     guarantees termination on cyclic inputs.
     """
-    acc = seed.localCheckpoint(eager=True)
-    delta = acc
+    from functools import reduce
+
+    # accumulate the checkpointed deltas and union them lazily: each
+    # delta is already materialized, so the union's lineage stays flat
+    # and no round pays a re-materialization of everything accumulated
+    # so far (the previous acc-copy-per-round was quadratic in total
+    # result size)
+    deltas = [seed.localCheckpoint(eager=True)]
+    delta = deltas[0]
     for _ in range(max_iterations):
         delta = step(delta)
         if distinct:
-            delta = delta.subtract(acc)
+            delta = delta.subtract(reduce(DataFrame.unionAll, deltas))
         delta = delta.localCheckpoint(eager=True)
         if delta.isEmpty():
-            return acc
-        acc = acc.unionAll(delta).localCheckpoint(eager=True)
+            return reduce(DataFrame.unionAll, deltas)
+        deltas.append(delta)
     raise RuntimeError(
         f"recursive_fixpoint: no fixpoint within {max_iterations} iterations "
         "(possible cycle; pass distinct=True or raise max_iterations)"
