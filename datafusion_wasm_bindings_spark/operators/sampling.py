@@ -96,3 +96,42 @@ def md5_stratified_sample(
         cond = F.col(strata_col) == stratum
         thr = F.when(cond, t) if thr is None else thr.when(cond, t)
     return df.filter(h < thr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    *,
+    salt: str = "dfwb-w",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-Res): each row draws a deterministic uniform u ∈ (0,1) from the
+    engine-portable md5 recipe and is ranked by ln(u)/w — a monotone
+    transform of the classic u^(1/w) key — so the top-n ranks are an
+    exact weighted sample. Training mixes use this with w = token
+    count to sample documents proportional to their token mass.
+
+    Determinism: u is content-addressed (md5 of key+salt), so the same
+    rows are chosen on any engine, run, or partitioning; ties broken
+    by key. Scale: the ranking is a pure map and top-n compiles to
+    TakeOrderedAndProject (per-partition heap + driver merge of n
+    rows, no full sort). Rows with non-positive weight are excluded.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(float(16**8 + 1))
+    rank_key = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__k", rank_key)
+        .orderBy(F.col("__k").desc(), F.col(key_col))
+        .limit(n)
+        .drop("__k")
+    )

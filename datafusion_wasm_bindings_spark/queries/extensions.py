@@ -617,6 +617,34 @@ query(
 )(_sample_hash)
 
 
+def _sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        table(spark, sf_dir, "documents"), "doc_id", "n_chars", 100
+    ).select("doc_id", "lang", "n_chars")
+
+
+# oracle: identical A-Res ranking — DuckDB's '0x'||hex cast is the
+# portable twin of Spark's conv(hex,16,10) (same first-8-md5-chars
+# integer), and ln/division on the same double uniform ranks
+# identically away from ulp-coincident keys (content-addressed draws
+# make exact ties impossible for distinct doc_ids)
+query(
+    "q_sample_weighted",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'dfwb-w'), 1, 8)
+                  AS BIGINT) + 1) / 4294967297.0) / n_chars AS k
+      FROM documents WHERE n_chars > 0
+    )
+    ORDER BY k DESC, doc_id LIMIT 100
+    """,
+    tags=("extension", "sampling"),
+)(_sample_weighted)
+
+
 # ====================== semi-structured props ============================
 # events.props carries JSON payloads — the semi-structured column
 # pattern of real event pipelines. Extraction stays JVM-side

@@ -209,3 +209,12 @@ def test_text_repetition_is_shuffle_free(spark, sf_dir):
     plan = _plan(df)
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
+
+
+def test_weighted_sample_uses_topk_not_full_sort(spark, sf_dir):
+    """A-Res weighted sampling must compile to TakeOrderedAndProject
+    (per-partition heap of n, driver merge) — a global Sort before the
+    limit would materialize and sort the whole corpus at 100 TB."""
+    df = REGISTRY["q_sample_weighted"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
