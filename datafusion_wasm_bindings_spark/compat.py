@@ -538,7 +538,11 @@ def rewrite(sql: str) -> str:
             return m.group(0)  # sub-second/month strides: pass through
         stride_us = n * _INTERVAL_UNIT_SECONDS[unit] * 1_000_000
         ts, origin = m.group("ts").strip(), m.group("origin").strip()
-        off = f"(unix_micros({ts}) - unix_micros({origin}))"
+        # CAST first: unix_micros rejects TIMESTAMP_NTZ inputs
+        off = (
+            f"(unix_micros(CAST({ts} AS TIMESTAMP)) "
+            f"- unix_micros(CAST({origin} AS TIMESTAMP)))"
+        )
         return (
             f"timestamp_micros(CAST(floor({off} / {stride_us}) AS BIGINT) "
             f"* {stride_us} + unix_micros({origin}))"

@@ -65,7 +65,9 @@ def date_bin(stride_seconds: int, ts: Column, origin_epoch_us: int = 0) -> Colum
     whole-stage codegen (SURVEY §2.8 datetime gaps).
     """
     stride_us = F.lit(int(stride_seconds) * 1_000_000)
-    off = F.unix_micros(ts) - F.lit(origin_epoch_us)
+    # cast first: unix_micros rejects TIMESTAMP_NTZ (how Spark 4 reads
+    # parquet nanos), and the cast is a no-op on TIMESTAMP inputs
+    off = F.unix_micros(ts.cast("timestamp")) - F.lit(origin_epoch_us)
     bucket = F.floor(off / stride_us).cast("long") * stride_us + F.lit(origin_epoch_us)
     return F.timestamp_micros(bucket.cast("long"))
 

@@ -45,25 +45,44 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 _registered: dict[int, str] = {}
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Coerce a parquet TIMESTAMP(NANOS) column to session-tz
+    ``TimestampType`` µs — the repo-wide ns→µs policy (FIXTURES.md),
+    matched by ``CAST(ts AS TIMESTAMP)`` on the DuckDB oracle side.
+
+    Spark surfaces parquet nanos differently by version: as a long
+    under ``spark.sql.legacy.parquet.nanosAsLong`` (3.x), or natively
+    as ``TIMESTAMP_NTZ`` truncated to µs (4.x). Both land on the same
+    µs instants here; functions that require TIMESTAMP proper
+    (``unix_micros``, ``withWatermark``) then work uniformly. The NTZ→
+    TZ cast is value-preserving because the session timezone is UTC.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        # integer `div`, not `/`: epoch-nanos exceed 2^53 so a double
+        # round-trip would corrupt the low microseconds
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (lazy parquet scan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); Spark's reader surfaces
-    it as a long (``spark.sql.legacy.parquet.nanosAsLong``, session.py)
-    and we truncate to µs here — the repo-wide timestamp policy
-    (FIXTURES.md), matched by ``CAST(ts AS TIMESTAMP)`` on the DuckDB
-    oracle side. The truncation is a cheap projection; the pushdown
-    loss on ts-filters is confined to this one fixture column.
+    ``events.ts`` is parquet TIMESTAMP(NANOS) → normalized to µs
+    ``TimestampType`` (see normalize_event_ts). The conversion is a
+    cheap projection; the pushdown loss on ts-filters is confined to
+    this one fixture column.
     """
     if name == "events":
         # the driver hands us ITS SparkSession (no session.py configs);
-        # without this, the ns-timestamp column aborts the read outright
+        # on Spark 3.x the ns-timestamp column aborts the read without
+        # this legacy conf (4.x reads it as TIMESTAMP_NTZ and ignores it)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer `div`, not `/`: epoch-nanos exceed 2^53 so a double
-        # round-trip would corrupt the low microseconds
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

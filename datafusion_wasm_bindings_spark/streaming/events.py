@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_wasm_bindings_spark.queries._util import dsum
+from datafusion_wasm_bindings_spark.sources.catalog import normalize_event_ts
 
 
 def tumbling(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -75,8 +76,7 @@ def streaming_demo(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> D
         .load()
     )
     # nanos→µs conversion mirrors sources.catalog.table for the ns column
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_ts(stream)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", width).alias("w"), "event_type")
@@ -135,8 +135,7 @@ def streaming_enriched_windows(
         .option("pathGlobFilter", "events.parquet")
         .load()
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_ts(stream)
 
     enriched = stream.join(F.broadcast(dim), "event_type")
     agg = (

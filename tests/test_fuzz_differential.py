@@ -633,9 +633,13 @@ def test_cast_divergences_documented(spark, duck):
     off=st.integers(0, 4),
 )
 def test_order_limit_offset_agree(spark, duck, key, d, nl, lim, off):
+    # `0 + (key)`: when the generator draws a bare integer literal,
+    # Spark unwraps the parens and resolves it as an ORDER BY ordinal
+    # (position 0 → error) while DuckDB orders by the constant; the
+    # no-op addition keeps both engines on expression semantics
     sql = (
         f"SELECT COALESCE(a, -999) AS r FROM {VALUES_SQL} "
-        f"ORDER BY ({key}) {d}{nl}, a ASC NULLS LAST LIMIT {lim} OFFSET {off}"
+        f"ORDER BY 0 + ({key}) {d}{nl}, a ASC NULLS LAST LIMIT {lim} OFFSET {off}"
     )
     got = [row.r for row in spark.sql(sql).collect()]
     want = [v for (v,) in duck.sql(sql).fetchall()]
