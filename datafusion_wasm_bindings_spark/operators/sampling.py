@@ -135,3 +135,39 @@ def weighted_sample(
         .limit(n)
         .drop("__k")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    *,
+    n_shards: int = 8,
+    salt: str = "dfwb-shuffle",
+) -> DataFrame:
+    """Seeded global shuffle for training-data writes: a
+    content-addressed permutation of the corpus, materialized as
+    ``(key, shard, pos)`` — shard files plus a deterministic order
+    within each shard. Changing the salt reshuffles; re-running (on any
+    partitioning, any engine with md5) reproduces the exact layout,
+    which is what makes training runs resumable and ablations
+    comparable.
+
+    shard = first-8-hex-chars of md5(key||salt) mod n_shards (a pure
+    map); pos = rank of the full md5 within the shard. The only wide
+    operation is one hash-partitioned window keyed on shard — there is
+    no global sort and no single-partition bottleneck. At 100 TB you'd
+    set n_shards to the target output-file count (tens of thousands),
+    keeping each window partition at file size.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(key_col).asc())
+    return (
+        df.select(F.col(key_col), h.alias("__h"), shard.alias("shard"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
+        .drop("__h")
+    )

@@ -160,6 +160,84 @@ def fingerprints(documents: DataFrame, modulus: int = 1_000_000_007) -> DataFram
     return documents.select("doc_id", fp.alias("fingerprint"))
 
 
+def decontaminate(train: DataFrame, eval_df: DataFrame, *, n: int = 3) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing any
+    n-gram (word shingle) with a held-out benchmark/eval corpus — the
+    standard pretraining hygiene step (GPT-3-style 13-gram overlap;
+    ``n`` scales to the fixture's short documents).
+
+    Per train doc: ``n_shingles`` (distinct n-grams), ``n_hits``
+    (of those, how many occur anywhere in the eval corpus),
+    ``contaminated`` (any hit), ``contaminated_frac``.
+
+    Scale posture: the eval corpus is benchmarks — tiny next to the
+    training corpus — so its distinct-shingle set is broadcast and the
+    probe is a map-side hash lookup over the exploded train shingles;
+    the only shuffle is the per-doc hit regroup. At 100 TB of train
+    data that plan is scan-bound, exactly as it should be. Shingling
+    reuses the MinHash pipeline's word_shingles (operators/dedup.py).
+    """
+    from datafusion_wasm_bindings_spark.operators.dedup import tokens, word_shingles
+
+    sh = train.select(
+        "doc_id", F.array_distinct(word_shingles(tokens(), n)).alias("__shl")
+    )
+    sized = sh.select("doc_id", F.explode("__shl").alias("s"))
+    ev = (
+        eval_df.select(
+            F.explode(F.array_distinct(word_shingles(tokens(), n))).alias("s")
+        )
+        .distinct()
+    )
+    hits = (
+        sized.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = sh.select("doc_id", F.size("__shl").alias("n_shingles"))
+    n_hits = F.coalesce("n_hits", F.lit(0))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_hits.alias("n_hits"),
+        (n_hits > 0).alias("contaminated"),
+        F.round(n_hits / F.greatest("n_shingles", F.lit(1)), 6).alias(
+            "contaminated_frac"
+        ),
+    )
+
+
+# PII patterns valid in BOTH Java regex (Spark) and RE2 (DuckDB oracle):
+# no backreferences, no lookaround, ASCII word boundaries only.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "[PHONE]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: count and redact emails,
+    phone numbers, and IPv4 addresses. Counts are measured on the
+    original text per pattern; redaction applies the patterns in
+    declaration order (emails first so their digit runs can't be
+    half-eaten by the phone pattern).
+
+    Pure map over built-in regexp functions — whole-stage codegen'd,
+    no Python in the hot path, trivially scan-bound at 100 TB.
+    Patterns go through ``F.lit`` so no SQL-string escaping applies.
+    """
+    col = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = col
+    for _, pat, repl in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return df.select("doc_id", *counts, redacted.alias("redacted"))
+
+
 def repetition_scores(documents: DataFrame) -> DataFrame:
     """Gopher-style within-document repetition features — the standard
     pretraining repetition filter (duplicate tokens, dominant and

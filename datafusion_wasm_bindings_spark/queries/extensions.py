@@ -1041,3 +1041,174 @@ query(
     """,
     tags=("extension", "pipeline", "packing"),
 )(_pipeline_pack)
+
+
+# ====================== decontamination / PII ============================
+def _text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.text import decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    evals = docs.filter("doc_id % 41 = 0")
+    train = docs.filter("doc_id % 41 <> 0")
+    return decontaminate(train, evals, n=3)
+
+
+# oracle: the same 3-gram shingle construction as q_dedup_minhash's SQL
+# (list-index arithmetic is 1-based in DuckDB), eval set = doc_id ≡ 0
+# (mod 41), overlap counted over DISTINCT shingles per train doc
+query(
+    "q_text_decontaminate",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(generate_series(1, len(toks)-2),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+               END) AS shl
+      FROM t
+    ),
+    ev AS (SELECT DISTINCT unnest(shl) AS s FROM sh WHERE doc_id % 41 = 0),
+    tr AS (SELECT doc_id, unnest(shl) AS s FROM sh WHERE doc_id % 41 <> 0),
+    hits AS (SELECT doc_id, count(*) AS n_hits FROM tr JOIN ev USING (s) GROUP BY doc_id)
+    SELECT b.doc_id,
+           b.n_shingles,
+           coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated,
+           round(coalesce(h.n_hits, 0) * 1.0 / greatest(b.n_shingles, 1), 6)
+             AS contaminated_frac
+    FROM (SELECT doc_id, len(shl) AS n_shingles FROM sh WHERE doc_id % 41 <> 0) b
+    LEFT JOIN hits h USING (doc_id)
+    """,
+    tags=("extension", "text", "dedup"),
+)(_text_decontaminate)
+
+
+def _text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.text import redact_pii
+
+    # the fixture corpus is PII-free, so inject deterministic emails /
+    # phones / IPs into every third document — the redaction operator
+    # must scrub exactly those and count zero elsewhere
+    docs = table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("Reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com or +1 (555) 010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" or host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return redact_pii(injected)
+
+
+query(
+    "q_text_pii",
+    r"""
+    WITH inj AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'Reach user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.com or +1 (555) 010-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' or host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.7 ' || text
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS n_phone,
+           len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS redacted
+    FROM inj
+    """,
+    tags=("extension", "text"),
+)(_text_pii)
+
+
+# ====================== deterministic global shuffle =====================
+def _pipeline_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    return deterministic_shuffle(
+        table(spark, sf_dir, "documents"), "doc_id", n_shards=8
+    )
+
+
+query(
+    "q_pipeline_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || 'dfwb-shuffle') AS h,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'dfwb-shuffle'), 1, 8))
+                  AS BIGINT) % 8 AS INT) AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) - 1
+                AS INT) AS pos
+    FROM h
+    """,
+    tags=("extension", "pipeline", "sampling"),
+)(_pipeline_shuffle)
+
+
+# ====================== bucketed co-located join =========================
+def _join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write both sides bucketed+sorted on the join key once, then
+    join with ZERO exchanges (plan-asserted in tests/test_plans.py) —
+    the layout a 100 TB fact table uses for repeated same-key joins."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.scale import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
+    )
+    base = f"/tmp/dfwb_bucketed_{tag}"
+    lt, rt = f"bkt_orders_{tag}", f"bkt_cust_{tag}"
+    write_bucketed(orders, lt, "custkey", buckets=8, path=f"{base}/orders")
+    write_bucketed(cust, rt, "custkey", buckets=8, path=f"{base}/customer")
+    return bucketed_join(spark, lt, rt, "custkey")
+
+
+query(
+    "q_join_bucketed",
+    """
+    SELECT o_custkey AS custkey, o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("extension", "scale", "join"),
+)(_join_bucketed)

@@ -259,3 +259,72 @@ def test_pack_sequences_concat_and_chunk_semantics(spark):
         (1, 0, 2, 9, 1),
         (1, 1, 1, 6, 1),
     ], rows
+
+
+# --- decontamination / PII / deterministic shuffle -----------------------
+
+
+def test_decontaminate_flags_copies_not_disjoint(spark):
+    from datafusion_wasm_bindings_spark.operators.text import decontaminate
+
+    evals = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact copy
+            (2, "a quick brown fox leaps over hedges"),  # partial overlap
+            (3, "completely unrelated words entirely"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in decontaminate(train, evals, n=3).collect()}
+    assert rows[1].contaminated and rows[1].contaminated_frac == 1.0
+    assert rows[2].contaminated  # shares 'quick brown fox'
+    assert 0 < rows[2].contaminated_frac < 1
+    assert not rows[3].contaminated and rows[3].n_hits == 0
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    from datafusion_wasm_bindings_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org now"),
+            (2, "call +1 (555) 010-7788 or 555 010 9999"),
+            (3, "server 192.168.4.1 is up"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert rows[1].n_email == 1 and "[EMAIL]" in rows[1].redacted
+    assert "@" not in rows[1].redacted
+    assert rows[2].n_phone == 2 and rows[2].redacted.count("[PHONE]") == 2
+    assert rows[3].n_ipv4 == 1 and "[IP]" in rows[3].redacted
+    assert rows[4].redacted == "nothing sensitive here"
+    assert rows[4].n_email == rows[4].n_phone == rows[4].n_ipv4 == 0
+
+
+def test_deterministic_shuffle_is_a_permutation_and_stable(documents):
+    from datafusion_wasm_bindings_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    n = documents.count()
+    out = deterministic_shuffle(documents, "doc_id", n_shards=8)
+    rows = out.collect()
+    assert len(rows) == n
+    assert len({r.doc_id for r in rows}) == n
+    # positions are dense 0..k-1 within every shard
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), f"shard {shard} not dense"
+    # content-addressed: identical layout regardless of input partitioning
+    again = deterministic_shuffle(documents.repartition(13), "doc_id", n_shards=8)
+    assert {(r.doc_id, r.shard, r.pos) for r in again.collect()} == {
+        (r.doc_id, r.shard, r.pos) for r in rows
+    }

@@ -218,3 +218,25 @@ def test_weighted_sample_uses_topk_not_full_sort(spark, sf_dir):
     df = REGISTRY["q_sample_weighted"].spark_fn(spark, sf_dir)
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, sf_dir):
+    """The eval corpus is tiny next to the training corpus: its
+    distinct-shingle set must broadcast so the contamination probe is a
+    map-side hash lookup, and the only shuffle is the per-doc regroup."""
+    df = REGISTRY["q_text_decontaminate"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_deterministic_shuffle_single_exchange(spark, sf_dir):
+    """One hash partitioning on shard feeds the rank window — no global
+    sort, no single-partition exchange."""
+    from datafusion_wasm_bindings_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    plan = _plan(deterministic_shuffle(docs, "doc_id", n_shards=8))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
