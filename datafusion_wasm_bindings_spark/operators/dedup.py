@@ -68,8 +68,14 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 16, shingle_k: in
     (CollapseProject inlines only cheap expressions, so the two-step
     select guarantees one evaluation — measured 16× faster at sf0.1).
     """
-    shingled = documents.select(
-        "doc_id", word_shingles(tokens(), shingle_k).alias("__sh")
+    # tokenize in its own projection too: word_shingles references its
+    # input several times (size + per-shingle slice inside a lambda,
+    # outside codegen subexpression elimination), so inlining
+    # regexp_extract_all would re-run the regex per shingle —
+    # O(tokens²) per doc (measured 4× on the decontamination probe)
+    toksd = documents.select("doc_id", tokens().alias("__toks"))
+    shingled = toksd.select(
+        "doc_id", word_shingles(F.col("__toks"), shingle_k).alias("__sh")
     )
     # hash each shingle STRING once (xxhash64), then derive the
     # num_hashes functions by integer murmur mixing of that long —
@@ -156,8 +162,13 @@ def minhash_lsh_pairs(
     )
     # left-semi, no forced broadcast: AQE broadcasts when the id set is
     # small and falls back to a shuffled semi-join when it isn't
-    sh = documents.join(cand_ids, "doc_id", "left_semi").select(
-        "doc_id", F.array_distinct(word_shingles(tokens(), shingle_k)).alias("sh")
+    sh = (
+        documents.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", tokens().alias("__toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles(F.col("__toks"), shingle_k)).alias("sh"),
+        )
     )
     verified = (
         candidates.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

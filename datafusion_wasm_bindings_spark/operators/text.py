@@ -172,36 +172,50 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, *, n: int = 3) -> DataFr
 
     Scale posture: the eval corpus is benchmarks — tiny next to the
     training corpus — so its distinct-shingle set is broadcast and the
-    probe is a map-side hash lookup over the exploded train shingles;
-    the only shuffle is the per-doc hit regroup. At 100 TB of train
-    data that plan is scan-bound, exactly as it should be. Shingling
-    reuses the MinHash pipeline's word_shingles (operators/dedup.py).
+    probe is a map-side hash lookup over the exploded train shingles.
+    Everything folds into ONE pass over the training scan: tokenize →
+    shingle → explode → left broadcast-probe → per-doc hash-aggregate
+    (map-side combining), with no join-back (a two-branch join-back
+    formulation re-evaluated the shingle pipeline per branch — 3×
+    slower at sf0.1). The only shuffle is the per-doc regroup of
+    (doc_id, hit) rows. At 100 TB of train data that plan is
+    scan-bound, exactly as it should be. Shingling reuses the MinHash
+    pipeline's word_shingles (operators/dedup.py).
     """
     from datafusion_wasm_bindings_spark.operators.dedup import tokens, word_shingles
 
-    sh = train.select(
-        "doc_id", F.array_distinct(word_shingles(tokens(), n)).alias("__shl")
-    )
-    sized = sh.select("doc_id", F.explode("__shl").alias("s"))
-    ev = (
-        eval_df.select(
-            F.explode(F.array_distinct(word_shingles(tokens(), n))).alias("s")
+    # tokenize in its own projection: word_shingles references its
+    # input repeatedly (including inside a higher-order lambda, outside
+    # codegen subexpression elimination), so an inlined
+    # regexp_extract_all would re-run per shingle — O(tokens²) regex
+    # work per doc. Binding it to a column first makes each reference
+    # an array lookup.
+    # word_shingles never yields an empty array (docs with < n tokens
+    # get their whole text as one shingle), so the inner explode keeps
+    # every training doc.
+    def shingle_rows(df: DataFrame) -> DataFrame:
+        toks = df.select("doc_id", tokens().alias("__toks"))
+        return toks.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles(F.col("__toks"), n))).alias("s"),
         )
-        .distinct()
-    )
-    hits = (
-        sized.join(F.broadcast(ev), "s")
+
+    ex = shingle_rows(train)
+    ev = shingle_rows(eval_df).select("s").distinct().withColumn("__hit", F.lit(1))
+    per_doc = (
+        ex.join(F.broadcast(ev), "s", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+        )
     )
-    base = sh.select("doc_id", F.size("__shl").alias("n_shingles"))
-    n_hits = F.coalesce("n_hits", F.lit(0))
-    return base.join(hits, "doc_id", "left").select(
+    return per_doc.select(
         "doc_id",
         "n_shingles",
-        n_hits.alias("n_hits"),
-        (n_hits > 0).alias("contaminated"),
-        F.round(n_hits / F.greatest("n_shingles", F.lit(1)), 6).alias(
+        "n_hits",
+        (F.col("n_hits") > 0).alias("contaminated"),
+        F.round(F.col("n_hits") / F.greatest("n_shingles", F.lit(1)), 6).alias(
             "contaminated_frac"
         ),
     )
