@@ -1197,7 +1197,9 @@ def _join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
     )
-    base = f"/tmp/dfwb_bucketed_{tag}"
+    # pid-scoped scratch path: the driver gate and a local pytest run
+    # may execute this query concurrently from different processes
+    base = f"/tmp/dfwb_bucketed_{tag}_{os.getpid()}"
     lt, rt = f"bkt_orders_{tag}", f"bkt_cust_{tag}"
     write_bucketed(orders, lt, "custkey", buckets=8, path=f"{base}/orders")
     write_bucketed(cust, rt, "custkey", buckets=8, path=f"{base}/customer")
