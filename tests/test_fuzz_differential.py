@@ -794,3 +794,74 @@ def test_like_backslash_divergence_documented(spark, duck):
     q = r"SELECT 'a_c' LIKE 'a\_c' AS r"
     assert spark.sql(q).collect()[0].r is True  # escape: literal _
     assert duck.sql(q).fetchall()[0][0] is False  # literal backslash
+
+
+# --- regexp function grammar (Java regex ∩ RE2) ------------------------
+#
+# The PII-redaction and tokenizer operators rely on regex patterns
+# behaving identically under Java regex (Spark) and RE2 (DuckDB
+# oracle). Intersection grammar: literals, ASCII classes, \d \w \s,
+# dot, +, ?, bounded repeats, alternation, groups, \b — no
+# backreferences, no lookaround (RE2 has neither). Patterns and
+# subjects bind as SQL *parameters* on both engines, so no
+# string-literal escaping dialect is involved. Every alternation
+# branch carries at least one mandatory piece, so no pattern matches
+# the empty string (empty-match iteration in extract/replace loops is
+# outside the dialect intersection and nothing checked relies on it).
+# Exploration 2026-08-13: 200 examples × {regexp_like,
+# regexp_extract_all, regexp_replace} found zero divergences.
+
+_re_atom = st.one_of(
+    st.sampled_from(list("ab01 x")),
+    st.sampled_from(["[ab]", "[0-9]", "[a-z0-9]", "[^a]", r"\d", r"\w", r"\s", "."]),
+)
+_re_mand = st.tuples(_re_atom, st.sampled_from(["", "+", "{1,2}", "{2}"])).map("".join)
+_re_opt = _re_atom.map(lambda a: a + "?")
+_re_concat = st.tuples(
+    st.lists(_re_opt, max_size=1),
+    st.lists(_re_mand, min_size=1, max_size=3),
+    st.lists(_re_opt, max_size=1),
+).map(lambda t: "".join(t[0]) + "".join(t[1]) + "".join(t[2]))
+_re_pattern = st.one_of(
+    _re_concat,
+    st.tuples(_re_concat, _re_concat).map(lambda t: f"({t[0]}|{t[1]})"),
+    _re_concat.map(lambda c: rf"\b{c}"),
+)
+_re_subject = st.text(alphabet="ab01 x.", max_size=10)
+
+
+@settings(max_examples=25, deadline=None)
+@given(s=_re_subject, pat=_re_pattern)
+def test_regexp_functions_agree(spark, duck, s, pat):
+    # NAMED parameters on the Spark side: positional `?` markers
+    # mis-bind here (see test_positional_params_shift_documented)
+    got = spark.sql(
+        "SELECT regexp_like(:s, :p) AS l, regexp_extract_all(:s, :p, 0) AS e, "
+        "regexp_replace(:s, :p, 'X') AS r",
+        args={"s": s, "p": pat},
+    ).collect()[0]
+    want = duck.execute(
+        "SELECT regexp_matches(?, ?) AS l, regexp_extract_all(?, ?) AS e, "
+        "regexp_replace(?, ?, 'X', 'g') AS r",
+        [s, pat, s, pat, s, pat],
+    ).fetchall()[0]
+    assert (got.l, got.e, got.r) == want, f"s={s!r} pat={pat!r}\n spark={got}\n duck={want}"
+
+
+def test_positional_params_shift_documented(spark):
+    """Pin a Spark 4.1 positional-parameter quirk: in a multi-function
+    projection containing ``regexp_extract_all(?, ?, 0)``, the markers
+    AFTER that call bind shifted by one position (observed: marker 5
+    receives argument 4). Named parameters bind correctly — why the
+    engine's PREPARE/EXECUTE path (engine._execute_bound) and the
+    regexp fuzz above use named binding exclusively."""
+    row = spark.sql(
+        "SELECT regexp_like(?, ?) AS l, regexp_extract_all(?, ?, 0) AS e, "
+        "regexp_replace(?, ?, 'X') AS r",
+        args=["s1", "p1", "s2", "p2", "s3", "p3"],
+    ).collect()[0]
+    assert row.r == "p2"  # shifted: replace got ('p2','s3'), not ('s3','p3')
+    named = spark.sql(
+        "SELECT regexp_replace(:s, :p, 'X') AS r", args={"s": "s3", "p": "p3"}
+    ).collect()[0]
+    assert named.r == "s3"  # named binding is correct
