@@ -1214,3 +1214,39 @@ query(
     """,
     tags=("extension", "scale", "join"),
 )(_join_bucketed)
+
+
+# ====================== statistical outlier cleaning =====================
+def _events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.cleaning import zscore_outliers
+
+    return zscore_outliers(
+        table(spark, sf_dir, "events"), ["event_id"], "event_type", "value"
+    )
+
+
+# moments on decimal-quantized values (exact, order-independent), then
+# double arithmetic on identical inputs in the identical expression
+# tree — bit-equal z on both engines (same recipe as the quantized
+# cosine oracles)
+query(
+    "q_events_outliers",
+    """
+    WITH b AS (
+      SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS v FROM events
+    ),
+    g AS (
+      SELECT event_id, event_type,
+             CAST(v AS DOUBLE) AS vd,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(v) OVER w AS DOUBLE) AS s,
+             CAST(SUM(v * v) OVER w AS DOUBLE) AS ss
+      FROM b WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_id, event_type,
+           round((vd - s / n) / sqrt((ss - s * s / n) / (n - 1)), 6) AS z,
+           abs((vd - s / n) / sqrt((ss - s * s / n) / (n - 1))) > 3 AS is_outlier
+    FROM g
+    """,
+    tags=("extension", "events", "cleaning"),
+)(_events_outliers)
