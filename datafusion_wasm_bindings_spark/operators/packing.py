@@ -86,3 +86,59 @@ def pack_sequences(
         )
         .orderBy("shard", "seq_id")
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    *,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the retrieval/RAG-side complement of ``pack_sequences`` (which
+    merges documents; this splits them). ``stride`` < ``chunk_tokens``
+    gives the standard overlapping-window construction so no span of
+    ``chunk_tokens − stride`` tokens is ever cut in half.
+
+    Output per chunk: ``doc_id, n_tokens, chunk_id, start_tok,
+    n_chunk_tokens, chunk_text``. Chunk count = 1 for docs at or under
+    the window, else ``ceil((n − chunk)/stride) + 1`` — the final
+    window is allowed to be short.
+
+    Pure map + explode: tokens materialize once per doc (the HOF
+    re-evaluation rule — see operators/dedup.py), windows slice that
+    array, and no shuffle exists at any corpus size.
+    """
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.dedup import tokens
+
+    toks = documents.select("doc_id", tokens().alias("__toks"))
+    n = F.size("__toks")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - chunk_tokens) / F.lit(float(stride))) + 1
+    )
+    sized = toks.select("doc_id", n.alias("n_tokens"), "__toks", n_chunks.alias("__nc"))
+    exploded = sized.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__nc") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice("__toks", i * stride + 1, chunk_tokens)
+                ),
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    start = F.col("chunk_id") * stride
+    return exploded.select(
+        "doc_id",
+        "n_tokens",
+        "chunk_id",
+        start.alias("start_tok"),
+        F.greatest(
+            F.least(F.lit(chunk_tokens), F.col("n_tokens") - start), F.lit(0)
+        ).alias("n_chunk_tokens"),
+        "chunk_text",
+    )

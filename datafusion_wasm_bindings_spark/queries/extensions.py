@@ -1250,3 +1250,38 @@ query(
     """,
     tags=("extension", "events", "cleaning"),
 )(_events_outliers)
+
+
+# ====================== RAG chunking ====================================
+def _pipeline_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        table(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
+    )
+
+
+# DuckDB list slicing toks[a:b] is 1-based inclusive and end-clamped —
+# the twin of Spark's slice(toks, a, len); chunk counts use the same
+# /48.0 double ceil on both sides
+query(
+    "q_pipeline_chunk",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, len(toks) AS n_tokens, toks,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1 END AS nc
+      FROM t
+    )
+    SELECT doc_id, n_tokens, i AS chunk_id,
+           i * 48 AS start_tok,
+           greatest(least(64, n_tokens - i * 48), 0) AS n_chunk_tokens,
+           array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+    FROM c, unnest(generate_series(0, nc - 1)) AS u(i)
+    """,
+    tags=("extension", "pipeline", "packing"),
+)(_pipeline_chunk)

@@ -328,3 +328,29 @@ def test_deterministic_shuffle_is_a_permutation_and_stable(documents):
     assert {(r.doc_id, r.shard, r.pos) for r in again.collect()} == {
         (r.doc_id, r.shard, r.pos) for r in rows
     }
+
+
+def test_chunk_documents_covers_every_token_with_overlap(documents):
+    from datafusion_wasm_bindings_spark.operators.packing import chunk_documents
+
+    chunks = chunk_documents(documents, chunk_tokens=64, stride=48).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == documents.count()  # every doc chunked
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        n = rows[0].n_tokens
+        # dense chunk ids, stride-spaced starts
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        assert all(r.start_tok == r.chunk_id * 48 for r in rows)
+        # full coverage: last window reaches the end, and every window
+        # overlaps the previous by chunk-stride tokens
+        assert rows[-1].start_tok + rows[-1].n_chunk_tokens == n
+        if len(rows) > 1:
+            assert all(r.n_chunk_tokens == 64 for r in rows[:-1])
+            assert rows[-2].start_tok + 64 > rows[-1].start_tok  # overlap
+        # chunk text token count matches the claim
+        for r in rows[:3]:
+            got = len(r.chunk_text.split()) if r.chunk_text else 0
+            assert got == r.n_chunk_tokens, (doc_id, r.chunk_id)
