@@ -120,6 +120,68 @@ query("q_flagship_shipping_priority", _Q3_ORACLE, headline=True, tags=("flagship
 )
 
 
+def _q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style local-supplier revenue: the deep star-join path —
+    six tables, two independent dimension chains meeting at the fact.
+
+    Scale posture: region→nation→(customer, supplier) are all tiny and
+    broadcast explicitly — four joins with zero shuffle; the only wide
+    exchanges are orders⋈lineitem on orderkey and the final ~25-group
+    rollup after map-side partial aggregation. The date filter pushes
+    into the orders scan, the region filter prunes at the broadcast
+    build. This is the plan shape a 100 TB star schema wants: one
+    fact-sized shuffle, everything else broadcast.
+    """
+    cutoff_lo = F.lit("1996-01-01").cast("timestamp")
+    cutoff_hi = F.lit("1998-01-01").cast("timestamp")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+    )
+    li = table(spark, sf_dir, "lineitem")
+    asian_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(asian_nations), supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc_nulls_last(), F.col("n_name").asc_nulls_last())
+    )
+
+
+_Q5_ORACLE = f"""
+SELECT
+  n_name,
+  {dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS LAST
+"""
+
+query("q_flagship_local_supplier", _Q5_ORACLE, headline=True, tags=("flagship", "join", "agg"))(
+    _q5
+)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry point used by __spark_entry__.entry (driver smoke check)."""
     from datafusion_wasm_bindings_spark.sources.catalog import register_tables

@@ -240,3 +240,13 @@ def test_deterministic_shuffle_single_exchange(spark, sf_dir):
     plan = _plan(deterministic_shuffle(docs, "doc_id", n_shards=8))
     assert "SinglePartition" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q5_broadcasts_all_dims_single_fact_shuffle(spark, sf_dir):
+    """The Q5-shaped star join must broadcast every dimension chain
+    (region, nation, customer, supplier): the only hash exchanges left
+    are orders⋈lineitem on orderkey and the final group-by."""
+    df = REGISTRY["q_flagship_local_supplier"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "PushedFilters" in plan or "pushedFilters" in plan.lower(), plan
