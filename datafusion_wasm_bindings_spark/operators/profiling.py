@@ -1,0 +1,52 @@
+"""Data-profiling operators: per-column statistics in one scan — the
+`df.summary()` analogue a pipeline runs before deciding filters,
+partitioning, and skew handling, with exact cross-engine semantics
+(Spark's own summary() mixes approximate quantiles in; this stays
+oracle-checkable).
+
+Shape: ONE pass computes every metric for every profiled column as a
+single wide aggregate row (count/nulls/distinct/min/max/decimal-exact
+mean), then a literal-sized unpivot turns it into (column, metric...)
+rows. No per-column scans, no shuffle beyond the one global aggregate
+(partial map-side, final single row). At 100 TB this is the cheapest
+full-profile shape: the scan dominates and is paid once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datafusion_wasm_bindings_spark.queries._util import DEC
+
+
+def profile_columns(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
+    """Profile ``numeric_cols``: rows of (column, n, n_null, n_distinct,
+    min_v, max_v, mean_v). count(DISTINCT) per column keeps exact
+    semantics — Spark expands multi-distinct aggregates internally
+    (RewriteDistinctAggregates) without extra passes over storage.
+    """
+    aggs = []
+    for c in numeric_cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"{c}__n"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__n_null"),
+            F.countDistinct(col).alias(f"{c}__n_distinct"),
+            F.min(col).cast("double").alias(f"{c}__min"),
+            F.max(col).cast("double").alias(f"{c}__max"),
+            (
+                F.sum(col.cast("double").cast(DEC)).cast("double")
+                / F.count(col)
+            ).alias(f"{c}__mean"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__n, {c}__n_null, {c}__n_distinct, {c}__min, {c}__max, "
+        f"round({c}__mean, 6)"
+        for c in numeric_cols
+    )
+    return wide.selectExpr(
+        f"stack({len(numeric_cols)}, {stacked}) AS "
+        "(column_name, n, n_null, n_distinct, min_v, max_v, mean_v)"
+    )

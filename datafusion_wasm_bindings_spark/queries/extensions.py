@@ -1285,3 +1285,39 @@ query(
     """,
     tags=("extension", "pipeline", "packing"),
 )(_pipeline_chunk)
+
+
+# ====================== data profiling ===================================
+def _profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.profiling import profile_columns
+
+    return profile_columns(
+        table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def _profile_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    parts = [
+        f"""
+        SELECT '{c}' AS column_name,
+               count({c}) AS n,
+               sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS DOUBLE) AS min_v,
+               CAST(max({c}) AS DOUBLE) AS max_v,
+               round(CAST(SUM(CAST(CAST({c} AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+                     / count({c}), 6) AS mean_v
+        FROM lineitem
+        """
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+query(
+    "q_profile_columns",
+    _profile_oracle(),
+    tags=("extension", "profiling"),
+)(_profile_columns)
