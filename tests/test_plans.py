@@ -250,3 +250,20 @@ def test_q5_broadcasts_all_dims_single_fact_shuffle(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "PushedFilters" in plan or "pushedFilters" in plan.lower(), plan
+
+
+def test_profile_columns_single_scan(spark, sf_dir):
+    """The whole multi-column profile must read storage exactly once —
+    per-column scans would multiply 100 TB of IO by the column count."""
+    df = REGISTRY["q_profile_columns"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_zscore_outliers_single_window_exchange(spark, sf_dir):
+    """One hash partitioning on the group key feeds the moment window;
+    no self-join and no second shuffle."""
+    df = REGISTRY["q_events_outliers"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
