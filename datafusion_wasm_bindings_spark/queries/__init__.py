@@ -38,7 +38,19 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+# Registration order drives the round driver's CORRECTNESS window (it
+# verifies the first 50 registered queries). Round 1 verified the
+# flagship→sorts block green (CORRECTNESS_r01); round 2 rotates the
+# still-unverified modules to the front — extensions (the LLM-pipeline
+# operator set) and the function catalogs first — so the driver's hard
+# signal reaches them. The already-green block re-verifies in a later
+# rotation.
 _MODULES = (
+    "extensions",
+    "functions_agg",
+    "functions_scalar",
+    "sources_q",
+    "statements",
     "flagship",
     "relational",
     "joins",
@@ -46,11 +58,6 @@ _MODULES = (
     "windows",
     "setops",
     "sorts",
-    "functions_scalar",
-    "functions_agg",
-    "sources_q",
-    "statements",
-    "extensions",
 )
 
 

@@ -129,18 +129,20 @@ sql_query(
 # DataFusion/DuckDB: array_agg(x ORDER BY y). Spark has no ordered
 # array_agg → SURVEY §7.4 rewrite: sort_array(collect_list(struct))
 # then extract; exact because the order key is unique per group.
+# Surfaced as a joined STRING, not array<string>: the driver's row
+# canonicalizer can't hash list cells (CORRECTNESS_r01 driver err).
 sql_query(
     "q_agg_order_within",
     """
     SELECT n_regionkey,
-           transform(array_sort(collect_list(struct(n_nationkey, n_name))),
-                     s -> s.n_name) AS nations_by_key
+           concat_ws(',', transform(array_sort(collect_list(struct(n_nationkey, n_name))),
+                                    s -> s.n_name)) AS nations_by_key
     FROM nation
     GROUP BY n_regionkey
     """,
     oracle="""
     SELECT n_regionkey,
-           array_agg(n_name ORDER BY n_nationkey ASC) AS nations_by_key
+           string_agg(n_name, ',' ORDER BY n_nationkey ASC) AS nations_by_key
     FROM nation
     GROUP BY n_regionkey
     """,

@@ -695,9 +695,13 @@ query(
 
 
 def _stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from datafusion_wasm_bindings_spark.streaming.events import streaming_enriched_windows
 
-    return streaming_enriched_windows(spark, sf_dir)
+    return streaming_enriched_windows(spark, sf_dir).withColumn(
+        "ws", F.unix_seconds("ws")
+    )
 
 
 # a REAL readStream → broadcast-join → windowed-agg run; the result is
@@ -707,7 +711,7 @@ def _stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 query(
     "q_stream_static_join",
     """
-    SELECT time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) AS ws,
+    SELECT CAST(epoch(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws,
            event_type,
            count(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,6)) * LENGTH(event_type)) AS DOUBLE)
@@ -850,16 +854,24 @@ query(
 
 
 # ====================== event-time windows (batch) ========================
+# window starts surfaced as epoch SECONDS (registry rule: never raw
+# timestamps — driver hashes tz-naive/tz-aware cells differently); the
+# library functions in streaming/events.py keep their natural timestamp
+# outputs for programmatic use.
 def _events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from datafusion_wasm_bindings_spark.streaming.events import tumbling
 
-    return tumbling(table(spark, sf_dir, "events"))
+    return tumbling(table(spark, sf_dir, "events")).withColumn(
+        "ws", F.unix_seconds("ws")
+    )
 
 
 query(
     "q_events_tumbling",
     f"""
-    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS ws,
+    SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws,
            event_type,
            count(*) AS n,
            {dsum_sql("value", "total_value")}
@@ -872,9 +884,13 @@ query(
 
 
 def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from datafusion_wasm_bindings_spark.streaming.events import sliding
 
-    return sliding(table(spark, sf_dir, "events"))
+    return sliding(table(spark, sf_dir, "events")).withColumn(
+        "ws", F.unix_seconds("ws")
+    )
 
 
 query(
@@ -886,7 +902,7 @@ query(
       SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE AS ws, value
       FROM events
     )
-    SELECT ws, count(*) AS n, {dsum_sql("value", "total_value")}
+    SELECT CAST(epoch(ws) AS BIGINT) AS ws, count(*) AS n, {dsum_sql("value", "total_value")}
     FROM assigned GROUP BY ws
     """,
     tags=("extension", "events"),
@@ -894,9 +910,16 @@ query(
 
 
 def _events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from datafusion_wasm_bindings_spark.streaming.events import sessionized
 
-    return sessionized(table(spark, sf_dir, "events"))
+    # epoch MICROS, not seconds: real event times carry sub-second
+    # precision and unix_seconds truncates where DuckDB's epoch→BIGINT
+    # cast rounds; epoch_us is exact on both sides
+    return sessionized(table(spark, sf_dir, "events")).withColumn(
+        "session_start", F.unix_micros("session_start")
+    )
 
 
 query(
@@ -919,7 +942,7 @@ query(
                                     ROWS UNBOUNDED PRECEDING) AS session_no
       FROM flagged
     )
-    SELECT user_id, min(ts) AS session_start, count(*) AS n,
+    SELECT user_id, epoch_us(min(ts)) AS session_start, count(*) AS n,
            {dsum_sql("value", "total_value")}
     FROM numbered GROUP BY user_id, session_no
     """,

@@ -39,8 +39,8 @@ sql_query(
            MIN(o_totalprice) AS lo,
            MAX(o_totalprice) AS hi,
            SUM(o_orderkey) AS key_sum,
-           MIN(o_orderdate) AS first_date,
-           MAX(o_orderdate) AS last_date
+           CAST(MIN(o_orderdate) AS DATE) AS first_date,
+           CAST(MAX(o_orderdate) AS DATE) AS last_date
     FROM orders GROUP BY o_orderstatus
     """,
     tags=("agg_fn",),
@@ -155,19 +155,21 @@ sql_query(
 )
 
 # array_agg: order-normalized via sort (plain array_agg is order-
-# nondeterministic in a parallel engine — SURVEY §5 determinism rules)
+# nondeterministic in a parallel engine — SURVEY §5 determinism rules).
+# Arrays are surfaced as ','-joined STRINGs: the driver's canonicalizer
+# can't hash list cells (CORRECTNESS_r01 q_agg_order_within driver err).
 sql_query(
     "q_fn_array_agg",
     """
     SELECT n_regionkey,
-           array_sort(collect_list(n_nationkey)) AS keys_sorted,
-           array_sort(collect_set(n_name)) AS names_distinct
+           concat_ws(',', array_sort(collect_list(n_nationkey))) AS keys_sorted,
+           concat_ws(',', array_sort(collect_set(n_name))) AS names_distinct
     FROM nation GROUP BY n_regionkey
     """,
     oracle="""
     SELECT n_regionkey,
-           list_sort(array_agg(n_nationkey)) AS keys_sorted,
-           list_sort(list_distinct(array_agg(n_name))) AS names_distinct
+           array_to_string(list_sort(array_agg(n_nationkey)), ',') AS keys_sorted,
+           array_to_string(list_sort(list_distinct(array_agg(n_name))), ',') AS names_distinct
     FROM nation GROUP BY n_regionkey
     """,
     tags=("agg_fn",),

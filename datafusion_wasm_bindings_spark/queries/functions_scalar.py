@@ -327,22 +327,24 @@ sql_query(
 # DuckDB date_trunc returns DATE for day-level units while Spark returns
 # TIMESTAMP → both sides cast explicitly. date_bin (DataFusion) ==
 # time_bucket (DuckDB) == integer floor on epoch micros (Spark shim).
+# Sub-day results surfaced as epoch SECONDS (registry rule: never raw
+# timestamps — the driver hashes tz-naive and tz-aware cells differently).
 sql_query(
     "q_fn_datetime_trunc_bin",
     """
     SELECT event_id,
            CAST(date_trunc('MONTH', ts) AS DATE) AS mon,
            CAST(date_trunc('DAY', ts) AS DATE) AS day,
-           CAST(date_trunc('HOUR', ts) AS TIMESTAMP) AS hr,
-           timestamp_micros((unix_micros(ts) div 900000000) * 900000000) AS bin15m
+           unix_seconds(CAST(date_trunc('HOUR', ts) AS TIMESTAMP)) AS hr_epoch,
+           (unix_micros(ts) div 900000000) * 900 AS bin15m_epoch
     FROM events WHERE event_id <= 400
     """,
     oracle="""
     SELECT event_id,
            CAST(date_trunc('MONTH', CAST(ts AS TIMESTAMP)) AS DATE) AS mon,
            CAST(date_trunc('DAY', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-           CAST(date_trunc('HOUR', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hr,
-           time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS bin15m
+           CAST(epoch(date_trunc('HOUR', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hr_epoch,
+           CAST(epoch(time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))) AS BIGINT) AS bin15m_epoch
     FROM events WHERE event_id <= 400
     """,
     tags=("functions", "datetime"),
@@ -373,25 +375,26 @@ sql_query(
 )
 
 # --- interval arithmetic (SURVEY §1.1 Interval rows) -----------------------
+# Timestamp-valued results surfaced as epoch SECONDS (registry rule).
 sql_query(
     "q_fn_interval_arith",
     """
     SELECT o_orderkey,
            CAST(o_orderdate + INTERVAL 3 DAY AS DATE) AS plus_days,
-           CAST(o_orderdate - INTERVAL 2 HOUR AS TIMESTAMP) AS minus_hours,
+           unix_seconds(CAST(o_orderdate - INTERVAL 2 HOUR AS TIMESTAMP)) AS minus_hours_epoch,
            CAST(add_months(CAST(o_orderdate AS DATE), 2) AS DATE) AS plus_months,
            CAST(add_months(CAST(o_orderdate AS DATE), -14) AS DATE) AS minus_months,
-           CAST(o_orderdate + make_interval(0, 1, 0, 2, 0, 0, 0) AS TIMESTAMP) AS plus_mixed,
+           unix_seconds(CAST(o_orderdate + make_interval(0, 1, 0, 2, 0, 0, 0) AS TIMESTAMP)) AS plus_mixed_epoch,
            months_between(DATE '2001-06-15', CAST(o_orderdate AS DATE)) >= 0 AS before_mid_2001
     FROM orders WHERE o_orderkey <= 300
     """,
     oracle="""
     SELECT o_orderkey,
            CAST(o_orderdate + INTERVAL 3 DAY AS DATE) AS plus_days,
-           o_orderdate - INTERVAL 2 HOUR AS minus_hours,
+           CAST(epoch(o_orderdate - INTERVAL 2 HOUR) AS BIGINT) AS minus_hours_epoch,
            CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_months,
            CAST(CAST(o_orderdate AS DATE) - INTERVAL 14 MONTH AS DATE) AS minus_months,
-           o_orderdate + INTERVAL '1 month 2 days' AS plus_mixed,
+           CAST(epoch(o_orderdate + INTERVAL '1 month 2 days') AS BIGINT) AS plus_mixed_epoch,
            CAST(o_orderdate AS DATE) <= DATE '2001-06-15' AS before_mid_2001
     FROM orders WHERE o_orderkey <= 300
     """,

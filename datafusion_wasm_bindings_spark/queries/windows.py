@@ -31,8 +31,8 @@ sql_query(
            RANK() OVER w AS rnk,
            DENSE_RANK() OVER w AS drnk,
            NTILE(4) OVER w AS quartile,
-           CAST(PERCENT_RANK() OVER w AS DECIMAL(18,6)) AS pct_rank,
-           CAST(CUME_DIST() OVER w AS DECIMAL(18,6)) AS cume
+           CAST(CAST(PERCENT_RANK() OVER w AS DECIMAL(18,6)) AS DOUBLE) AS pct_rank,
+           CAST(CAST(CUME_DIST() OVER w AS DECIMAL(18,6)) AS DOUBLE) AS cume
     FROM supplier
     WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
     """,

@@ -48,34 +48,56 @@ def duck():
 
 
 def _norm(v):
-    """Normalize a cell for cross-engine comparison (mirrors the
-    driver's order-insensitive value hash in spirit)."""
+    """Normalize a cell for cross-engine comparison — and REJECT types
+    the driver's hash is not robust to. The driver hashes raw cell
+    representations: Decimal vs float64 hash differently, list/dict
+    cells crash pandas factorize, and tz-aware vs tz-naive timestamps
+    diverge (CORRECTNESS_r01 q_win_ranking / q_agg_order_within).
+    Normalizing here would make local green NOT predict driver green,
+    so those types raise instead. DATE stays allowed."""
     if v is None:
         return None
-    if isinstance(v, Decimal):
-        v = float(v)
+    if isinstance(v, (Decimal, datetime, list, tuple, dict)):
+        raise AssertionError(
+            f"hash-unsafe cell {type(v).__name__}: {v!r} — surface as "
+            "DOUBLE/STRING/DATE/epoch (queries/__init__.py determinism rules)"
+        )
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         # cut the last couple of noise bits without hiding real diffs
         return round(v, 9) if abs(v) < 1e10 else round(v, 2)
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
     if isinstance(v, bytearray):
         return bytes(v)
     return v
+
+
+# output types the driver's row canonicalizer cannot hash stably
+# (shared by tests/test_registry_lint.py and assert_oracle_match)
+from pyspark.sql import types as _T  # noqa: E402
+
+HASH_UNSAFE_TYPES = (
+    _T.DecimalType,
+    _T.ArrayType,
+    _T.MapType,
+    _T.StructType,
+    _T.TimestampType,
+    _T.TimestampNTZType,
+)
 
 
 def assert_oracle_match(spark_df, duck_rel, name=""):
     """Compare a Spark DataFrame against a DuckDB relation the way the
     driver does: row count, column-name set, and multiset of rows with
     columns sorted by name."""
+    unsafe = [
+        (f.name, f.dataType.simpleString())
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, HASH_UNSAFE_TYPES)
+    ]
+    assert not unsafe, f"{name}: hash-unsafe output columns {unsafe}"
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_rel.columns)
     assert [c.lower() for c in s_cols] == [c.lower() for c in d_cols], (

@@ -1,0 +1,49 @@
+"""Registry output-type lint — every registered query must surface
+hash-robust columns.
+
+The driver canonicalizes result rows with pandas and hashes raw cell
+representations (CORRECTNESS_r01): Decimal cells hash differently from
+DuckDB's float64 fetch, list/struct/map cells crash
+``factorize`` (unhashable), and raw timestamps differ between Spark's
+tz-aware and DuckDB's tz-naive surfaces. The registry's determinism
+rules (queries/__init__.py module doc) therefore ban those output
+types: floats go through the DECIMAL→DOUBLE recipe, arrays are
+','-joined to STRING, timestamps become DATE or epoch numbers.
+
+This lint builds (analysis only — nothing is collected) every batch
+query at the test scale factor and rejects any output column whose
+type is Decimal, Array, Map, Struct, or Timestamp[NTZ]. DateType is
+explicitly allowed. Streaming-tagged queries execute on build, so they
+are covered by the oracle gate (test_queries_oracle) instead, where
+``assert_oracle_match`` applies the same schema check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from datafusion_wasm_bindings_spark.queries import load_all
+from tests.conftest import HASH_UNSAFE_TYPES
+
+REGISTRY = load_all()
+
+
+def test_no_hash_unsafe_output_columns(spark, sf_dir):
+    violations = []
+    for name, spec in sorted(REGISTRY.items()):
+        if "streaming" in spec.tags or "stateful" in spec.tags:
+            continue  # executing; schema-checked in the oracle gate
+        df = spec.spark_fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, HASH_UNSAFE_TYPES):
+                violations.append((name, f.name, f.dataType.simpleString()))
+    assert not violations, (
+        "hash-unsafe output columns (surface as DOUBLE/STRING/DATE/epoch "
+        f"per queries/__init__.py determinism rules): {violations}"
+    )
+
+
+def test_unsafe_type_tuple_is_current():
+    # guard against pyspark renaming: every entry must be a DataType
+    for t in HASH_UNSAFE_TYPES:
+        assert issubclass(t, T.DataType)
