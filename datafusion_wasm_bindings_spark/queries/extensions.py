@@ -131,27 +131,45 @@ query(
 )(_dedup_simhash)
 
 
+# max_doc_freq=160 exercises the df-cut skew guard the operator was
+# built with (operators/dedup.py:236-238): tokens present in more than
+# 160 of the 200 windowed docs (the corpus-wide stopword class) never
+# enter the inverted-index self-join, bounding the hot-token bucket
+# blowup a Zipfian corpus causes at 100 TB. Jaccard becomes a
+# conservative underestimate (sizes count ALL distinct tokens;
+# intersections only rare ones) — identical on both sides. 160 ≈ 80%
+# of the window: the fixture's synthetic vocabulary is so small that
+# lower cuts drop the very tokens the near-dup pairs share (measured:
+# cut 50 → 0 pairs survive 0.9; cut 160 → 223 pairs, 1 token cut).
 def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = table(spark, sf_dir, "documents").filter("doc_id < 200")
-    return ngram_jaccard_pairs(docs, threshold=0.9)
+    return ngram_jaccard_pairs(docs, threshold=0.9, max_doc_freq=160)
 
 
-query(
-    "q_dedup_ngram_jaccard",
-    """
-    WITH w0 AS (
+_NGRAM_PAIRS_CTES = """
+    w0 AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
       FROM documents WHERE doc_id < 200
     ),
     words AS (SELECT DISTINCT doc_id, tok FROM w0),
     sizes AS (SELECT doc_id, count(*) AS n_tok FROM words GROUP BY doc_id),
+    rare AS (
+      SELECT tok FROM words GROUP BY tok HAVING count(*) <= 160
+    ),
+    cut AS (SELECT w.doc_id, w.tok FROM words w JOIN rare USING (tok)),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM words a JOIN words b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      FROM cut a JOIN cut b ON a.tok = b.tok AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
+    """
+
+query(
+    "q_dedup_ngram_jaccard",
+    f"""
+    WITH {_NGRAM_PAIRS_CTES}
     SELECT id_a, id_b,
            round(inter * 1.0 / (sa.n_tok + sb.n_tok - inter), 6) AS jaccard
     FROM inter
@@ -170,26 +188,17 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").filter("doc_id < 200")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.9)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.9, max_doc_freq=160)
     comps = connected_components(pairs)
     return comps.selectExpr("node AS doc_id", "comp AS cluster_id")
 
 
-# oracle: same edge set (the q_dedup_ngram_jaccard SQL), components via
-# a recursive reachability CTE — min reachable node == min-label
-# propagation's fixpoint, so the two formulations must agree exactly.
-_DEDUP_CLUSTERS_ORACLE = """
-    WITH RECURSIVE w0 AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-      FROM documents WHERE doc_id < 200
-    ),
-    words AS (SELECT DISTINCT doc_id, tok FROM w0),
-    sizes AS (SELECT doc_id, count(*) AS n_tok FROM words GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM words a JOIN words b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
+# oracle: same edge set (the q_dedup_ngram_jaccard SQL, df-cut
+# included), components via a recursive reachability CTE — min
+# reachable node == min-label propagation's fixpoint, so the two
+# formulations must agree exactly.
+_DEDUP_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
     pairs AS (
       SELECT id_a, id_b FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
@@ -222,7 +231,7 @@ def _dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").filter("doc_id < 200")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.9)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.9, max_doc_freq=160)
     comps = connected_components_star(pairs)
     return comps.selectExpr("node AS doc_id", "comp AS cluster_id")
 
