@@ -128,15 +128,51 @@ sql_query(
 )
 
 # weighted percentile — DataFusion's approx_percentile_cont_with_weight
-# capability (SURVEY §2.4 "— (extension)"), computed EXACTLY via a
-# cumulative-weight window so the oracle is a full value check: the
-# p-th weighted percentile is the least v whose cumulative weight
-# (RANGE frame: all peers included → deterministic under ties) reaches
-# p × total. Scale: one shuffle to sort within groups — same cost
-# class as any windowed aggregate.
+# capability (SURVEY §2.4 "— (extension)"), computed EXACTLY: the p-th
+# weighted percentile is the least v whose cumulative weight (ties all
+# included → deterministic) reaches p × total.
+#
+# Scale shape (r01 verdict fix): a bare `SUM(wt) OVER (ORDER BY v)`
+# plans a single-partition global window — the whole relation through
+# one task at 100 TB. Two-pass rewrite instead: (1) range-bucket v and
+# partial-sum each bucket (map-side combinable shuffle on bkt); (2) the
+# bucket-prefix table is |buckets| rows, so its running sum is
+# driver-trivial and broadcast back; (3) the per-row cumulative runs in
+# a window PARTITIONED by bkt — parallel across buckets — plus the
+# broadcast prefix. Plan shape asserted in tests/test_plans.py. On a
+# skewed value distribution the fixed-width buckets would be sized from
+# a quantile sketch instead; semantics unchanged.
+#
+# The oracle intentionally stays the ORIGINAL one-window formulation,
+# so DuckDB independently proves the distributed rewrite preserves the
+# single-scan semantics.
 sql_query(
     "q_fn_weighted_percentile",
     """
+    WITH w AS (
+      SELECT p_size AS v, CAST(p_retailprice AS DECIMAL(18,2)) AS wt
+      FROM part WHERE p_partkey <= 1000
+    ),
+    b AS (SELECT v, wt, CAST(floor(v / 5.0) AS INT) AS bkt FROM w),
+    bs AS (SELECT bkt, SUM(wt) AS bsum FROM b GROUP BY bkt),
+    bp AS (
+      SELECT bkt,
+             SUM(bsum) OVER (ORDER BY bkt ASC) - bsum AS prefix,
+             SUM(bsum) OVER () AS tot
+      FROM bs
+    ),
+    c AS (
+      SELECT b.v,
+             bp.prefix + SUM(b.wt) OVER (PARTITION BY b.bkt ORDER BY b.v ASC) AS cum,
+             bp.tot AS tot
+      FROM b JOIN bp ON b.bkt = bp.bkt
+    )
+    SELECT MIN(CASE WHEN cum >= 0.25 * tot THEN v END) AS wp25,
+           MIN(CASE WHEN cum >= 0.50 * tot THEN v END) AS wp50,
+           MIN(CASE WHEN cum >= 0.90 * tot THEN v END) AS wp90
+    FROM c
+    """,
+    oracle="""
     WITH w AS (
       SELECT p_size AS v, CAST(p_retailprice AS DECIMAL(18,2)) AS wt
       FROM part WHERE p_partkey <= 1000

@@ -242,6 +242,26 @@ def test_deterministic_shuffle_single_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_weighted_percentile_no_global_window_over_rows(spark, sf_dir):
+    """The per-row cumulative sum must run in a window PARTITIONED by
+    the value bucket (parallel), with single-partition windows allowed
+    only over the |buckets|-row prefix table — never over the base
+    relation (the r01 scale-killer: `SUM(wt) OVER (ORDER BY v)` with no
+    PARTITION BY serializes the whole input through one task)."""
+    import re
+
+    df = REGISTRY["q_fn_weighted_percentile"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    # Window nodes print as: Window [fns], [partitionSpec], [orderSpec]
+    windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert windows, plan
+    for part_spec, order_spec in windows:
+        if re.search(r"\bv#", order_spec):  # the per-row cumulative
+            assert "bkt" in part_spec, (part_spec, order_spec, plan)
+    # the partitioned window's shuffle is on the bucket key
+    assert "Exchange hashpartitioning" in plan, plan
+
+
 def test_q5_broadcasts_all_dims_single_fact_shuffle(spark, sf_dir):
     """The Q5-shaped star join must broadcast every dimension chain
     (region, nation, customer, supplier): the only hash exchanges left
