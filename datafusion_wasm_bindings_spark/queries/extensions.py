@@ -1222,6 +1222,8 @@ def _join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed,
     )
 
+    import threading
+
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     orders = table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
@@ -1229,10 +1231,29 @@ def _join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
     )
-    # pid-scoped scratch path: the driver gate and a local pytest run
-    # may execute this query concurrently from different processes
-    base = f"/tmp/dfwb_bucketed_{tag}_{os.getpid()}"
-    lt, rt = f"bkt_orders_{tag}", f"bkt_cust_{tag}"
+    # scratch scoped by pid AND thread id: the bench harness runs the
+    # full registry from several threads of one process
+    # (SPARK_GRAFT_BENCH_THREADS), and two threads sharing a pid would
+    # race on the same saveAsTable(overwrite) name and location
+    scope = f"{os.getpid()}_{threading.get_ident()}"
+    base = f"/tmp/dfwb_bucketed_{tag}_{scope}"
+    lt, rt = f"bkt_orders_{tag}_{scope}", f"bkt_cust_{tag}_{scope}"
+    # reap scratch left by exited processes (dirs accumulate across
+    # runs otherwise); live pids — possibly a concurrent gate — are
+    # left alone
+    import glob
+    import re as _re
+    import shutil
+
+    for old in glob.glob("/tmp/dfwb_bucketed_*"):
+        m = _re.search(r"_(\d+)_\d+$", old)
+        if m and int(m.group(1)) != os.getpid():
+            try:
+                os.kill(int(m.group(1)), 0)
+            except ProcessLookupError:
+                shutil.rmtree(old, ignore_errors=True)
+            except PermissionError:
+                pass
     write_bucketed(orders, lt, "custkey", buckets=8, path=f"{base}/orders")
     write_bucketed(cust, rt, "custkey", buckets=8, path=f"{base}/customer")
     return bucketed_join(spark, lt, rt, "custkey")

@@ -95,12 +95,17 @@ query("q_scan_csv", _scan_csv_oracle("{TAG}"), tags=("scan",))(_scan_csv)
 
 # --- q_scan_arrow: Arrow IPC file scan (STORED AS ARROW, arrow-ipc) --------
 def _scan_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow IPC scan (reference: `STORED AS ARROW`, Cargo.lock:198):
-    pyarrow reads the IPC file, Arrow-backed createDataFrame hands the
-    batches to Spark. Fine for dimension-sized data; a 100 TB fact
-    table would land as parquet instead (IPC is an interchange format,
-    not a scan-optimized one — no row groups/statistics to prune)."""
+    """Arrow IPC scan (reference: `STORED AS ARROW`, Cargo.lock:198),
+    read DISTRIBUTED (r01 verdict fix): binaryFile ships each IPC file
+    to an executor, mapInArrow decodes its record batches there — the
+    driver touches only the footer schema (metadata, not data). Scales
+    with the file count: one task per IPC file, so a multi-file IPC
+    dataset reads fully parallel; a single monolithic file is one task
+    (IPC has no row-group statistics to split/prune on — a 100 TB fact
+    table would land as parquet instead)."""
     import pyarrow.ipc as ipc
+
+    from pyspark.sql.pandas.types import from_arrow_schema
 
     tag = _sf_tag(sf_dir)
     d = os.path.join(_FIXTURE_ROOT, tag)
@@ -111,9 +116,26 @@ def _scan_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         with ipc.new_file(arrow_path + ".tmp", t.schema) as w:
             w.write_table(t)
         os.replace(arrow_path + ".tmp", arrow_path)
+    # footer-only metadata read; no table materialization on the driver
     with ipc.open_file(arrow_path) as r:
-        tbl = r.read_all()
-    df = spark.createDataFrame(tbl.to_pandas())
+        spark_schema = from_arrow_schema(r.schema)
+
+    def _decode_ipc(batches):  # self-contained: runs on executors
+        import pyarrow as pa
+        import pyarrow.ipc as ipc_
+
+        for rb in batches:
+            for content in rb.column(rb.schema.get_field_index("content")):
+                with ipc_.open_file(pa.BufferReader(content.as_py())) as rr:
+                    for i in range(rr.num_record_batches):
+                        yield rr.get_batch(i)
+
+    df = (
+        spark.read.format("binaryFile")
+        .load(arrow_path)
+        .select("content")
+        .mapInArrow(_decode_ipc, spark_schema)
+    )
     df.createOrReplaceTempView("nation_arrow")
     return spark.sql(
         "SELECT n_nationkey, n_name, n_regionkey FROM nation_arrow WHERE n_regionkey <= 3"
@@ -237,6 +259,39 @@ query(
     "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <= 2",
     tags=("sink",),
 )(_copy_parquet)
+
+
+# --- q_scan_partitioned: COPY … PARTITIONED BY → pruned hive-layout scan -------------
+def _scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips the engine's COPY … PARTITIONED BY sink
+    (engine.py _copy_to), then scans the hive layout back with a
+    partition-key predicate. Mirrors the reference's object-store
+    listing scans over partitioned trees (object_store.rs:43-74);
+    on read, Spark prunes to the single o_orderstatus=F directory
+    (PartitionFilters — asserted in tests/test_plans.py), the
+    mechanism that turns a 100 TB scan into a one-partition scan."""
+    from datafusion_wasm_bindings_spark.engine import SQLEngine
+
+    out = os.path.join(_OUT_ROOT, _sf_tag(sf_dir), "copy_orders_by_status")
+    SQLEngine(spark).sql(
+        f"COPY (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders) "
+        f"TO '{out}' STORED AS PARQUET PARTITIONED BY (o_orderstatus)"
+    )
+    return (
+        spark.read.parquet(out)
+        .filter("o_orderstatus = 'F'")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+query(
+    "q_scan_partitioned",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("scan", "sink", "partitioned"),
+)(_scan_partitioned)
 
 
 # --- q_insert_into ------------------------------------------------------------------

@@ -80,6 +80,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # on Spark 3.x the ns-timestamp column aborts the read without
         # this legacy conf (4.x reads it as TIMESTAMP_NTZ and ignores it)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # normalize_event_ts's NTZ→TIMESTAMP cast is value-preserving
+        # only under a UTC session tz; a non-UTC driver JVM would shift
+        # every events instant away from the UTC-naive DuckDB oracle
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_event_ts(df)

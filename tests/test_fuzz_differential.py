@@ -849,18 +849,24 @@ def test_regexp_functions_agree(spark, duck, s, pat):
 
 
 def test_positional_params_shift_documented(spark):
-    """Pin a Spark 4.1 positional-parameter quirk: in a multi-function
-    projection containing ``regexp_extract_all(?, ?, 0)``, the markers
-    AFTER that call bind shifted by one position (observed: marker 5
-    receives argument 4). Named parameters bind correctly — why the
-    engine's PREPARE/EXECUTE path (engine._execute_bound) and the
-    regexp fuzz above use named binding exclusively."""
+    """Document a Spark 4.1 positional-parameter quirk: in a
+    multi-function projection containing ``regexp_extract_all(?, ?, 0)``,
+    the markers AFTER that call bind shifted by one position (observed:
+    marker 5 receives argument 4). Named parameters bind correctly —
+    why the engine's PREPARE/EXECUTE path (engine._execute_bound) and
+    the regexp fuzz above use named binding exclusively.
+
+    The positional outcome is NOT pinned hard: a future Spark may fix
+    the shift, and the engine (named params everywhere) keeps working
+    either way — so accept both the buggy and the fixed binding, and
+    only assert hard on the named path."""
     row = spark.sql(
         "SELECT regexp_like(?, ?) AS l, regexp_extract_all(?, ?, 0) AS e, "
         "regexp_replace(?, ?, 'X') AS r",
         args=["s1", "p1", "s2", "p2", "s3", "p3"],
     ).collect()[0]
-    assert row.r == "p2"  # shifted: replace got ('p2','s3'), not ('s3','p3')
+    # 'p2' = the 4.1 shifted binding; 's3' = correct binding if fixed
+    assert row.r in ("p2", "s3"), f"unexpected positional binding: {row.r!r}"
     named = spark.sql(
         "SELECT regexp_replace(:s, :p, 'X') AS r", args={"s": "s3", "p": "p3"}
     ).collect()[0]

@@ -120,6 +120,28 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_cust")
 
 
+def test_scan_partitioned_query_prunes(spark, sf_dir):
+    """The registered COPY→scan round-trip must prune on the partition
+    key: the scan carries a PartitionFilters entry on o_orderstatus and
+    reads only the matching directory."""
+    df = REGISTRY["q_scan_partitioned"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    part_filters = plan.split("PartitionFilters:", 1)[1].splitlines()[0]
+    assert "o_orderstatus" in part_filters, plan
+    assert df.count() > 0
+
+
+def test_scan_arrow_is_distributed(spark, sf_dir):
+    """The IPC read must decode on executors (binaryFile + mapInArrow),
+    not materialize on the driver: the plan carries the Arrow-eval
+    python operator over a binaryFile scan — no LocalTableScan of
+    driver-collected rows."""
+    df = REGISTRY["q_scan_arrow"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan, plan
+    assert "LocalTableScan" not in plan, plan
+
+
 def test_partition_pruning_on_hive_layout(spark, sf_dir, tmp_path):
     """Hive-partitioned parquet + a partition-key filter must prune at
     plan time (PartitionFilters), reading only matching directories —
