@@ -151,6 +151,53 @@ _GCD_BODY = f"""
 def _gcd_sql(a: str, b: str) -> str:
     return _GCD_BODY.format(a=a, b=b)
 
+
+# --- introspection helpers (SURVEY §2.8 "—" rows) ---------------------
+
+# Spark typeof() name -> Arrow type name as DataFusion's arrow_typeof
+# prints it (datafusion/functions arrow_typeof; the reference compiles
+# it in via datafusion-functions, Cargo.lock:783).
+_ARROW_TYPE_NAMES = {
+    "tinyint": "Int8",
+    "smallint": "Int16",
+    "int": "Int32",
+    "bigint": "Int64",
+    "float": "Float32",
+    "double": "Float64",
+    "string": "Utf8",
+    "boolean": "Boolean",
+    "date": "Date32",
+    "binary": "Binary",
+    "timestamp": 'Timestamp(Microsecond, Some("UTC"))',
+    "timestamp_ntz": "Timestamp(Microsecond, None)",
+}
+
+
+def arrow_typeof(col: Column) -> Column:
+    """DataFusion ``arrow_typeof(x)`` — the Arrow type name of the
+    argument. Composed from Spark's ``typeof`` plus a name map (a
+    constant-folded CASE chain); decimals print as Decimal128(p, s).
+    Unmapped Spark-only names pass through unchanged."""
+    t = F.typeof(col)
+    out = F.when(
+        t.startswith("decimal"),
+        F.concat(F.lit("Decimal128"), F.regexp_replace(t, "^decimal", "")),
+    )
+    for spark_name, arrow_name in _ARROW_TYPE_NAMES.items():
+        out = out.when(t == spark_name, F.lit(arrow_name))
+    return out.otherwise(t)
+
+
+def version_string() -> str:
+    """DataFusion ``version()`` analogue: this engine's version over
+    its Spark runtime (reference surfaces DataFusion 45's)."""
+    import pyspark
+
+    from datafusion_wasm_bindings_spark import __version__
+
+    return f"datafusion-wasm-bindings-spark {__version__} (spark {pyspark.__version__})"
+
+
 _registered_sessions: set[int] = set()
 
 
@@ -217,4 +264,8 @@ def ensure_registered(spark: SparkSession) -> None:
         "abs(a) DIV (" + _gcd_sql("a", "b") + ") * abs(b) END"
     )
     spark.udf.register("dfwb_regexp_match", _regexp_match_udf)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION dfwb_version() "
+        f"RETURNS STRING RETURN '{version_string()}'"
+    )
     _registered_sessions.add(id(spark))

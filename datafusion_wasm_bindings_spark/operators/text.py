@@ -35,10 +35,16 @@ def token_counts(documents: DataFrame) -> DataFrame:
 
     ws_tokens: split on whitespace runs; re_tokens: alnum runs (a
     BPE-ish pre-tokenizer grain); chars from length().
+
+    Empty-text edge: Spark's ``split('')`` yields ``['']`` (size 1),
+    but an empty or whitespace-only document has zero tokens — the
+    filter below aligns with the oracle's ``list_filter(..., <> '')``
+    so a fixture with empty docs can't diverge.
     """
+    ws = F.filter(F.split(F.trim(F.col("text")), "\\s+"), lambda t: t != "")
     return documents.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), "\\s+")).alias("ws_tokens"),
+        F.size(ws).alias("ws_tokens"),
         F.size(tokens_col()).alias("re_tokens"),
         F.length("text").alias("n_chars_measured"),
         F.col("n_chars").alias("n_chars_given"),

@@ -142,6 +142,45 @@ query(
     tags=("functions", "math"),
 )(_math_gaps)
 
+# --- introspection: arrow_typeof / version (SURVEY §2.8 "—" rows) ---------
+def _typeof_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.functions.shims import (
+        arrow_typeof,
+        ensure_registered,
+    )
+
+    ensure_registered(spark)
+    version_ok = spark.sql(
+        "SELECT dfwb_version() RLIKE '^datafusion-wasm-bindings-spark' AS ok"
+    ).collect()[0].ok
+    return spark.range(1).select(
+        arrow_typeof(F.lit(1).cast("bigint")).alias("t_int64"),
+        arrow_typeof(F.lit(1).cast("int")).alias("t_int32"),
+        arrow_typeof(F.lit(1.5)).alias("t_float64"),
+        arrow_typeof(F.lit("x")).alias("t_utf8"),
+        arrow_typeof(F.lit(True)).alias("t_bool"),
+        arrow_typeof(F.lit(None).cast("date")).alias("t_date32"),
+        arrow_typeof(F.lit("9.99").cast("decimal(4,2)")).alias("t_decimal"),
+        F.lit(bool(version_ok)).alias("version_ok"),
+    )
+
+
+# oracle = the exact Arrow type names DataFusion's arrow_typeof prints;
+# version() can't value-match across engines, so the checked column is
+# the boolean contract "version() matches this engine's identity".
+query(
+    "q_fn_typeof_version",
+    """
+    SELECT 'Int64' AS t_int64, 'Int32' AS t_int32, 'Float64' AS t_float64,
+           'Utf8' AS t_utf8, 'Boolean' AS t_bool, 'Date32' AS t_date32,
+           'Decimal128(4,2)' AS t_decimal, TRUE AS version_ok
+    """,
+    tags=("functions", "introspection"),
+)(_typeof_version)
+
+
 # --- strings: basic -------------------------------------------------------
 sql_query(
     "q_fn_string_basic",

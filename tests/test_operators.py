@@ -379,3 +379,18 @@ def test_chunk_documents_covers_every_token_with_overlap(documents):
         for r in rows[:3]:
             got = len(r.chunk_text.split()) if r.chunk_text else 0
             assert got == r.n_chunk_tokens, (doc_id, r.chunk_id)
+
+
+def test_token_counts_empty_text_edge(spark):
+    """Empty and whitespace-only docs have ZERO whitespace tokens —
+    Spark's split('') -> [''] quirk must not count one (operators/text.py
+    filter; the DuckDB oracle applies list_filter(..., <> '') the same
+    way)."""
+    from datafusion_wasm_bindings_spark.operators.text import token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "", 0), (2, "   ", 3), (3, "two words", 9)],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {r.doc_id: r.ws_tokens for r in token_counts(docs).collect()}
+    assert got == {1: 0, 2: 0, 3: 2}
