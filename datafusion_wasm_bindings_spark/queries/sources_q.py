@@ -35,6 +35,16 @@ def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir)) or "sf"
 
 
+def _scope() -> str:
+    """pid_tid suffix for sink scratch paths/table names: the bench
+    harness runs the registry from several threads of one process
+    (SPARK_GRAFT_BENCH_THREADS), and concurrent overwrites of one
+    location corrupt it (same fix as q_join_bucketed)."""
+    import threading
+
+    return f"{os.getpid()}_{threading.get_ident()}"
+
+
 def _ensure_text_fixtures(sf_dir: str) -> tuple[str, str]:
     """Write nation as sorted CSV + NDJSON once per sf (deterministic)."""
     tag = _sf_tag(sf_dir)
@@ -238,7 +248,7 @@ query(
 
 # --- q_copy_parquet: COPY (SELECT…) TO 'file' STORED AS PARQUET --------------------
 def _copy_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = os.path.join(_OUT_ROOT, _sf_tag(sf_dir), "copy_nation_parquet")
+    out = os.path.join(_OUT_ROOT, _sf_tag(sf_dir), f"copy_nation_parquet_{_scope()}")
     # coalesce(1): deterministic single file for the oracle glob; at
     # scale you would keep task-parallel part files instead.
     (
@@ -272,7 +282,7 @@ def _scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanism that turns a 100 TB scan into a one-partition scan."""
     from datafusion_wasm_bindings_spark.engine import SQLEngine
 
-    out = os.path.join(_OUT_ROOT, _sf_tag(sf_dir), "copy_orders_by_status")
+    out = os.path.join(_OUT_ROOT, _sf_tag(sf_dir), f"copy_orders_by_status_{_scope()}")
     SQLEngine(spark).sql(
         f"COPY (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders) "
         f"TO '{out}' STORED AS PARQUET PARTITIONED BY (o_orderstatus)"
@@ -298,18 +308,19 @@ query(
 def _insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
-    loc = os.path.join(_OUT_ROOT, _sf_tag(sf_dir), "insert_target")
+    tbl = f"dfwb_insert_target_{_scope()}"
+    loc = os.path.join(_OUT_ROOT, _sf_tag(sf_dir), f"insert_target_{_scope()}")
     shutil.rmtree(loc, ignore_errors=True)
-    spark.sql("DROP TABLE IF EXISTS dfwb_insert_target")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     spark.sql(
         f"""
-        CREATE TABLE dfwb_insert_target (k BIGINT, name STRING)
+        CREATE TABLE {tbl} (k BIGINT, name STRING)
         USING PARQUET LOCATION '{loc}'
         """
     )
-    spark.sql("INSERT INTO dfwb_insert_target SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0")
-    spark.sql("INSERT INTO dfwb_insert_target VALUES (100, 'atlantis'), (101, 'lemuria')")
-    return spark.sql("SELECT k, name FROM dfwb_insert_target")
+    spark.sql(f"INSERT INTO {tbl} SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 0")
+    spark.sql(f"INSERT INTO {tbl} VALUES (100, 'atlantis'), (101, 'lemuria')")
+    return spark.sql(f"SELECT k, name FROM {tbl}")
 
 
 query(

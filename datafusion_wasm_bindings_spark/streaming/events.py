@@ -25,6 +25,16 @@ from datafusion_wasm_bindings_spark.queries._util import dsum
 from datafusion_wasm_bindings_spark.sources.catalog import normalize_event_ts
 
 
+def _scoped(name: str) -> str:
+    """Memory-sink/query names scoped by pid+thread: two bench threads
+    starting a stream with one queryName collide ('query with that name
+    is already active'); same-thread re-runs keep reusing one name."""
+    import os
+    import threading
+
+    return f"{name}_{os.getpid()}_{threading.get_ident()}"
+
+
 def tumbling(events: DataFrame, width: str = "1 hour") -> DataFrame:
     return (
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
@@ -83,7 +93,7 @@ def streaming_demo(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> D
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("ws"), "event_type", "n")
     )
-    name = "dfwb_stream_demo"
+    name = _scoped("dfwb_stream_demo")
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
@@ -148,7 +158,7 @@ def streaming_enriched_windows(
         )
         .select(F.col("w.start").alias("ws"), "event_type", "n", "weighted_value")
     )
-    name = "dfwb_stream_enrich_demo"
+    name = _scoped("dfwb_stream_enrich_demo")
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
@@ -223,7 +233,7 @@ def streaming_late_data_demo(spark: SparkSession) -> dict[str, int]:
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("ws"), "n")
     )
-    name = "dfwb_stream_late_demo"
+    name = _scoped("dfwb_stream_late_demo")
     q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
     try:
         q.processAllAvailable()
@@ -297,7 +307,7 @@ def streaming_running_totals(
     updates = stream.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
-    name = "dfwb_stream_state_demo"
+    name = _scoped("dfwb_stream_state_demo")
     # cap the stateful shuffle width for this bounded demo: each state
     # partition costs a Python worker + state-store round-trip PER
     # micro-batch, and the default width (cores) makes tiny batches pay
