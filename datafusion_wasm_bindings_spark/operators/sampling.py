@@ -75,6 +75,53 @@ def md5_sample(
     return df.filter(h < F.lit(md5_threshold(rate)))
 
 
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    *,
+    alpha: float = 0.5,
+    salt: str = "dfwb",
+) -> DataFrame:
+    """Temperature-based domain mixing (the multilingual-corpus
+    rebalancing rule): sample domains with probability ∝ n_d^alpha,
+    alpha < 1 flattening the natural distribution toward uniform. The
+    per-row keep rate is r_d = (n_d / n_min)^(alpha-1) — the smallest
+    domain keeps everything, larger domains are downsampled by their
+    size ratio. Rows are kept by the engine-portable md5 draw (see
+    ``md5_sample``), so the selection is reproducible across engines
+    and re-partitionings.
+
+    Scale shape: the domain-count pass is a column-pruned scan + tiny
+    aggregate; its |domains|-row rate table broadcasts back onto the
+    main scan — no shuffle of the corpus itself. The global-min window
+    runs over the tiny count relation only.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    rates = counts.withColumn(
+        "__minn", F.min("__n").over(Window.partitionBy())
+    ).withColumn(
+        "__rate", F.pow(F.col("__n") / F.col("__minn"), F.lit(alpha - 1.0))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(16**8))
+    )
+    return (
+        df.join(F.broadcast(rates.select(domain_col, "__rate")), domain_col)
+        .filter(u < F.col("__rate"))
+        .withColumnRenamed("__rate", "keep_rate")
+    )
+
+
 def md5_stratified_sample(
     df: DataFrame,
     key_col: str,

@@ -654,6 +654,94 @@ query(
 )(_sample_weighted)
 
 
+def _sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.sampling import temperature_sample
+
+    kept = temperature_sample(
+        table(spark, sf_dir, "documents"), "doc_id", "source", alpha=0.5
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.min("keep_rate"), 6).alias("keep_rate"),
+    )
+
+
+# temperature mixing is fully deterministic (md5 draw + identical
+# double arithmetic for the (n/n_min)^(alpha-1) rate), so the oracle
+# recomputes the whole pipeline: counts → rates → per-row keep → mix
+# summary. alpha=0.5 flattens the natural source distribution halfway
+# to uniform; the smallest source keeps rate 1.0.
+query(
+    "q_sample_temperature",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    m AS (SELECT min(n) AS mn FROM c),
+    r AS (SELECT source, pow(n * 1.0 / mn, -0.5) AS rate FROM c, m),
+    k AS (
+      SELECT d.source, r.rate
+      FROM documents d JOIN r USING (source)
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'dfwb'), 1, 8)) AS BIGINT)
+              / 4294967296.0 < r.rate
+    )
+    SELECT source, count(*) AS n_kept, round(min(rate), 6) AS keep_rate
+    FROM k GROUP BY source
+    """,
+    tags=("extension", "sampling"),
+)(_sample_temperature)
+
+
+# ====================== point-in-time (as-of) join =======================
+def _join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most recent purchase before each event, per user — the
+    leakage-free feature-lookup shape (operators/asof.py). Output
+    instants as epoch micros (registry determinism rules)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.asof import asof_join
+
+    events = table(spark, sf_dir, "events")
+    left = events.select("event_id", "user_id", "ts", "value")
+    right = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(left, right, on=["user_id"], ts="ts", right_prefix="ref_")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.unix_micros("ref_ts").alias("ref_ts_us"),
+        "ref_purchase_value",
+    )
+
+
+# the oracle runs DuckDB's NATIVE ASOF LEFT JOIN against our
+# union-merge window rewrite — two independent formulations of the
+# same semantics must agree row-for-row.
+query(
+    "q_join_asof",
+    """
+    WITH r AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT e.event_id,
+           e.user_id,
+           epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+           e.value,
+           epoch_us(r.ts) AS ref_ts_us,
+           r.purchase_value AS ref_purchase_value
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.user_id AND r.ts <= CAST(e.ts AS TIMESTAMP)
+    """,
+    tags=("extension", "join", "events"),
+)(_join_asof)
+
+
 # ====================== semi-structured props ============================
 # events.props carries JSON payloads — the semi-structured column
 # pattern of real event pipelines. Extraction stays JVM-side

@@ -394,3 +394,47 @@ def test_token_counts_empty_text_edge(spark):
     )
     got = {r.doc_id: r.ws_tokens for r in token_counts(docs).collect()}
     assert got == {1: 0, 2: 0, 3: 2}
+
+
+def test_asof_join_known_values(spark):
+    """Hand-checkable as-of: each left row picks the latest right row
+    with ts <= its own, per key; no match -> nulls."""
+    from datafusion_wasm_bindings_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 7, "z"), (2, 5, "c")],
+        "k long, ts long, payload string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (1, 20, 250.0), (2, 99, 300.0)],
+        "k long, ts long, w double",
+    )
+    got = {
+        (r.k, r.ts): (r.ref_ts, r.ref_w)
+        for r in asof_join(left, right, on=["k"], ts="ts").collect()
+    }
+    assert got == {
+        (1, 7): (None, None),       # nothing at or before 7
+        (1, 10): (8, 100.0),
+        (1, 20): (20, 250.0),       # equal timestamp matches (<=)
+        (2, 5): (None, None),       # right row is in the future
+    }
+
+
+def test_temperature_sample_flattens_distribution(documents, spark):
+    """alpha=0.5: the smallest source keeps everything (rate 1.0);
+    larger sources keep ~ (n/n_min)^-0.5 of their rows; the kept mix is
+    flatter than the natural one."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.sampling import temperature_sample
+
+    natural = {r.source: r.n for r in documents.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept = temperature_sample(documents, "doc_id", "source", alpha=0.5)
+    got = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    smallest = min(natural, key=natural.get)
+    assert got[smallest] == natural[smallest]  # rate 1.0 keeps all
+    import math
+    for s, n in natural.items():
+        expect = n * (n / natural[smallest]) ** -0.5
+        assert abs(got.get(s, 0) - expect) <= 4 * math.sqrt(expect) + 2, (s, got.get(s), expect)

@@ -309,3 +309,26 @@ def test_zscore_outliers_single_window_exchange(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+
+
+def test_asof_join_single_exchange_no_join_node(spark, sf_dir):
+    """The union-merge as-of rewrite must contain NO join operator (a
+    range self-join would probe per-left-row; the window sweep is
+    linear) and at most two hash exchanges: the (user_id, ts) dedup of
+    the reference stream, then the union's window shuffle on user_id."""
+    df = REGISTRY["q_join_asof"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert (
+        "SortMergeJoin" not in plan
+        and "BroadcastHashJoin" not in plan
+        and "CartesianProduct" not in plan
+    ), plan
+
+
+def test_temperature_sample_broadcasts_rates(spark, sf_dir):
+    """The |domains|-row rate table must broadcast back onto the corpus
+    scan — the corpus itself never shuffles for the mix selection."""
+    df = REGISTRY["q_sample_temperature"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
