@@ -591,11 +591,25 @@ def rewrite(sql: str) -> str:
     masked = masked.replace("\x00TRUNC\x00", "trunc")
     masked = rewrite_distinct_on(masked)
     masked = rewrite_groups_frames(masked)
-    # arrow_typeof(x) → Spark's typeof(x). Type *names* differ (Arrow
-    # "Int32" vs Spark "int") — documented approximation: the callable
-    # works, the spelling is the host engine's, exactly as DataFusion
-    # reports its own engine's names.
-    masked = re.sub(r"\barrow_typeof\s*\(", "typeof(", masked, flags=re.IGNORECASE)
+    # arrow_typeof(x) → CASE over Spark's typeof(x) mapping Spark type
+    # names to the Arrow spellings DataFusion prints ("int" → "Int32",
+    # "decimal(p,s)" → "Decimal128(p,s)"); unmapped names pass through.
+    # typeof is constant-folded, so the repeated subexpression is free.
+    def arrow_typeof_repl(a: list[str]) -> str:
+        from datafusion_wasm_bindings_spark.functions.shims import (
+            _ARROW_TYPE_NAMES,
+        )
+
+        t = f"typeof({a[0]})"
+        cases = " ".join(
+            f"WHEN {t} = '{k}' THEN '{v}'" for k, v in _ARROW_TYPE_NAMES.items()
+        )
+        return (
+            f"(CASE WHEN {t} LIKE 'decimal%' "
+            f"THEN concat('Decimal128', substr({t}, 8)) {cases} ELSE {t} END)"
+        )
+
+    masked = _rewrite_calls(masked, "arrow_typeof", arrow_typeof_repl)
     masked = _INFO_SCHEMA_RE.sub(lambda m: f"information_schema_{m.group(1).lower()}", masked)
     return _unmask(masked, lits)
 

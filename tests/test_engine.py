@@ -126,8 +126,14 @@ def test_information_schema_views_records_definition(engine):
 
 
 def test_arrow_typeof_rewrite(engine):
-    out = engine.execute_sql("SELECT arrow_typeof(1) AS t")
-    assert "int" in out
+    # DataFusion's Arrow spellings, not Spark's ("Int32", not "int")
+    out = engine.execute_sql(
+        "SELECT arrow_typeof(1) AS t, arrow_typeof('x') AS s, "
+        "arrow_typeof(CAST(2 AS BIGINT)) AS b, "
+        "arrow_typeof(CAST(9.9 AS DECIMAL(4,2))) AS d"
+    )
+    assert "Int32" in out and "Utf8" in out
+    assert "Int64" in out and "Decimal128(4,2)" in out
 
 
 def test_arrow_cast_rewrite(engine):
