@@ -20,19 +20,33 @@ from pyspark.sql import functions as F
 from datafusion_wasm_bindings_spark.queries._util import DEC
 
 
-def profile_columns(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, numeric_cols: list[str], *, exact_distinct: bool = True
+) -> DataFrame:
     """Profile ``numeric_cols``: rows of (column, n, n_null, n_distinct,
-    min_v, max_v, mean_v). count(DISTINCT) per column keeps exact
-    semantics — Spark expands multi-distinct aggregates internally
-    (RewriteDistinctAggregates) without extra passes over storage.
+    min_v, max_v, mean_v).
+
+    ``exact_distinct=True`` (the oracle-checked default) uses
+    count(DISTINCT) per column: storage is still read once, but Spark's
+    RewriteDistinctAggregates plans an Expand that replicates the row
+    stream (N distinct aggs + 1)× before aggregating — exact, and fine
+    up to mid-size inputs. At 100 TB set ``exact_distinct=False``:
+    approx_count_distinct (HLL, 2% rsd) needs no Expand, keeping the
+    profile a true single-pass map-side aggregate; at that scale the
+    distinct count is capacity-planning input, not an exact contract.
     """
+    n_distinct = (
+        F.countDistinct
+        if exact_distinct
+        else (lambda col: F.approx_count_distinct(col, 0.02))
+    )
     aggs = []
     for c in numeric_cols:
         col = F.col(c)
         aggs += [
             F.count(col).alias(f"{c}__n"),
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__n_null"),
-            F.countDistinct(col).alias(f"{c}__n_distinct"),
+            n_distinct(col).alias(f"{c}__n_distinct"),
             F.min(col).cast("double").alias(f"{c}__min"),
             F.max(col).cast("double").alias(f"{c}__max"),
             (

@@ -438,3 +438,21 @@ def test_temperature_sample_flattens_distribution(documents, spark):
     for s, n in natural.items():
         expect = n * (n / natural[smallest]) ** -0.5
         assert abs(got.get(s, 0) - expect) <= 4 * math.sqrt(expect) + 2, (s, got.get(s), expect)
+
+
+def test_profile_columns_approx_mode_tracks_exact(spark, sf_dir):
+    """The 100 TB profile path (approx_count_distinct, no Expand) must
+    stay within the HLL error envelope of the exact profile and plan
+    WITHOUT the Expand the multi-distinct rewrite inserts."""
+    from datafusion_wasm_bindings_spark.operators.profiling import profile_columns
+    from datafusion_wasm_bindings_spark.sources.catalog import table as t
+
+    li = t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    exact = {r.column_name: r.n_distinct for r in profile_columns(li, cols).collect()}
+    approx_df = profile_columns(li, cols, exact_distinct=False)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    approx = {r.column_name: r.n_distinct for r in approx_df.collect()}
+    for c in cols:
+        assert abs(approx[c] - exact[c]) <= 0.1 * exact[c] + 2, (c, approx[c], exact[c])
