@@ -791,6 +791,25 @@ query(
 )(_stream_stateful)
 
 
+def _stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.streaming.events import streaming_dedup
+
+    return streaming_dedup(spark, sf_dir)
+
+
+# a REAL dropDuplicatesWithinWatermark run; bounded input makes the
+# kept-key set equal batch DISTINCT, so the summary is fully checkable
+query(
+    "q_stream_dedup",
+    """
+    SELECT user_id, count(*) AS n_types
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY user_id
+    """,
+    tags=("extension", "streaming", "dedup"),
+)(_stream_dedup)
+
+
 def _stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 

@@ -107,6 +107,46 @@ def streaming_demo(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> D
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup via ``dropDuplicatesWithinWatermark`` —
+    the continuous-ingest twin of operators/dedup.exact_dedup: keep the
+    first arrival per (user_id, event_type) while the watermark bounds
+    the dedup state (keys older than watermark − delay are evicted, so
+    state is O(recent keys), not O(stream history) — the property that
+    makes streaming dedup viable on an unbounded 100 TB/day ingest).
+
+    Bounded input ⇒ the kept-key set equals batch DISTINCT
+    (user_id, event_type), which is what the q_stream_dedup oracle
+    checks; the per-key count summary makes the result deterministic
+    regardless of which duplicate arrived first.
+    """
+    import os
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("path", os.path.join(sf_dir))
+        .option("pathGlobFilter", "events.parquet")
+        .load()
+    )
+    stream = normalize_event_ts(stream)
+    kept = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = _scoped("dfwb_stream_dedup_demo")
+    q = kept.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT user_id, count(*) AS n_types FROM {name} GROUP BY user_id"
+    )
+
+
 def streaming_enriched_windows(
     spark: SparkSession, sf_dir: str, width: str = "1 day"
 ) -> DataFrame:
