@@ -742,6 +742,62 @@ query(
 )(_join_asof)
 
 
+# ====================== interval (range) join ============================
+def _join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events within 30 minutes after each purchase, per user —
+    attribution-window shape. Bucketed equi-join rewrite
+    (operators/rangejoin.py); instants surfaced as epoch micros."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.rangejoin import interval_join
+
+    events = table(spark, sf_dir, "events")
+    left = events.select("event_id", "user_id", "ts", "event_type")
+    iv = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.count("*").alias("__dup"))
+        .select(
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("end"),
+        )
+    )
+    out = interval_join(left, iv, on=["user_id"], ts="ts", bucket_seconds=1800)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        F.unix_micros("start").alias("win_start_us"),
+    )
+
+
+# oracle: DuckDB's native inequality join (IEJoin) over the plain
+# BETWEEN predicate — independent of the bucketing rewrite, so the
+# bounded fan-out trick is value-checked, not assumed.
+query(
+    "q_join_range",
+    """
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS start,
+             CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS "end"
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT e.event_id,
+           e.user_id,
+           epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+           e.event_type,
+           epoch_us(iv.start) AS win_start_us
+    FROM events e
+    JOIN iv ON e.user_id = iv.user_id
+           AND CAST(e.ts AS TIMESTAMP) >= iv.start
+           AND CAST(e.ts AS TIMESTAMP) <= iv."end"
+    """,
+    tags=("extension", "join", "events"),
+)(_join_range)
+
+
 # ====================== semi-structured props ============================
 # events.props carries JSON payloads — the semi-structured column
 # pattern of real event pipelines. Extraction stays JVM-side

@@ -456,3 +456,33 @@ def test_profile_columns_approx_mode_tracks_exact(spark, sf_dir):
     approx = {r.column_name: r.n_distinct for r in approx_df.collect()}
     for c in cols:
         assert abs(approx[c] - exact[c]) <= 0.1 * exact[c] + 2, (c, approx[c], exact[c])
+
+
+def test_interval_join_known_values(spark):
+    """Hand-checkable range join incl. bucket-boundary cases: an
+    interval spanning two buckets must match events in both, and
+    inclusive endpoints must match exactly."""
+    from datetime import datetime as dt
+
+    from datafusion_wasm_bindings_spark.operators.rangejoin import interval_join
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, dt(2024, 1, 1, 10, 0)),
+            (2, 1, dt(2024, 1, 1, 10, 29)),
+            (3, 1, dt(2024, 1, 1, 10, 31)),   # second bucket of the interval
+            (4, 1, dt(2024, 1, 1, 10, 45)),   # == end, inclusive
+            (5, 1, dt(2024, 1, 1, 10, 46)),   # past end
+            (6, 2, dt(2024, 1, 1, 10, 10)),   # right key, other user's window
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10, 15), dt(2024, 1, 1, 10, 45))],
+        "user_id long, start timestamp, end timestamp",
+    )
+    got = sorted(
+        r.event_id
+        for r in interval_join(ev, iv, on=["user_id"], bucket_seconds=1800).collect()
+    )
+    assert got == [2, 3, 4]

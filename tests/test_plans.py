@@ -332,3 +332,13 @@ def test_temperature_sample_broadcasts_rates(spark, sf_dir):
     df = REGISTRY["q_sample_temperature"].spark_fn(spark, sf_dir)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The bucketed rewrite must plan a hash/sort-merge EQUI-join with a
+    residual filter — never BroadcastNestedLoopJoin or CartesianProduct
+    (the O(n*m)-per-key shapes a raw BETWEEN predicate degrades to)."""
+    df = REGISTRY["q_join_range"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
