@@ -53,6 +53,16 @@ _SCRIPT = textwrap.dedent(
         "q_fn_math_gaps",
         "q_multimodal_features",
         "q_dedup_minhash",
+        # r2 additions with their own trap surface: streaming dedup
+        # (readStream on the ns-ts parquet), as-of/range join (window
+        # + epoch on normalized ts), engine COPY round-trip, SQL-UDF
+        # registration (dfwb_version), broadcast rate table
+        "q_stream_dedup",
+        "q_join_asof",
+        "q_join_range",
+        "q_scan_partitioned",
+        "q_fn_typeof_version",
+        "q_sample_temperature",
     ):
         df = qs[name](spark, sf)
         df.collect()
