@@ -41,15 +41,23 @@ def word_shingles(col: F.Column, k: int = 3) -> F.Column:
     )
 
 
-def exact_dedup(documents: DataFrame) -> DataFrame:
+def exact_dedup(documents: DataFrame, *, prehash: bool = True) -> DataFrame:
     """Exact dedup: keep the lowest doc_id per identical text.
 
-    Hash-groupBy on the text value — one shuffle keyed by text (Spark
-    hashes the key; at 100 TB you'd pre-hash to a fixed-width key:
-    ``F.xxhash64("text")`` — same plan shape, smaller shuffle rows).
+    ``prehash=True`` (default) groups on ``md5(text)`` instead of the
+    text value: the map-side partial aggregate then shuffles
+    (32-hex-key, min_id, count) rows instead of full documents — at
+    100 TB of text that is the difference between shuffling kilobyte
+    rows and ~50-byte rows, with the same single-shuffle plan. The
+    output carries no hash, so results are identical to text-grouping
+    modulo md5 collisions (128-bit: ~1e-19 at 10^10 docs; pass
+    ``prehash=False`` to group on raw text when even that is
+    unacceptable). The q_dedup_exact oracle groups by text — the
+    comparison itself verifies the pre-hash changes nothing.
     """
+    key = F.md5(F.col("text")) if prehash else F.col("text")
     return (
-        documents.groupBy("text")
+        documents.groupBy(key.alias("__k"))
         .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
         .select("keeper_id", "n_copies")
     )
