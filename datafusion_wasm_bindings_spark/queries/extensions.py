@@ -742,6 +742,55 @@ query(
 )(_join_asof)
 
 
+# ====================== quantile feature binning =========================
+def _feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-bin o_totalprice (operators/features.py) and summarize
+    each bucket — equal-frequency discretization for feature
+    pipelines. Exact boundaries here (oracle-checkable); the operator's
+    approx mode is the mergeable-sketch 100 TB path."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.features import quantile_bin
+
+    binned = quantile_bin(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_totalprice",
+        n_bins=10,
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
+
+
+# exact interpolating percentile == DuckDB quantile_cont (same
+# (n-1)*p rank interpolation on the same doubles), so bin assignment
+# and bucket summaries value-check exactly.
+query(
+    "q_feature_binning",
+    f"""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice,
+                           [{", ".join(str(i / 10) for i in range(1, 10))}]) AS bnds
+      FROM orders
+    ),
+    a AS (
+      SELECT o_totalprice,
+             CASE WHEN o_totalprice IS NOT NULL
+                  THEN len(list_filter(b.bnds, x -> x <= o_totalprice))
+             END AS bin
+      FROM orders, b
+    )
+    SELECT bin, count(*) AS n,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi
+    FROM a GROUP BY bin
+    """,
+    tags=("extension", "features"),
+)(_feature_binning)
+
+
 # ====================== interval (range) join ============================
 def _join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events within 30 minutes after each purchase, per user —

@@ -486,3 +486,25 @@ def test_interval_join_known_values(spark):
         for r in interval_join(ev, iv, on=["user_id"], bucket_seconds=1800).collect()
     )
     assert got == [2, 3, 4]
+
+
+def test_quantile_bin_equal_frequency_and_approx_mode(spark, sf_dir):
+    """Deciles of a continuous column: exact mode yields ~equal bucket
+    populations; approx mode (the mergeable-sketch 100 TB path) stays
+    within the sketch's rank-error of exact."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.features import quantile_bin
+    from datafusion_wasm_bindings_spark.sources.catalog import table as t
+
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n = orders.count()
+    exact = quantile_bin(orders, "o_totalprice", n_bins=10)
+    sizes = {r.bin: r.n for r in exact.groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == set(range(10))
+    for b, s in sizes.items():
+        assert abs(s - n / 10) <= n * 0.02 + 2, (b, s, n)  # ties only
+    approx = quantile_bin(orders, "o_totalprice", n_bins=10, exact=False)
+    asizes = {r.bin: r.n for r in approx.groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    for b in range(10):
+        assert abs(asizes.get(b, 0) - sizes[b]) <= n * 0.05 + 2, (b, asizes.get(b), sizes[b])
