@@ -915,6 +915,31 @@ query(
 )(_stream_dedup)
 
 
+def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.streaming.events import streaming_stream_join
+
+    return streaming_stream_join(spark, sf_dir)
+
+
+# a REAL watermarked stream-stream range join; bounded input equals
+# the batch join with the same predicate, so the summary value-checks
+query(
+    "q_stream_stream_join",
+    """
+    WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts, value
+               FROM events WHERE event_type = 'click')
+    SELECT p.user_id, count(*) AS n_pairs,
+           CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS click_value
+    FROM p JOIN c ON p.user_id = c.user_id
+               AND c.c_ts >= p.p_ts AND c.c_ts <= p.p_ts + INTERVAL 30 MINUTE
+    GROUP BY p.user_id
+    """,
+    tags=("extension", "streaming", "join"),
+)(_stream_stream_join)
+
+
 def _stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 

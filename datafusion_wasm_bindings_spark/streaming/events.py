@@ -147,6 +147,80 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join with a time-range condition: clicks
+    within 30 minutes after a purchase by the same user, both sides
+    arriving as streams.
+
+    This is the stateful join Spark's Structured Streaming is built
+    for: each side is watermarked, and the range condition lets the
+    engine bound the join state — a purchase can only ever match clicks
+    with ``c_ts ∈ [p_ts, p_ts+30min]``, so rows older than
+    watermark − 30min are evicted instead of accumulating forever. At
+    100 TB/day of events, state is O(watermark-window × arrival rate),
+    not O(history) — the same bounded-fan-out idea as the batch
+    bucketed range join (operators/rangejoin.py), enforced by the
+    streaming state store.
+
+    Bounded input ⇒ result equals the batch join with the same
+    predicate, which is what the q_stream_stream_join oracle checks
+    (per-user pair counts + decimal-exact value sum).
+    """
+    import os
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def _stream():
+        s = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("path", os.path.join(sf_dir))
+            .option("pathGlobFilter", "events.parquet")
+            .load()
+        )
+        return normalize_event_ts(s)
+
+    purchases = (
+        _stream()
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            "value",
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    pairs = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id AND "
+            "c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    name = _scoped("dfwb_stream_join_demo")
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT user_id, count(*) AS n_pairs, "
+        f"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS click_value "
+        f"FROM {name} GROUP BY user_id"
+    )
+
+
 def streaming_enriched_windows(
     spark: SparkSession, sf_dir: str, width: str = "1 day"
 ) -> DataFrame:
