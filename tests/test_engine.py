@@ -336,3 +336,16 @@ def test_set_datafusion_knobs_apply_to_spark(engine):
     finally:
         engine.spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         engine.spark.conf.set("spark.sql.join.preferSortMergeJoin", prev_smj)
+
+
+def test_describe_and_show_columns_passthrough(engine, sf_dir):
+    """DataFusion's DESCRIBE / SHOW COLUMNS (information_schema on,
+    core.rs:62) map to Spark's native statements over the registered
+    views — column names must come back."""
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(engine.spark, sf_dir)
+    out = engine.execute_sql("DESCRIBE nation")
+    assert "n_nationkey" in out and "n_regionkey" in out
+    out = engine.execute_sql("SHOW COLUMNS IN region")
+    assert "r_regionkey" in out and "r_name" in out
