@@ -45,24 +45,38 @@ def asof_join(
     keys = list(on)
     lcols = [c for c in left.columns if c not in keys and c != ts]
     rcols = [c for c in right.columns if c not in keys and c != ts]
-    rtypes = {f.name: f.dataType for f in right.schema.fields}
     ltypes = {f.name: f.dataType for f in left.schema.fields}
 
+    # NULL join keys never match under join equality (the semantics
+    # DuckDB's ASOF ... ON l.k = r.k has): drop NULL-keyed right rows
+    # so a NULL-keyed left row — which Window.partitionBy would
+    # otherwise group with them — comes back with NULL refs instead.
+    right_nn = right
+    for k in keys:
+        right_nn = right_nn.filter(F.col(k).isNotNull())
+
+    # the right payload travels as ONE struct so the forward fill is
+    # atomic per right row: per-column last(ignorenulls) would let a
+    # NULL payload value resurrect the previous row's value, stitching
+    # together a right row that never existed.
+    payload = F.struct(
+        F.col(ts).alias("__rts"), *[F.col(c) for c in rcols]
+    )
     l2 = left.select(
         *keys,
         F.col(ts).alias("__ts"),
         F.lit(1).alias("__tag"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(rtypes[c]).alias(right_prefix + c) for c in rcols],
-        F.lit(None).cast(rtypes[ts]).alias(right_prefix + ts),
+        F.lit(None).cast(
+            right_nn.select(payload.alias("__p")).schema["__p"].dataType
+        ).alias("__p"),
     )
-    r2 = right.select(
+    r2 = right_nn.select(
         *keys,
         F.col(ts).alias("__ts"),
         F.lit(0).alias("__tag"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
-        *[F.col(c).alias(right_prefix + c) for c in rcols],
-        F.col(ts).alias(right_prefix + ts),
+        payload.alias("__p"),
     )
     w = (
         Window.partitionBy(*keys)
@@ -74,13 +88,12 @@ def asof_join(
         "__ts",
         "__tag",
         *lcols,
-        *[
-            F.last(right_prefix + c, ignorenulls=True).over(w).alias(right_prefix + c)
-            for c in [*rcols, ts]
-        ],
+        F.last("__p", ignorenulls=True).over(w).alias("__p"),
     )
-    return (
-        filled.filter(F.col("__tag") == 1)
-        .withColumnRenamed("__ts", ts)
-        .drop("__tag")
+    return filled.filter(F.col("__tag") == 1).select(
+        *keys,
+        F.col("__ts").alias(ts),
+        *lcols,
+        *[F.col(f"__p.{c}").alias(right_prefix + c) for c in rcols],
+        F.col("__p.__rts").alias(right_prefix + ts),
     )

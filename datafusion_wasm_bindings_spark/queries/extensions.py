@@ -925,13 +925,13 @@ def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the batch join with the same predicate, so the summary value-checks
 query(
     "q_stream_stream_join",
-    """
+    f"""
     WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts
                FROM events WHERE event_type = 'purchase'),
          c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts, value
                FROM events WHERE event_type = 'click')
     SELECT p.user_id, count(*) AS n_pairs,
-           CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS click_value
+           {dsum_sql("c.value", "click_value")}
     FROM p JOIN c ON p.user_id = c.user_id
                AND c.c_ts >= p.p_ts AND c.c_ts <= p.p_ts + INTERVAL 30 MINUTE
     GROUP BY p.user_id
@@ -1459,7 +1459,10 @@ def _join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed,
     )
 
-    import threading
+    import glob
+    import shutil
+
+    from datafusion_wasm_bindings_spark import scratch
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     orders = table(spark, sf_dir, "orders").select(
@@ -1468,29 +1471,20 @@ def _join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment"
     )
-    # scratch scoped by pid AND thread id: the bench harness runs the
-    # full registry from several threads of one process
-    # (SPARK_GRAFT_BENCH_THREADS), and two threads sharing a pid would
-    # race on the same saveAsTable(overwrite) name and location
-    scope = f"{os.getpid()}_{threading.get_ident()}"
-    base = f"/tmp/dfwb_bucketed_{tag}_{scope}"
-    lt, rt = f"bkt_orders_{tag}_{scope}", f"bkt_cust_{tag}_{scope}"
-    # reap scratch left by exited processes (dirs accumulate across
-    # runs otherwise); live pids — possibly a concurrent gate — are
-    # left alone
-    import glob
-    import re as _re
-    import shutil
-
-    for old in glob.glob("/tmp/dfwb_bucketed_*"):
-        m = _re.search(r"_(\d+)_\d+$", old)
-        if m and int(m.group(1)) != os.getpid():
-            try:
-                os.kill(int(m.group(1)), 0)
-            except ProcessLookupError:
-                shutil.rmtree(old, ignore_errors=True)
-            except PermissionError:
-                pass
+    # scratch scoped by pid AND thread id (scratch.scope): the bench
+    # harness runs the registry from several threads of one process,
+    # and two threads sharing a pid would race on the same
+    # saveAsTable(overwrite) name and location. The versioned root
+    # keeps scoped names parseable by scratch.reap — in the old flat
+    # namespace the sf tag's own digits (sf0_01) parsed as a pid, so
+    # legacy dirs were never reclaimed; they are wiped outright below
+    # (no current code writes there).
+    scp = scratch.scope()
+    base = f"/tmp/dfwb_bucketed2/{tag}_{scp}"
+    lt, rt = f"bkt_orders_{tag}_{scp}", f"bkt_cust_{tag}_{scp}"
+    scratch.reap("/tmp/dfwb_bucketed2/*")
+    for legacy in glob.glob("/tmp/dfwb_bucketed_*"):
+        shutil.rmtree(legacy, ignore_errors=True)  # pre-versioned layout
     write_bucketed(orders, lt, "custkey", buckets=8, path=f"{base}/orders")
     write_bucketed(cust, rt, "custkey", buckets=8, path=f"{base}/customer")
     return bucketed_join(spark, lt, rt, "custkey")

@@ -42,21 +42,10 @@ def _scope() -> str:
     location corrupt it (same fix as q_join_bucketed). As a side
     effect, reap scoped scratch left under _OUT_ROOT by exited
     processes so the dirs don't accumulate across runs."""
-    import glob
-    import re
-    import shutil
-    import threading
+    from datafusion_wasm_bindings_spark import scratch
 
-    for old in glob.glob(os.path.join(_OUT_ROOT, "*", "*_[0-9]*_[0-9]*")):
-        m = re.search(r"_(\d+)_\d+$", old)
-        if m and int(m.group(1)) != os.getpid():
-            try:
-                os.kill(int(m.group(1)), 0)
-            except ProcessLookupError:
-                shutil.rmtree(old, ignore_errors=True)
-            except PermissionError:
-                pass
-    return f"{os.getpid()}_{threading.get_ident()}"
+    scratch.reap(os.path.join(_OUT_ROOT, "*", "*_[0-9]*_[0-9]*"))
+    return scratch.scope()
 
 
 def _ensure_text_fixtures(sf_dir: str) -> tuple[str, str]:

@@ -103,6 +103,13 @@ def register_tables(spark: SparkSession, sf_dir: str, force: bool = False) -> No
     key = id(spark)
     if not force and _registered.get(key) == sf_dir:
         return
+    # UNCONDITIONAL UTC pin (not just when events is read): epoch
+    # surfacing (unix_seconds/unix_micros over casts of DATE/TIMESTAMP
+    # columns) is tz-sensitive for EVERY table, and the driver hands us
+    # its own session without our session.py configs. A non-UTC driver
+    # JVM would shift all epoch outputs away from the UTC-naive DuckDB
+    # oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if not os.path.isdir(sf_dir):
         # without this, a bad sf_dir would silently keep the previous
         # registration's views bound — wrong data, no error

@@ -29,10 +29,9 @@ def _scoped(name: str) -> str:
     """Memory-sink/query names scoped by pid+thread: two bench threads
     starting a stream with one queryName collide ('query with that name
     is already active'); same-thread re-runs keep reusing one name."""
-    import os
-    import threading
+    from datafusion_wasm_bindings_spark import scratch
 
-    return f"{name}_{os.getpid()}_{threading.get_ident()}"
+    return f"{name}_{scratch.scope()}"
 
 
 def tumbling(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -214,9 +213,11 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    from datafusion_wasm_bindings_spark.queries._util import dsum_sql
+
     return spark.sql(
         f"SELECT user_id, count(*) AS n_pairs, "
-        f"CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS click_value "
+        f"{dsum_sql('value', 'click_value')} "
         f"FROM {name} GROUP BY user_id"
     )
 

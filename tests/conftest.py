@@ -71,7 +71,7 @@ def _norm(v):
         # recipes produce bit-identical doubles). Default keeps a 1e-9
         # cushion so a future Spark partial-agg reorder in the rounded
         # stats queries degrades to a visible-but-soft failure first.
-        if os.environ.get("SPARK_GRAFT_RAW_FLOATS"):
+        if os.environ.get("SPARK_GRAFT_RAW_FLOATS", "").lower() in ("1", "true"):
             return v
         # cut the last couple of noise bits without hiding real diffs
         return round(v, 9) if abs(v) < 1e10 else round(v, 2)

@@ -508,3 +508,25 @@ def test_quantile_bin_equal_frequency_and_approx_mode(spark, sf_dir):
     asizes = {r.bin: r.n for r in approx.groupBy("bin").agg(F.count("*").alias("n")).collect()}
     for b in range(10):
         assert abs(asizes.get(b, 0) - sizes[b]) <= n * 0.05 + 2, (b, asizes.get(b), sizes[b])
+
+
+def test_asof_join_null_payload_and_null_keys(spark):
+    """Two review-found edges: (a) a NULL payload value in the matched
+    right row must surface as NULL — not resurrect the previous row's
+    value (the fill is per-row-atomic via a struct); (b) NULL join keys
+    never match (join equality), even though a window partition would
+    group them."""
+    from datafusion_wasm_bindings_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 25), (None, 10)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 20, None), (None, 5, 9.0)],
+        "k long, ts long, w double",
+    )
+    rows = {r.k: r for r in asof_join(left, right, on=["k"], ts="ts").collect()}
+    # (a) matched row is (ts=20, w=NULL): w must be NULL, not 5.0
+    assert rows[1].ref_ts == 20 and rows[1].ref_w is None
+    # (b) NULL-keyed left row matches nothing
+    assert rows[None].ref_ts is None and rows[None].ref_w is None
