@@ -274,6 +274,67 @@ query(
 )(_copy_parquet)
 
 
+# --- q_copy_csv / q_copy_json: the other two COPY formats round-tripped -------------
+def _copy_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY … STORED AS CSV through the engine, read back with
+    header+inference — closes the CSV leg of the reference's COPY
+    surface (SURVEY §2.1 sink row)."""
+    from datafusion_wasm_bindings_spark.engine import SQLEngine
+
+    out = os.path.join(_OUT_ROOT, _sf_tag(sf_dir), f"copy_nation_csv_{_scope()}")
+    SQLEngine(spark).sql(
+        f"COPY (SELECT n_nationkey, n_name, n_regionkey FROM nation "
+        f"WHERE n_regionkey <= 2) TO '{out}' STORED AS CSV"
+    )
+    df = spark.read.csv(out, header=True, inferSchema=True)
+    return df.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        "n_name",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey",
+    )
+
+
+query(
+    "q_copy_csv",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation WHERE n_regionkey <= 2
+    """,
+    tags=("sink", "scan"),
+)(_copy_csv)
+
+
+def _copy_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY … STORED AS JSON (newline-delimited) through the engine,
+    read back — the JSON leg of the COPY surface."""
+    from datafusion_wasm_bindings_spark.engine import SQLEngine
+
+    out = os.path.join(_OUT_ROOT, _sf_tag(sf_dir), f"copy_nation_json_{_scope()}")
+    SQLEngine(spark).sql(
+        f"COPY (SELECT n_nationkey, n_name, n_regionkey FROM nation "
+        f"WHERE n_regionkey >= 3) TO '{out}' STORED AS JSON"
+    )
+    # spark.read.json orders columns alphabetically → select explicitly
+    df = spark.read.json(out)
+    return df.selectExpr(
+        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        "n_name",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey",
+    )
+
+
+query(
+    "q_copy_json",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation WHERE n_regionkey >= 3
+    """,
+    tags=("sink", "scan"),
+)(_copy_json)
+
+
 # --- q_scan_partitioned: COPY … PARTITIONED BY → pruned hive-layout scan -------------
 def _scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trips the engine's COPY … PARTITIONED BY sink
