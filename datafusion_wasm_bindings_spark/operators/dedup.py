@@ -63,6 +63,41 @@ def exact_dedup(documents: DataFrame, *, prehash: bool = True) -> DataFrame:
     )
 
 
+def paragraph_dedup(documents: DataFrame, sep: str = r"\.\s+") -> DataFrame:
+    """Sub-document dedup (the RefinedWeb/FineWeb 'line-level' pass):
+    drop every corpus-wide REPEATED paragraph/sentence — boilerplate,
+    headers, license blocks — keeping only its first occurrence (lowest
+    (doc_id, position)), then reassemble each document from its
+    surviving paragraphs.
+
+    Plan: posexplode(split) → one shuffle keyed by paragraph (window
+    row_number picks the canonical occurrence) → one shuffle back on
+    doc_id to reassemble. Paragraph keys are short; at 100 TB you'd
+    pre-hash them like exact_dedup. Returns (doc_id, text, n_kept,
+    n_dropped); a document whose every paragraph was seen elsewhere
+    comes back with empty text, not silently dropped.
+    """
+    from pyspark.sql import Window
+
+    paras = documents.select(
+        "doc_id", F.posexplode(F.split("text", sep)).alias("pos", "para")
+    ).filter(F.length("para") > 0)
+    w = Window.partitionBy("para").orderBy("doc_id", "pos")
+    flagged = paras.withColumn("keep", F.row_number().over(w) == 1)
+    kept_struct = F.when(F.col("keep"), F.struct("pos", "para"))
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            ". ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),  # nulls skipped
+                lambda s: s.para,
+            ),
+        ).alias("text"),
+        F.sum(F.col("keep").cast("int")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("int")).alias("n_dropped"),
+    )
+
+
 def minhash_signatures(documents: DataFrame, num_hashes: int = 16, shingle_k: int = 3) -> DataFrame:
     """MinHash signature per document: minimum Murmur3 hash of its
     shingle set under ``num_hashes`` seeded hash functions.

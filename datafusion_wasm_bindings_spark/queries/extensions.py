@@ -141,6 +141,39 @@ query(
 # of the window: the fixture's synthetic vocabulary is so small that
 # lower cuts drop the very tokens the near-dup pairs share (measured:
 # cut 50 → 0 pairs survive 0.9; cut 160 → 223 pairs, 1 token cut).
+def _dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(table(spark, sf_dir, "documents"))
+
+
+# fully relational (split → first-occurrence window → reassemble), so
+# the oracle recomputes it exactly; ties impossible (pos unique per doc)
+query(
+    "q_dedup_paragraph",
+    r"""
+    WITH paras AS (
+      SELECT doc_id,
+             generate_subscripts(regexp_split_to_array(text, '\.\s+'), 1) - 1 AS pos,
+             unnest(regexp_split_to_array(text, '\.\s+')) AS para
+      FROM documents
+    ),
+    nz AS (SELECT * FROM paras WHERE length(para) > 0),
+    flagged AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1 AS keep
+      FROM nz
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN para END, '. ' ORDER BY pos), '') AS text,
+           SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+           SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped
+    FROM flagged GROUP BY doc_id
+    """,
+    tags=("extension", "dedup"),
+)(_dedup_paragraph)
+
+
 def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.dedup import ngram_jaccard_pairs
 

@@ -530,3 +530,27 @@ def test_asof_join_null_payload_and_null_keys(spark):
     assert rows[1].ref_ts == 20 and rows[1].ref_w is None
     # (b) NULL-keyed left row matches nothing
     assert rows[None].ref_ts is None and rows[None].ref_w is None
+
+
+def test_paragraph_dedup_drops_repeats_keeps_first(spark):
+    """Boilerplate sentence shared by two docs survives only in the
+    lower (doc_id, pos); a doc made entirely of seen paragraphs comes
+    back empty, not missing."""
+    from datafusion_wasm_bindings_spark.operators.dedup import paragraph_dedup
+
+    # no trailing periods: the split regex `\.\s+` needs whitespace
+    # after the dot, so a document-final "footer." would be a DISTINCT
+    # paragraph from a mid-document "footer" (both engines agree)
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one. shared footer. tail one"),
+            (2, "shared footer. unique two"),
+            (3, "shared footer"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert got[1].text == "unique one. shared footer. tail one"
+    assert got[1].n_dropped == 0
+    assert got[2].text == "unique two" and got[2].n_dropped == 1
+    assert got[3].text == "" and got[3].n_kept == 0 and got[3].n_dropped == 1
