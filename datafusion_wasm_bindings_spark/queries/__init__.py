@@ -40,11 +40,11 @@ QUERIES: dict[str, QuerySpec] = {}
 
 # Registration order drives the round driver's CORRECTNESS window (it
 # verifies the first 50 registered queries). Round 1 verified the
-# flagship→sorts block green (CORRECTNESS_r01); round 2 rotates the
-# still-unverified modules to the front — extensions (the LLM-pipeline
-# operator set) and the function catalogs first — so the driver's hard
-# signal reaches them. The already-green block re-verifies in a later
-# rotation.
+# flagship→sorts block green (CORRECTNESS_r01); round 2 put extensions
+# + the functions_agg head through (43 green, 7 oracle-HUGEINT fails
+# since fixed). Module order is now only the fallback — the window is
+# chosen query-granularly via _WINDOW below, driven by COVERAGE.md's
+# per-id "last verified round" ledger.
 _MODULES = (
     "extensions",
     "functions_agg",
@@ -58,6 +58,73 @@ _MODULES = (
     "windows",
     "setops",
     "sorts",
+)
+
+# Round-3 driver window (exactly 50 names, VERDICT r2 next-round #2):
+# the 48 never-driver-checked ids (functions_agg tail 9 + functions_
+# scalar 17 + sources_q 16 + statements 6) plus the two round-1 fixes
+# awaiting re-verification (q_win_ranking, q_agg_order_within).
+# Left for round 4's window: the 7 re-fixed HUGEINT extension ids,
+# q_fn_weighted_percentile (repo extension, not a SURVEY §2 id),
+# q_fn_null_handling (green r1), and any queries newly added this
+# round. Names listed here move to the FRONT of the registry in this
+# order; everything else follows in registration order.
+_WINDOW = (
+    # functions_agg tail (never checked)
+    "q_fn_approx_percentile",
+    "q_fn_array_agg",
+    "q_fn_string_agg",
+    "q_fn_first_last_value",
+    "q_fn_bool_and_or",
+    "q_fn_bit_agg",
+    "q_fn_stddev_var",
+    "q_fn_corr_covar",
+    "q_fn_regr",
+    # functions_scalar (never checked; null_handling green r1, omitted)
+    "q_fn_greatest_least",
+    "q_fn_struct",
+    "q_fn_math_basic",
+    "q_fn_math_log_trig",
+    "q_fn_math_gaps",
+    "q_fn_typeof_version",
+    "q_fn_string_basic",
+    "q_fn_string_pad_trim",
+    "q_fn_string_search",
+    "q_fn_unicode",
+    "q_fn_regex",
+    "q_fn_datetime_extract",
+    "q_fn_datetime_trunc_bin",
+    "q_fn_datetime_convert",
+    "q_fn_interval_arith",
+    "q_fn_to_char",
+    "q_fn_encoding",
+    # sources / sinks (never checked)
+    "q_scan_parquet",
+    "q_scan_csv",
+    "q_scan_arrow",
+    "q_scan_json",
+    "q_values_inline",
+    "q_values_ctas",
+    "q_generate_series",
+    "q_info_schema",
+    "q_copy_parquet",
+    "q_copy_csv",
+    "q_copy_json",
+    "q_scan_partitioned",
+    "q_insert_into",
+    "q_result_table",
+    "q_result_json",
+    "q_unnest",
+    # statements (never checked)
+    "q_multi_statement",
+    "q_cte",
+    "q_recursive_cte",
+    "q_recursive_cte_loop",
+    "q_prepared",
+    "q_ddl_view",
+    # round-1 fixes awaiting driver re-verification
+    "q_win_ranking",
+    "q_agg_order_within",
 )
 
 
@@ -117,7 +184,10 @@ def resolve_oracle(oracle: str | None, sf_dir: str) -> str | None:
 
 
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (idempotent) and return the registry."""
+    """Import every query module (idempotent) and return the registry,
+    reordered so the driver's 50-slot verification window is exactly
+    the ids named in ``_WINDOW`` (then everything else in registration
+    order)."""
     for mod in _MODULES:
         try:
             importlib.import_module(f"datafusion_wasm_bindings_spark.queries.{mod}")
@@ -125,4 +195,9 @@ def load_all() -> dict[str, QuerySpec]:
             # tolerate not-yet-written modules during incremental build
             if f"queries.{mod}" not in str(e):
                 raise
+    ordered = {n: QUERIES[n] for n in _WINDOW if n in QUERIES}
+    ordered.update((n, s) for n, s in QUERIES.items() if n not in ordered)
+    # in-place so references to QUERIES elsewhere observe the new order
+    QUERIES.clear()
+    QUERIES.update(ordered)
     return QUERIES

@@ -166,8 +166,8 @@ query(
     )
     SELECT doc_id,
            coalesce(string_agg(CASE WHEN keep THEN para END, '. ' ORDER BY pos), '') AS text,
-           SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
-           SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
     FROM flagged GROUP BY doc_id
     """,
     tags=("extension", "dedup"),
@@ -590,8 +590,8 @@ query(
     f"""
     SELECT lang,
            COUNT(1) AS n_docs,
-           SUM(length(text)) AS total_chars,
-           SUM(len({_TOK})) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len({_TOK})) AS BIGINT) AS total_tokens,
            CAST(SUM(len({_TOK})) AS DOUBLE) / COUNT(1) AS avg_tokens,
            COUNT(DISTINCT source) AS n_sources
     FROM documents
@@ -900,7 +900,7 @@ sql_query(
     oracle="""
     SELECT event_type,
            COUNT(1) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
@@ -1298,7 +1298,7 @@ query(
     )
     + """ END
     )
-    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(CAST(CAST(n_tokens AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(1)
              AS avg_tokens
     FROM sampled GROUP BY lang
@@ -1337,8 +1337,9 @@ query(
                AS crosses
       FROM placed
     )
-    SELECT shard, seq_id, count(*) AS n_docs, sum(n_tokens) AS start_tokens,
-           sum(CASE WHEN crosses THEN 1 ELSE 0 END) AS n_split
+    SELECT shard, seq_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS start_tokens,
+           CAST(sum(CASE WHEN crosses THEN 1 ELSE 0 END) AS BIGINT) AS n_split
     FROM cut GROUP BY shard, seq_id ORDER BY shard, seq_id
     """,
     tags=("extension", "pipeline", "packing"),
@@ -1620,7 +1621,7 @@ def _profile_oracle() -> str:
         f"""
         SELECT '{c}' AS column_name,
                count({c}) AS n,
-               sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                count(DISTINCT {c}) AS n_distinct,
                CAST(min({c}) AS DOUBLE) AS min_v,
                CAST(max({c}) AS DOUBLE) AS max_v,

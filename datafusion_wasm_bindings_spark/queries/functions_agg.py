@@ -38,7 +38,7 @@ sql_query(
            {davg_sql("o_totalprice", "mean_price")},
            MIN(o_totalprice) AS lo,
            MAX(o_totalprice) AS hi,
-           SUM(o_orderkey) AS key_sum,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
            CAST(MIN(o_orderdate) AS DATE) AS first_date,
            CAST(MAX(o_orderdate) AS DATE) AS last_date
     FROM orders GROUP BY o_orderstatus

@@ -133,7 +133,7 @@ query(
     SELECT p_partkey,
            gcd(p_size, 24) AS g,
            lcm(p_size, 4) AS l,
-           factorial(p_size % 10) AS fac,
+           CAST(factorial(p_size % 10) AS BIGINT) AS fac,
            isnan(p_retailprice / 1.0) AS is_nan,
            CASE WHEN isnan(p_retailprice) THEN -1.0 ELSE p_retailprice END AS nan_fixed,
            (p_size = 0) AS is_zero

@@ -96,6 +96,27 @@ HASH_UNSAFE_TYPES = (
 )
 
 
+# DuckDB result types whose pandas materialization (`rel.df()`) does
+# NOT round-trip to the Spark column's dtype — the driver canonicalizes
+# BOTH sides via pandas before hashing, so these make the hash diverge
+# even when every cell value is equal. Root cause of all 7 round-2
+# driver failures: SUM(BIGINT) widens to HUGEINT, which `.df()`
+# materializes as float64 while Spark's sum stays int64 (VERDICT r2
+# "What's wrong" #1). Fix at the oracle: CAST(SUM(…) AS BIGINT).
+ORACLE_UNSAFE_TYPES = (
+    "HUGEINT",
+    "UHUGEINT",
+    "DECIMAL",
+    "TIMESTAMP",  # any flavor; Spark side is rejected too (HASH_UNSAFE_TYPES)
+    "INTERVAL",
+    "STRUCT",
+    "MAP",
+    "UNION",
+    "[]",  # DuckDB list spelling, e.g. VARCHAR[]
+    "LIST",
+)
+
+
 def assert_oracle_match(spark_df, duck_rel, name=""):
     """Compare a Spark DataFrame against a DuckDB relation the way the
     driver does: row count, column-name set, and multiset of rows with
@@ -106,6 +127,33 @@ def assert_oracle_match(spark_df, duck_rel, name=""):
         if isinstance(f.dataType, HASH_UNSAFE_TYPES)
     ]
     assert not unsafe, f"{name}: hash-unsafe output columns {unsafe}"
+    # oracle-side dtype lint: local green must predict driver green, and
+    # the driver hashes pandas dtypes, not Python values (3 == 3.0 here
+    # but int64 != float64 there)
+    d_unsafe = [
+        (c, str(t))
+        for c, t in zip(duck_rel.columns, duck_rel.types)
+        if any(k in str(t).upper() for k in ORACLE_UNSAFE_TYPES)
+    ]
+    assert not d_unsafe, (
+        f"{name}: oracle columns with pandas-unstable DuckDB types "
+        f"{d_unsafe} — CAST to BIGINT/DOUBLE/VARCHAR/DATE in the oracle SQL"
+    )
+    # DATE parity: allowed, but only when BOTH sides are dates — a DATE
+    # oracle against a string/epoch Spark column (or vice versa) hashes
+    # differently one pandas version away (VERDICT r2 next-round #4)
+    from pyspark.sql.types import DateType
+
+    s_is_date = {f.name.lower(): isinstance(f.dataType, DateType) for f in spark_df.schema.fields}
+    d_date_mismatch = [
+        c
+        for c, t in zip(duck_rel.columns, duck_rel.types)
+        if (str(t).upper() == "DATE") != s_is_date.get(c.lower(), False)
+    ]
+    assert not d_date_mismatch, (
+        f"{name}: DATE-family mismatch between Spark schema and oracle "
+        f"types for columns {d_date_mismatch}"
+    )
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_rel.columns)
     assert [c.lower() for c in s_cols] == [c.lower() for c in d_cols], (
