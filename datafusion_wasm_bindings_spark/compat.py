@@ -593,7 +593,8 @@ def rewrite(sql: str) -> str:
     masked = rewrite_groups_frames(masked)
     # arrow_typeof(x) → CASE over Spark's typeof(x) mapping Spark type
     # names to the Arrow spellings DataFusion prints ("int" → "Int32",
-    # "decimal(p,s)" → "Decimal128(p,s)"); unmapped names pass through.
+    # "decimal(p,s)" → "Decimal128(p, s)" with arrow-rs's Debug-form
+    # space); unmapped names pass through.
     # typeof is constant-folded, so the repeated subexpression is free.
     def arrow_typeof_repl(a: list[str]) -> str:
         from datafusion_wasm_bindings_spark.functions.shims import (
@@ -606,7 +607,8 @@ def rewrite(sql: str) -> str:
         )
         return (
             f"(CASE WHEN {t} LIKE 'decimal%' "
-            f"THEN concat('Decimal128', substr({t}, 8)) {cases} ELSE {t} END)"
+            f"THEN concat('Decimal128', replace(substr({t}, 8), ',', ', ')) "
+            f"{cases} ELSE {t} END)"
         )
 
     masked = _rewrite_calls(masked, "arrow_typeof", arrow_typeof_repl)

@@ -176,12 +176,17 @@ _ARROW_TYPE_NAMES = {
 def arrow_typeof(col: Column) -> Column:
     """DataFusion ``arrow_typeof(x)`` — the Arrow type name of the
     argument. Composed from Spark's ``typeof`` plus a name map (a
-    constant-folded CASE chain); decimals print as Decimal128(p, s).
-    Unmapped Spark-only names pass through unchanged."""
+    constant-folded CASE chain); decimals print as Decimal128(p, s) —
+    with the space after the comma, matching arrow-rs's Debug form that
+    DataFusion's arrow_typeof emits. Unmapped Spark-only names pass
+    through unchanged."""
     t = F.typeof(col)
     out = F.when(
         t.startswith("decimal"),
-        F.concat(F.lit("Decimal128"), F.regexp_replace(t, "^decimal", "")),
+        F.concat(
+            F.lit("Decimal128"),
+            F.regexp_replace(F.regexp_replace(t, "^decimal", ""), ",", ", "),
+        ),
     )
     for spark_name, arrow_name in _ARROW_TYPE_NAMES.items():
         out = out.when(t == spark_name, F.lit(arrow_name))

@@ -38,9 +38,11 @@ def interval_join(
     bucket_seconds: int = 1800,
 ) -> DataFrame:
     """Inner-join point rows to interval rows sharing ``on`` keys with
-    ``ts`` ∈ [start, end] (inclusive). ``bucket_seconds`` must be ≥ the
-    longest interval or matches spanning >2 buckets are lost — assert
-    upstream if intervals are data-dependent."""
+    ``ts`` ∈ [start, end] (inclusive). Correct for ANY interval length:
+    each interval is exploded to every bucket it covers (sequence of
+    start→end buckets), so long intervals only grow the explode fan-out
+    — size ``bucket_seconds`` near the typical interval length to bound
+    that replication (a perf knob, not a correctness requirement)."""
     # floor, not cast-truncate: pre-1970 instants have negative epochs
     w = F.lit(bucket_seconds)
     ev = events.withColumn(

@@ -175,7 +175,7 @@ query(
     """
     SELECT 'Int64' AS t_int64, 'Int32' AS t_int32, 'Float64' AS t_float64,
            'Utf8' AS t_utf8, 'Boolean' AS t_bool, 'Date32' AS t_date32,
-           'Decimal128(4,2)' AS t_decimal, TRUE AS version_ok
+           'Decimal128(4, 2)' AS t_decimal, TRUE AS version_ok
     """,
     tags=("functions", "introspection"),
 )(_typeof_version)

@@ -133,7 +133,7 @@ def test_arrow_typeof_rewrite(engine):
         "arrow_typeof(CAST(9.9 AS DECIMAL(4,2))) AS d"
     )
     assert "Int32" in out and "Utf8" in out
-    assert "Int64" in out and "Decimal128(4,2)" in out
+    assert "Int64" in out and "Decimal128(4, 2)" in out
 
 
 def test_arrow_cast_rewrite(engine):

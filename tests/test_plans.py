@@ -342,3 +342,16 @@ def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_embedding_dedup_is_bucketed_not_all_pairs(spark, sf_dir):
+    """q_dedup_embedding's candidate generation must be the LSH
+    (table, bucket) equi-join — never the all-pairs `id_a < id_b`
+    theta-join (BroadcastNestedLoopJoin/CartesianProduct), the one
+    quadratic shape the r2 verdict flagged. The all-pairs form lives
+    on only as the DuckDB oracle, so a green driver row additionally
+    proves 100% bucket recall."""
+    df = REGISTRY["q_dedup_embedding"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
