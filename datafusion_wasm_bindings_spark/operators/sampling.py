@@ -184,6 +184,82 @@ def weighted_sample(
     )
 
 
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    *,
+    fractions: dict[str, float],
+    salt: str = "dfwb-split",
+) -> DataFrame:
+    """Leakage-safe deterministic train/val/test split.
+
+    The md5 draw is over the GROUP key (e.g. the source domain), not the
+    row, so every row of a group lands in the same split — near-
+    duplicates and templated pages within one source can never straddle
+    the train/eval boundary, the leakage mode row-level splits invite.
+    ``fractions`` is ordered name→fraction (must sum to 1); assignment
+    compares the group's 8-hex md5 draw against cumulative thresholds
+    (same engine-portable recipe as ``md5_sample``, so any md5-capable
+    system reproduces the identical split).
+
+    Scale: a pure map — no shuffle, no state; at 100 TB the split is
+    free at scan time. Adds a ``split`` column.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = F.substring(
+        F.md5(F.concat(F.col(group_col).cast("string"), F.lit(salt))), 1, 8
+    )
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = h < F.lit(md5_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
+def epoch_upsample(
+    documents: DataFrame,
+    *,
+    cuts: tuple[tuple[float, int], ...] = ((0.8, 3), (0.6, 2)),
+    default_epochs: int = 1,
+) -> DataFrame:
+    """Quality-weighted epoch upsampling — the "repeat your best data"
+    stage of training-mix construction: high-quality documents are
+    replicated for several training epochs, low-quality ones seen once.
+
+    Buckets on the composite quality score of
+    ``operators.text.quality_scores`` **rounded to 6 dp** (the rounded
+    score is bit-identical cross-engine — BASELINE.md determinism
+    datapoint — so bucket boundaries cannot flip between engines);
+    ``cuts`` is ((min_quality, n_epochs), ...) descending. Each doc is
+    exploded to rows epoch = 1..n_epochs.
+
+    Scale: map + explode, no shuffle; output volume = Σ n_epochs, the
+    replication you asked for and nothing else. At 100 TB pair it with
+    ``deterministic_shuffle`` so repeated epochs don't co-locate.
+    """
+    from datafusion_wasm_bindings_spark.operators.text import quality_scores
+
+    q = quality_scores(documents).select("doc_id", "quality")
+    expr = None
+    for thr, n in cuts:
+        cond = F.col("quality") >= F.lit(thr)
+        expr = F.when(cond, n) if expr is None else expr.when(cond, n)
+    n_epochs = (
+        F.lit(default_epochs) if expr is None else expr.otherwise(default_epochs)
+    ).cast("int")
+    return (
+        q.withColumn("n_epochs", n_epochs)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("n_epochs"))))
+        .select("doc_id", "quality", "n_epochs", "epoch")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key_col: str,

@@ -733,6 +733,85 @@ query(
 )(_sample_temperature)
 
 
+def _pipeline_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the draw is over SOURCE,
+    so every document of a domain shares a split (near-dups inside one
+    source can't straddle train/eval). Pure map — free at 100 TB."""
+    from datafusion_wasm_bindings_spark.operators.sampling import group_split
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return group_split(
+        docs, "source", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+# oracle: identical md5-over-source thresholds (md5_threshold(0.8) =
+# 'cccccccc', (0.9) = 'e6666666'); engine-portable by construction
+query(
+    "q_pipeline_split",
+    """
+    SELECT doc_id, source, lang,
+           CASE WHEN substr(md5(source || 'dfwb-split'), 1, 8) < 'cccccccc' THEN 'train'
+                WHEN substr(md5(source || 'dfwb-split'), 1, 8) < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("extension", "pipeline", "sampling"),
+)(_pipeline_split)
+
+
+def _pipeline_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.sampling import epoch_upsample
+
+    return epoch_upsample(
+        table(spark, sf_dir, "documents"), cuts=((0.8, 3), (0.6, 2))
+    )
+
+
+# oracle: q_text_quality's exact score pipeline (rounded to 6 dp — the
+# rounded double is bit-identical cross-engine, so bucket boundaries
+# cannot flip), then epoch explode via generate_series
+query(
+    "q_pipeline_epochs",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             {_TOK} AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n_chars, alpha_chars,
+             len(toks) AS n_tok,
+             len(list_filter(toks, t -> list_contains({_EN_STOP_SQL}, t))) AS n_stop
+      FROM f
+    ),
+    q AS (
+      SELECT doc_id,
+             round(
+               least(n_chars / 400.0, 1.0) * 0.3
+               + (alpha_chars * 1.0 / greatest(n_chars, 1)) * 0.3
+               + least(n_stop * 1.0 / greatest(n_tok, 1) * 4.0, 1.0) * 0.2
+               + CASE WHEN (CASE WHEN n_tok > 0 THEN alpha_chars * 1.0 / n_tok ELSE 0.0 END) BETWEEN 3 AND 8
+                      THEN 0.2 ELSE 0.0 END,
+             6) AS quality
+      FROM g
+    ),
+    e AS (
+      SELECT doc_id, quality,
+             CAST(CASE WHEN quality >= 0.8 THEN 3
+                       WHEN quality >= 0.6 THEN 2
+                       ELSE 1 END AS INTEGER) AS n_epochs
+      FROM q
+    )
+    SELECT doc_id, quality, n_epochs, CAST(i AS INTEGER) AS epoch
+    FROM e, unnest(generate_series(1, n_epochs)) AS u(i)
+    """,
+    tags=("extension", "pipeline", "sampling"),
+)(_pipeline_epochs)
+
+
 # ====================== point-in-time (as-of) join =======================
 def _join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most recent purchase before each event, per user — the

@@ -554,3 +554,53 @@ def test_paragraph_dedup_drops_repeats_keeps_first(spark):
     assert got[1].n_dropped == 0
     assert got[2].text == "unique two" and got[2].n_dropped == 1
     assert got[3].text == "" and got[3].n_kept == 0 and got[3].n_dropped == 1
+
+
+def test_group_split_is_group_coherent_and_complete(documents, spark):
+    """Every row of a source lands in exactly one split (the leakage
+    guarantee), the three splits partition the corpus, and rough
+    proportions follow the fractions at GROUP granularity."""
+    from datafusion_wasm_bindings_spark.operators.sampling import group_split
+
+    out = group_split(
+        documents, "source", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    per_source = out.groupBy("source").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_source.filter("n_splits <> 1").count() == 0
+    assert out.count() == documents.count()
+    assert set(r.split for r in out.select("split").distinct().collect()) <= {
+        "train",
+        "val",
+        "test",
+    }
+
+
+def test_group_split_rejects_bad_fractions(spark):
+    import pytest as _pytest
+
+    from datafusion_wasm_bindings_spark.operators.sampling import group_split
+
+    df = spark.range(1).withColumnRenamed("id", "g")
+    with _pytest.raises(ValueError):
+        group_split(df, "g", fractions={"a": 0.5, "b": 0.2})
+
+
+def test_epoch_upsample_replicates_by_quality(documents, spark):
+    """Row count equals Σ n_epochs; epochs enumerate 1..n_epochs per
+    doc; buckets follow the rounded quality score exactly."""
+    from datafusion_wasm_bindings_spark.operators.sampling import epoch_upsample
+    from datafusion_wasm_bindings_spark.operators.text import quality_scores
+
+    out = epoch_upsample(documents, cuts=((0.8, 3), (0.6, 2)))
+    q = {r.doc_id: r.quality for r in quality_scores(documents).collect()}
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == documents.count()
+    for doc_id, doc_rows in by_doc.items():
+        expect = 3 if q[doc_id] >= 0.8 else 2 if q[doc_id] >= 0.6 else 1
+        assert all(r.n_epochs == expect for r in doc_rows), (doc_id, doc_rows)
+        assert sorted(r.epoch for r in doc_rows) == list(range(1, expect + 1))

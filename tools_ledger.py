@@ -1,0 +1,83 @@
+"""Regenerate COVERAGE.md's driver-verification ledger from
+CORRECTNESS_r*.json — run after each round so window rotation stays
+mechanical (CLAUDE.md convention)."""
+import glob
+import json
+import re
+
+rounds = {}
+for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+    r = int(re.search(r"r(\d+)", path).group(1))
+    rounds[r] = json.load(open(path))
+
+from datafusion_wasm_bindings_spark.queries import load_all, _WINDOW
+
+names = list(load_all())
+
+
+def status(rec):
+    if rec.get("err"):
+        return "err"
+    if rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match"):
+        return "green"
+    return "hash-fail"
+
+
+NOTES = {
+    "q_dedup_paragraph": "r2 fail was oracle HUGEINT dtype; oracle cast to BIGINT, awaiting r4 window",
+    "q_text_stats": "same HUGEINT fix, awaiting r4 window",
+    "q_events_props_json": "same HUGEINT fix, awaiting r4 window",
+    "q_pipeline_training_mix": "same HUGEINT fix, awaiting r4 window",
+    "q_pipeline_pack": "same HUGEINT fix, awaiting r4 window",
+    "q_profile_columns": "same HUGEINT fix, awaiting r4 window",
+    "q_fn_sum_avg_min_max": "same HUGEINT fix, awaiting r4 window",
+    "q_fn_math_gaps": "oracle factorial()->HUGEINT cast pre-emptively before first check",
+    "q_win_ranking": "r1 fail (DECIMAL output); fixed r2, re-check in r3 window",
+    "q_agg_order_within": "r1 fail (array output); fixed r2, re-check in r3 window",
+    "q_dedup_embedding": "r3 rebacked with LSH buckets (all-pairs kept as oracle), awaiting r4 window",
+    "q_profile_columns_approx": "new r3 (100 TB HLL mode), awaiting r4 window",
+    "q_pipeline_split": "new r3 (leakage-safe group split), awaiting r4 window",
+    "q_pipeline_epochs": "new r3 (quality-weighted epochs), awaiting r4 window",
+}
+
+cur_round = max(rounds) + 1 if rounds else 1
+lines = [
+    "",
+    "## Driver verification ledger",
+    "",
+    "One row per registered query: which round's 50-slot driver window",
+    "last checked it and the verdict (green / hash-fail / err / — never",
+    "checked). Rotations are chosen mechanically from this table: every",
+    "never-checked or non-green id must enter a window before any green",
+    "id re-verifies. The upcoming window is `_WINDOW` in",
+    "queries/__init__.py. Regenerate with `python tools_ledger.py` after",
+    "each round's CORRECTNESS file lands.",
+    "",
+    "| query id | last checked | verdict | notes |",
+    "|---|---|---|---|",
+]
+for n in sorted(names):
+    last, verdict = None, "—"
+    for r in sorted(rounds):
+        if n in rounds[r]:
+            last, verdict = f"r{r}", status(rounds[r][n])
+    in_w = f" (in r{cur_round} window)" if n in _WINDOW else ""
+    lines.append(f"| `{n}` | {last or '—'}{in_w} | {verdict} | {NOTES.get(n, '')} |")
+
+checked = sum(1 for n in names if any(n in rounds[r] for r in rounds))
+green = sum(
+    1
+    for n in names
+    if any(n in rounds[r] for r in rounds)
+    and status(rounds[max(r for r in rounds if n in rounds[r])][n]) == "green"
+)
+lines.append("")
+lines.append(
+    f"**Cumulative: {checked} of {len(names)} checked; {green} green at last check; "
+    f"{len(names) - checked} never in a window.**"
+)
+
+text = open("COVERAGE.md").read()
+text = re.sub(r"\n## Driver verification ledger.*", "", text, flags=re.S)
+open("COVERAGE.md", "w").write(text + "\n".join(lines) + "\n")
+print("ledger:", checked, "checked,", green, "green,", len(names), "registered")
