@@ -51,6 +51,47 @@ def token_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer, lookahead-free: the published GPT-2 regex
+# ends `\s+(?!\S)|\s+`, but RE2 (DuckDB's engine) rejects lookahead, so
+# whitespace is kept as single runs here — identical alternation-order
+# (leftmost-first) semantics in Java regex and RE2. Contractions split
+# first, then space-prefixed letter runs, digit runs, punct runs.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_pretokenize_counts(documents: DataFrame) -> DataFrame:
+    """Token counting at the BPE pre-tokenizer grain (north-star 'token
+    counting — whitespace + a BPE-ish regex'): per-document counts of
+    pre-tokens by class. This is the unit actual BPE merges operate on,
+    so `n_bpe_tokens` upper-bounds the trained-tokenizer token count —
+    the budget number packing/chunking pipelines need before a real
+    vocab exists.
+
+    Scale: pure map over the corpus, one regex pass; the match array is
+    materialized once in its own select (HOF re-evaluation rule,
+    operators/dedup.py) and every class count reads that array.
+    """
+    matches = F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), F.lit(0))
+    base = documents.select("doc_id", matches.alias("toks"))
+
+    def n(pred) -> F.Column:
+        return F.size(F.filter(F.col("toks"), pred))
+
+    n_ws = n(lambda t: t.rlike(r"^\s+$"))
+    n_word = n(lambda t: t.rlike(r"^ ?\p{L}"))
+    n_num = n(lambda t: t.rlike(r"^ ?\p{N}"))
+    n_contr = n(lambda t: t.rlike(r"^'(s|t|re|ve|m|ll|d)$"))
+    total = F.size(F.col("toks")) - n_ws
+    return base.select(
+        "doc_id",
+        total.alias("n_bpe_tokens"),
+        n_word.alias("n_word_tokens"),
+        n_num.alias("n_num_tokens"),
+        n_contr.alias("n_contractions"),
+        (total - n_word - n_num - n_contr).alias("n_punct_tokens"),
+    )
+
+
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Heuristic quality features + a composite score ∈ [0,1]:
     length band, alpha ratio, mean token length, stopword ratio —

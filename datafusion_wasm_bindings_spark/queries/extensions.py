@@ -447,6 +447,44 @@ query(
 )(_text_tokens)
 
 
+def _text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.text import bpe_pretokenize_counts
+
+    return bpe_pretokenize_counts(table(spark, sf_dir, "documents"))
+
+
+# oracle: the identical lookahead-free GPT-2-style pattern — RE2 and
+# Java regex share leftmost-first alternation semantics, so the match
+# lists agree token-for-token (apostrophes SQL-escaped as '')
+_BPE_RE_SQL = "''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+query(
+    "q_text_tokens_bpe",
+    f"""
+    WITH m AS (
+      SELECT doc_id, regexp_extract_all(text, '{_BPE_RE_SQL}', 0) AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             len(toks) - len(list_filter(toks, t -> regexp_matches(t, '^\\s+$'))) AS n_bpe,
+             len(list_filter(toks, t -> regexp_matches(t, '^ ?\\p{{L}}'))) AS n_word,
+             len(list_filter(toks, t -> regexp_matches(t, '^ ?\\p{{N}}'))) AS n_num,
+             len(list_filter(toks, t -> regexp_matches(t, '^''(s|t|re|ve|m|ll|d)$'))) AS n_contr
+      FROM m
+    )
+    SELECT doc_id,
+           n_bpe AS n_bpe_tokens,
+           n_word AS n_word_tokens,
+           n_num AS n_num_tokens,
+           n_contr AS n_contractions,
+           n_bpe - n_word - n_num - n_contr AS n_punct_tokens
+    FROM c
+    """,
+    tags=("extension", "text"),
+)(_text_tokens_bpe)
+
+
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.text import quality_scores
 

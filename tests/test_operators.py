@@ -604,3 +604,32 @@ def test_epoch_upsample_replicates_by_quality(documents, spark):
         expect = 3 if q[doc_id] >= 0.8 else 2 if q[doc_id] >= 0.6 else 1
         assert all(r.n_epochs == expect for r in doc_rows), (doc_id, doc_rows)
         assert sorted(r.epoch for r in doc_rows) == list(range(1, expect + 1))
+
+
+def test_bpe_pretokenize_known_values(spark):
+    """Hand-checked pre-token classes: contractions split from words,
+    digit runs separate, whitespace runs excluded from the count."""
+    from datafusion_wasm_bindings_spark.operators.sampling import (  # noqa: F401
+        group_split,
+    )
+    from datafusion_wasm_bindings_spark.operators.text import bpe_pretokenize_counts
+
+    docs = spark.createDataFrame(
+        [
+            # 'don' + "'t" + ' stop' + ' me' + ' now' → 5 (1 contraction)
+            (1, "don't stop me now"),
+            # 'In' ' 2024' ',' ' 3' ' cats' '!!' → 6: 2 num, 2 word, 2 punct
+            (2, "In 2024, 3 cats!!"),
+            (3, ""),
+            # pure whitespace → 0 tokens
+            (4, "   \t  "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bpe_pretokenize_counts(docs).collect()}
+    assert got[1].n_bpe_tokens == 5 and got[1].n_contractions == 1
+    assert got[1].n_word_tokens == 4 and got[1].n_punct_tokens == 0
+    assert got[2].n_bpe_tokens == 6 and got[2].n_num_tokens == 2
+    assert got[2].n_word_tokens == 2 and got[2].n_punct_tokens == 2
+    assert got[3].n_bpe_tokens == 0
+    assert got[4].n_bpe_tokens == 0
