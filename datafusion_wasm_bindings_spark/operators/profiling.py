@@ -21,7 +21,11 @@ from datafusion_wasm_bindings_spark.queries._util import DEC
 
 
 def profile_columns(
-    df: DataFrame, numeric_cols: list[str], *, exact_distinct: bool = True
+    df: DataFrame,
+    numeric_cols: list[str],
+    *,
+    exact_distinct: bool = True,
+    approx_check: bool = False,
 ) -> DataFrame:
     """Profile ``numeric_cols``: rows of (column, n, n_null, n_distinct,
     min_v, max_v, mean_v).
@@ -34,12 +38,15 @@ def profile_columns(
     approx_count_distinct (HLL, 2% rsd) needs no Expand, keeping the
     profile a true single-pass map-side aggregate; at that scale the
     distinct count is capacity-planning input, not an exact contract.
+
+    ``approx_check=True`` computes BOTH distinct aggregates in the same
+    single scan and appends a ``hll_within_10pct`` boolean per column —
+    the self-verifying mode q_profile_columns_approx registers (the HLL
+    estimate checked against the exact count without a second pass).
     """
-    n_distinct = (
-        F.countDistinct
-        if exact_distinct
-        else (lambda col: F.approx_count_distinct(col, 0.02))
-    )
+    n_exact = F.countDistinct
+    n_hll = lambda col: F.approx_count_distinct(col, 0.02)  # noqa: E731
+    n_distinct = n_exact if exact_distinct or approx_check else n_hll
     aggs = []
     for c in numeric_cols:
         col = F.col(c)
@@ -54,13 +61,24 @@ def profile_columns(
                 / F.count(col)
             ).alias(f"{c}__mean"),
         ]
+        if approx_check:
+            aggs.append(n_hll(col).alias(f"{c}__nd_hll"))
     wide = df.agg(*aggs)
+    check = (
+        ", abs({c}__nd_hll - {c}__n_distinct) <= 0.1 * {c}__n_distinct"
+        if approx_check
+        else ""
+    )
     stacked = ", ".join(
-        f"'{c}', {c}__n, {c}__n_null, {c}__n_distinct, {c}__min, {c}__max, "
-        f"round({c}__mean, 6)"
+        (
+            f"'{c}', {c}__n, {c}__n_null, {c}__n_distinct" + check.format(c=c)
+            + f", {c}__min, {c}__max, round({c}__mean, 6)"
+        )
         for c in numeric_cols
     )
+    out_cols = "(column_name, n, n_null, n_distinct" + (
+        ", hll_within_10pct" if approx_check else ""
+    ) + ", min_v, max_v, mean_v)"
     return wide.selectExpr(
-        f"stack({len(numeric_cols)}, {stacked}) AS "
-        "(column_name, n, n_null, n_distinct, min_v, max_v, mean_v)"
+        f"stack({len(numeric_cols)}, {stacked}) AS {out_cols}"
     )

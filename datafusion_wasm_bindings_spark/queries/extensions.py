@@ -1767,38 +1767,18 @@ query(
 
 
 def _profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB profiling mode (``exact_distinct=False``): HLL
-    distinct counts need no Expand replication, keeping the profile a
-    true single-pass map-side aggregate. The sketch value itself can
-    never hash-match an oracle, so (pattern of q_fn_approx_distinct)
-    the query outputs the EXACT stats plus a boolean asserting the HLL
-    estimate (2% rsd, checked at 10%) — the exact-mode pass here exists
-    only to verify the sketch; production runs approx mode alone."""
-    from pyspark.sql import functions as F
-
+    """The HLL profiling mode, self-verified in ONE scan: the same wide
+    aggregate computes exact and approx distinct counts side by side
+    and emits a boolean asserting the sketch (2% rsd) landed within 10%
+    of exact — the q_fn_approx_distinct pattern, so the driver's full
+    value check covers both the stats and the sketch's accuracy
+    contract. Production at 100 TB runs ``exact_distinct=False`` alone
+    (no Expand, pure map-side aggregate; see profile_columns)."""
     from datafusion_wasm_bindings_spark.operators.profiling import profile_columns
 
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    li = table(spark, sf_dir, "lineitem")
-    approx = profile_columns(li, cols, exact_distinct=False).select(
-        "column_name", F.col("n_distinct").alias("nd_hll")
-    )
-    exact = profile_columns(li, cols, exact_distinct=True)
-    return (
-        exact.join(approx, "column_name")
-        .select(
-            "column_name",
-            "n",
-            "n_null",
-            "n_distinct",
-            (
-                F.abs(F.col("nd_hll") - F.col("n_distinct"))
-                <= 0.1 * F.col("n_distinct")
-            ).alias("hll_within_10pct"),
-            "min_v",
-            "max_v",
-            "mean_v",
-        )
+    return profile_columns(
+        table(spark, sf_dir, "lineitem"), cols, approx_check=True
     )
 
 

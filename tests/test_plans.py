@@ -355,3 +355,41 @@ def test_embedding_dedup_is_bucketed_not_all_pairs(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_pipeline_split_is_pure_map(spark, sf_dir):
+    """The leakage-safe split is a per-row md5 compare — a single map
+    stage over the scan: no Exchange, no join, no aggregate. At 100 TB
+    split assignment must be free at scan time."""
+    df = REGISTRY["q_pipeline_split"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "HashAggregate" not in plan, plan
+
+
+def test_pipeline_epochs_is_map_plus_explode(spark, sf_dir):
+    """Epoch upsampling replicates rows via explode only — no shuffle:
+    output volume is the requested replication and nothing else."""
+    df = REGISTRY["q_pipeline_epochs"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_text_tokens_bpe_is_shuffle_free(spark, sf_dir):
+    """BPE pre-token counting is one regex pass per document — a single
+    map stage: no Exchange, and exactly one scan."""
+    df = REGISTRY["q_text_tokens_bpe"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_profile_columns_approx_single_scan(spark, sf_dir):
+    """The self-verifying HLL profile computes exact AND approx
+    distinct in the SAME wide aggregate — still exactly one read of
+    storage, no self-join."""
+    df = REGISTRY["q_profile_columns_approx"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Join" not in plan, plan
