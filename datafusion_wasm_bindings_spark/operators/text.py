@@ -92,6 +92,50 @@ def bpe_pretokenize_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_keywords(documents: DataFrame, *, k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the classic salient-term
+    extractor (smoothed idf = ln((N+1)/(df+1)) + 1).
+
+    Cross-engine determinism: ranking sorts on the ROUNDED score (6 dp)
+    with the token as tie-break, so a last-bit ln() divergence between
+    engines cannot flip the selection; the rounded score is what's
+    surfaced.
+
+    Scale: one explode→(doc, tok) aggregate for tf, a token-keyed
+    aggregate for df, then a tok join and a per-doc top-k window. The
+    df table is vocabulary-sized — broadcast here (fixture vocab is
+    tiny); at 100 TB it becomes a shuffle join on tok, with the df-cut
+    of ngram_jaccard_pairs available to cap hot-token skew. N (corpus
+    size) joins as a broadcast scalar.
+    """
+    toks = documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = documents.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1)) + 1.0),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "tok", "tf", "df", "score", "rank")
+    )
+
+
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Heuristic quality features + a composite score ∈ [0,1]:
     length band, alpha ratio, mean token length, stopword ratio —

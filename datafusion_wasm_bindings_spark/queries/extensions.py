@@ -485,6 +485,40 @@ query(
 )(_text_tokens_bpe)
 
 
+def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.text import tfidf_keywords
+
+    return tfidf_keywords(table(spark, sf_dir, "documents"), k=3)
+
+
+# oracle: identical smoothed-idf formula; both sides sort on the
+# 6dp-ROUNDED score (token tie-break), so a last-bit ln() divergence
+# cannot flip which keywords rank top-3
+query(
+    "q_text_tfidf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, dfc.df,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (dfc.df + 1)) + 1.0), 6) AS score
+      FROM tf JOIN dfc USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tok ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, tok, tf, df, score, rank FROM ranked WHERE rank <= 3
+    """,
+    tags=("extension", "text"),
+)(_text_tfidf)
+
+
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.text import quality_scores
 

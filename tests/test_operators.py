@@ -633,3 +633,29 @@ def test_bpe_pretokenize_known_values(spark):
     assert got[2].n_word_tokens == 2 and got[2].n_punct_tokens == 2
     assert got[3].n_bpe_tokens == 0
     assert got[4].n_bpe_tokens == 0
+
+
+def test_tfidf_keywords_known_values(spark):
+    """Rare term outranks common term at equal tf; rank ties break on
+    token; df/tf counts are exact."""
+    import math
+
+    from datafusion_wasm_bindings_spark.operators.text import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "banana banana durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.tok): r for r in tfidf_keywords(docs, k=3).collect()}
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=3
+    assert out[(1, "apple")].rank == 1 and out[(1, "banana")].rank == 2
+    assert out[(1, "apple")].tf == 2 and out[(1, "apple")].df == 1
+    expected = round(2 * (math.log(4 / 2) + 1), 6)
+    assert abs(out[(1, "apple")].score - expected) < 1e-9
+    # doc 3: banana tf=2 but df=3; durian tf=1 df=1 → banana 2*(ln(1)+1)=2
+    # vs durian 1*(ln(2)+1)≈1.69 → banana still first on tf weight
+    assert out[(3, "banana")].rank == 1 and out[(3, "durian")].rank == 2

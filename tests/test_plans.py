@@ -393,3 +393,13 @@ def test_profile_columns_approx_single_scan(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("FileScan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_tfidf_broadcasts_df_table(spark, sf_dir):
+    """The vocabulary (df) table and the 1-row corpus count join as
+    broadcasts — the fact stream (tf pairs) never reshuffles for them;
+    no sort-merge join anywhere."""
+    df = REGISTRY["q_text_tfidf"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

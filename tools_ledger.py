@@ -39,6 +39,7 @@ NOTES = {
     "q_pipeline_split": "new r3 (leakage-safe group split), awaiting r4 window",
     "q_pipeline_epochs": "new r3 (quality-weighted epochs), awaiting r4 window",
     "q_text_tokens_bpe": "new r3 (GPT-2-style pre-tokenizer counts), awaiting r4 window",
+    "q_text_tfidf": "new r3 (top-k TF-IDF keywords), awaiting r4 window",
 }
 
 cur_round = max(rounds) + 1 if rounds else 1
