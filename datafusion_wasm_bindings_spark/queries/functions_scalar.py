@@ -70,15 +70,19 @@ sql_query(
 )
 
 # --- math: exact family -------------------------------------------------
+# CASTs pin pandas dtypes across engines (driver hashes dtypes, not
+# values): Spark ceil/floor return BIGINT where DuckDB returns DOUBLE,
+# and Spark sign returns DOUBLE where DuckDB returns TINYINT — caught
+# by tools_driver_sim.py before this id's first driver window.
 sql_query(
     "q_fn_math_basic",
     """
     SELECT p_partkey,
            abs(p_size - 25) AS a,
-           ceil(p_retailprice / 100) AS c,
-           floor(p_retailprice / 100) AS f,
+           CAST(ceil(p_retailprice / 100) AS BIGINT) AS c,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS f,
            round(p_retailprice, 1) AS r1,
-           sign(p_size - 25) AS sg,
+           CAST(sign(p_size - 25) AS DOUBLE) AS sg,
            round(sqrt(p_size), 6) AS sq,
            round(cbrt(p_size), 6) AS cb
     FROM part WHERE p_partkey <= 300

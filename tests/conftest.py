@@ -139,20 +139,47 @@ def assert_oracle_match(spark_df, duck_rel, name=""):
         f"{name}: oracle columns with pandas-unstable DuckDB types "
         f"{d_unsafe} — CAST to BIGINT/DOUBLE/VARCHAR/DATE in the oracle SQL"
     )
-    # DATE parity: allowed, but only when BOTH sides are dates — a DATE
-    # oracle against a string/epoch Spark column (or vice versa) hashes
-    # differently one pandas version away (VERDICT r2 next-round #4)
-    from pyspark.sql.types import DateType
+    # Cross-side dtype-FAMILY parity: the driver hashes pandas dtypes,
+    # so an int64 Spark column against a float64 oracle column fails
+    # even on equal values (pandas hashes float bits). Int width doesn't
+    # matter (hash_pandas_object converts via value), so families are
+    # int / float / bool / date / other. Caught live by
+    # tools_driver_sim.py on q_fn_math_basic: Spark ceil/floor→BIGINT
+    # vs DuckDB→DOUBLE, Spark sign→DOUBLE vs DuckDB→TINYINT.
+    def _spark_family(dt) -> str:
+        from pyspark.sql import types as T
 
-    s_is_date = {f.name.lower(): isinstance(f.dataType, DateType) for f in spark_df.schema.fields}
-    d_date_mismatch = [
-        c
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return "int"
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return "float"
+        if isinstance(dt, T.BooleanType):
+            return "bool"
+        if isinstance(dt, T.DateType):
+            return "date"
+        return "other"
+
+    def _duck_family(t: str) -> str:
+        t = t.upper()
+        if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+            return "int"
+        if t in ("FLOAT", "DOUBLE", "REAL"):
+            return "float"
+        if t == "BOOLEAN":
+            return "bool"
+        if t == "DATE":
+            return "date"
+        return "other"
+
+    s_fam = {f.name.lower(): _spark_family(f.dataType) for f in spark_df.schema.fields}
+    fam_mismatch = [
+        (c, s_fam.get(c.lower()), str(t))
         for c, t in zip(duck_rel.columns, duck_rel.types)
-        if (str(t).upper() == "DATE") != s_is_date.get(c.lower(), False)
+        if c.lower() in s_fam and s_fam[c.lower()] != _duck_family(str(t))
     ]
-    assert not d_date_mismatch, (
-        f"{name}: DATE-family mismatch between Spark schema and oracle "
-        f"types for columns {d_date_mismatch}"
+    assert not fam_mismatch, (
+        f"{name}: dtype-family mismatch between Spark schema and oracle "
+        f"types {fam_mismatch} — CAST one side so pandas dtypes agree"
     )
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_rel.columns)
