@@ -1,0 +1,67 @@
+"""Change-data-capture compaction: apply a changelog to a base snapshot.
+
+A 100 TB corpus is never rebuilt from scratch — it is maintained by
+applying incremental upsert/delete feeds (CDC from an OLTP source, or
+re-crawled/re-scored documents in a training-data pipeline) to the
+previous snapshot. The standard compaction (what Hudi/Iceberg call
+merge-on-read) is latest-version-wins per key with delete tombstones:
+
+  snapshot' = rows of (base ∪ changes) with the highest version per
+              key, minus rows whose winning change is a delete.
+
+Spark-first plan: ONE shuffle — union is free (no exchange), and the
+per-key latest-row selection is a single ``row_number`` window over
+``hashpartitioning(keys)``. At 100 TB the win is that the shuffle
+carries base+delta once, with no join: the naive
+``base LEFT ANTI JOIN deletes`` + ``base LEFT JOIN updates`` shape
+shuffles the base twice. If the base is bucketed by key (see
+operators/scale.write_bucketed) even that single exchange disappears
+for the base side.
+
+The reference (a DataFusion 45 WASM binding, src/core.rs:34-99)
+exposes only INSERT INTO on MemTables — no MERGE; this extension adds
+the pipeline capability Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    *,
+    version_col: str = "version",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Latest-wins snapshot compaction.
+
+    ``base``: the current snapshot (payload columns only — no
+    ``version_col``/``op_col``); treated as version 0 inserts.
+    ``changes``: same payload columns plus ``version_col`` (BIGINT,
+    strictly positive, unique per key — the CDC log sequence number)
+    and ``op_col`` ('U' upsert / 'D' delete).
+
+    Returns the new snapshot with base's columns. Deterministic
+    whenever versions are unique per key (the CDC contract); ties are
+    broken by op descending ('U' > 'I' > 'D' is NOT assumed — supply
+    unique versions).
+    """
+    payload = [c for c in base.columns]
+    tagged = base.select(
+        *payload,
+        F.lit(0).cast("long").alias(version_col),
+        F.lit("I").alias(op_col),
+    )
+    merged = tagged.unionByName(changes.select(*payload, version_col, op_col))
+    w = Window.partitionBy(*keys).orderBy(F.col(version_col).desc())
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col(op_col) != delete_op)
+        .select(*payload)
+    )

@@ -1841,3 +1841,75 @@ query(
     _profile_approx_oracle(),
     tags=("extension", "profiling", "approx"),
 )(_profile_columns_approx)
+
+
+# ====================== CDC snapshot maintenance =========================
+def _pipeline_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a synthetic-but-deterministic changelog to the orders
+    snapshot: every orderkey divisible by 3 gets an upsert (status 'U',
+    price +10.0 — an exact IEEE add, bit-identical cross-engine) at
+    version 1; every orderkey divisible by 7 a delete tombstone at
+    version 2 (so keys hit by both see delete-wins). Output bounded to
+    keys divisible by 5 to keep the driver compare small while staying
+    row-level."""
+    from datafusion_wasm_bindings_spark.operators.cdc import apply_changelog
+    from pyspark.sql import functions as F
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+        .withColumn("version", F.lit(1).cast("long"))
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("version", F.lit(2).cast("long"))
+        .withColumn("op", F.lit("D"))
+    )
+    snapshot = apply_changelog(
+        orders, updates.unionByName(deletes), ["o_orderkey"]
+    )
+    return snapshot.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+
+
+query(
+    "q_pipeline_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CAST(0 AS BIGINT) AS version, 'I' AS op
+      FROM orders
+    ),
+    upd AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + 10.0 AS o_totalprice,
+             CAST(1 AS BIGINT) AS version, 'U' AS op
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    del AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CAST(2 AS BIGINT) AS version, 'D' AS op
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    merged AS (
+      SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del
+    ),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+      FROM merged
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus AS status, o_totalprice AS price
+    FROM latest
+    WHERE rn = 1 AND op <> 'D' AND o_orderkey % 5 = 0
+    """,
+    tags=("extension", "pipeline", "cdc"),
+)(_pipeline_upsert)

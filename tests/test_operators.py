@@ -659,3 +659,30 @@ def test_tfidf_keywords_known_values(spark):
     # doc 3: banana tf=2 but df=3; durian tf=1 df=1 → banana 2*(ln(1)+1)=2
     # vs durian 1*(ln(2)+1)≈1.69 → banana still first on tf weight
     assert out[(3, "banana")].rank == 1 and out[(3, "durian")].rank == 2
+
+
+def test_apply_changelog_known_values(spark):
+    """Latest version wins per key; delete tombstones drop the key;
+    unseen keys insert; base survives untouched keys."""
+    from datafusion_wasm_bindings_spark.operators.cdc import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, 1, "U"),   # update key 2
+            (2, "b3", 22.0, 2, "U"),   # later update wins
+            (3, "c", 30.0, 1, "D"),    # delete key 3
+            (4, "d", 40.0, 1, "U"),    # insert new key 4
+            (5, "e", 50.0, 1, "U"),    # insert then delete -> absent
+            (5, "e", 50.0, 2, "D"),
+        ],
+        "k long, s string, v double, version long, op string",
+    )
+    got = {r.k: r for r in apply_changelog(base, changes, ["k"]).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1].s == "a" and got[1].v == 10.0
+    assert got[2].s == "b3" and got[2].v == 22.0
+    assert got[4].s == "d" and got[4].v == 40.0

@@ -403,3 +403,13 @@ def test_tfidf_broadcasts_df_table(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pipeline_upsert_single_exchange_no_join(spark, sf_dir):
+    """CDC compaction is union + ONE keyed window shuffle — never the
+    naive anti-join/join shape that shuffles the base twice."""
+    df = REGISTRY["q_pipeline_upsert"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "SinglePartition" not in plan, plan
