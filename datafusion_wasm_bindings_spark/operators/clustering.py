@@ -1,0 +1,137 @@
+"""Distributed k-means clustering over embedding columns.
+
+Training-data pipelines cluster document embeddings constantly — topic
+balancing, domain discovery, cluster-based dedup/filtering (e.g.
+SemDeDup-style pruning). This is Lloyd's algorithm expressed
+Spark-first, with the centroid state kept EXACT so every engine that
+replays the same arithmetic reaches bit-identical assignments (the
+oracle-checkability recipe of operators/similarity.py, extended from
+one dot product to the full iterative fit):
+
+- components quantized to int64 (``round(x*1000)``) → all sums (dot
+  products, per-dimension centroid sums, squared norms) are exact
+  integer arithmetic, order-independent under any partitioning;
+- a centroid is stored as ``(s[dim] int64 sums, n count)`` — never the
+  float mean — so the mean is only ever *evaluated* inside the
+  distance comparator:  argmin_c ‖x − s_c/n_c‖² = argmin_c
+  (ss_c/n_c² − 2·⟨x,s_c⟩/n_c), two IEEE divisions on exact integers,
+  bit-identical in any engine;
+- ties broken by cluster id ascending.
+
+Scale posture (100 TB): assignment is a pure map against broadcast
+centroid literals — the corpus NEVER shuffles. The per-iteration
+reduce is a (cid, dim) partial-sum aggregate whose shuffle bytes are
+k × dims × partitions, independent of corpus size. The k × dims
+centroid state (a few KB) is collected to the driver each iteration —
+the same justified tiny-collect as the connected-components
+convergence signature (operators/dedup.py). Production note: cache the
+quantized corpus across iterations (``df.persist()``); uncached, each
+iteration re-reads storage, which is still the standard tradeoff at
+100 TB (recompute beats caching when memory is the scarce resource).
+
+The reference (DataFusion 45 WASM binding, src/core.rs:34-99) has no
+iterative relational algebra at all; this extension adds the
+capability Spark-first. UNNEST-decomposed oracle twin:
+queries/extensions.py:q_cluster_kmeans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datafusion_wasm_bindings_spark.operators.similarity import _norm2, quantized
+
+Centroid = tuple[int, list[int], int]  # (cid, per-dim int sums, n)
+
+
+def _assign(v: DataFrame, centroids: list[Centroid]) -> DataFrame:
+    """Map-side nearest-centroid assignment against literal centroids.
+
+    Adds ``cid`` and per-row ``inertia`` (= exact ‖x−c‖², evaluated as
+    ssx + ss_c/n² − 2·dot/n on exact integer sums)."""
+    choices = []
+    for cid, s, n in centroids:
+        ss = sum(si * si for si in s)
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("x"),
+                F.array(*[F.lit(int(si)).cast("long") for si in s]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, val: acc + val,
+        )
+        d = (
+            F.lit(ss).cast("double") / F.lit(n * n)
+            - F.lit(2) * dot.cast("double") / F.lit(n)
+        )
+        choices.append(F.struct(d.alias("d"), F.lit(cid).cast("long").alias("cid")))
+    best = F.array_min(F.array(*choices))
+    return v.select(
+        "vec_id",
+        "x",
+        best["cid"].alias("cid"),
+        (F.col("ssx").cast("double") + best["d"]).alias("inertia"),
+    )
+
+
+def kmeans_clusters(
+    embeddings: DataFrame,
+    *,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means, deterministically seeded by the ``k`` lowest
+    vec_ids, returning per-cluster stats after ``iters`` update rounds:
+    (cluster_id, n_vecs, min_vec, mean_inertia).
+
+    ``mean_inertia`` uses the decimal-sum recipe (queries/_util.py) so
+    the double total is order-independent."""
+    v = embeddings.select(
+        "vec_id", quantized(F.col("embedding")).alias("x")
+    ).withColumn("ssx", _norm2(F.col("x")))
+
+    seeds = v.orderBy("vec_id").limit(k).select("vec_id", "x").collect()
+    centroids: list[Centroid] = [
+        (cid, [int(c) for c in row["x"]], 1) for cid, row in enumerate(seeds)
+    ]
+
+    assigned = _assign(v, centroids)
+    for _ in range(iters):
+        # exact integer centroid update: per-(cid, dim) partial sums —
+        # shuffle bytes ∝ k × dims × partitions, corpus-size-independent
+        rows = (
+            assigned.select("cid", F.posexplode("x").alias("dim", "xv"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("xv").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = int(r["s"])
+            counts[r["cid"]] = int(r["n"])
+        centroids = [
+            (cid, [dims[i] for i in sorted(dims)], counts[cid])
+            for cid, dims in sorted(by_cid.items())
+        ]
+        assigned = _assign(v, centroids)
+
+    return (
+        assigned.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec"),
+            (
+                F.sum(F.col("inertia").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_inertia"),
+        )
+        .select(
+            "cluster_id",
+            "n_vecs",
+            "min_vec",
+            F.round("mean_inertia", 6).alias("mean_inertia"),
+        )
+    )

@@ -1843,6 +1843,72 @@ query(
 )(_profile_columns_approx)
 
 
+# ====================== embedding clustering =============================
+_KMEANS_K, _KMEANS_ITERS = 4, 2
+
+
+def _cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.clustering import kmeans_clusters
+
+    return kmeans_clusters(
+        table(spark, sf_dir, "embeddings"), k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled Lloyd iterations as chained CTEs — the exact-integer
+    centroid-state recipe (operators/clustering.py) makes every
+    assignment reproducible, so DuckDB replays the whole iterative fit
+    and the driver's full value check covers k-means end to end.
+    ``norms.n2`` doubles as the per-vector squared norm (ssx)."""
+    d_expr = (
+        "CAST(cs.ss AS DOUBLE)/(cs.n*cs.n) - 2*CAST(d.dot AS DOUBLE)/cs.n"
+    )
+    parts = [
+        f"""
+    seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+             FROM (SELECT DISTINCT vec_id FROM comp ORDER BY vec_id LIMIT {k})),
+    cent0 AS (SELECT s.cid, c.i, CAST(c.val AS BIGINT) AS s, CAST(1 AS BIGINT) AS n
+              FROM seed s JOIN comp c USING (vec_id))"""
+    ]
+    for t in range(iters + 1):
+        parts.append(
+            f"""
+    cs{t} AS (SELECT cid, any_value(n) AS n, sum(s*s) AS ss FROM cent{t} GROUP BY cid),
+    dots{t} AS (SELECT c.vec_id, k.cid, sum(c.val * k.s) AS dot
+                FROM comp c JOIN cent{t} k ON c.i = k.i GROUP BY 1, 2),
+    asg{t} AS (SELECT vec_id, cid, d FROM (
+        SELECT d.vec_id, d.cid, {d_expr} AS d,
+               row_number() OVER (PARTITION BY d.vec_id
+                                  ORDER BY {d_expr} ASC, d.cid ASC) AS rn
+        FROM dots{t} d JOIN cs{t} cs ON d.cid = cs.cid) WHERE rn = 1)"""
+        )
+        if t < iters:
+            parts.append(
+                f"""
+    cent{t + 1} AS (SELECT a.cid, c.i, sum(c.val) AS s, CAST(count(*) AS BIGINT) AS n
+                    FROM asg{t} a JOIN comp c USING (vec_id) GROUP BY 1, 2)"""
+            )
+    chain = ",".join(parts)
+    return f"""
+    WITH {_COMP.format(where="")},{chain}
+    SELECT a.cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           min(a.vec_id) AS min_vec,
+           round(CAST(sum(CAST(CAST(n.n2 AS DOUBLE) + a.d AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(1), 6) AS mean_inertia
+    FROM asg{iters} a JOIN norms n ON n.vec_id = a.vec_id
+    GROUP BY a.cid
+    """
+
+
+query(
+    "q_cluster_kmeans",
+    _kmeans_oracle(_KMEANS_K, _KMEANS_ITERS),
+    tags=("extension", "clustering", "similarity"),
+)(_cluster_kmeans)
+
+
 # ====================== CDC snapshot maintenance =========================
 def _pipeline_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply a synthetic-but-deterministic changelog to the orders

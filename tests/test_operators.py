@@ -686,3 +686,24 @@ def test_apply_changelog_known_values(spark):
     assert got[1].s == "a" and got[1].v == 10.0
     assert got[2].s == "b3" and got[2].v == 22.0
     assert got[4].s == "d" and got[4].v == 40.0
+
+
+def test_kmeans_clusters_known_values(spark):
+    """Two well-separated groups with seeds spanning both: every vector
+    lands with its group's seed; sizes and representatives are exact."""
+    from datafusion_wasm_bindings_spark.operators.clustering import kmeans_clusters
+
+    rows = [
+        (1, [1.0, 0.0]),   # seed cluster 0
+        (2, [0.0, 1.0]),   # seed cluster 1
+        (3, [0.9, 0.1]),
+        (4, [0.1, 0.9]),
+        (5, [0.8, 0.0]),
+        (6, [0.0, 0.8]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.cluster_id: r for r in kmeans_clusters(emb, k=2, iters=2).collect()}
+    assert set(got) == {0, 1}
+    assert got[0].n_vecs == 3 and got[0].min_vec == 1
+    assert got[1].n_vecs == 3 and got[1].min_vec == 2
+    assert got[0].mean_inertia >= 0 and got[1].mean_inertia >= 0

@@ -413,3 +413,13 @@ def test_pipeline_upsert_single_exchange_no_join(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_kmeans_assignment_is_map_side(spark, sf_dir):
+    """Nearest-centroid assignment runs against literal broadcast
+    centroids — the corpus shuffles exactly once (the final per-cluster
+    aggregate), and no join node ever appears."""
+    df = REGISTRY["q_cluster_kmeans"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
