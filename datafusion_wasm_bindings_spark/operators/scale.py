@@ -94,3 +94,77 @@ def bucketed_join(
     same key/bucket-count: Spark plans a sort-merge join with no
     exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def _idiv(num: F.Column, den: F.Column) -> F.Column:
+    """Exact integer floor-division for non-negative operands: the
+    remainder is removed before dividing, so the double division is of
+    exactly-divisible ints (< 2^53) and lossless."""
+    return ((num - F.pmod(num, den)) / den).cast("long")
+
+
+def zorder_key(x: F.Column, y: F.Column, *, bits: int = 8) -> F.Column:
+    """Morton (z-order) key interleaving the low ``bits`` of two
+    already-quantized non-negative ints: bit i of x lands at position
+    2i+1, bit i of y at 2i."""
+    parts = []
+    for i in range(bits):
+        parts.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        parts.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i))
+    z = parts[0]
+    for p in parts[1:]:
+        z = z + p
+    return z
+
+
+def zorder_bucket_stats(
+    df: DataFrame,
+    x: str,
+    y: str,
+    *,
+    bits: int = 8,
+    bucket_bits: int = 4,
+) -> DataFrame:
+    """Z-order (Morton-curve) layout planning: quantize two integer
+    dimensions to ``bits`` bits each against their global min/max,
+    interleave into a z-key, and split the keyspace into
+    ``2**bucket_bits`` contiguous z-ranges — the file boundaries a
+    z-ordered rewrite (OPTIMIZE ... ZORDER BY in lakehouse engines)
+    would produce. Returns per-bucket row counts and min/max of BOTH
+    dimensions: bounded ranges on both axes are what lets min/max file
+    stats skip files for predicates on EITHER column, which a plain
+    sort can only deliver for its leading key.
+
+    Scale: the min/max pre-pass is a 4-value broadcast (at 100 TB these
+    come free from table-level stats); the z-key is a pure map; the
+    per-bucket stats are one aggregation shuffle of 2^bucket_bits
+    groups. An actual rewrite would ``repartitionByRange`` on the
+    z-key with the same bucket boundaries.
+    """
+    stats = df.agg(
+        F.min(x).alias("__xmn"),
+        F.max(x).alias("__xmx"),
+        F.min(y).alias("__ymn"),
+        F.max(y).alias("__ymx"),
+    )
+    scale = (1 << bits) - 1
+
+    def _quant(c: str, mn: str, mx: str) -> F.Column:
+        den = F.col(mx) - F.col(mn)
+        return F.when(den == 0, F.lit(0).cast("long")).otherwise(
+            _idiv((F.col(c) - F.col(mn)) * scale, den)
+        )
+
+    j = df.crossJoin(F.broadcast(stats))
+    z = zorder_key(_quant(x, "__xmn", "__xmx"), _quant(y, "__ymn", "__ymx"), bits=bits)
+    return (
+        j.withColumn("zbucket", F.shiftright(z, 2 * bits - bucket_bits))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(x).alias("x_min"),
+            F.max(x).alias("x_max"),
+            F.min(y).alias("y_min"),
+            F.max(y).alias("y_max"),
+        )
+    )

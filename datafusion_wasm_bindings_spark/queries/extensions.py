@@ -1843,6 +1843,53 @@ query(
 )(_profile_columns_approx)
 
 
+# ====================== z-order data layout ==============================
+def _scale_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.scale import zorder_bucket_stats
+    from pyspark.sql import functions as F
+
+    src = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.unix_date(F.to_date("o_orderdate")).cast("long").alias("od"),
+    )
+    return zorder_bucket_stats(src, "ck", "od", bits=8, bucket_bits=4)
+
+
+def _zorder_oracle(bits: int = 8, bucket_bits: int = 4) -> str:
+    scale = (1 << bits) - 1
+    inter = " + ".join(
+        f"((((qx >> {i}) & 1) << {2 * i + 1}) + (((qy >> {i}) & 1) << {2 * i}))"
+        for i in range(bits)
+    )
+    return f"""
+    WITH src AS (
+      SELECT o_custkey AS ck,
+             CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS od
+      FROM orders
+    ),
+    st AS (SELECT min(ck) AS xmn, max(ck) AS xmx, min(od) AS ymn, max(od) AS ymx FROM src),
+    q AS (
+      SELECT ck, od,
+             CASE WHEN xmx = xmn THEN 0 ELSE (ck - xmn) * {scale} // (xmx - xmn) END AS qx,
+             CASE WHEN ymx = ymn THEN 0 ELSE (od - ymn) * {scale} // (ymx - ymn) END AS qy
+      FROM src CROSS JOIN st
+    ),
+    z AS (SELECT ck, od, {inter} AS zv FROM q)
+    SELECT zv >> {2 * bits - bucket_bits} AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(ck) AS x_min, max(ck) AS x_max,
+           min(od) AS y_min, max(od) AS y_max
+    FROM z GROUP BY 1
+    """
+
+
+query(
+    "q_scale_zorder",
+    _zorder_oracle(),
+    tags=("extension", "scale", "layout"),
+)(_scale_zorder)
+
+
 # ====================== embedding clustering =============================
 _KMEANS_K, _KMEANS_ITERS = 4, 2
 

@@ -707,3 +707,29 @@ def test_kmeans_clusters_known_values(spark):
     assert got[0].n_vecs == 3 and got[0].min_vec == 1
     assert got[1].n_vecs == 3 and got[1].min_vec == 2
     assert got[0].mean_inertia >= 0 and got[1].mean_inertia >= 0
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """z(0b11, 0b00)=0b1010, z(0b00, 0b11)=0b0101, z(max,max)=all ones;
+    bucket ranges partition both dimensions into bounded tiles."""
+    from datafusion_wasm_bindings_spark.operators.scale import (
+        zorder_bucket_stats,
+        zorder_key,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(3, 0), (0, 3), (255, 255)], "x long, y long")
+    got = [r.z for r in df.select(zorder_key(F.col("x"), F.col("y")).alias("z")).collect()]
+    assert got == [0b1010, 0b0101, (1 << 16) - 1]
+
+    # a 16x16 grid split into 16 z-buckets → every bucket is a 4x4 tile:
+    # both dimension spans are 3, not 15 (the locality a plain sort on x
+    # cannot give y)
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(16) for j in range(16)], "x long, y long"
+    )
+    stats = zorder_bucket_stats(grid, "x", "y", bits=4, bucket_bits=4).collect()
+    assert len(stats) == 16
+    for r in stats:
+        assert r.n_rows == 16
+        assert r.x_max - r.x_min == 3 and r.y_max - r.y_min == 3

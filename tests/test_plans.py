@@ -423,3 +423,14 @@ def test_kmeans_assignment_is_map_side(spark, sf_dir):
     plan = _plan(df)
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_zorder_stats_broadcast_minmax_single_agg_shuffle(spark, sf_dir):
+    """The min/max pre-pass joins as a broadcast (at 100 TB it comes
+    from table stats); the z-key is a pure map; the only
+    hash-partitioned exchange is the per-bucket aggregate."""
+    df = REGISTRY["q_scale_zorder"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
