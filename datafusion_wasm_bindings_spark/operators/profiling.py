@@ -82,3 +82,53 @@ def profile_columns(
     return wide.selectExpr(
         f"stack({len(numeric_cols)}, {stacked}) AS {out_cols}"
     )
+
+
+def sharded_hll_distinct(
+    df: DataFrame,
+    key: str,
+    *,
+    n_shards: int = 8,
+    lgk: int = 12,
+    tol: float = 0.05,
+) -> DataFrame:
+    """Two-level distinct counting with mergeable HLL sketches — THE
+    100 TB architecture for distinct stats: each shard (in production,
+    each partition/file/day) aggregates its own fixed-size DataSketches
+    HLL (``hll_sketch_agg``), and the tiny binary sketches — not the
+    rows — are unioned (``hll_union_agg``) for the global estimate.
+    Incremental by construction: a new day's shard sketch unions into
+    last month's without rescanning history.
+
+    Shards here are assigned by the engine-portable md5 draw (keys are
+    hash-partitioned, so every occurrence of a key lands in one shard
+    and the per-shard EXACT distinct counts sum to the global exact
+    count — computed in the same pass as the sketches). Output is one
+    row: (n_shards, n_distinct, hll_within_5pct) where the boolean
+    asserts the merged-sketch estimate landed within ``tol`` of exact —
+    the q_fn_approx_distinct oracle pattern, so the driver's value
+    check verifies the sketch-merge accuracy contract itself."""
+    h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    per_shard = (
+        df.select(F.col(key).alias("k"), F.pmod(h, F.lit(n_shards)).alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.hll_sketch_agg(F.col("k"), F.lit(lgk)).alias("sk"),
+            F.countDistinct("k").alias("shard_exact"),
+        )
+    )
+    merged = per_shard.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum("shard_exact").alias("n_distinct"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias("est"),
+    )
+    return merged.select(
+        "n_shards",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        (
+            F.abs(F.col("est") - F.col("n_distinct"))
+            <= F.lit(tol) * F.col("n_distinct")
+        ).alias("hll_within_5pct"),
+    )

@@ -1843,6 +1843,31 @@ query(
 )(_profile_columns_approx)
 
 
+# ====================== sharded sketch union =============================
+def _scale_hll_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.profiling import (
+        sharded_hll_distinct,
+    )
+
+    return sharded_hll_distinct(
+        table(spark, sf_dir, "orders"), "o_custkey", n_shards=8
+    )
+
+
+query(
+    "q_scale_hll_shards",
+    """
+    SELECT CAST(count(DISTINCT
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+           ) AS BIGINT) AS n_shards,
+           count(DISTINCT o_custkey) AS n_distinct,
+           TRUE AS hll_within_5pct
+    FROM orders
+    """,
+    tags=("extension", "scale", "profiling", "approx"),
+)(_scale_hll_shards)
+
+
 # ====================== z-order data layout ==============================
 def _scale_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.scale import zorder_bucket_stats

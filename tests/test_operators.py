@@ -733,3 +733,17 @@ def test_zorder_key_interleaves_bits(spark):
     for r in stats:
         assert r.n_rows == 16
         assert r.x_max - r.x_min == 3 and r.y_max - r.y_min == 3
+
+
+def test_sharded_hll_distinct_exact_and_bounds(spark):
+    """Per-shard exact counts sum to the true global distinct (keys are
+    hash-partitioned), and the merged-sketch estimate lands in bounds."""
+    from datafusion_wasm_bindings_spark.operators.profiling import (
+        sharded_hll_distinct,
+    )
+
+    df = spark.createDataFrame([(i % 137,) for i in range(1000)], "k long")
+    row = sharded_hll_distinct(df, "k", n_shards=4).collect()[0]
+    assert row.n_distinct == 137
+    assert row.n_shards == 4
+    assert bool(row.hll_within_5pct)
