@@ -424,3 +424,64 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
             F.when(nonempty, F.col("fold.dup") / F.col("total_bg")).otherwise(0.0), 6
         ).alias("dup_bigram_frac"),
     )
+
+
+def hashed_classifier_score(
+    documents: DataFrame,
+    *,
+    dims: int = 1024,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Linear quality-classifier scoring via the hashing trick — the
+    fastText-style architecture every large-scale corpus filter uses
+    (token → feature bucket → weight lookup → mean → threshold), as a
+    pure JVM-side map: no shuffle, no UDF, no stored model file.
+
+    Feature buckets come from the engine-portable md5 draw (bucket =
+    md5(token) mod ``dims``), and the per-bucket weights are a
+    deterministic integer hash of the bucket id mapped to
+    [-2^30, 2^30) — a stand-in a production deployment replaces with
+    trained weights (broadcast as a ``dims``-length literal array or
+    map) without touching the plan shape. Weights stay INTEGER until
+    the final per-document division, so the token sum is exact and
+    order-independent; the score is one IEEE division — bit-identical
+    cross-engine (no transcendental link function on the checked path;
+    a sigmoid calibration is monotone, so thresholding the raw mean is
+    the same classifier).
+
+    Output: (doc_id, n_tokens, score, keep) with score = mean bucket
+    weight scaled to [-1, 1) and keep = score > ``threshold``.
+    """
+    toks = documents.select("doc_id", tokens_col().alias("toks"))
+
+    def w_int(tok: F.Column) -> F.Column:
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long"),
+            F.lit(dims),
+        )
+        return (
+            F.pmod(bucket * F.lit(2654435761), F.lit(2147483648)) - F.lit(1073741824)
+        )
+
+    agg = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.aggregate(
+            F.transform("toks", w_int),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + w,
+        ).alias("wsum"),
+    )
+    score = (
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("wsum").cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(1073741824.0))
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round(score, 6).alias("score"),
+        (score > F.lit(threshold)).alias("keep"),
+    )

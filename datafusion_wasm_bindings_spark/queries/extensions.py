@@ -1843,6 +1843,36 @@ query(
 )(_profile_columns_approx)
 
 
+# ====================== hashed linear classifier =========================
+def _text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.text import hashed_classifier_score
+
+    return hashed_classifier_score(table(spark, sf_dir, "documents"), dims=1024)
+
+
+_CLS_SCORE = """CASE WHEN n_tokens = 0 THEN 0.0
+             ELSE CAST(wsum AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1073741824.0) END"""
+
+query(
+    "q_text_classifier",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    s AS (SELECT doc_id, len(toks) AS n_tokens,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(toks, tok ->
+                     (CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024)
+                       * 2654435761 % 2147483648 - 1073741824)),
+                   (a, b) -> a + b) AS wsum
+          FROM t)
+    SELECT doc_id, n_tokens,
+           round({_CLS_SCORE}, 6) AS score,
+           ({_CLS_SCORE}) > 0.0 AS keep
+    FROM s
+    """,
+    tags=("extension", "text", "classifier"),
+)(_text_classifier)
+
+
 # ====================== sharded sketch union =============================
 def _scale_hll_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.profiling import (

@@ -747,3 +747,24 @@ def test_sharded_hll_distinct_exact_and_bounds(spark):
     assert row.n_distinct == 137
     assert row.n_shards == 4
     assert bool(row.hll_within_5pct)
+
+
+def test_hashed_classifier_score_properties(spark):
+    """Same token multiset → same score regardless of order; empty text
+    scores 0/keep=False; score bounded to [-1, 1)."""
+    from datafusion_wasm_bindings_spark.operators.text import hashed_classifier_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma beta alpha"),
+            (3, ""),
+            (4, "alpha alpha alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in hashed_classifier_score(docs).collect()}
+    assert got[1].score == got[2].score and got[1].keep == got[2].keep
+    assert got[3].n_tokens == 0 and got[3].score == 0.0 and got[3].keep is False
+    for r in got.values():
+        assert -1.0 <= r.score < 1.0

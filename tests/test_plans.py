@@ -434,3 +434,13 @@ def test_zorder_stats_broadcast_minmax_single_agg_shuffle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_text_classifier_is_shuffle_free(spark, sf_dir):
+    """Hashing-trick scoring is one JVM-side map pass: no Exchange, one
+    scan, no Python UDF."""
+    df = REGISTRY["q_text_classifier"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
