@@ -368,6 +368,45 @@ query(
 )(_scan_partitioned)
 
 
+# --- q_scan_evolution: schema-evolved parquet read across file versions -------------
+def _scan_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: a long-lived 100 TB table is written
+    by many pipeline versions — old files lack columns added later.
+    Spark's ``mergeSchema`` unions the footers and null-fills missing
+    columns per file, so the evolved table reads as ONE relation with
+    no rewrite of history (the lakehouse add-column contract). Here v1
+    files carry (n_nationkey, n_name); v2 files add n_regionkey; the
+    merged scan null-fills v1's n_regionkey. The reference's external
+    tables bind one fixed schema per CREATE (SURVEY §2.1) — this
+    extension covers what it cannot."""
+    out = os.path.join(_OUT_ROOT, _sf_tag(sf_dir), f"evolution_{_scope()}")
+    nation = spark.table("nation")
+    nation.filter("n_regionkey <= 2").select("n_nationkey", "n_name").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "v1"))
+    nation.filter("n_regionkey >= 3").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").parquet(os.path.join(out, "v2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(out, "v1"), os.path.join(out, "v2"))
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+query(
+    "q_scan_evolution",
+    """
+    SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey
+    FROM nation WHERE n_regionkey <= 2
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_regionkey >= 3
+    """,
+    tags=("scan", "schema"),
+)(_scan_evolution)
+
+
 # --- q_insert_into ------------------------------------------------------------------
 def _insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
