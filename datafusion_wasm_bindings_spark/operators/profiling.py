@@ -132,3 +132,66 @@ def sharded_hll_distinct(
             <= F.lit(tol) * F.col("n_distinct")
         ).alias("hll_within_5pct"),
     )
+
+
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """Join/aggregation-key skew diagnostic — the measurement that
+    decides between a plain shuffle, AQE skew splitting, and explicit
+    salting (operators/scale.salted_join) before launching a 100 TB
+    job. Returns ONE row: total rows, distinct keys, the heaviest
+    key's count and identity, exact p50/p99 of the per-key count
+    distribution, and skew_ratio = max/p50.
+
+    Exact percentiles WITHOUT a global sort: per-key counts collapse
+    to a count-of-counts histogram first (size = number of DISTINCT
+    group sizes — tiny even when keys number in the billions), and the
+    percentile is read off the histogram's running sum. The only
+    global window runs over that tiny histogram — the same two-pass
+    trick as the weighted-percentile rewrite (queries/extensions.py
+    q_fn_weighted_percentile), so no corpus-sized single-partition
+    stage exists. Ranks use exact integer ceil((q·n)) arithmetic so
+    any engine replays them bit-identically."""
+    from pyspark.sql import Window
+
+    from datafusion_wasm_bindings_spark.operators.scale import _idiv
+
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    hist = counts.groupBy("cnt").agg(
+        F.count(F.lit(1)).alias("k"), F.min("key").alias("minkey")
+    )
+    pref = hist.withColumn(
+        "cum", F.sum("k").over(Window.orderBy(F.col("cnt").asc()))
+    )
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    p50_rank = _idiv(F.col("n_keys") + 1, F.lit(2))
+    p99_rank = _idiv(F.lit(99) * F.col("n_keys") + 99, F.lit(100))
+    agg = (
+        pref.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min("n_keys").alias("n_keys"),
+            F.min("n_rows").alias("n_rows"),
+            F.min("max_cnt").alias("max_cnt"),
+            F.min(F.when(F.col("cum") >= p50_rank, F.col("cnt"))).alias("p50_cnt"),
+            F.min(F.when(F.col("cum") >= p99_rank, F.col("cnt"))).alias("p99_cnt"),
+            F.min(F.when(F.col("cnt") == F.col("max_cnt"), F.col("minkey"))).alias(
+                "hot_key"
+            ),
+        )
+    )
+    return agg.select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "p50_cnt",
+        "p99_cnt",
+        F.round(
+            F.col("max_cnt").cast("double") / F.col("p50_cnt"), 6
+        ).alias("skew_ratio"),
+        "hot_key",
+    )

@@ -1843,6 +1843,37 @@ query(
 )(_profile_columns_approx)
 
 
+# ====================== key-skew diagnostics =============================
+def _profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.profiling import key_skew_profile
+
+    return key_skew_profile(table(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
+query(
+    "q_profile_skew",
+    """
+    WITH c AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS cnt
+               FROM lineitem GROUP BY 1),
+    h AS (SELECT cnt, CAST(count(*) AS BIGINT) AS k, min(key) AS minkey
+          FROM c GROUP BY 1),
+    p AS (SELECT cnt, k, minkey, SUM(k) OVER (ORDER BY cnt ASC) AS cum FROM h),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(cnt) AS BIGINT) AS n_rows,
+                 max(cnt) AS max_cnt FROM c)
+    SELECT t.n_keys, t.n_rows, t.max_cnt,
+           min(CASE WHEN p.cum >= (t.n_keys + 1) // 2 THEN p.cnt END) AS p50_cnt,
+           min(CASE WHEN p.cum >= (99 * t.n_keys + 99) // 100 THEN p.cnt END) AS p99_cnt,
+           round(CAST(t.max_cnt AS DOUBLE)
+                 / min(CASE WHEN p.cum >= (t.n_keys + 1) // 2 THEN p.cnt END), 6) AS skew_ratio,
+           min(CASE WHEN p.cnt = t.max_cnt THEN p.minkey END) AS hot_key
+    FROM p CROSS JOIN t
+    GROUP BY t.n_keys, t.n_rows, t.max_cnt
+    """,
+    tags=("extension", "profiling", "scale"),
+)(_profile_skew)
+
+
 # ====================== hashed linear classifier =========================
 def _text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.text import hashed_classifier_score

@@ -768,3 +768,16 @@ def test_hashed_classifier_score_properties(spark):
     assert got[3].n_tokens == 0 and got[3].score == 0.0 and got[3].keep is False
     for r in got.values():
         assert -1.0 <= r.score < 1.0
+
+
+def test_key_skew_profile_known_values(spark):
+    """10 keys: one hot key with 20 rows, nine with 2 → max=20, p50=2,
+    p99=20, ratio=10; hot key identified."""
+    from datafusion_wasm_bindings_spark.operators.profiling import key_skew_profile
+
+    rows = [(0,)] * 20 + [(k,) for k in range(1, 10) for _ in range(2)]
+    df = spark.createDataFrame(rows, "key long")
+    r = key_skew_profile(df, "key").collect()[0]
+    assert r.n_keys == 10 and r.n_rows == 38
+    assert r.max_cnt == 20 and r.p50_cnt == 2 and r.p99_cnt == 20
+    assert r.skew_ratio == 10.0 and r.hot_key == 0
