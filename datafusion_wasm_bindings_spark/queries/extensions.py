@@ -1843,6 +1843,71 @@ query(
 )(_profile_columns_approx)
 
 
+# ====================== graph ranking (PageRank) =========================
+_PR_ITERS, _PR_K, _PR_DAMPING = 3, 20, 0.85
+
+
+def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite part↔supplier co-occurrence graph
+    from lineitem (both directions added, so no node dangles). Node
+    ids are namespaced: parts → 2·partkey, suppliers → 2·suppkey+1."""
+    from datafusion_wasm_bindings_spark.operators.graph import pagerank_topk
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    rev = li.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("l_partkey") * 2).alias("dst"),
+    )
+    return pagerank_topk(
+        fwd.unionByName(rev), iters=_PR_ITERS, k=_PR_K
+    )
+
+
+def _pagerank_oracle(iters: int, k: int, damping: float) -> str:
+    # repr() emits shortest-roundtrip decimals, so both engines parse
+    # the IDENTICAL doubles the Spark literals hold (incl. 1-damping's
+    # representation error)
+    base, damp = repr(1.0 - damping), repr(damping)
+    cte = """
+    e AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+          UNION
+          SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem),
+    nd AS (SELECT DISTINCT src AS node FROM e),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nd),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n_nodes AS rank FROM nd CROSS JOIN c)"""
+    for t in range(iters):
+        cte += f""",
+    s{t} AS (SELECT e.dst AS node, SUM(CAST(r.rank / deg.d AS DECIMAL(18,9))) AS s
+             FROM e JOIN r{t} r ON e.src = r.node JOIN deg ON deg.src = e.src
+             GROUP BY 1),
+    r{t + 1} AS (SELECT nd.node,
+                      CAST({base} AS DOUBLE) / c.n_nodes
+                      + CAST({damp} AS DOUBLE)
+                        * CAST(coalesce(s{t}.s, 0) AS DOUBLE) AS rank
+               FROM nd LEFT JOIN s{t} ON s{t}.node = nd.node CROSS JOIN c)"""
+    return f"""
+    WITH {cte}
+    SELECT node, pos, round(rank, 6) AS rank
+    FROM (SELECT node, rank,
+                 row_number() OVER (ORDER BY rank DESC, node ASC) AS pos
+          FROM r{iters})
+    WHERE pos <= {k}
+    """
+
+
+query(
+    "q_graph_pagerank",
+    _pagerank_oracle(_PR_ITERS, _PR_K, _PR_DAMPING),
+    tags=("extension", "graph", "scale"),
+)(_graph_pagerank)
+
+
 # ====================== key-skew diagnostics =============================
 def _profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.profiling import key_skew_profile

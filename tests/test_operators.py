@@ -781,3 +781,17 @@ def test_key_skew_profile_known_values(spark):
     assert r.n_keys == 10 and r.n_rows == 38
     assert r.max_cnt == 20 and r.p50_cnt == 2 and r.p99_cnt == 20
     assert r.skew_ratio == 10.0 and r.hot_key == 0
+
+
+def test_pagerank_star_graph(spark):
+    """Bidirectional star: the hub out-ranks every leaf; leaves tie and
+    break by node id; total rank mass stays ~1 (no dangling nodes)."""
+    from datafusion_wasm_bindings_spark.operators.graph import pagerank, pagerank_topk
+
+    edges = [(0, i) for i in (1, 2, 3)] + [(i, 0) for i in (1, 2, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r.node: r.rank for r in pagerank(e, iters=5).collect()}
+    assert ranks[0] > ranks[1] and ranks[1] == ranks[2] == ranks[3]
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    top = pagerank_topk(e, iters=5, k=2).collect()
+    assert [(r.node, r.pos) for r in top] == [(0, 1), (1, 2)]
