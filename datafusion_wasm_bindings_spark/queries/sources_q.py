@@ -407,6 +407,34 @@ query(
 )(_scan_evolution)
 
 
+# --- q_scan_orc: columnar ORC round-trip (extension beyond the reference) -----------
+def _scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read-back — the other columnar format Spark ships
+    natively (predicate pushdown + column pruning work the same as
+    parquet). The reference's format surface stops at
+    parquet/csv/json/arrow (SURVEY §2.1); ORC closes the gap for
+    pipelines migrating Hive-era 100 TB warehouses."""
+    out = os.path.join(_OUT_ROOT, _sf_tag(sf_dir), f"orc_customer_{_scope()}")
+    spark.table("customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    ).filter("c_nationkey <= 12").write.mode("overwrite").orc(out)
+    return (
+        spark.read.orc(out)
+        .filter("c_acctbal > 0")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    )
+
+
+query(
+    "q_scan_orc",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal
+    FROM customer WHERE c_nationkey <= 12 AND c_acctbal > 0
+    """,
+    tags=("scan", "sink"),
+)(_scan_orc)
+
+
 # --- q_insert_into ------------------------------------------------------------------
 def _insert_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil

@@ -444,3 +444,12 @@ def test_text_classifier_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert plan.count("FileScan parquet") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_scan_orc_pushes_filter(spark, sf_dir):
+    """ORC scans keep predicate pushdown + column pruning just like
+    parquet — the properties that make a columnar migration free."""
+    df = REGISTRY["q_scan_orc"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "FileScan orc" in plan, plan
+    assert "PushedFilters: [" in plan and "c_acctbal" in plan.split("PushedFilters:")[1][:200], plan
