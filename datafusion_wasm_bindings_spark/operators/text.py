@@ -485,3 +485,94 @@ def hashed_classifier_score(
         F.round(score, 6).alias("score"),
         (score > F.lit(threshold)).alias("keep"),
     )
+
+
+def cms_heavy_hitters(
+    documents: DataFrame,
+    *,
+    depth: int = 4,
+    width: int = 512,
+    k: int = 20,
+) -> DataFrame:
+    """Count-min-sketch token frequencies, verified against exact
+    counts for the corpus's top-``k`` tokens.
+
+    The sketch is the mergeable-summary architecture for frequency at
+    100 TB (the CMS twin of the HLL shard union in
+    operators/profiling.py): each shard folds its token stream into a
+    fixed ``depth × width`` grid of counters (one aggregation, counter
+    state a few KB), grids merge by cell-wise addition, and a point
+    estimate is min over rows of the addressed cells — never an exact
+    per-token shuffle. Hash rows use the engine-portable md5 draw
+    (bucket_j = md5(j ':' token) mod width), so any engine replays the
+    sketch bit-identically — the estimate itself is value-checked by
+    the oracle, plus the CMS no-undercount guarantee as a boolean.
+
+    Output: (tok, pos, exact_cnt, cms_est, no_undercount) for the
+    exact top-``k`` tokens (ties broken by token ascending).
+    """
+    toks = documents.select(tokens_col().alias("toks")).select(
+        F.explode("toks").alias("tok")
+    )
+
+    def bucket(j: int, tok: F.Column) -> F.Column:
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), tok)), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(width),
+        )
+
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"), bucket(j, F.col("tok")).alias("bucket")
+                        )
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("jb")
+        )
+        .groupBy(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(
+        F.col("exact_cnt").desc_nulls_last(), F.col("tok").asc_nulls_first()
+    ).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("exact_cnt").desc_nulls_last(), F.col("tok").asc_nulls_first()
+    )
+    top = top.withColumn("pos", F.row_number().over(w))
+    probes = top.select(
+        "tok",
+        "pos",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), bucket(j, F.col("tok")).alias("bucket")
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("jb"),
+    ).select("tok", "pos", "exact_cnt", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("tok", "pos", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "tok",
+            "pos",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("no_undercount"),
+        )
+    )

@@ -1843,6 +1843,49 @@ query(
 )(_profile_columns_approx)
 
 
+# ====================== count-min-sketch heavy hitters ===================
+def _text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.text import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        table(spark, sf_dir, "documents"), depth=4, width=512, k=20
+    )
+
+
+query(
+    "q_text_heavy_hitters",
+    f"""
+    WITH t AS (SELECT unnest({_TOK}) AS tok FROM documents),
+    js AS (SELECT unnest(generate_series(0, 3)) AS j),
+    cells AS (
+      SELECT j,
+             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 8)) AS BIGINT)
+               % 512 AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM t CROSS JOIN js GROUP BY 1, 2
+    ),
+    tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM t GROUP BY 1),
+    top AS (SELECT tok, exact_cnt,
+                   row_number() OVER (ORDER BY exact_cnt DESC NULLS LAST,
+                                      tok ASC NULLS FIRST) AS pos
+            FROM tc),
+    probe AS (
+      SELECT p.tok, p.pos, p.exact_cnt, min(c.c) AS cms_est
+      FROM top p CROSS JOIN js
+      JOIN cells c
+        ON c.j = js.j
+       AND c.bucket = CAST(('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || p.tok), 1, 8)) AS BIGINT) % 512
+      WHERE p.pos <= 20
+      GROUP BY 1, 2, 3
+    )
+    SELECT tok, pos, exact_cnt, cms_est,
+           cms_est >= exact_cnt AS no_undercount
+    FROM probe
+    """,
+    tags=("extension", "text", "approx", "scale"),
+)(_text_heavy_hitters)
+
+
 # ====================== graph ranking (PageRank) =========================
 _PR_ITERS, _PR_K, _PR_DAMPING = 3, 20, 0.85
 

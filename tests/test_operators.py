@@ -795,3 +795,22 @@ def test_pagerank_star_graph(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
     top = pagerank_topk(e, iters=5, k=2).collect()
     assert [(r.node, r.pos) for r in top] == [(0, 1), (1, 2)]
+
+
+def test_cms_heavy_hitters_bounds(spark):
+    """CMS never undercounts; with a wide sketch and tiny vocabulary
+    the estimates are exact; top-k ordering is by exact count then
+    token."""
+    from datafusion_wasm_bindings_spark.operators.text import cms_heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d"), (3, "a c c")],
+        "doc_id long, text string",
+    )
+    got = cms_heavy_hitters(docs, depth=4, width=512, k=3).collect()
+    by_pos = {r.pos: r for r in got}
+    assert by_pos[1].tok == "a" and by_pos[1].exact_cnt == 5
+    assert by_pos[2].tok == "b" and by_pos[2].exact_cnt == 3
+    assert by_pos[3].tok == "c" and by_pos[3].exact_cnt == 3
+    for r in got:
+        assert r.no_undercount and r.cms_est == r.exact_cnt  # no collisions at w=512
