@@ -168,3 +168,37 @@ def zorder_bucket_stats(
             F.max(y).alias("y_max"),
         )
     )
+
+
+_DEC = "decimal(18,6)"
+
+
+def partial_aggregate(
+    df: DataFrame, shard_col: F.Column, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Mergeable per-shard aggregate state — the incremental-rollup
+    pattern for a 100 TB append-only table: each shard (day, month,
+    ingest batch) reduces to (shard, groups, cnt, vsum) once; global
+    totals come from merging the tiny state rows, never rescanning
+    history, and a late shard only recomputes its own slice.
+
+    ``vsum`` carries the decimal-quantized sum (queries/_util.py
+    recipe), so partial states merge EXACTLY regardless of merge order
+    or regrouping — the property that makes the state a valid
+    commutative monoid (what Spark's own partial aggregation relies on
+    internally, surfaced here as a persistable table)."""
+    return df.groupBy(shard_col.alias("shard"), *group_cols).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(value_col).cast(_DEC)).alias("vsum"),
+    )
+
+
+def merge_partial_aggregates(state: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold persisted partial states into final totals: counts add,
+    decimal sums add exactly; ``n_partials`` reports how many shard
+    states merged into each group."""
+    return state.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_partials"),
+        F.sum("cnt").alias("n_rows"),
+        F.sum("vsum").cast("double").alias("vtotal"),
+    )

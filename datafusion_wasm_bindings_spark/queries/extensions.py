@@ -1843,6 +1843,56 @@ query(
 )(_profile_columns_approx)
 
 
+# ====================== incremental aggregate state ======================
+def _scale_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-sharded partial aggregates persisted to parquet (the
+    state table an incremental pipeline maintains), then merged to
+    exact per-year totals — proving state-table round-trip + exact
+    mergeability. Scratch is pid/thread-scoped like every sink query
+    (bench runs the registry multi-threaded)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark import scratch
+    from datafusion_wasm_bindings_spark.operators.scale import (
+        merge_partial_aggregates,
+        partial_aggregate,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    out = f"/tmp/dfwb_out/{tag}/incr_state_{scratch.scope()}"
+    orders = table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+        "o_totalprice",
+    )
+    partial_aggregate(orders, F.col("ym"), ["yr"], "o_totalprice").write.mode(
+        "overwrite"
+    ).parquet(out)
+    state = spark.read.parquet(out)
+    return merge_partial_aggregates(state, ["yr"]).select(
+        "yr",
+        "n_partials",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("vtotal").alias("total_price"),
+    )
+
+
+query(
+    "q_scale_incremental_agg",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(COUNT(DISTINCT EXTRACT(year FROM o_orderdate) * 100
+                      + EXTRACT(month FROM o_orderdate)) AS BIGINT) AS n_partials,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY 1
+    """,
+    tags=("extension", "scale", "agg"),
+)(_scale_incremental_agg)
+
+
 # ====================== count-min-sketch heavy hitters ===================
 def _text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.text import cms_heavy_hitters

@@ -814,3 +814,39 @@ def test_cms_heavy_hitters_bounds(spark):
     assert by_pos[3].tok == "c" and by_pos[3].exact_cnt == 3
     for r in got:
         assert r.no_undercount and r.cms_est == r.exact_cnt  # no collisions at w=512
+
+
+def test_partial_aggregate_state_merges_exactly(spark):
+    """Appending a new shard's partial state and re-merging equals a
+    full recompute — the mergeable-monoid property, exact for the
+    decimal-quantized sums."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.scale import (
+        merge_partial_aggregates,
+        partial_aggregate,
+    )
+
+    day1 = spark.createDataFrame(
+        [(1, "a", 0.1), (1, "a", 0.2), (1, "b", 0.3)], "shard_id long, g string, v double"
+    )
+    day2 = spark.createDataFrame(
+        [(2, "a", 0.7)], "shard_id long, g string, v double"
+    )
+    s1 = partial_aggregate(day1, F.col("shard_id"), ["g"], "v")
+    s2 = partial_aggregate(day2, F.col("shard_id"), ["g"], "v")
+    merged = {
+        r.g: r for r in merge_partial_aggregates(s1.unionByName(s2), ["g"]).collect()
+    }
+    full = {
+        r.g: r
+        for r in merge_partial_aggregates(
+            partial_aggregate(
+                day1.unionByName(day2), F.col("shard_id"), ["g"], "v"
+            ),
+            ["g"],
+        ).collect()
+    }
+    assert merged["a"].n_rows == 3 and merged["a"].n_partials == 2
+    assert merged["a"].vtotal == full["a"].vtotal == 1.0
+    assert merged["b"].n_rows == 1 and merged["b"].vtotal == full["b"].vtotal == 0.3
