@@ -1843,6 +1843,59 @@ query(
 )(_profile_columns_approx)
 
 
+# ====================== JSON parse quarantine ============================
+def _events_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust semi-structured ingestion: parse the JSON props column
+    and ROUTE rows instead of failing the job — well-formed rows feed
+    the typed aggregate, malformed rows are counted into a quarantine
+    bucket (at 100 TB a parse failure rate, not an exception, is the
+    contract). Corruption is injected deterministically (every 11th
+    event gets a leading junk byte) so both engines see the identical
+    malformed subset; ok-ness is judged by the parse itself
+    (``from_json`` null ⟷ DuckDB ``json_valid``)."""
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % 11 == 0, F.concat(F.lit("x"), F.col("props"))
+    ).otherwise(F.col("props"))
+    parsed = ev.select(
+        "event_type",
+        F.from_json(raw, "k BIGINT")["k"].alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_ok"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_bad"),
+            F.sum("k").alias("sum_k_ok"),
+        )
+        .orderBy(F.col("event_type").asc_nulls_last())
+    )
+
+
+query(
+    "q_events_json_quarantine",
+    """
+    WITH r AS (SELECT event_type, event_id,
+                      CASE WHEN event_id % 11 = 0 THEN 'x' || props ELSE props END AS raw
+               FROM events),
+    p AS (SELECT event_type,
+                 CASE WHEN json_valid(raw)
+                      THEN CAST(json_extract_string(raw, '$.k') AS BIGINT) END AS k
+          FROM r)
+    SELECT event_type, COUNT(1) AS n,
+           CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+           CAST(SUM(k) AS BIGINT) AS sum_k_ok
+    FROM p GROUP BY event_type
+    ORDER BY event_type ASC NULLS LAST
+    """,
+    tags=("extension", "events", "json", "cleaning"),
+)(_events_json_quarantine)
+
+
 # ====================== incremental aggregate state ======================
 def _scale_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-sharded partial aggregates persisted to parquet (the
