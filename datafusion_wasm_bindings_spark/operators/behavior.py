@@ -1,0 +1,86 @@
+"""Event-behavior analytics: ordered funnels and cohort retention.
+
+Reference parity: the reference engine (datafusion-wasm-bindings →
+DataFusion) expresses these as plain SQL over an events table
+(`/root/reference/src/lib.rs` executes arbitrary SQL); here they are
+first-class operators because training-data / product pipelines run
+them constantly at 100 TB scale.
+
+Scale posture:
+- ``funnel``: one shuffle per step, ALL on the same ``user_id`` key —
+  Spark reuses the hash partitioning across the chained joins (no
+  re-exchange between steps), and each step's input shrinks
+  monotonically (only users who survived the previous step).
+  The step tables are filtered projections of one scan; Catalyst
+  pushes ``event_type = literal`` into the parquet scan of each
+  branch.
+- ``retention``: two aggregations keyed by ``user_id`` then
+  ``(cohort_day, offset)``; the distinct-user count is map-side
+  partial-aggregated. No windows, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(events: DataFrame, steps: Sequence[str], *, ts_col: str = "ts",
+           user_col: str = "user_id", type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel user counts: for each step i, the number of users
+    whose first step-i event STRICTLY follows their first qualifying
+    step-(i-1) event.
+
+    Returns one row: ``step_1 .. step_N`` (BIGINT user counts).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+
+    # first qualifying timestamp per user, step by step
+    reached: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i, step in enumerate(steps):
+        branch = events.filter(F.col(type_col) == step)
+        if prev is None:
+            cur = branch.groupBy(user_col).agg(F.min(ts_col).alias(f"t{i}"))
+        else:
+            cur = (
+                branch.join(prev, user_col)
+                .filter(F.col(ts_col) > F.col(f"t{i - 1}"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias(f"t{i}"))
+            )
+        reached.append(cur)
+        prev = cur
+
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(f"step_{i + 1}"))
+        for i, df in enumerate(reached)
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
+
+
+def retention(events: DataFrame, *, ts_col: str = "ts",
+              user_col: str = "user_id") -> DataFrame:
+    """Cohort retention triangle: users grouped by their first active
+    day (cohort), counted distinctly on each later active day.
+
+    Output: ``cohort_day`` (DATE), ``day_offset`` (BIGINT),
+    ``n_users`` (BIGINT).
+    """
+    day = F.to_date(F.col(ts_col))
+    cohort = events.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    active = events.select(F.col(user_col), day.alias("active_day")).distinct()
+    return (
+        active.join(cohort, user_col)
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

@@ -65,3 +65,39 @@ def apply_changelog(
         .filter(F.col(op_col) != delete_op)
         .select(*payload)
     )
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    *,
+    key_cols: list[str],
+    attr_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from an attribute
+    change stream: collapse consecutive runs of the same attribute
+    value (per key, in ``order_cols`` order) and emit one validity
+    interval per run.
+
+    Output adds ``valid_from`` (the first order column's value at the
+    run start), ``valid_to`` (next run's start, NULL while current)
+    and ``is_current``. Two windows over the SAME (key, order)
+    partitioning — Spark plans a single sort+exchange and runs both
+    window functions in one pass. At scale the shuffle carries only
+    (key, attr, order) — project payload columns back in afterwards.
+    """
+    from pyspark.sql import Window
+
+    part = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    first_order = F.col(order_cols[0])
+    changed = (
+        F.lag(F.col(attr_col)).over(part).isNull()
+        | (F.lag(F.col(attr_col)).over(part) != F.col(attr_col))
+    )
+    runs = changes.withColumn("__chg", changed).filter(F.col("__chg")).drop("__chg")
+    nxt = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        runs.withColumn("valid_from", first_order)
+        .withColumn("valid_to", F.lead("valid_from").over(nxt))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -80,6 +80,56 @@ def pagerank(
     return ranks
 
 
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact global triangle count over an undirected edge list
+    (columns ``u``, ``v``; self-loops and duplicates removed here).
+
+    Uses the compact-forward / degree-orientation algorithm: orient
+    every edge from the (degree, id)-smaller endpoint to the larger,
+    enumerate wedges around each source, and close them against the
+    oriented edge set. Orientation bounds every node's out-degree by
+    O(sqrt(|E|)) on any graph, so the wedge join is O(|E|^1.5) total
+    work instead of sum-of-squared-degrees — THE difference between
+    finishing and dying on a 100 TB power-law graph where a hub node
+    would otherwise fan out |hub-degree|² wedge candidates.
+
+    Shuffle shape: degree agg (1), orientation join (broadcast of the
+    degree table when it fits), wedge self-join keyed on src, closing
+    join keyed on (lo, hi). Returns one row ``n_triangles`` (BIGINT).
+    """
+    und = (
+        edges.select("u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+    )
+    # total order: (degree, node id) — gives the orientation its
+    # O(sqrt(E)) out-degree bound
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = deg.select("node", (F.col("d") * F.lit(1_000_000_000) + F.col("node")).alias("rk"))
+    oriented = (
+        und.join(F.broadcast(ranked.withColumnRenamed("node", "a").withColumnRenamed("rk", "rka")), "a")
+        .join(F.broadcast(ranked.withColumnRenamed("node", "b").withColumnRenamed("rk", "rkb")), "b")
+        .select(
+            F.when(F.col("rka") < F.col("rkb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(F.col("rka") < F.col("rkb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(F.col("rka") < F.col("rkb"), F.col("rkb")).otherwise(F.col("rka")).alias("dst_rk"),
+        )
+    )
+    e1 = oriented.select(F.col("src"), F.col("dst").alias("x"), F.col("dst_rk").alias("x_rk"))
+    e2 = oriented.select(F.col("src"), F.col("dst").alias("y"), F.col("dst_rk").alias("y_rk"))
+    wedges = e1.join(e2, "src").filter(F.col("x_rk") < F.col("y_rk"))
+    closing = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    return wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
 def pagerank_topk(edges: DataFrame, *, iters: int = 3, k: int = 20) -> DataFrame:
     """Top-``k`` PageRank nodes: (node, pos, rank) with rank rounded to
     6 places and ties broken by node id ascending."""

@@ -142,3 +142,80 @@ def chunk_documents(
         ).alias("n_chunk_tokens"),
         "chunk_text",
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    *,
+    size_col: str = "bytes",
+    order_col: str = "file_id",
+    target_bytes: int = 256 * 1024,
+) -> DataFrame:
+    """Small-file compaction planning: assign files (in a deterministic
+    order) to target-sized output bins by prefix-sum bucketing.
+
+    ``bin = (running_total_before_this_file) div target_bytes`` — the
+    classic streaming next-fit packer expressed as a window prefix sum,
+    so the WHOLE plan is one sort-based exchange (no driver loop, no
+    per-file collect). At 100 TB a real lakehouse table has millions of
+    small files; the prefix sum shuffles only the (file_id, size)
+    manifest — a few MB — never the data. Each bin overshoots its
+    target by at most one file, the next-fit guarantee; callers split
+    giant single files upstream.
+
+    The global window IS intentional: the input is file *metadata*
+    (|files|, not |rows|), the same cardinality any table-format
+    compactor (e.g. a manifest-based planner) holds on one node.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col(size_col)).over(w)
+    return files.withColumn(
+        "__before", (run - F.col(size_col)).cast("long")
+    ).withColumn(
+        "bin", F.expr(f"__before div {int(target_bytes)}")
+    ).drop("__before")
+
+
+def dataset_manifest(
+    df: DataFrame,
+    *,
+    key_col: str,
+    payload_cols: tuple[str, ...],
+    n_shards: int = 8,
+    salt: str = "dfwb-manifest",
+) -> DataFrame:
+    """Content-addressed shard manifest: route rows to ``n_shards`` by
+    an md5 hash of the key, and emit per-shard (row count, payload
+    checksum). The checksum is an order-independent SUM of each row's
+    md5-prefix integer, so two engines (or two runs over re-partitioned
+    data) produce identical manifests iff the shard contents are
+    identical — the cheap dataset-versioning primitive a 100 TB
+    pipeline diffs instead of re-reading data.
+
+    Single shuffle on the shard id; both aggregates combine map-side.
+    """
+    key = F.col(key_col).cast("string")
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 4), 16, 10)
+        .cast("long") % n_shards
+    ).alias("shard")
+    row_sig = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", key, *[F.col(c).cast("string") for c in payload_cols])),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        df.select(shard, row_sig.alias("__sig"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__sig").alias("checksum"),
+        )
+    )

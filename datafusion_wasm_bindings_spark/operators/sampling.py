@@ -294,3 +294,33 @@ def deterministic_shuffle(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
         .drop("__h")
     )
+
+
+def per_key_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    id_col: str,
+    n: int,
+    salt: str = "dfwb-k",
+) -> DataFrame:
+    """Deterministic fixed-size sample PER KEY: keep the ``n`` rows of
+    each key whose content-addressed md5 draw ranks lowest (ties broken
+    by id). The distributed equivalent of per-key reservoir sampling —
+    any engine, any partitioning, any run keeps the same rows, and no
+    reservoir state is needed because the draw is a pure function of
+    the row id.
+
+    One exchange on ``key_col``; the rank window sorts only within
+    keys (never globally). For heavy keys at 100 TB, pre-filter with a
+    conservative md5 threshold (operators.sampling.md5_threshold at a
+    few × n/|key| rate) so the window sees a bounded candidate set.
+    """
+    from pyspark.sql import Window
+
+    draw = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(key_col).orderBy(draw, F.col(id_col))
+    return (
+        df.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= n)
+    )

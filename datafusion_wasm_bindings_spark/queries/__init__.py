@@ -58,6 +58,7 @@ _MODULES = (
     "windows",
     "setops",
     "sorts",
+    "analytics",
 )
 
 # Round-3 driver window (exactly 50 names, VERDICT r2 next-round #2):

@@ -1,0 +1,493 @@
+"""Third-wave extension queries: reshaping (PIVOT/UNPIVOT), QUALIFY
+and LATERAL compat, behavioral event analytics (funnel, retention),
+SCD2 dimension builds, compaction planning, string-similarity joins,
+per-key reservoir sampling, triangle counting, and dataset manifests.
+
+Everything here is SQL the reference engine (DataFusion via
+datafusion-wasm-bindings, `/root/reference/src/lib.rs` executes
+arbitrary statements) could run textually; we register them as
+first-class oracle-checked operators because they are the daily verbs
+of a 100 TB training-data / product-analytics pipeline, with
+Spark-first physical shapes (equi-join blocking, degree-oriented
+wedges, prefix-sum packing) chosen to survive 1000 executors.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_wasm_bindings_spark.queries import query, sql_query
+from datafusion_wasm_bindings_spark.queries._util import dsum_sql
+from datafusion_wasm_bindings_spark.sources.catalog import table
+
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+
+# ====================== reshaping =====================================
+def _pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority, one column per status. The
+    pivot values are declared explicitly so Spark skips the extra
+    distinct-scan job and the plan is a single partial+final aggregate
+    (pivot with known values compiles to pivot_first, no shuffle
+    beyond the groupBy)."""
+    from pyspark.sql import functions as F
+
+    piv = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"cnt_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+    )
+
+
+query(
+    "q_pivot",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("extension", "reshape", "agg"),
+)(_pivot)
+
+
+def _unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt): part metrics as (metric, value) rows.
+    Pure per-row map — no shuffle at any scale; the value columns are
+    cast to a common type first (unpivot requires it)."""
+    from pyspark.sql import functions as F
+
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            "p_retailprice",
+        )
+    )
+    return part.unpivot(["p_partkey"], ["p_size", "p_retailprice"], "metric", "value")
+
+
+query(
+    "q_unpivot",
+    """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey % 10 = 0
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+    FROM part WHERE p_partkey % 10 = 0
+    """,
+    tags=("extension", "reshape"),
+)(_unpivot)
+
+
+# ====================== compat: QUALIFY / LATERAL / GROUP BY ALL ======
+def _qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY compat: Spark has no QUALIFY clause; the canonical
+    rewrite is window + filter (exactly what engines with QUALIFY
+    desugar to). Top-3 customers by balance per nation, ties broken by
+    key. The window partitions on the group key — no global sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+query(
+    "q_qualify",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           CAST(row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+    FROM customer
+    QUALIFY rn <= 3
+    """,
+    tags=("extension", "compat", "window"),
+)(_qualify)
+
+
+sql_query(
+    "q_agg_groupby_all",
+    f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           {dsum_sql("l_quantity", "sum_qty")}
+    FROM lineitem GROUP BY ALL
+    """,
+    tags=("extension", "compat", "agg"),
+)
+
+
+sql_query(
+    "q_join_lateral",
+    """
+    SELECT c.c_custkey, t.n_orders, t.max_price
+    FROM customer c, LATERAL (
+      SELECT count(*) AS n_orders, max(o_totalprice) AS max_price
+      FROM orders o WHERE o.o_custkey = c.c_custkey
+    ) t
+    WHERE c.c_custkey % 10 = 0
+    """,
+    tags=("extension", "compat", "join", "subquery"),
+)
+
+
+# ====================== behavioral event analytics ====================
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup→view→purchase funnel; see operators/behavior.py
+    for the one-shuffle-per-step, monotonically-shrinking join chain."""
+    from datafusion_wasm_bindings_spark.operators.behavior import funnel
+
+    return funnel(table(spark, sf_dir, "events"), ["signup", "view", "purchase"])
+
+
+query(
+    "q_events_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t1
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) > s1.t0
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t1
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s1) AS step_1,
+           (SELECT count(*) FROM s2) AS step_2,
+           (SELECT count(*) FROM s3) AS step_3
+    """,
+    tags=("extension", "events", "behavior"),
+)(_events_funnel)
+
+
+def _events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.behavior import retention
+
+    return retention(table(spark, sf_dir, "events"))
+
+
+query(
+    "q_events_retention",
+    """
+    WITH cohort AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+    )
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.active_day) AS BIGINT) AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM active a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("extension", "events", "behavior"),
+)(_events_retention)
+
+
+# ====================== SCD2 dimension build ==========================
+_HIGH_DATE = datetime.date(2099, 12, 31)
+
+
+def _pipeline_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension from the orders change stream:
+    per customer, collapse consecutive same-status runs into validity
+    intervals (valid_to = next run's start; open intervals closed with
+    the conventional high date so the output stays null-free)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.cdc import scd2_intervals
+
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 20 == 0)
+        .select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("odate"),
+            "o_orderkey",
+            "o_orderstatus",
+        )
+    )
+    iv = scd2_intervals(
+        src,
+        key_cols=["o_custkey"],
+        attr_col="o_orderstatus",
+        order_cols=["odate", "o_orderkey"],
+    )
+    return iv.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        "valid_from",
+        F.coalesce("valid_to", F.lit(_HIGH_DATE)).alias("valid_to"),
+        "is_current",
+    )
+
+
+query(
+    "q_pipeline_scd2",
+    """
+    WITH src AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS odate, o_orderkey, o_orderstatus
+      FROM orders WHERE o_custkey % 20 = 0
+    ),
+    lagged AS (
+      SELECT *, lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                         ORDER BY odate, o_orderkey) AS prev
+      FROM src
+    ),
+    runs AS (
+      SELECT * FROM lagged WHERE prev IS NULL OR prev <> o_orderstatus
+    ),
+    iv AS (
+      SELECT o_custkey, o_orderstatus AS status, odate AS valid_from,
+             lead(odate) OVER (PARTITION BY o_custkey
+                               ORDER BY odate, o_orderkey) AS valid_to
+      FROM runs
+    )
+    SELECT o_custkey, status, valid_from,
+           COALESCE(valid_to, DATE '2099-12-31') AS valid_to,
+           valid_to IS NULL AS is_current
+    FROM iv
+    """,
+    tags=("extension", "pipeline", "cdc"),
+)(_pipeline_scd2)
+
+
+# ====================== compaction planning ===========================
+def _scale_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan over a synthetic file manifest
+    (lineitem bucketed into 997 'files'); see
+    operators/packing.compaction_plan for the prefix-sum packer and
+    why its global window is safe (it sorts file METADATA, not rows)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.packing import compaction_plan
+
+    files = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy((F.col("l_orderkey") % 997).alias("file_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("bytes", (F.col("n_rows") * 64).cast("long"))
+    )
+    return compaction_plan(
+        files, size_col="bytes", order_col="file_id", target_bytes=262144
+    ).select("file_id", "n_rows", "bytes", "bin")
+
+
+query(
+    "q_scale_compaction",
+    """
+    WITH files AS (
+      SELECT l_orderkey % 997 AS file_id,
+             count(*) AS n_rows,
+             CAST(count(*) * 64 AS BIGINT) AS bytes
+      FROM lineitem GROUP BY 1
+    ),
+    pre AS (
+      SELECT file_id, n_rows, bytes,
+             CAST(sum(bytes) OVER (ORDER BY file_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) - bytes AS before
+      FROM files
+    )
+    SELECT file_id, n_rows, bytes, CAST(before // 262144 AS BIGINT) AS bin FROM pre
+    """,
+    tags=("extension", "scale", "pipeline"),
+)(_scale_compaction)
+
+
+# ====================== string-similarity join ========================
+def _text_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join over the corpus+catalog
+    vocabulary via length-band equi-blocking (operators/similarity.
+    editdist_join). The corpus-side distinct-token projection is the
+    scale-heavy step and is map-side combinable; the pair join runs on
+    the (always tiny relative to corpus) vocabulary."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.similarity import editdist_join
+
+    docs = table(spark, sf_dir, "documents")
+    part = table(spark, sf_dir, "part")
+    v1 = docs.select(F.explode(F.expr(_TOK)).alias("w"))
+    v2 = part.select(F.explode(F.split(F.lower("p_type"), " ")).alias("w"))
+    vocab = (
+        v1.unionAll(v2)
+        .filter((F.length("w") >= 3) & (F.length("w") <= 12))
+        .distinct()
+    )
+    return editdist_join(vocab, word_col="w", max_dist=2)
+
+
+query(
+    "q_text_editdist_join",
+    """
+    WITH v1 AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents
+    ),
+    v2 AS (
+      SELECT unnest(string_split(lower(p_type), ' ')) AS w FROM part
+    ),
+    vocab AS (
+      SELECT DISTINCT w FROM (SELECT w FROM v1 UNION ALL SELECT w FROM v2)
+      WHERE length(w) BETWEEN 3 AND 12
+    )
+    SELECT a.w AS wa, b.w AS wb, CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+    FROM vocab a JOIN vocab b
+      ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 2
+    WHERE levenshtein(a.w, b.w) <= 2
+    """,
+    tags=("extension", "text", "similarity", "join"),
+)(_text_editdist_join)
+
+
+# ====================== per-key reservoir sample ======================
+def _sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.sampling import per_key_sample
+
+    return per_key_sample(
+        table(spark, sf_dir, "documents"), key_col="lang", id_col="doc_id", n=5
+    ).select("doc_id", "lang", "rn")
+
+
+query(
+    "q_sample_per_key",
+    """
+    SELECT doc_id, lang, rn FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'dfwb-k'), doc_id
+             ) AS BIGINT) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+    tags=("extension", "sampling"),
+)(_sample_per_key)
+
+
+# ====================== triangle counting =============================
+_TRI_MOD = 311
+_TRI_THR = "13333333"  # md5-prefix keep threshold ≈ 0.075
+
+
+def _graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over a deterministic synthetic graph
+    (lineitem-derived edges, md5-sparsified). The Spark side uses
+    degree-oriented wedge enumeration (operators/graph.triangle_count,
+    O(E^1.5) work bound); the oracle counts the same triangles with
+    the textbook three-way join — independent formulations, equal
+    counts."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.graph import triangle_count
+
+    li = table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        (F.col("l_partkey") % _TRI_MOD).alias("u"),
+        (F.col("l_orderkey") % _TRI_MOD).alias("v"),
+    ).filter(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("u").cast("string"),
+                    F.lit("-"),
+                    F.col("v").cast("string"),
+                    F.lit("t3"),
+                )
+            ),
+            1,
+            8,
+        )
+        < _TRI_THR
+    )
+    und = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+    )
+    tri = triangle_count(und.select(F.col("a").alias("u"), F.col("b").alias("v")))
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return tri.crossJoin(n_edges)
+
+
+query(
+    "q_graph_triangles",
+    f"""
+    WITH raw AS (
+      SELECT l_partkey % {_TRI_MOD} AS u, l_orderkey % {_TRI_MOD} AS v
+      FROM lineitem
+    ),
+    kept AS (
+      SELECT u, v FROM raw
+      WHERE substr(md5(CAST(u AS VARCHAR) || '-' || CAST(v AS VARCHAR) || 't3'), 1, 8)
+            < '{_TRI_THR}'
+        AND u <> v
+    ),
+    und AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM kept
+    )
+    SELECT (SELECT count(*)
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
+           (SELECT count(*) FROM und) AS n_edges
+    """,
+    tags=("extension", "graph", "scale"),
+)(_graph_triangles)
+
+
+# ====================== dataset manifest ==============================
+def _pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.packing import dataset_manifest
+
+    return dataset_manifest(
+        table(spark, sf_dir, "documents"),
+        key_col="doc_id",
+        payload_cols=("lang", "n_chars"),
+        n_shards=8,
+    )
+
+
+query(
+    "q_pipeline_manifest",
+    """
+    WITH routed AS (
+      SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'dfwb-manifest'), 1, 4)
+                  AS BIGINT) % 8 AS shard,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang || ':'
+                                     || CAST(n_chars AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS sig
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_rows, CAST(sum(sig) AS BIGINT) AS checksum
+    FROM routed GROUP BY shard
+    """,
+    tags=("extension", "pipeline", "cdc"),
+)(_pipeline_manifest)

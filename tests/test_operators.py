@@ -850,3 +850,163 @@ def test_partial_aggregate_state_merges_exactly(spark):
     assert merged["a"].n_rows == 3 and merged["a"].n_partials == 2
     assert merged["a"].vtotal == full["a"].vtotal == 1.0
     assert merged["b"].n_rows == 1 and merged["b"].vtotal == full["b"].vtotal == 0.3
+
+
+def test_funnel_counts_monotone_and_known(spark):
+    from datafusion_wasm_bindings_spark.operators.behavior import funnel
+
+    rows = [
+        # user 1 completes the full ordered funnel
+        (1, "2024-01-01 00:00:00", "signup"),
+        (1, "2024-01-01 01:00:00", "view"),
+        (1, "2024-01-01 02:00:00", "purchase"),
+        # user 2 views BEFORE signup — must not count past step 1
+        (2, "2024-01-01 01:00:00", "signup"),
+        (2, "2024-01-01 00:00:00", "view"),
+        # user 3 never signs up
+        (3, "2024-01-01 00:00:00", "view"),
+        (3, "2024-01-01 01:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, y) for u, t, y in rows], "user_id long, ts_s string, event_type string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    out = funnel(ev, ["signup", "view", "purchase"]).collect()[0]
+    assert (out.step_1, out.step_2, out.step_3) == (2, 1, 1)
+
+
+def test_retention_diagonal_is_cohort_sizes(spark):
+    from datafusion_wasm_bindings_spark.operators.behavior import retention
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-03 10:00:00"),
+            (2, "2024-01-01 12:00:00"),
+            (3, "2024-01-02 09:00:00"),
+        ],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    rows = {
+        (str(r.cohort_day), r.day_offset): r.n_users
+        for r in retention(ev).collect()
+    }
+    # offset 0 row per cohort = cohort size
+    assert rows[("2024-01-01", 0)] == 2
+    assert rows[("2024-01-02", 0)] == 1
+    assert rows[("2024-01-01", 2)] == 1  # user 1 back on day 3
+
+
+def test_triangle_count_known_graphs(spark):
+    from datafusion_wasm_bindings_spark.operators.graph import triangle_count
+
+    # K4 (4 triangles) + a pendant edge + a duplicate + a self-loop
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges += [(0, 9), (1, 0), (2, 2)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    assert triangle_count(df).collect()[0].n_triangles == 4
+    # triangle-free: star graph
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "u long, v long")
+    assert triangle_count(star).collect()[0].n_triangles == 0
+
+
+def test_scd2_intervals_known_history(spark):
+    from datafusion_wasm_bindings_spark.operators.cdc import scd2_intervals
+
+    rows = [
+        (1, "2024-01-01", 10, "A"),
+        (1, "2024-01-05", 11, "A"),  # same run
+        (1, "2024-01-09", 12, "B"),  # change
+        (1, "2024-01-12", 13, "A"),  # back to A — NEW run, not merged
+        (2, "2024-02-01", 20, "X"),
+    ]
+    df = spark.createDataFrame(rows, "k long, d_s string, seq long, attr string").select(
+        "k", F.col("d_s").cast("date").alias("d"), "seq", "attr"
+    )
+    iv = scd2_intervals(df, key_cols=["k"], attr_col="attr", order_cols=["d", "seq"])
+    got = sorted(
+        (r.k, r.attr, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in iv.collect()
+    )
+    assert got == [
+        (1, "A", "2024-01-01", "2024-01-09", False),
+        (1, "A", "2024-01-12", "None", True),
+        (1, "B", "2024-01-09", "2024-01-12", False),
+        (2, "X", "2024-02-01", "None", True),
+    ]
+
+
+def test_compaction_plan_next_fit_bounds(spark):
+    from datafusion_wasm_bindings_spark.operators.packing import compaction_plan
+
+    files = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 250) for i in range(40)], "file_id long, bytes long"
+    )
+    out = compaction_plan(files, target_bytes=500).collect()
+    by_bin: dict[int, int] = {}
+    for r in out:
+        by_bin[r.bin] = by_bin.get(r.bin, 0) + r.bytes
+    # next-fit guarantee: every bin except possibly the last holds
+    # >= target once closed, and overshoots by < the file that closed it
+    max_file = max(r.bytes for r in out)
+    for b, tot in by_bin.items():
+        assert tot < 500 + max_file
+        if b != max(by_bin):
+            assert tot + max_file >= 500  # bin was closed because it filled
+    # bins are contiguous 0..k
+    assert sorted(by_bin) == list(range(max(by_bin) + 1))
+
+
+def test_per_key_sample_bounded_and_deterministic(documents):
+    from datafusion_wasm_bindings_spark.operators.sampling import per_key_sample
+
+    s1 = per_key_sample(documents, key_col="lang", id_col="doc_id", n=5)
+    s2 = per_key_sample(documents.repartition(7), key_col="lang", id_col="doc_id", n=5)
+    a = sorted((r.lang, r.doc_id, r.rn) for r in s1.collect())
+    b = sorted((r.lang, r.doc_id, r.rn) for r in s2.collect())
+    assert a == b  # partitioning-independent
+    per_key: dict[str, int] = {}
+    for lang, _, _ in a:
+        per_key[lang] = per_key.get(lang, 0) + 1
+    assert all(v <= 5 for v in per_key.values())
+
+
+def test_editdist_join_known_pairs(spark):
+    from datafusion_wasm_bindings_spark.operators.similarity import editdist_join
+
+    words = spark.createDataFrame(
+        [("fast",), ("last",), ("least",), ("table",), ("cable",), ("tables",), ("zzz",)],
+        "w string",
+    )
+    out = {(r.wa, r.wb): r.dist for r in editdist_join(words, max_dist=2).collect()}
+    assert out[("fast", "last")] == 1
+    assert out[("cable", "table")] == 1
+    assert out[("table", "tables")] == 1
+    assert out[("last", "least")] == 1  # single insert of 'e'
+    assert out[("fast", "least")] == 2
+    assert all(wa < wb for wa, wb in out)  # each pair exactly once
+    assert not any("zzz" in p for p in out)
+
+
+def test_dataset_manifest_partition_invariant_and_complete(documents):
+    from datafusion_wasm_bindings_spark.operators.packing import dataset_manifest
+
+    m1 = dataset_manifest(
+        documents, key_col="doc_id", payload_cols=("lang", "n_chars"), n_shards=8
+    )
+    m2 = dataset_manifest(
+        documents.repartition(11),
+        key_col="doc_id",
+        payload_cols=("lang", "n_chars"),
+        n_shards=8,
+    )
+    a = sorted((r.shard, r.n_rows, r.checksum) for r in m1.collect())
+    assert a == sorted((r.shard, r.n_rows, r.checksum) for r in m2.collect())
+    assert sum(n for _, n, _ in a) == documents.count()
+    # a payload change MUST move the checksum
+    mutated = documents.withColumn(
+        "n_chars", F.col("n_chars") + (F.col("doc_id") == 1).cast("int")
+    )
+    m3 = dataset_manifest(
+        mutated, key_col="doc_id", payload_cols=("lang", "n_chars"), n_shards=8
+    )
+    assert a != sorted((r.shard, r.n_rows, r.checksum) for r in m3.collect())

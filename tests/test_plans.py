@@ -453,3 +453,91 @@ def test_scan_orc_pushes_filter(spark, sf_dir):
     plan = _plan(df)
     assert "FileScan orc" in plan, plan
     assert "PushedFilters: [" in plan and "c_acctbal" in plan.split("PushedFilters:")[1][:200], plan
+
+
+def test_editdist_join_is_equi_blocked_not_all_pairs(spark, sf_dir):
+    """The length-band blocking must plan an EQUI-join on the block
+    key — never the theta-join (BroadcastNestedLoopJoin /
+    CartesianProduct) a raw `a.w < b.w AND abs(len-len)<=2` predicate
+    would produce."""
+    df = REGISTRY["q_text_editdist_join"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert (
+        "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """Degree-oriented wedge enumeration: both the wedge self-join and
+    the closing join are equi-joins; the degree-rank tables broadcast."""
+    df = REGISTRY["q_graph_triangles"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan  # degree-rank lookup broadcasts
+
+
+def test_funnel_reuses_user_partitioning(spark, sf_dir):
+    """Every funnel step joins and aggregates on user_id; the chained
+    joins must not plan any nested-loop shape, and the per-step
+    aggregates partial-combine map-side."""
+    df = REGISTRY["q_events_funnel"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    # the per-step user_id joins must be hash joins; the only nested-loop
+    # shapes allowed are the final 1x1x1 crossJoins of the scalar counts
+    step_joins = [
+        ln for ln in plan.splitlines()
+        if ("Join" in ln and "user_id" in ln)
+    ]
+    assert step_joins, plan
+    assert all(
+        "SortMergeJoin" in ln or "HashJoin" in ln for ln in step_joins
+    ), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_min" in plan, plan
+
+
+def test_compaction_plan_single_manifest_window(spark, sf_dir):
+    """The prefix-sum packer runs ONE global window over the file
+    manifest (metadata cardinality), after a single agg exchange that
+    builds the manifest from row data."""
+    df = REGISTRY["q_scale_compaction"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Window") == 1, plan
+
+
+def test_pivot_is_single_aggregate_exchange(spark, sf_dir):
+    """Declared pivot values compile to partial_pivotfirst (no
+    distinct-values collect job): two map-side-combined aggregate
+    exchanges — (key, pivot-col) count then key pivotfirst — both on
+    tiny keyspaces."""
+    df = REGISTRY["q_pivot"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "partial_pivotfirst" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_unpivot_is_pure_map(spark, sf_dir):
+    df = REGISTRY["q_unpivot"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_qualify_windows_on_partition_key(spark, sf_dir):
+    """The QUALIFY rewrite must partition its window (no global-sort
+    single-partition window)."""
+    df = REGISTRY["q_qualify"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" in plan, plan
+    assert "hashpartitioning(c_nationkey" in plan, plan
+
+
+def test_manifest_single_shuffle_map_side_combine(spark, sf_dir):
+    df = REGISTRY["q_pipeline_manifest"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan

@@ -54,7 +54,15 @@ def _family(dtype: str, col: pd.Series) -> str:
 
 
 def main() -> None:
-    limit = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    # argv: either a single int (first-N of the window ordering) or an
+    # explicit list of query ids
+    names: list[str] | None = None
+    limit = 50
+    if len(sys.argv) > 1:
+        try:
+            limit = int(sys.argv[1])
+        except ValueError:
+            names = sys.argv[1:]
     from datafusion_wasm_bindings_spark.queries import load_all, resolve_oracle
     from datafusion_wasm_bindings_spark.queries.sources_q import _ensure_text_fixtures
     from datafusion_wasm_bindings_spark.session import get_spark
@@ -68,8 +76,16 @@ def main() -> None:
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
 
+    registry = load_all()
+    if names is not None:
+        missing = [n for n in names if n not in registry]
+        if missing:
+            sys.exit(f"unknown query ids: {missing}")
+        todo = [(n, registry[n]) for n in names]
+    else:
+        todo = list(registry.items())[:limit]
     results: dict[str, dict] = {}
-    for name, spec in list(load_all().items())[:limit]:
+    for name, spec in todo:
         rec: dict = {}
         try:
             s_pd, s_dt = _canon(spec.spark_fn(spark, SF_DIR).toPandas())
