@@ -84,3 +84,41 @@ def retention(events: DataFrame, *, ts_col: str = "ts",
         )
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
     )
+
+
+def rolling_window(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key trailing time-RANGE aggregates at every event: how many
+    events / how much value this key produced in the preceding
+    ``window_seconds`` (inclusive of the current instant) — the rate /
+    velocity feature behind abuse detection and feature stores.
+
+    The frame is a true RANGE frame over epoch MICROS (not a row
+    frame), so irregular event spacing is handled exactly. One
+    exchange on the key; within-key sort only. The trailing value sum
+    goes through DECIMAL(18,6) so the sliding-sum is order-exact
+    cross-engine.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    lo = -(window_seconds * 1_000_000 - 1)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(lo, 0)
+    )
+    return events.select(
+        key_col,
+        us.alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).over(w)
+        .cast("double")
+        .alias("value_trailing"),
+    )

@@ -49,16 +49,23 @@ def pagerank(
     with no dangling nodes it is conserved exactly as in the standard
     formulation.
     """
-    e = edges.select("src", "dst").distinct()
-    nodes = e.select(F.col("src").alias("node")).distinct()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # materialize the iteration-invariant state ONCE (the dedup'd edge
+    # list and out-degrees), and each round's ranks: without this the
+    # lineage re-derives every previous round inside the next one —
+    # O(iters²) recomputation (same per-round localCheckpoint pattern
+    # as connected components, operators/dedup.py)
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    # no-dangling precondition ⇒ node set == distinct sources == deg's
+    # keys: one shuffle instead of two
+    nodes = deg.select(F.col("src").alias("node"))
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
 
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
     base = F.lit(1.0 - damping) / F.col("n_nodes")
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
@@ -77,6 +84,8 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if i < iters - 1:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 

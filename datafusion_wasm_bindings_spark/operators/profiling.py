@@ -39,10 +39,15 @@ def profile_columns(
     profile a true single-pass map-side aggregate; at that scale the
     distinct count is capacity-planning input, not an exact contract.
 
-    ``approx_check=True`` computes BOTH distinct aggregates in the same
-    single scan and appends a ``hll_within_10pct`` boolean per column —
-    the self-verifying mode q_profile_columns_approx registers (the HLL
-    estimate checked against the exact count without a second pass).
+    ``approx_check=True`` appends a ``hll_within_10pct`` boolean per
+    column — the self-verifying mode q_profile_columns_approx
+    registers. The HLL sketches are computed in their OWN lean
+    aggregate and crossJoined to the exact profile (two jobs over the
+    same warm storage), NOT folded into the exact aggregate: the
+    distinct rewrite's first stage groups by each column's VALUES, and
+    attaching a multi-KB HLL buffer (rsd 0.02 → 4096 registers) to
+    every high-cardinality group multiplies state by orders of
+    magnitude (measured 12× wall-clock at sf0.1 before the split).
     """
     n_exact = F.countDistinct
     n_hll = lambda col: F.approx_count_distinct(col, 0.02)  # noqa: E731
@@ -61,9 +66,12 @@ def profile_columns(
                 / F.count(col)
             ).alias(f"{c}__mean"),
         ]
-        if approx_check:
-            aggs.append(n_hll(col).alias(f"{c}__nd_hll"))
     wide = df.agg(*aggs)
+    if approx_check:
+        hll_wide = df.agg(
+            *[n_hll(F.col(c)).alias(f"{c}__nd_hll") for c in numeric_cols]
+        )
+        wide = wide.crossJoin(F.broadcast(hll_wide))
     check = (
         ", abs({c}__nd_hll - {c}__n_distinct) <= 0.1 * {c}__n_distinct"
         if approx_check
@@ -195,3 +203,77 @@ def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
         ).alias("skew_ratio"),
         "hot_key",
     )
+
+
+def fk_orphan_audit(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit: for each (name, child, fk_col,
+    parent, pk_col) constraint, count child rows whose FK value has no
+    matching parent row (NULL FKs are not orphans, per SQL FK
+    semantics). Output one row per constraint: ``fk_rule``,
+    ``n_checked``, ``n_orphans``.
+
+    Scale: each check is a LEFT ANTI join on the key — Spark broadcasts
+    the parent when it fits (dimension tables) and falls back to a
+    shuffled join otherwise; counts partial-aggregate map-side. The
+    per-constraint results are unioned — independent jobs, no shared
+    shuffle.
+    """
+    out = None
+    for name, child, fk, parent, pk in pairs:
+        keys = parent.select(F.col(pk).alias(fk)).distinct()
+        checked = child.filter(F.col(fk).isNotNull())
+        orphans = checked.join(keys, fk, "left_anti")
+        row = (
+            checked.agg(F.count(F.lit(1)).alias("n_checked"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(F.lit(name).alias("fk_rule"), "n_checked", "n_orphans")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def expectation_report(
+    checks: list[tuple[str, DataFrame, "F.Column"]],
+) -> DataFrame:
+    """Data-quality expectation suite: each (rule_id, df, predicate)
+    is evaluated in ONE scan of its table as a conditional aggregate —
+    ``n_rows`` and ``n_violations`` (predicate false or NULL). Rules
+    on the same DataFrame object are merged into a single aggregate
+    job, so a 20-rule suite over one 100 TB table costs one scan, not
+    twenty.
+    """
+    by_df: dict[int, tuple[DataFrame, list[tuple[str, "F.Column"]]]] = {}
+    for rule_id, df, pred in checks:
+        by_df.setdefault(id(df), (df, []))[1].append((rule_id, pred))
+
+    out = None
+    for df, rules in by_df.values():
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for rule_id, pred in rules:
+            aggs.append(
+                F.sum(
+                    F.when(pred, F.lit(0)).otherwise(F.lit(1))
+                ).cast("long").alias(f"__v_{rule_id}")
+            )
+        wide = df.agg(*aggs)
+        # stack the wide 1-row aggregate into per-rule rows INSIDE the
+        # same plan (explode of an inline struct array) — the scan and
+        # aggregate run once however many rules the table carries
+        stacked = wide.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(rule_id).alias("rule_id"),
+                            F.col("n_rows").alias("n_rows"),
+                            F.col(f"__v_{rule_id}").alias("n_violations"),
+                        )
+                        for rule_id, _ in rules
+                    ]
+                )
+            ).alias("r")
+        ).select("r.rule_id", "r.n_rows", "r.n_violations")
+        out = stacked if out is None else out.unionByName(stacked)
+    return out

@@ -576,3 +576,63 @@ def cms_heavy_hitters(
             (F.col("cms_est") >= F.col("exact_cnt")).alias("no_undercount"),
         )
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 full-text ranking of documents for a bag-of-terms query —
+    the retrieval scorer every dedup/decontamination/eval pipeline
+    eventually needs next to its embedding ANN.
+
+    Formula (Robertson/Lucene variant): per matched term,
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``, and
+    ``tf_norm = tf·(k1+1)/(tf + k1·(1 - b + b·len/avgdl))``.
+
+    Cross-engine determinism: every per-(doc,term) contribution is
+    pure IEEE double arithmetic on exactly-representable integer
+    inputs (tf, df, N, doc len) plus avgdl (one double division of two
+    exact ints) — bit-identical in any engine; the per-doc SUM over
+    matched terms is quantized to DECIMAL(18,9) so summation order
+    cannot move a bit. The surfaced score is rounded to 6 dp and the
+    top-k orders on (rounded score, doc_id).
+
+    Scale: tf for query terms only (the term filter prunes the explode
+    before any shuffle), df is |query|-sized (broadcast), doc lengths
+    are a second map-side-combined aggregate over the SAME exploded
+    scan, and the final top-k is TakeOrdered — no global sort. At
+    100 TB this is one corpus scan + one (doc_id-keyed) join.
+    """
+    toks = documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.sum("len").alias("total_len")
+    )
+    qtoks = toks.filter(F.col("tok").isin(list(query_terms)))
+    tf = qtoks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("tok").agg(F.count("*").alias("df"))
+
+    avgdl = F.col("total_len") / F.col("n_docs")
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("len") / avgdl)
+    )
+    contrib = (idf * tf_norm).cast("decimal(18,9)")
+    scored = (
+        tf.join(F.broadcast(df_counts), "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib).cast("double"), 6).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -491,3 +491,196 @@ query(
     """,
     tags=("extension", "pipeline", "cdc"),
 )(_pipeline_manifest)
+
+
+# ====================== BM25 full-text ranking ========================
+_BM25_TERMS = ("data", "fast", "scan")
+
+
+def _text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed bag-of-terms query; see
+    operators/text.bm25_topk for the determinism recipe (decimal-exact
+    per-doc sum, rounded surfaced score) and the one-scan shape."""
+    from datafusion_wasm_bindings_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        table(spark, sf_dir, "documents"), list(_BM25_TERMS), k=20
+    )
+
+
+query(
+    "q_text_bm25",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    doclen AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len) AS BIGINT) AS total_len
+      FROM doclen
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN ('data', 'fast', 'scan') GROUP BY doc_id, tok
+    ),
+    dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                  * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / (total_len / n_docs))))
+                  AS DECIMAL(18,9)) AS c
+      FROM tf
+      JOIN dfc USING (tok)
+      JOIN doclen USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           round(CAST(sum(c) AS DOUBLE), 6) AS score,
+           count(*) AS n_terms
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC NULLS LAST, doc_id ASC
+    LIMIT 20
+    """,
+    tags=("extension", "text", "search"),
+)(_text_bm25)
+
+
+# ====================== data-quality audits ===========================
+def _profile_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.profiling import fk_orphan_audit
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    part = table(spark, sf_dir, "part")
+    nation = table(spark, sf_dir, "nation")
+    return fk_orphan_audit(
+        [
+            ("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+            ("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+            ("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        ]
+    )
+
+
+query(
+    "q_profile_fk",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS fk_rule,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL) AS n_checked,
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IS NOT NULL
+              AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL),
+           (SELECT count(*) FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL),
+           (SELECT count(*) FROM lineitem
+            WHERE l_partkey IS NOT NULL
+              AND l_partkey NOT IN (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL),
+           (SELECT count(*) FROM customer
+            WHERE c_nationkey IS NOT NULL
+              AND c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    """,
+    tags=("extension", "profiling", "quality"),
+)(_profile_fk)
+
+
+def _profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-rule expectation suite over orders + lineitem: rules on the
+    same table share ONE scan/aggregate (operators/profiling.
+    expectation_report stacks them inside the plan)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.profiling import expectation_report
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return expectation_report(
+        [
+            ("r_price_pos", orders, F.col("o_totalprice") > 0),
+            (
+                "r_status_domain",
+                orders,
+                F.col("o_orderstatus").isin("F", "O", "P"),
+            ),
+            ("r_qty_pos", li, F.col("l_quantity") > 0),
+            (
+                "r_discount_range",
+                li,
+                (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
+            ),
+            ("r_tax_range", li, (F.col("l_tax") >= 0) & (F.col("l_tax") < 0.5)),
+        ]
+    )
+
+
+query(
+    "q_profile_expectations",
+    """
+    SELECT 'r_price_pos' AS rule_id,
+           (SELECT count(*) FROM orders) AS n_rows,
+           (SELECT count(*) FROM orders
+            WHERE NOT (o_totalprice > 0) OR o_totalprice IS NULL) AS n_violations
+    UNION ALL
+    SELECT 'r_status_domain',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders
+            WHERE NOT (o_orderstatus IN ('F', 'O', 'P')) OR o_orderstatus IS NULL)
+    UNION ALL
+    SELECT 'r_qty_pos',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE NOT (l_quantity > 0) OR l_quantity IS NULL)
+    UNION ALL
+    SELECT 'r_discount_range',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE NOT (l_discount >= 0 AND l_discount <= 1) OR l_discount IS NULL)
+    UNION ALL
+    SELECT 'r_tax_range',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE NOT (l_tax >= 0 AND l_tax < 0.5) OR l_tax IS NULL)
+    """,
+    tags=("extension", "profiling", "quality"),
+)(_profile_expectations)
+
+
+# ====================== trailing time-range features ==================
+def _events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.behavior import rolling_window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    return rolling_window(ev, window_seconds=3600)
+
+
+query(
+    "q_events_rolling",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      FROM events WHERE user_id % 50 = 0
+    )
+    SELECT user_id, ts_us,
+           count(*) OVER w AS n_trailing,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS value_trailing
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("extension", "events", "window", "behavior"),
+)(_events_rolling)

@@ -1010,3 +1010,74 @@ def test_dataset_manifest_partition_invariant_and_complete(documents):
         mutated, key_col="doc_id", payload_cols=("lang", "n_chars"), n_shards=8
     )
     assert a != sorted((r.shard, r.n_rows, r.checksum) for r in m3.collect())
+
+
+def test_bm25_ranks_tf_and_idf_sensibly(spark):
+    from datafusion_wasm_bindings_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data data table row"),      # tf(data)=2
+            (2, "data table row scan"),      # tf(data)=1, tf(scan)=1
+            (3, "table row row table"),      # no query terms
+            (4, "scan scan scan scan"),      # rare term, high tf
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bm25_topk(docs, ["data", "scan"], k=10).collect()}
+    assert 3 not in out  # no matching terms → no row
+    assert out[2].n_terms == 2
+    # doc 2 matches both terms; doc 1 only the more common one
+    assert out[2].score > out[1].score
+    assert all(r.score > 0 for r in out.values())
+
+
+def test_fk_orphan_audit_counts_known_orphans(spark):
+    from datafusion_wasm_bindings_spark.operators.profiling import fk_orphan_audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = {r.fk_rule: r for r in fk_orphan_audit(
+        [("child.fk->parent", child, "fk", parent, "pk")]
+    ).collect()}
+    r = out["child.fk->parent"]
+    assert r.n_checked == 3  # NULL FK not checked
+    assert r.n_orphans == 1  # fk=99
+
+
+def test_expectation_report_counts_nulls_as_violations(spark):
+    from pyspark.sql import functions as F
+    from datafusion_wasm_bindings_spark.operators.profiling import expectation_report
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (-1.0,), (None,)], "v double"
+    )
+    out = {r.rule_id: r for r in expectation_report(
+        [("r_pos", df, F.col("v") > 0), ("r_small", df, F.col("v") < 10)]
+    ).collect()}
+    assert out["r_pos"].n_rows == 4
+    assert out["r_pos"].n_violations == 2   # -1.0 and NULL
+    assert out["r_small"].n_violations == 1  # NULL only
+
+
+def test_rolling_window_range_boundary_exact(spark):
+    from datafusion_wasm_bindings_spark.operators.behavior import rolling_window
+
+    base = "2024-01-01 12:00:00"
+    rows = [
+        (1, "2024-01-01 11:00:00", 1.0),  # exactly 3600 s before → OUT
+        (1, "2024-01-01 11:00:01", 2.0),  # 3599 s before → IN
+        (1, base, 4.0),
+        (2, base, 8.0),                    # other key isolated
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_s string, value double").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    out = {(r.user_id, r.ts_us): r for r in rolling_window(ev).collect()}
+    import datetime, calendar
+    t_base = calendar.timegm(datetime.datetime(2024, 1, 1, 12, 0, 0).timetuple()) * 1_000_000
+    r = out[(1, t_base)]
+    assert r.n_trailing == 2 and r.value_trailing == 6.0
+    assert out[(2, t_base)].n_trailing == 1

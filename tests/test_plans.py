@@ -385,14 +385,29 @@ def test_text_tokens_bpe_is_shuffle_free(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1, plan
 
 
-def test_profile_columns_approx_single_scan(spark, sf_dir):
-    """The self-verifying HLL profile computes exact AND approx
-    distinct in the SAME wide aggregate — still exactly one read of
-    storage, no self-join."""
+def test_profile_columns_approx_two_lean_aggregates(spark, sf_dir):
+    """The self-verifying HLL profile runs the sketches in their OWN
+    aggregate, broadcast-joined to the exact profile: exactly two scans
+    and ONE Expand (the exact-distinct rewrite) — the HLL buffers must
+    never ride the value-keyed Expand groups (folding them in measured
+    12× wall-clock at sf0.1). The production scale mode
+    (exact_distinct=False, no check) stays a single Expand-free scan —
+    asserted below."""
     df = REGISTRY["q_profile_columns_approx"].spark_fn(spark, sf_dir)
     plan = _plan(df)
-    assert plan.count("FileScan parquet") == 1, plan
-    assert "Join" not in plan, plan
+    assert plan.count("FileScan parquet") == 2, plan
+    assert plan.count("Expand") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+    from datafusion_wasm_bindings_spark.operators.profiling import profile_columns
+
+    hll_only = profile_columns(
+        table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice"],
+        exact_distinct=False,
+    )
+    p2 = _plan(hll_only)
+    assert p2.count("FileScan parquet") == 1 and "Expand" not in p2, p2
 
 
 def test_tfidf_broadcasts_df_table(spark, sf_dir):
@@ -541,3 +556,35 @@ def test_manifest_single_shuffle_map_side_combine(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered_topk(spark, sf_dir):
+    """BM25: the df table and corpus stats broadcast onto the tf
+    stream, and the final top-k is TakeOrdered (no global sort)."""
+    df = REGISTRY["q_text_bm25"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_fk_audit_uses_anti_joins(spark, sf_dir):
+    df = REGISTRY["q_profile_fk"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_expectations_one_scan_per_table(spark, sf_dir):
+    """Five rules over two tables must cost exactly two scans — rules
+    sharing a table stack inside one aggregate."""
+    df = REGISTRY["q_profile_expectations"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("FileScan parquet") == 2, plan
+
+
+def test_rolling_window_single_keyed_exchange(spark, sf_dir):
+    df = REGISTRY["q_events_rolling"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Window") == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
