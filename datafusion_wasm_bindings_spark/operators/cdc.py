@@ -101,3 +101,45 @@ def scd2_intervals(
         .withColumn("valid_to", F.lead("valid_from").over(nxt))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """Dataset-version diff: one row of added/removed/changed/unchanged
+    counts between two snapshots, comparing an md5 content signature of
+    the payload per key. The counting full-outer join is the ONLY
+    shuffle, keyed on the join key; at 100 TB run it per shard (see
+    packing.dataset_manifest) and only diff shards whose manifest
+    checksums moved — this operator is the shard-level drilldown.
+    """
+    def sig(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            *[F.col(c) for c in key_cols],
+            F.md5(
+                F.concat_ws(
+                    ":", *[F.col(c).cast("string") for c in payload_cols]
+                )
+            ).alias(name),
+        )
+
+    joined = sig(old, "sig_old").join(sig(new, "sig_new"), key_cols, "full_outer")
+    return joined.agg(
+        F.sum(F.when(F.col("sig_old").isNull(), 1).otherwise(0)).cast("long").alias("n_added"),
+        F.sum(F.when(F.col("sig_new").isNull(), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("sig_old").isNotNull()
+                & F.col("sig_new").isNotNull()
+                & (F.col("sig_old") != F.col("sig_new")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_changed"),
+        F.sum(
+            F.when(F.col("sig_old") == F.col("sig_new"), 1).otherwise(0)
+        ).cast("long").alias("n_unchanged"),
+    )

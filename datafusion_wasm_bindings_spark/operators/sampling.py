@@ -324,3 +324,24 @@ def per_key_sample(
         df.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= n)
     )
+
+
+def group_kfold(
+    df: DataFrame,
+    *,
+    group_col: str,
+    k: int,
+    salt: str = "dfwb-fold",
+) -> DataFrame:
+    """Leakage-safe k-fold assignment: every row of a group lands in
+    the SAME fold (fold = md5 bucket of the group key), so
+    cross-validation never trains on a group it validates on — the
+    k-way generalization of group_split. Pure map (the fold is a
+    function of the row), deterministic across engines and runs.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col(group_col).cast("string"), F.lit(salt))), 1, 4),
+        16,
+        10,
+    ).cast("long") % k
+    return df.withColumn("fold", bucket)

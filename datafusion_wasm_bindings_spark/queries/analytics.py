@@ -684,3 +684,168 @@ query(
     """,
     tags=("extension", "events", "window", "behavior"),
 )(_events_rolling)
+
+
+# ====================== function-catalog: bitwise / arrays ============
+def _fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator coverage (mirrors DataFusion's binary bit
+    expressions, reference Cargo DataFusion 45 `&`/`|`/`#`/`<<`/`>>`):
+    pure-map projection, codegen'd JVM-side."""
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_nationkey,
+               CAST(n_nationkey & 12 AS BIGINT) AS b_and,
+               CAST(n_nationkey | 5 AS BIGINT) AS b_or,
+               CAST(n_nationkey ^ 9 AS BIGINT) AS b_xor,
+               CAST(shiftleft(n_nationkey, 2) AS BIGINT) AS b_shl,
+               CAST(shiftright(n_nationkey, 1) AS BIGINT) AS b_shr,
+               CAST(bit_count(n_nationkey) AS BIGINT) AS b_pop,
+               CAST(~n_nationkey AS BIGINT) AS b_not
+        FROM nation
+        """
+    )
+
+
+query(
+    "q_fn_bitwise",
+    """
+    SELECT n_nationkey,
+           CAST(n_nationkey & 12 AS BIGINT) AS b_and,
+           CAST(n_nationkey | 5 AS BIGINT) AS b_or,
+           CAST(xor(n_nationkey, 9) AS BIGINT) AS b_xor,
+           CAST(n_nationkey << 2 AS BIGINT) AS b_shl,
+           CAST(n_nationkey >> 1 AS BIGINT) AS b_shr,
+           CAST(bit_count(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS b_pop,
+           CAST(~n_nationkey AS BIGINT) AS b_not
+    FROM nation
+    """,
+    tags=("functions", "math"),
+)(_fn_bitwise)
+
+
+def _fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function catalog row (DataFusion's make_array /
+    array_contains / array_position / array_distinct / array_slice
+    family), surfaced hash-robust: arrays stringified via concat_ws,
+    positions/sizes as BIGINT."""
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_nationkey,
+               concat_ws(',', array_sort(array(n_nationkey, n_regionkey, 7))) AS arr_sorted,
+               array_contains(array(n_nationkey, n_regionkey), 3) AS has3,
+               CAST(array_position(array(10, 20, 30, n_nationkey), n_nationkey) AS BIGINT) AS pos,
+               CAST(size(array_distinct(array(n_nationkey, n_regionkey, n_regionkey))) AS BIGINT) AS n_uniq,
+               concat_ws(',', slice(array(1, 2, 3, 4, 5), 2, 3)) AS sliced,
+               concat_ws(',', array_sort(array_union(array(n_nationkey), array(n_regionkey)))) AS unioned
+        FROM nation
+        """
+    )
+
+
+query(
+    "q_fn_array_ops",
+    """
+    SELECT n_nationkey,
+           array_to_string(list_sort([n_nationkey, n_regionkey, 7]), ',') AS arr_sorted,
+           list_contains([n_nationkey, n_regionkey], 3) AS has3,
+           CAST(list_position([10, 20, 30, n_nationkey], n_nationkey) AS BIGINT) AS pos,
+           CAST(len(list_distinct([n_nationkey, n_regionkey, n_regionkey])) AS BIGINT) AS n_uniq,
+           array_to_string(list_slice([1, 2, 3, 4, 5], 2, 4), ',') AS sliced,
+           array_to_string(list_sort(list_distinct(list_concat([n_nationkey], [n_regionkey]))), ',') AS unioned
+    FROM nation
+    """,
+    tags=("functions", "core"),
+)(_fn_array_ops)
+
+
+# ====================== k-fold CV + snapshot diff =====================
+def _pipeline_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold group-coherent CV assignment over documents (source =
+    leakage group): per-fold row/group counts prove coherence — total
+    distinct groups across folds equals the corpus's distinct sources
+    only when no group straddles folds."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.sampling import group_kfold
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        group_kfold(docs, group_col="source", k=5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("source")).alias("n_groups"),
+        )
+    )
+
+
+query(
+    "q_pipeline_folds",
+    """
+    SELECT CAST('0x' || substr(md5(source || 'dfwb-fold'), 1, 4) AS BIGINT) % 5 AS fold,
+           count(*) AS n_rows,
+           count(DISTINCT source) AS n_groups
+    FROM documents GROUP BY fold
+    """,
+    tags=("extension", "pipeline", "sampling"),
+)(_pipeline_folds)
+
+
+def _pipeline_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between documents-v1 and a deterministically
+    mutated v2 (delete %17, touch n_chars %13, add 50 fresh ids):
+    added/removed/changed/unchanged counts via one md5-sig
+    full-outer join (operators/cdc.snapshot_diff)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.cdc import snapshot_diff
+
+    v1 = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    v2 = (
+        v1.filter(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "n_chars",
+            F.col("n_chars") + (F.col("doc_id") % 13 == 0).cast("long"),
+        )
+        .unionByName(
+            v1.select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "n_chars"
+            ).filter(F.col("doc_id") < 1_000_050)
+        )
+    )
+    return snapshot_diff(
+        v1, v2, key_cols=["doc_id"], payload_cols=["lang", "n_chars"]
+    )
+
+
+query(
+    "q_pipeline_diff",
+    """
+    WITH v1 AS (SELECT doc_id, lang, n_chars FROM documents),
+    v2 AS (
+      SELECT doc_id, lang,
+             n_chars + CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS n_chars
+      FROM v1 WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, lang, n_chars FROM v1
+      WHERE doc_id + 1000000 < 1000050
+    ),
+    s1 AS (SELECT doc_id, md5(lang || ':' || CAST(n_chars AS VARCHAR)) AS sig_old FROM v1),
+    s2 AS (SELECT doc_id, md5(lang || ':' || CAST(n_chars AS VARCHAR)) AS sig_new FROM v2),
+    j AS (SELECT s1.sig_old, s2.sig_new
+          FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id)
+    SELECT CAST(sum(CASE WHEN sig_old IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN sig_new IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN sig_old IS NOT NULL AND sig_new IS NOT NULL
+                          AND sig_old <> sig_new THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(sum(CASE WHEN sig_old = sig_new THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+    FROM j
+    """,
+    tags=("extension", "pipeline", "cdc"),
+)(_pipeline_diff)

@@ -1081,3 +1081,30 @@ def test_rolling_window_range_boundary_exact(spark):
     r = out[(1, t_base)]
     assert r.n_trailing == 2 and r.value_trailing == 6.0
     assert out[(2, t_base)].n_trailing == 1
+
+
+def test_group_kfold_is_group_coherent(documents, spark):
+    from datafusion_wasm_bindings_spark.operators.sampling import group_kfold
+
+    folded = group_kfold(documents, group_col="source", k=5)
+    # a group maps to exactly one fold
+    per_group = folded.groupBy("source").agg(
+        F.count_distinct(F.col("fold")).alias("nf")
+    )
+    assert per_group.filter(F.col("nf") > 1).count() == 0
+    assert folded.count() == documents.count()
+    folds = {r.fold for r in folded.select("fold").distinct().collect()}
+    assert folds <= set(range(5))
+
+
+def test_snapshot_diff_known_mutations(spark):
+    from datafusion_wasm_bindings_spark.operators.cdc import snapshot_diff
+
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, p string"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, p string"
+    )
+    r = snapshot_diff(v1, v2, key_cols=["k"], payload_cols=["p"]).collect()[0]
+    assert (r.n_added, r.n_removed, r.n_changed, r.n_unchanged) == (1, 1, 1, 1)
