@@ -122,3 +122,65 @@ def rolling_window(
         .cast("double")
         .alias("value_trailing"),
     )
+
+
+def experiment_metrics(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    metric_event: str = "purchase",
+    n_variants: int = 2,
+    salt: str = "dfwb-exp",
+) -> DataFrame:
+    """A/B experiment readout: assign each user to a variant by a
+    content-addressed md5 bucket (deterministic, balanced, engine-
+    portable), aggregate a per-user metric (summed value of
+    ``metric_event`` events, zero for non-converters), and emit
+    per-variant count / total / mean / sample variance.
+
+    Cross-engine float determinism: the per-user metric and its square
+    are summed through DECIMAL(18,6); mean and variance are then pure
+    double arithmetic on identical inputs, so the readout is
+    bit-identical in any engine — built-in stddev/var aggregates are
+    NOT (their summation order floats with partitioning).
+
+    Two keyed shuffles (user, then variant); both partial-aggregate
+    map-side. The per-user metric includes every user seen in the
+    events feed (intent-to-treat), not only converters.
+    """
+    DEC = "decimal(18,6)"
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(user_col).cast("string"), F.lit(salt))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % n_variants
+    )
+    per_user = (
+        events.groupBy(user_col)
+        .agg(
+            F.sum(
+                F.when(F.col(type_col) == metric_event, F.col(value_col))
+                .otherwise(F.lit(0.0))
+                .cast(DEC)
+            )
+            .cast("double")
+            .alias("user_value")
+        )
+        .withColumn("variant", variant)
+    )
+    n = F.count(F.lit(1))
+    s = F.sum(F.col("user_value").cast(DEC)).cast("double")
+    sq = F.sum((F.col("user_value") * F.col("user_value")).cast(DEC)).cast("double")
+    return (
+        per_user.groupBy("variant")
+        .agg(
+            n.alias("n_users"),
+            F.round(s, 6).alias("total_value"),
+            F.round(s / n, 6).alias("mean_value"),
+            F.round((sq - s * s / n) / (n - 1), 6).alias("var_value"),
+        )
+    )

@@ -277,3 +277,42 @@ def expectation_report(
         ).select("r.rule_id", "r.n_rows", "r.n_violations")
         out = stacked if out is None else out.unionByName(stacked)
     return out
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: one min/max aggregate
+    broadcast onto a second scan that buckets every row with pure
+    arithmetic — two scans, one combinable exchange, no sort. Bucket
+    edges are the same IEEE doubles in any engine (width = (max-min)/k,
+    bucket = floor((x-min)/width) clamped to k-1), so counts are
+    engine-exact. Output: ``bucket``, ``lo``, ``hi``, ``n``.
+    """
+    c = F.col(col).cast("double")
+    minmax = df.agg(
+        F.min(c).alias("mn"), F.max(c).alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(n_buckets))
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((c - F.col("mn")) / width).cast("int"),
+    ).cast("long")
+    return (
+        df.crossJoin(F.broadcast(minmax))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first(F.col("mn")).alias("__mn"),
+            F.first(F.col("mx")).alias("__mx"),
+        )
+        .select(
+            "bucket",
+            (F.col("__mn") + F.col("bucket") * (F.col("__mx") - F.col("__mn")) / F.lit(float(n_buckets))).alias("lo"),
+            (F.col("__mn") + (F.col("bucket") + 1) * (F.col("__mx") - F.col("__mn")) / F.lit(float(n_buckets))).alias("hi"),
+            "n",
+        )
+    )

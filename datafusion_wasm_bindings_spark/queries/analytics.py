@@ -849,3 +849,81 @@ query(
     """,
     tags=("extension", "pipeline", "cdc"),
 )(_pipeline_diff)
+
+
+# ====================== A/B experiment readout ========================
+def _events_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-variant experiment readout over the events feed; see
+    operators/behavior.experiment_metrics for the md5 assignment and
+    the decimal-exact mean/variance recipe (builtin stddev/var are NOT
+    engine-deterministic — their summation order floats)."""
+    from datafusion_wasm_bindings_spark.operators.behavior import experiment_metrics
+
+    return experiment_metrics(table(spark, sf_dir, "events"))
+
+
+query(
+    "q_events_experiment",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value
+                                ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS user_value
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'dfwb-exp'), 1, 4)
+                  AS BIGINT) % 2 AS variant,
+             user_value
+      FROM per_user
+    ),
+    sums AS (
+      SELECT variant,
+             count(*) AS n_users,
+             CAST(sum(CAST(user_value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(sum(CAST(user_value * user_value AS DECIMAL(18,6))) AS DOUBLE) AS sq
+      FROM v GROUP BY variant
+    )
+    SELECT variant, n_users,
+           round(s, 6) AS total_value,
+           round(s / n_users, 6) AS mean_value,
+           round((sq - s * s / n_users) / (n_users - 1), 6) AS var_value
+    FROM sums
+    """,
+    tags=("extension", "events", "behavior", "stats"),
+)(_events_experiment)
+
+
+# ====================== equi-width histogram ==========================
+def _profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.profiling import (
+        equi_width_histogram,
+    )
+
+    return equi_width_histogram(
+        table(spark, sf_dir, "lineitem"), "l_extendedprice", n_buckets=20
+    )
+
+
+query(
+    "q_profile_histogram",
+    """
+    WITH mm AS (
+      SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+             max(CAST(l_extendedprice AS DOUBLE)) AS mx
+      FROM lineitem
+    ),
+    b AS (
+      SELECT least(19, CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn)
+                                  / ((mx - mn) / 20.0)) AS INTEGER)) AS bucket,
+             mn, mx
+      FROM lineitem CROSS JOIN mm
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           mn + bucket * (mx - mn) / 20.0 AS lo,
+           mn + (bucket + 1) * (mx - mn) / 20.0 AS hi,
+           count(*) AS n
+    FROM b GROUP BY bucket, mn, mx
+    """,
+    tags=("extension", "profiling"),
+)(_profile_histogram)

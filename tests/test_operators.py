@@ -1108,3 +1108,56 @@ def test_snapshot_diff_known_mutations(spark):
     )
     r = snapshot_diff(v1, v2, key_cols=["k"], payload_cols=["p"]).collect()[0]
     assert (r.n_added, r.n_removed, r.n_changed, r.n_unchanged) == (1, 1, 1, 1)
+
+
+def test_experiment_metrics_known_values(spark):
+    from datafusion_wasm_bindings_spark.operators.behavior import experiment_metrics
+
+    ev = spark.createDataFrame(
+        [
+            (1, "purchase", 10.0),
+            (1, "purchase", 5.0),
+            (1, "view", 99.0),     # non-metric event ignored in the metric
+            (2, "view", 1.0),      # converter-less user counts with value 0
+            (3, "purchase", 7.0),
+        ],
+        "user_id long, event_type string, value double",
+    )
+    out = experiment_metrics(ev, n_variants=1)  # one variant: global stats
+    r = out.collect()[0]
+    assert r.n_users == 3
+    assert r.total_value == 22.0          # 15 + 0 + 7
+    assert abs(r.mean_value - 22.0 / 3) < 1e-6
+    # sample variance of [15, 0, 7]
+    m = 22.0 / 3
+    var = ((15 - m) ** 2 + (0 - m) ** 2 + (7 - m) ** 2) / 2
+    assert abs(r.var_value - var) < 1e-5
+
+
+def test_experiment_assignment_balanced_and_sticky(spark):
+    from datafusion_wasm_bindings_spark.operators.behavior import experiment_metrics
+
+    ev = spark.createDataFrame(
+        [(u, "purchase", 1.0) for u in range(2000)],
+        "user_id long, event_type string, value double",
+    )
+    rows = experiment_metrics(ev, n_variants=2).collect()
+    counts = {r.variant: r.n_users for r in rows}
+    assert set(counts) == {0, 1}
+    assert sum(counts.values()) == 2000
+    assert min(counts.values()) > 800  # md5 split near 50/50
+
+
+def test_equi_width_histogram_covers_all_rows(spark):
+    from datafusion_wasm_bindings_spark.operators.profiling import (
+        equi_width_histogram,
+    )
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    out = equi_width_histogram(df, "x", n_buckets=10).collect()
+    assert sum(r.n for r in out) == 100
+    by_bucket = {r.bucket: r for r in out}
+    # uniform data → ~equal buckets; max value clamped into last bucket
+    assert set(by_bucket) == set(range(10))
+    assert by_bucket[9].n == 10  # 90..98 would be 9 rows + clamped 99.0
+    assert by_bucket[0].lo == 0.0 and abs(by_bucket[9].hi - 99.0) < 1e-9

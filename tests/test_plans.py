@@ -588,3 +588,41 @@ def test_rolling_window_single_keyed_exchange(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("Window") == 1, plan
     assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim(spark, sf_dir):
+    """100 TB posture: with a selective dim-side filter and a
+    non-broadcast join, Spark's runtime bloom filter (AQE
+    InjectRuntimeFilter) must pre-filter the fact scan — the mechanism
+    that spares shuffling fact rows whose keys the filtered dim can
+    never match. Thresholds are lowered because the default
+    application-side threshold (10 GB of scan) is sized for real
+    clusters, not sf0.1 fixtures."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = table(spark, sf_dir, "lineitem")
+        orders = table(spark, sf_dir, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan or "bloom" in plan.lower(), plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
