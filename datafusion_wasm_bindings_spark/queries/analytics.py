@@ -927,3 +927,89 @@ query(
     """,
     tags=("extension", "profiling"),
 )(_profile_histogram)
+
+
+# ====================== higher-order functions / UDTF =================
+def _fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda higher-order-function catalog row (DataFusion's array
+    lambdas; Spark: transform/filter/exists/aggregate/zip_with), all
+    inside codegen — output stringified hash-robust."""
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_nationkey,
+               concat_ws(',', transform(sequence(1, 4), x -> x * n_nationkey)) AS mul,
+               concat_ws(',', filter(sequence(1, 10), x -> x % (n_nationkey + 2) = 0)) AS filtered,
+               exists(sequence(1, 10), x -> x = n_nationkey) AS has_key,
+               CAST(aggregate(sequence(1, n_nationkey % 5 + 3), 0,
+                              (acc, x) -> acc + x * x) AS BIGINT) AS sumsq,
+               concat_ws(',', zip_with(sequence(1, 3), sequence(4, 6),
+                                       (a, b) -> a * 10 + b)) AS zipped
+        FROM nation
+        """
+    )
+
+
+query(
+    "q_fn_higher_order",
+    """
+    SELECT n_nationkey,
+           array_to_string(list_transform(generate_series(1, 4), x -> x * n_nationkey), ',') AS mul,
+           COALESCE(array_to_string(list_filter(generate_series(1, 10),
+                                                x -> x % (n_nationkey + 2) = 0), ','),
+                    '') AS filtered,
+           list_contains(generate_series(1, 10), n_nationkey) AS has_key,
+           CAST(list_sum(list_transform(generate_series(1, n_nationkey % 5 + 3),
+                                        x -> x * x)) AS BIGINT) AS sumsq,
+           '14,25,36' AS zipped
+    FROM nation
+    """,
+    tags=("functions", "core", "lambda"),
+)(_fn_higher_order)
+
+
+def _fn_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) driven through
+    a LATERAL correlated call — per-document word counts. This is the
+    deliberate Python-row path demo of the API surface (arrow-batched
+    UDTF exec); the registered production operators use built-ins for
+    the same job (q_text_tokens). Oracle = the equivalent pure SQL
+    unnest+GROUP BY."""
+    from pyspark.sql.functions import udtf
+
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+
+    @udtf(returnType="word string, n bigint")
+    class WordCounts:
+        def eval(self, text: str):
+            from collections import Counter
+
+            for w, n in Counter((text or "").split(" ")).items():
+                yield w, n
+
+    spark.udtf.register("dfwb_word_counts", WordCounts)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.n
+        FROM documents d, LATERAL dfwb_word_counts(d.text) t
+        WHERE d.doc_id < 20
+        """
+    )
+
+
+query(
+    "q_fn_udtf",
+    """
+    SELECT doc_id, word, count(*) AS n
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE doc_id < 20
+    )
+    GROUP BY doc_id, word
+    """,
+    tags=("functions", "udtf", "compat"),
+)(_fn_udtf)
