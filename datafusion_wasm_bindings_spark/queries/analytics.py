@@ -1013,3 +1013,49 @@ query(
     """,
     tags=("functions", "udtf", "compat"),
 )(_fn_udtf)
+
+
+# ====================== streaming incremental upsert ==================
+def _stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch-maintained materialized state over a CDC stream;
+    final snapshot must equal the batch latest-wins compaction, so the
+    oracle is q_pipeline_upsert's SQL verbatim."""
+    from datafusion_wasm_bindings_spark.streaming.events import (
+        streaming_incremental_upsert,
+    )
+
+    return streaming_incremental_upsert(spark, sf_dir)
+
+
+query(
+    "q_stream_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CAST(0 AS BIGINT) AS version, 'I' AS op
+      FROM orders
+    ),
+    upd AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + 10.0 AS o_totalprice,
+             CAST(1 AS BIGINT) AS version, 'U' AS op
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    del AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CAST(2 AS BIGINT) AS version, 'D' AS op
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    merged AS (
+      SELECT * FROM base UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del
+    ),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+      FROM merged
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus AS status, o_totalprice AS price
+    FROM latest
+    WHERE rn = 1 AND op <> 'D' AND o_orderkey % 5 = 0
+    """,
+    tags=("extension", "streaming", "cdc"),
+)(_stream_upsert)

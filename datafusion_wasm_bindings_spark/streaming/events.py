@@ -451,3 +451,97 @@ def streaming_running_totals(
         f"MAX_BY(value_sum, events_seen) AS value_sum "
         f"FROM {name} GROUP BY user_id"
     )
+
+
+def streaming_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-state maintenance with ``foreachBatch``:
+    a CDC change feed (upserts + delete tombstones) streams in
+    micro-batches, and each batch MERGEs into a parquet state snapshot
+    via the same latest-wins compaction the batch operator uses
+    (operators/cdc.apply_changelog semantics) — the Structured
+    Streaming shape of a continuously-maintained table.
+
+    Order-insensitive by construction: tombstones stay IN the state
+    (op='D' rows survive the per-key latest-wins window) until the
+    final read filters them, so the result is identical whatever order
+    the micro-batches arrive in — which also makes it oracle-checkable.
+    State swaps between two scratch dirs (read current → union batch →
+    keep per-key max version → write next), the classic
+    compact-on-write loop; at scale the state table would be
+    partitioned/bucketed by key and the merge would rewrite only
+    touched partitions (see operators/scale.write_bucketed).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from datafusion_wasm_bindings_spark.sources.catalog import table as cat_table
+
+    orders = cat_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.withColumn("version", F.lit(0).cast("long")).withColumn(
+        "op", F.lit("I")
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+        .withColumn("version", F.lit(1).cast("long"))
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("version", F.lit(2).cast("long"))
+        .withColumn("op", F.lit("D"))
+    )
+
+    root = tempfile.mkdtemp(prefix="dfwb_stream_upsert_")
+    src = os.path.join(root, "changes")
+    # one parquet file per change wave → one micro-batch per wave
+    updates.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "w1"))
+    deletes.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "w2"))
+
+    state = {"path": os.path.join(root, "state0")}
+    base.write.mode("overwrite").parquet(state["path"])
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+
+    def merge(batch_df, batch_id):
+        cur = batch_df.sparkSession.read.parquet(state["path"])
+        merged = (
+            cur.unionByName(batch_df)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        nxt = os.path.join(root, f"state{batch_id + 1}")
+        merged.write.mode("overwrite").parquet(nxt)
+        state["path"] = nxt
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(os.path.join(src, "w1")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    snapshot = (
+        spark.read.parquet(state["path"])
+        .filter((F.col("op") != "D") & (F.col("o_orderkey") % 5 == 0))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    out = snapshot.localCheckpoint()  # materialize before scratch cleanup
+    shutil.rmtree(root, ignore_errors=True)
+    return out
