@@ -59,6 +59,7 @@ _MODULES = (
     "setops",
     "sorts",
     "analytics",
+    "analytics2",
 )
 
 # Round-3 driver window (exactly 50 names, VERDICT r2 next-round #2):

@@ -1,0 +1,426 @@
+"""Fourth-wave extension queries: stable global row numbering, interval
+merge (overlap flattening), Markov event transitions, conversion
+attribution, rank-based winsorization, normalization-key dedup,
+schema-drift UNION BY NAME, and balanced range-partitioned output
+writing.
+
+Like the earlier waves these are statements the reference engine
+(datafusion-wasm-bindings executes arbitrary SQL through DataFusion,
+`/root/reference/src/lib.rs` execute_sql) could run textually; each is
+registered with a Spark-first physical shape chosen to survive 1000
+executors — the scale notes live on each query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_wasm_bindings_spark.queries import query
+from datafusion_wasm_bindings_spark.queries._util import DEC, davg_sql, dsum_sql
+from datafusion_wasm_bindings_spark.sources.catalog import table
+
+
+# ====================== stable global row numbering ===================
+def _pipeline_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable global row ids ordered by o_orderkey WITHOUT a global
+    window. `row_number() OVER (ORDER BY k)` plans a single-partition
+    window — the whole relation through one task at 100 TB. Two-pass
+    rewrite (same shape as q_fn_weighted_percentile): (1) range-bucket
+    the key and count each bucket (map-side combinable shuffle); (2)
+    the |buckets|-row count table gets its exclusive prefix sum in a
+    driver-trivial window and is broadcast back; (3) row_number runs
+    PARTITIONED by bucket — parallel — and the bucket offset lifts it
+    to a global id. Bucket width is fixed so |buckets| grows with the
+    key domain (~N/4096), never with one task's memory."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    b = o.withColumn("bkt", F.floor(F.col("o_orderkey") / F.lit(4096)).cast("long"))
+    counts = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    wpref = Window.orderBy(F.col("bkt").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        "bkt", F.coalesce(F.sum("n").over(wpref), F.lit(0)).alias("off")
+    )
+    wb = Window.partitionBy("bkt").orderBy(F.col("o_orderkey").asc())
+    rn = (
+        b.join(F.broadcast(offs), "bkt")
+        .withColumn("rn", (F.row_number().over(wb) + F.col("off")).cast("long"))
+    )
+    return rn.filter(F.col("o_orderkey") % 997 == 0).select("o_orderkey", "rn")
+
+
+query(
+    "q_pipeline_rownum",
+    """
+    SELECT o_orderkey, rn FROM (
+      SELECT o_orderkey,
+             CAST(row_number() OVER (ORDER BY o_orderkey ASC) AS BIGINT) AS rn
+      FROM orders
+    ) WHERE o_orderkey % 997 = 0
+    """,
+    tags=("extension", "pipeline", "scale", "window"),
+)(_pipeline_rownum)
+
+
+# ====================== interval merge (overlap flatten) ==============
+_IV_US = 600_000_000  # each event opens a 10-minute activity interval
+_NEG_INF = -(1 << 62)
+
+
+def _events_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user activity intervals (the classic
+    "flatten overlapping spans" verb: sessions from raw spans, on-call
+    coverage, validity windows). Distributed shape: one shuffle on
+    user_id; a prefix-max window detects gap starts, a running sum
+    numbers the merged spans, and the final group-by re-uses the
+    user_id clustering (hash(user_id) satisfies the (user_id, span_id)
+    clustered distribution — no second exchange). Instants surfaced as
+    epoch micros (registry determinism rules)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("s")
+    )
+    iv = e.withColumn("e", F.col("s") + F.lit(_IV_US))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("s").asc(), F.col("event_id").asc()
+    )
+    prev_max_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "flag",
+        F.when(F.col("s") > F.coalesce(prev_max_end, F.lit(_NEG_INF)), 1).otherwise(0),
+    )
+    spans = flagged.withColumn(
+        "span_id",
+        F.sum("flag").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return spans.groupBy("user_id", "span_id").agg(
+        F.min("s").alias("span_start_us"),
+        F.max("e").alias("span_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+query(
+    "q_events_interval_merge",
+    f"""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP)) + {_IV_US} AS e
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN s > COALESCE(
+               max(e) OVER (PARTITION BY user_id ORDER BY s ASC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               {_NEG_INF}) THEN 1 ELSE 0 END AS flag
+      FROM iv
+    ),
+    g AS (
+      SELECT user_id, s, e,
+             SUM(flag) OVER (PARTITION BY user_id ORDER BY s ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM f
+    )
+    SELECT user_id, CAST(span_id AS BIGINT) AS span_id,
+           MIN(s) AS span_start_us, MAX(e) AS span_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, span_id
+    """,
+    tags=("extension", "events", "window", "cleaning"),
+)(_events_interval_merge)
+
+
+# ====================== Markov event transitions ======================
+def _events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (src → dst counts and
+    probabilities) — the behavioral-analytics building block for
+    next-action models and anomaly scoring. One shuffle on user_id for
+    the lead() window, then a tiny (|types|²) aggregate; the transition
+    probability divides two identical int64 counts as doubles on both
+    engines (one correctly-rounded IEEE op — bit-identical)."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        e.withColumn("dst", F.lead("event_type").over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("src"))
+    return pairs.select(
+        "src", "dst", "n", (F.col("n") / tot).alias("p")
+    )
+
+
+query(
+    "q_events_markov",
+    """
+    WITH pairs AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS dst
+      FROM events
+    ),
+    cnt AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           CAST(n AS DOUBLE) / CAST(CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS DOUBLE) AS p
+    FROM cnt
+    """,
+    tags=("extension", "events", "behavior"),
+)(_events_markov)
+
+
+# ====================== conversion attribution ========================
+def _events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution: every purchase is credited
+    to the user's first-ever event type and to the most recent
+    non-purchase event before it (IGNORE NULLS carry-forward window).
+    One shuffle on user_id; both windows share the same sort, then a
+    tiny (|types|²) aggregate."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    first_touch = F.first("event_type").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        e.withColumn("first_touch", first_touch)
+        .withColumn("last_touch", F.coalesce(last_touch, F.lit("none")))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch", "last_touch")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+
+
+query(
+    "q_events_attribution",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             first_value(event_type) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+      FROM events
+    )
+    SELECT first_touch, COALESCE(last_touch, 'none') AS last_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM o WHERE event_type = 'purchase'
+    GROUP BY first_touch, COALESCE(last_touch, 'none')
+    """,
+    tags=("extension", "events", "behavior"),
+)(_events_attribution)
+
+
+# ====================== rank-based winsorization ======================
+_WINS_P = 0.05  # clip the bottom/top 5% by rank
+
+
+def _clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clipped) per-group mean of event values.
+    Clip bounds are ORDER STATISTICS, not interpolated percentiles:
+    the k-th smallest / largest value with k = ceil(p·n), picked by a
+    deterministic (value, event_id) rank — exact and bit-identical
+    across engines, where interpolated `percentile` arithmetic is not.
+    One shuffle on event_type; both windows and the final group-by
+    reuse that clustering. At 100 TB the same shape holds per group;
+    for a single giant group the bounds would come from the two-pass
+    bucket rewrite (q_fn_weighted_percentile) instead of a full-
+    partition window — semantics unchanged."""
+    e = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wfull = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = (
+        e.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("cnt", F.count(F.lit(1)).over(wfull))
+        .withColumn("k_lo", F.ceil(F.col("cnt") * F.lit(_WINS_P)))
+        .withColumn("k_hi", F.col("cnt") - F.col("k_lo") + 1)
+    )
+    bounded = r.withColumn(
+        "v_lo", F.max(F.when(F.col("rn") == F.col("k_lo"), F.col("value"))).over(wfull)
+    ).withColumn(
+        "v_hi", F.max(F.when(F.col("rn") == F.col("k_hi"), F.col("value"))).over(wfull)
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("v_lo")), F.col("v_hi"))
+    return bounded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v_lo").alias("lo"),
+        F.min("v_hi").alias("hi"),
+        (F.sum(clipped.cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "wins_mean"
+        ),
+    )
+
+
+query(
+    "q_clean_winsorize",
+    f"""
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                 ORDER BY value ASC, event_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events
+    ),
+    k AS (
+      SELECT event_type, value, rn, cnt,
+             CAST(ceil(cnt * {_WINS_P}) AS BIGINT) AS k_lo,
+             cnt - CAST(ceil(cnt * {_WINS_P}) AS BIGINT) + 1 AS k_hi
+      FROM r
+    ),
+    b AS (
+      SELECT event_type, value,
+             max(CASE WHEN rn = k_lo THEN value END) OVER (PARTITION BY event_type) AS v_lo,
+             max(CASE WHEN rn = k_hi THEN value END) OVER (PARTITION BY event_type) AS v_hi
+      FROM k
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v_lo) AS lo, MIN(v_hi) AS hi,
+           {davg_sql("least(greatest(value, v_lo), v_hi)", "wins_mean")}
+    FROM b GROUP BY event_type
+    """,
+    tags=("extension", "cleaning", "stats"),
+)(_clean_winsorize)
+
+
+# ====================== normalization-key dedup =======================
+def _text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-key dedup summary: casefold + collapse every
+    non-alphanumeric run to one space + trim, then count distinct
+    normalized keys and the docs collapsed beyond the first per key.
+    Pure map + one fixed-width (md5 key) shuffle — the normalized text
+    itself never shuffles. The normalizer is the standard first pass
+    before exact/near dedup in web-corpus pipelines."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+        ).alias("key"),
+    )
+    per_key = d.groupBy("key").agg(F.count(F.lit(1)).alias("n_docs"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum(F.col("n_docs") - 1).alias("n_dupes"),
+    )
+
+
+query(
+    "q_text_normalize",
+    """
+    WITH d AS (
+      SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS key
+      FROM documents
+    ),
+    per_key AS (
+      SELECT key, COUNT(*) AS n_docs FROM d GROUP BY key
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(n_docs - 1) AS BIGINT) AS n_dupes
+    FROM per_key
+    """,
+    tags=("extension", "text", "dedup"),
+)(_text_normalize)
+
+
+# ====================== schema-drift UNION BY NAME ====================
+def _union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union (DuckDB's UNION ALL BY NAME; DataFusion
+    unions resolve by position only — this is the compat shim a user
+    migrating drifted file batches needs): two projections with
+    different column order and missing columns union by NAME with NULL
+    padding. Pure map over both inputs, then one aggregate."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    b = o.filter(F.col("o_orderkey") % 2 == 1).select("o_orderstatus", "o_orderkey")
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_price"),
+        F.count("o_orderstatus").alias("n_status"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_price"),
+    )
+
+
+query(
+    "q_union_by_name",
+    f"""
+    WITH u AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL BY NAME
+      SELECT o_orderstatus, o_orderkey FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS n_price,
+           CAST(COUNT(o_orderstatus) AS BIGINT) AS n_status,
+           {dsum_sql("o_totalprice", "sum_price")}
+    FROM u
+    """,
+    tags=("extension", "setop", "compat"),
+)(_union_by_name)
+
+
+# ====================== balanced range-partitioned write ==============
+_N_RANGE_FILES = 8
+
+
+def _scale_balanced_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned balanced output write — the 100 TB answer to
+    "one giant part file / ten thousand tiny ones": repartitionByRange
+    on the sort key samples boundaries, writes exactly N key-ordered
+    files, and downstream range scans prune by footer min/max. Reads
+    its own output back via the _metadata.file_path hidden column and
+    asserts the balance contract (loose 3× bound so boundary-sampling
+    variance can't flake)."""
+    from datafusion_wasm_bindings_spark.queries.sources_q import (
+        _OUT_ROOT,
+        _scope,
+        _sf_tag,
+    )
+
+    out = os.path.join(
+        _OUT_ROOT, _sf_tag(sf_dir), f"balanced_orders_{_scope()}"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    o.repartitionByRange(_N_RANGE_FILES, F.col("o_orderkey")).write.mode(
+        "overwrite"
+    ).parquet(out)
+    back = spark.read.parquet(out).select(
+        "o_orderkey", F.col("_metadata.file_path").alias("f")
+    )
+    per_file = back.groupBy("f").agg(F.count(F.lit(1)).alias("n"))
+    return per_file.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n").alias("rows_total"),
+        (F.max("n") <= 3 * F.min("n")).alias("balanced"),
+    )
+
+
+query(
+    "q_scale_balanced_write",
+    f"""
+    SELECT CAST({_N_RANGE_FILES} AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS rows_total,
+           TRUE AS balanced
+    FROM orders
+    """,
+    tags=("extension", "scale", "sink"),
+)(_scale_balanced_write)

@@ -626,3 +626,32 @@ def test_runtime_bloom_filter_injects_on_selective_dim(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pipeline_rownum_no_global_window_over_rows(spark, sf_dir):
+    """Global row numbering must never put the base relation through a
+    single-partition window: the row_number window is PARTITIONED by
+    the key bucket, offsets arrive via broadcast, and the only global
+    window allowed is the |buckets|-row prefix-sum table (same contract
+    as q_fn_weighted_percentile)."""
+    import re
+
+    df = REGISTRY["q_pipeline_rownum"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    windows = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert windows, plan
+    for part_spec, order_spec in windows:
+        if re.search(r"o_orderkey#", order_spec):  # the per-row numbering
+            assert "bkt" in part_spec, (part_spec, order_spec, plan)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_interval_merge_single_exchange(spark, sf_dir):
+    """Interval merge is one shuffle end-to-end: both windows sort
+    within the user_id clustering and the final (user_id, span_id)
+    group-by is satisfied by hash(user_id) — no second exchange, no
+    single-partition window."""
+    df = REGISTRY["q_events_interval_merge"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SinglePartition" not in plan, plan

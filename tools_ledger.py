@@ -40,6 +40,14 @@ NOTES = {
     "q_pipeline_epochs": "new r3 (quality-weighted epochs), awaiting r4 window",
     "q_text_tokens_bpe": "new r3 (GPT-2-style pre-tokenizer counts), awaiting r4 window",
     "q_text_tfidf": "new r3 (top-k TF-IDF keywords), awaiting r4 window",
+    "q_pipeline_rownum": "new r3 wave 4 (bucketed global row ids), awaiting r4 window",
+    "q_events_interval_merge": "new r3 wave 4, awaiting r4 window",
+    "q_events_markov": "new r3 wave 4, awaiting r4 window",
+    "q_events_attribution": "new r3 wave 4, awaiting r4 window",
+    "q_clean_winsorize": "new r3 wave 4 (order-statistic clip), awaiting r4 window",
+    "q_text_normalize": "new r3 wave 4, awaiting r4 window",
+    "q_union_by_name": "new r3 wave 4, awaiting r4 window",
+    "q_scale_balanced_write": "new r3 wave 4, awaiting r4 window",
 }
 
 cur_round = max(rounds) + 1 if rounds else 1
