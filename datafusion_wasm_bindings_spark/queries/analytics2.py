@@ -424,3 +424,54 @@ query(
     """,
     tags=("extension", "scale", "sink"),
 )(_scale_balanced_write)
+
+
+# ====================== calendar gap-fill =============================
+def _events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts per type with calendar gap-fill (missing
+    (day, type) cells become explicit zero rows — the prerequisite for
+    correct moving averages and charting). The dense grid is built from
+    two TINY relations (global [min,max] day span exploded, × distinct
+    types) so the cross join and the left join both broadcast; the only
+    real shuffle is the daily count aggregate. At 100 TB the grid is
+    |days|×|types| — still broadcastable — and the fact side never
+    re-shuffles."""
+    e = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "event_type"
+    )
+    daily = e.groupBy("d", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    cal = (
+        e.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    types = e.select("event_type").distinct()
+    grid = cal.crossJoin(types)
+    # broadcast the BUILD side: a left join builds its right input, and
+    # post-aggregation `daily` is as small as the grid (≤ |days|·|types|)
+    return grid.join(F.broadcast(daily), ["d", "event_type"], "left").select(
+        "d", "event_type", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+
+
+query(
+    "q_events_gapfill",
+    """
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS d, event_type FROM events
+    ),
+    daily AS (
+      SELECT d, event_type, COUNT(*) AS n FROM e GROUP BY d, event_type
+    ),
+    b AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+    cal AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b
+    ),
+    grid AS (SELECT cal.d, t.event_type FROM cal, (SELECT DISTINCT event_type FROM e) t)
+    SELECT g.d, g.event_type, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN daily ON g.d = daily.d AND g.event_type = daily.event_type
+    """,
+    tags=("extension", "events", "cleaning"),
+)(_events_gapfill)

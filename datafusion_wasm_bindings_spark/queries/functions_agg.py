@@ -322,3 +322,31 @@ sql_query(
     """,
     tags=("agg_fn", "stats"),
 )
+
+# --- bitmap aggregates: exact mergeable distinct -----------------------------------
+# Spark 3.5 bitmap functions: keys bucket into 32k-bit bitmaps
+# (bitmap_bucket_number / bitmap_bit_position), each bucket's bitmap is
+# a fixed-width mergeable partial state (bitmap_construct_agg /
+# bitmap_or_agg), and popcount (bitmap_count) sums to the EXACT distinct
+# count — the 100 TB alternative to count(DISTINCT)'s Expand rewrite
+# when exactness is required and HLL error is not acceptable: shards
+# aggregate independently and OR-merge, like q_scale_hll_shards but
+# exact. The oracle answers with a plain COUNT(DISTINCT).
+sql_query(
+    "q_fn_bitmap_distinct",
+    """
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_distinct_parts,
+           CAST(SUM(nb) AS BIGINT) AS n_rows
+    FROM (
+      SELECT bitmap_count(bitmap_construct_agg(bitmap_bit_position(l_partkey))) AS cnt,
+             COUNT(*) AS nb
+      FROM lineitem GROUP BY bitmap_bucket_number(l_partkey)
+    )
+    """,
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    """,
+    tags=("agg_fn", "scale"),
+)

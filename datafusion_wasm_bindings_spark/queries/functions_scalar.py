@@ -485,3 +485,95 @@ sql_query(
     """,
     tags=("functions", "encoding"),
 )
+
+# --- error-safe TRY arithmetic / casts (ANSI-mode escape hatches) -----------------
+# Spark's try_* family returns NULL where strict ANSI evaluation would
+# raise (÷0, overflow, malformed cast) — the per-row behavior a robust
+# ingest pipeline wants. DuckDB spells the same semantics with
+# TRY_CAST + CASE guards, which is exactly what the oracle does.
+sql_query(
+    "q_fn_try_arith",
+    """
+    SELECT o_orderkey,
+           CAST(try_divide(o_totalprice, CAST(o_orderkey % 3 AS DOUBLE)) AS DOUBLE) AS div_maybe,
+           try_cast(substring(o_orderpriority, 1, 1) AS INT) AS pri_num,
+           try_cast(o_orderstatus AS INT) AS status_num,
+           try_add(o_orderkey, 1000000000) AS add_ok,
+           try_multiply(o_orderkey, 9223372036854775807) AS mul_overflow
+    FROM orders WHERE o_orderkey <= 400
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_totalprice / CAST(o_orderkey % 3 AS DOUBLE) END AS div_maybe,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri_num,
+           TRY_CAST(o_orderstatus AS INT) AS status_num,
+           o_orderkey + 1000000000 AS add_ok,
+           CASE WHEN o_orderkey IN (0, 1)
+                THEN o_orderkey * 9223372036854775807 ELSE NULL END AS mul_overflow
+    FROM orders WHERE o_orderkey <= 400
+    """,
+    tags=("functions", "compat", "errors"),
+)
+
+# --- URL parsing / encoding --------------------------------------------------------
+# parse_url mirrors java.net.URI part extraction (DataFusion ships no
+# URL functions in core; this is the pipeline verb for log/clickstream
+# columns). The oracle reconstructs every part from the base columns —
+# an independent proof rather than a reimplementation of the parser.
+sql_query(
+    "q_fn_url_parse",
+    """
+    SELECT c_custkey,
+           parse_url(url, 'HOST') AS host,
+           parse_url(url, 'PATH') AS path,
+           url_decode(parse_url(url, 'QUERY', 'name')) AS qname,
+           url_encode(c_name) AS enc
+    FROM (
+      SELECT c_custkey, c_name,
+             concat('https://shop.example.com/', lower(c_mktsegment), '/', c_custkey,
+                    '?name=', url_encode(c_name), '&x=1') AS url
+      FROM customer WHERE c_custkey <= 150
+    )
+    """,
+    oracle="""
+    SELECT c_custkey,
+           'shop.example.com' AS host,
+           '/' || lower(c_mktsegment) || '/' || c_custkey AS path,
+           c_name AS qname,
+           replace(c_name, '#', '%23') AS enc
+    FROM customer WHERE c_custkey <= 150
+    """,
+    tags=("functions", "string", "compat"),
+)
+
+# --- map functions -----------------------------------------------------------------
+# MapType never reaches the output (hash-robustness lint) — the map is
+# built, probed, and measured inside the query; only scalars leave.
+sql_query(
+    "q_fn_map_ops",
+    """
+    SELECT o_orderpriority,
+           element_at(m, 'F') AS cnt_f,
+           element_at(m, 'O') AS cnt_o,
+           CAST(cardinality(m) AS INT) AS n_keys,
+           map_contains_key(m, 'P') AS has_p
+    FROM (
+      SELECT o_orderpriority,
+             map_from_arrays(array('F', 'O', 'P'),
+                             array(count(IF(o_orderstatus = 'F', 1, NULL)),
+                                   count(IF(o_orderstatus = 'O', 1, NULL)),
+                                   count(IF(o_orderstatus = 'P', 1, NULL)))) AS m
+      FROM orders GROUP BY o_orderpriority
+    )
+    """,
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cnt_f,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS cnt_o,
+           3 AS n_keys,
+           TRUE AS has_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("functions", "map", "compat"),
+)

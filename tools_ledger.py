@@ -48,6 +48,11 @@ NOTES = {
     "q_text_normalize": "new r3 wave 4, awaiting r4 window",
     "q_union_by_name": "new r3 wave 4, awaiting r4 window",
     "q_scale_balanced_write": "new r3 wave 4, awaiting r4 window",
+    "q_fn_try_arith": "new r3 wave 5 (error-safe try_*), awaiting r4 window",
+    "q_fn_url_parse": "new r3 wave 5, awaiting r4 window",
+    "q_fn_map_ops": "new r3 wave 5, awaiting r4 window",
+    "q_fn_bitmap_distinct": "new r3 wave 5 (exact mergeable distinct), awaiting r4 window",
+    "q_events_gapfill": "new r3 wave 5, awaiting r4 window",
 }
 
 cur_round = max(rounds) + 1 if rounds else 1
