@@ -655,3 +655,20 @@ def test_interval_merge_single_exchange(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """100 TB posture, inverse direction: AQE must be live so that a
+    shuffle whose data volume is far below the static partition count
+    gets its post-shuffle partitions COALESCED at runtime (the same
+    machinery that re-splits skewed joins upward at real scale). The
+    final adaptive plan shows AQEShuffleRead(coalesced)."""
+    df = (
+        table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .count()
+    )
+    df.collect()  # AQE decides after the shuffle-map stage runs
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    assert "AQEShuffleRead coalesced" in plan or "coalesced" in plan, plan
