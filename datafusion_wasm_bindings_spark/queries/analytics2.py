@@ -475,3 +475,149 @@ query(
     """,
     tags=("extension", "events", "cleaning"),
 )(_events_gapfill)
+
+
+# ====================== end-to-end near-dup removal ===================
+def _dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-dedup verb, end to end: candidate pairs
+    (n-gram Jaccard with the df-cut skew guard) → connected components
+    (min-label) → keep one representative per cluster (the min doc_id,
+    i.e. the component label itself) → retention stats. Every stage is
+    the already-plan-audited building block; the composition shows the
+    full pipeline stays shuffle-bounded (bucketed pair-gen, O(diameter)
+    label rounds with per-round localCheckpoint, one broadcast-sized
+    cluster map joined back). The oracle recomputes the same edges and
+    reaches the same fixpoint through a recursive reachability CTE."""
+    from datafusion_wasm_bindings_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 200")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.9, max_doc_freq=160)
+    comps = connected_components(pairs).selectExpr(
+        "node AS doc_id", "comp AS cluster_id"
+    )
+    kept = docs.select("doc_id", "n_chars").join(F.broadcast(comps), "doc_id", "left")
+    keep = (
+        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    ).cast("long")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep).alias("n_kept"),
+        F.sum(1 - keep).alias("n_dropped"),
+        F.sum(F.when(keep == 1, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+    )
+
+
+def _dedup_pipeline_oracle() -> str:
+    from datafusion_wasm_bindings_spark.queries.extensions import _NGRAM_PAIRS_CTES
+
+    return f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter * 1.0 / (sa.n_tok + sb.n_tok - inter) >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.a, rc.r FROM edges e JOIN reach rc ON e.b = rc.node
+    ),
+    comps AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    k AS (
+      SELECT d.doc_id, d.n_chars,
+             CASE WHEN c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+                  THEN 1 ELSE 0 END AS keep
+      FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 200) d
+      LEFT JOIN comps c ON d.doc_id = c.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(1 - keep) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM k
+    """
+
+
+query(
+    "q_dedup_pipeline",
+    _dedup_pipeline_oracle(),
+    tags=("extension", "dedup", "pipeline"),
+)(_dedup_pipeline)
+
+
+# ====================== classifier threshold sweep (PR curve) =========
+_N_THRESH = 20
+
+
+def _text_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall threshold sweep for a corpus filter — the
+    eval-harness verb behind every quality-classifier cutoff decision.
+    Score: 'the'-density (occurrences per character — the langid
+    heuristic's strongest single feature); label: lang == 'en'. The
+    threshold grid is a broadcast cross join (|grid| rows), so the
+    whole sweep is ONE pass over the corpus and one tiny aggregate —
+    never a per-threshold rescan; ratios divide identical int64 counts
+    as doubles (bit-identical cross-engine)."""
+    d = table(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").cast("long").alias("label"),
+        (
+            (
+                F.length(F.lower(F.col("text")))
+                - F.length(F.regexp_replace(F.lower(F.col("text")), "the", ""))
+            )
+            / F.lit(3.0)
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        ).alias("score"),
+    )
+    grid = spark.range(_N_THRESH).select(
+        (F.col("id") / F.lit(2000.0)).alias("t")
+    )
+    j = d.crossJoin(F.broadcast(grid))
+    agg = j.groupBy("t").agg(
+        F.sum(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("score") >= F.col("t")).cast("long")).alias("n_pred"),
+        F.sum(((F.col("score") >= F.col("t")) & (F.col("label") == 1)).cast("long")).alias("tp"),
+        F.sum("label").alias("n_pos"),
+    )
+    return agg.select(
+        "t",
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("tp").cast("long").alias("tp"),
+        F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).alias("precision"),
+        (F.col("tp") / F.col("n_pos")).alias("recall"),
+    )
+
+
+query(
+    "q_text_pr_curve",
+    f"""
+    WITH d AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+             (length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3.0
+               / greatest(n_chars, 1) AS score
+      FROM documents
+    ),
+    grid AS (SELECT i / 2000.0 AS t FROM unnest(generate_series(0, {_N_THRESH - 1})) AS u(i)),
+    agg AS (
+      SELECT t,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN score >= t THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+             CAST(SUM(CASE WHEN score >= t AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(label) AS BIGINT) AS n_pos
+      FROM d, grid GROUP BY t
+    )
+    SELECT t, n_pred, tp,
+           CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS precision,
+           CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) AS recall
+    FROM agg
+    """,
+    tags=("extension", "text", "stats"),
+)(_text_pr_curve)

@@ -53,6 +53,8 @@ NOTES = {
     "q_fn_map_ops": "new r3 wave 5, awaiting r4 window",
     "q_fn_bitmap_distinct": "new r3 wave 5 (exact mergeable distinct), awaiting r4 window",
     "q_events_gapfill": "new r3 wave 5, awaiting r4 window",
+    "q_dedup_pipeline": "new r3 wave 6 (end-to-end near-dup removal), awaiting r4 window",
+    "q_text_pr_curve": "new r3 wave 6 (threshold sweep), awaiting r4 window",
 }
 
 cur_round = max(rounds) + 1 if rounds else 1
