@@ -55,10 +55,14 @@ def pagerank(
     # O(iters²) recomputation (same per-round localCheckpoint pattern
     # as connected components, operators/dedup.py)
     e = edges.select("src", "dst").distinct().localCheckpoint()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # degrees are iteration-invariant: join them into the edge list
+    # ONCE and checkpoint, so each round joins ranks only (one join +
+    # one aggregate per iteration instead of two joins)
+    ed = e.join(deg, "src").localCheckpoint()
     # no-dangling precondition ⇒ node set == distinct sources == deg's
     # keys: one shuffle instead of two
-    nodes = deg.select(F.col("src").alias("node"))
+    nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint()
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
 
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
@@ -67,8 +71,7 @@ def pagerank(
     base = F.lit(1.0 - damping) / F.col("n_nodes")
     for i in range(iters):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum((F.col("rank") / F.col("d")).cast(DEC)).alias("s"))
         )
@@ -145,9 +148,12 @@ def pagerank_topk(edges: DataFrame, *, iters: int = 3, k: int = 20) -> DataFrame
     from pyspark.sql import Window
 
     r = pagerank(edges, iters=iters)
+    # TakeOrdered top-k first (distributed per-partition heaps), THEN
+    # number positions with a window over only k rows — never a global
+    # single-partition window over all |nodes|
+    top = r.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(k)
     w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
     return (
-        r.withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= k)
+        top.withColumn("pos", F.row_number().over(w))
         .select("node", "pos", F.round("rank", 6).alias("rank"))
     )
