@@ -530,3 +530,45 @@ sql_query(
     """,
     tags=("unnest",),
 )
+
+
+# --- q_scan_text: raw text-lines scan ---------------------------------------------
+def _scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-lines source (spark.read.text ≈ an unstructured STORED AS
+    CSV single-column external table): one row per line, parsing done
+    IN the query with split_part — the pattern for logs and other
+    line-oriented formats no reader understands. Pure map after the
+    scan; at 100 TB text files split by line ranges, so the scan
+    parallelizes like any other file source."""
+    from pyspark.sql import functions as F
+
+    csv_path, _ = _ensure_text_fixtures(sf_dir)
+    lines = spark.read.text(csv_path)
+    return (
+        lines.filter(F.col("value") != "n_nationkey,n_name,n_regionkey")
+        .select(
+            F.split_part(F.col("value"), F.lit(","), F.lit(1))
+            .cast("int")
+            .alias("n_nationkey"),
+            F.split_part(F.col("value"), F.lit(","), F.lit(2)).alias("n_name"),
+            F.split_part(F.col("value"), F.lit(","), F.lit(3))
+            .cast("int")
+            .alias("n_regionkey"),
+            F.length("value").alias("line_len"),
+        )
+    )
+
+
+def _scan_text_oracle(sf_dir_tag: str) -> str:
+    return f"""
+    SELECT CAST(split_part(line, ',', 1) AS INT) AS n_nationkey,
+           split_part(line, ',', 2) AS n_name,
+           CAST(split_part(line, ',', 3) AS INT) AS n_regionkey,
+           CAST(length(line) AS INT) AS line_len
+    FROM read_csv('{_FIXTURE_ROOT}/{sf_dir_tag}/nation.csv',
+                  columns={{'line': 'VARCHAR'}}, delim='', header=false)
+    WHERE line <> 'n_nationkey,n_name,n_regionkey'
+    """
+
+
+query("q_scan_text", _scan_text_oracle("{TAG}"), tags=("scan",))(_scan_text)

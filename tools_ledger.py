@@ -55,6 +55,7 @@ NOTES = {
     "q_events_gapfill": "new r3 wave 5, awaiting r4 window",
     "q_dedup_pipeline": "new r3 wave 6 (end-to-end near-dup removal), awaiting r4 window",
     "q_text_pr_curve": "new r3 wave 6 (threshold sweep), awaiting r4 window",
+    "q_scan_text": "new r3 wave 6 (text-lines source), awaiting r4 window",
 }
 
 cur_round = max(rounds) + 1 if rounds else 1
