@@ -350,3 +350,29 @@ sql_query(
     """,
     tags=("agg_fn", "scale"),
 )
+
+# --- argmax/argmin + conditional count ---------------------------------------------
+# max_by/min_by (DuckDB arg_max/arg_min) are deterministic only when
+# the ordering expression is UNIQUE within each group — here c_custkey,
+# the table key. A non-unique ordering column would tie-break
+# engine-arbitrarily and can never sit behind a value-hash oracle.
+sql_query(
+    "q_fn_argminmax",
+    """
+    SELECT c_nationkey,
+           CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_pos,
+           max_by(c_name, c_custkey) AS name_last,
+           min_by(c_name, c_custkey) AS name_first,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+    oracle="""
+    SELECT c_nationkey,
+           CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_pos,
+           arg_max(c_name, c_custkey) AS name_last,
+           arg_min(c_name, c_custkey) AS name_first,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+    tags=("agg_fn",),
+)
