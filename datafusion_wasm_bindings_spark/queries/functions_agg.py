@@ -376,3 +376,69 @@ sql_query(
     """,
     tags=("agg_fn",),
 )
+
+# --- grouped-aggregate pandas UDF (UDAF surface) -----------------------------------
+# The deliberate Python-aggregation demo (SURVEY §2.11: the reference
+# exposes no UDF surface at all; PySpark's is pandas_udf). Geometric
+# mean of document length per source, computed as an Arrow-batched
+# grouped aggregate. Determinism recipe: each ln() is one libm call on
+# identical doubles; the per-row result is quantized HALF_UP to 6
+# decimals as a scaled int64 BEFORE the sum (the dsum recipe, executed
+# in numpy), so the aggregate is exact and order-independent; the
+# final exp(qsum/1e6/n) is pure double arithmetic on identical inputs.
+def _fn_pandas_udaf(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.sources.catalog import table
+
+    # module-wide `from __future__ import annotations` stringifies type
+    # hints, so Spark's signature inference can't see pd.Series — pass
+    # the eval type explicitly instead
+    @F.pandas_udf("double", F.PandasUDFType.GROUPED_AGG)
+    def qlogsum(v: pd.Series) -> float:
+        import numpy as np
+
+        x = np.log(v.to_numpy(dtype="float64"))
+        # scaled int64 sum stays exactly representable as a double
+        # (≤ ~7e11 ≪ 2^53), so surfacing it as DOUBLE loses nothing
+        return float(np.floor(x * 1e6 + 0.5).astype("int64").sum())
+
+    # a GROUPED_AGG pandas UDF cannot share an agg with builtin
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — the row count is a
+    # second pandas aggregate in the same (single-shuffle) groupBy
+    @F.pandas_udf("long", F.PandasUDFType.GROUPED_AGG)
+    def ncount(v: pd.Series) -> int:
+        return len(v)
+
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        qlogsum(F.col("n_chars")).alias("qsum"),
+        ncount(F.col("n_chars")).alias("n_docs"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        # Java Math.exp and libm exp can differ in the last ulp —
+        # quantize the surfaced double through DECIMAL(18,6) (dsum
+        # recipe, step 2) so both engines emit identical bits
+        F.exp(F.col("qsum") / F.lit(1e6) / F.col("n_docs"))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("geo_mean_chars"),
+    )
+
+
+from datafusion_wasm_bindings_spark.queries import query as _query  # noqa: E402
+
+_query(
+    "q_fn_pandas_udaf",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CAST(exp(CAST(SUM(CAST(floor(ln(n_chars) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e6 / COUNT(*)) AS DECIMAL(18,6)) AS DOUBLE) AS geo_mean_chars
+    FROM documents GROUP BY source
+    """,
+    tags=("agg_fn", "udf", "python"),
+)(_fn_pandas_udaf)

@@ -57,6 +57,7 @@ NOTES = {
     "q_text_pr_curve": "new r3 wave 6 (threshold sweep), awaiting r4 window",
     "q_scan_text": "new r3 wave 6 (text-lines source), awaiting r4 window",
     "q_fn_argminmax": "new r3 wave 6 (max_by/min_by/count_if), awaiting r4 window",
+    "q_fn_pandas_udaf": "new r3 wave 6 (grouped-agg pandas UDF), awaiting r4 window",
 }
 
 cur_round = max(rounds) + 1 if rounds else 1
