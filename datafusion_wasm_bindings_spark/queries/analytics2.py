@@ -621,3 +621,135 @@ query(
     """,
     tags=("extension", "text", "stats"),
 )(_text_pr_curve)
+
+
+# ====================== incremental batch-vs-corpus dedup =============
+_INGEST_SPLIT = 3000  # doc_id >= split = the "incoming batch"
+
+
+def _pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a new batch is admitted only where its
+    content hash collides with NEITHER the existing corpus NOR an
+    earlier row of the same batch (first occurrence wins inside the
+    batch). Physical shape for 100 TB: the corpus side reduces to
+    DISTINCT md5 keys (fixed-width) before the LEFT ANTI join — the
+    corpus text itself never shuffles — and the in-batch first-
+    occurrence is a window over the md5 key, clustering both steps on
+    the same key so AQE can reuse the exchange."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("key")
+    )
+    corpus_keys = d.filter(F.col("doc_id") < _INGEST_SPLIT).select("key").distinct()
+    batch = d.filter(F.col("doc_id") >= _INGEST_SPLIT)
+    w = Window.partitionBy("key").orderBy(F.col("doc_id").asc())
+    fresh = (
+        batch.join(corpus_keys, "key", "left_anti")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        batch.agg(F.count(F.lit(1)).alias("n_batch"))
+        .crossJoin(fresh.agg(F.count(F.lit(1)).alias("n_admitted")))
+        .select(
+            "n_batch",
+            "n_admitted",
+            (F.col("n_batch") - F.col("n_admitted")).alias("n_rejected"),
+        )
+    )
+
+
+query(
+    "q_pipeline_incremental_dedup",
+    f"""
+    WITH d AS (SELECT doc_id, md5(text) AS key FROM documents),
+    corpus AS (SELECT DISTINCT key FROM d WHERE doc_id < {_INGEST_SPLIT}),
+    batch AS (SELECT doc_id, key FROM d WHERE doc_id >= {_INGEST_SPLIT}),
+    fresh AS (
+      SELECT b.doc_id, b.key,
+             row_number() OVER (PARTITION BY b.key ORDER BY b.doc_id ASC) AS rn
+      FROM batch b LEFT JOIN corpus c ON b.key = c.key
+      WHERE c.key IS NULL
+    )
+    SELECT CAST((SELECT COUNT(*) FROM batch) AS BIGINT) AS n_batch,
+           CAST((SELECT COUNT(*) FROM fresh WHERE rn = 1) AS BIGINT) AS n_admitted,
+           CAST((SELECT COUNT(*) FROM batch) AS BIGINT)
+             - CAST((SELECT COUNT(*) FROM fresh WHERE rn = 1) AS BIGINT) AS n_rejected
+    """,
+    tags=("extension", "dedup", "pipeline"),
+)(_pipeline_incremental_dedup)
+
+
+# ====================== conversion-window funnel ======================
+_FUNNEL_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7 days
+
+
+def _events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with a conversion deadline: signup → first view AFTER the
+    signup → first purchase after that view, each within 7 days of the
+    user's signup. Same monotone one-shuffle-per-step shape as
+    q_events_funnel (every join keyed on user_id, candidate set only
+    shrinks), plus a constant deadline predicate per step — the
+    standard product-analytics variant where late conversions must not
+    count. Instants compared as epoch micros."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t0"))
+    )
+    dl = F.col("t0") + F.lit(_FUNNEL_WINDOW_US)
+    s2 = (
+        e.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter((F.col("t") > F.col("t0")) & (F.col("t") <= dl))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"), F.min(F.col("t0")).alias("t0"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("t") > F.col("t1"))
+            & (F.col("t") <= F.col("t0") + F.lit(_FUNNEL_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("step_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("step_view_7d")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("step_purchase_7d")))
+    )
+
+
+query(
+    "q_events_windowed_funnel",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events
+    ),
+    s1 AS (
+      SELECT user_id, min(t) AS t0 FROM e WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.t) AS t1, min(s1.t0) AS t0
+      FROM e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.t > s1.t0
+        AND e.t <= s1.t0 + {_FUNNEL_WINDOW_US}
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.t) AS t2
+      FROM e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.t > s2.t1
+        AND e.t <= s2.t0 + {_FUNNEL_WINDOW_US}
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS step_signup,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS step_view_7d,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS step_purchase_7d
+    """,
+    tags=("extension", "events", "behavior"),
+)(_events_windowed_funnel)
