@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from datafusion_wasm_bindings_spark.queries import query, sql_query
+from datafusion_wasm_bindings_spark.queries import QUERIES, query, sql_query
 from datafusion_wasm_bindings_spark.queries._util import dsum_sql
 from datafusion_wasm_bindings_spark.sources.catalog import table
 
@@ -1386,6 +1386,22 @@ query(
     """,
     tags=("extension", "events"),
 )(_events_session)
+
+
+def _stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.streaming.events import streaming_sessions
+
+    return streaming_sessions(spark, sf_dir)
+
+
+# a REAL streaming session_window run (merging stateful windows);
+# bounded input + complete mode ⇒ result equals batch sessionization,
+# so it shares q_events_session's oracle text verbatim
+query(
+    "q_stream_session",
+    QUERIES["q_events_session"].oracle,
+    tags=("extension", "streaming", "stateful", "events"),
+)(_stream_session)
 
 
 # ====================== end-to-end training-mix pipeline ================

@@ -545,3 +545,50 @@ def streaming_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = snapshot.localCheckpoint()  # materialize before scratch cleanup
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def streaming_sessions(
+    spark: SparkSession, sf_dir: str, gap: str = "10 minutes"
+) -> DataFrame:
+    """SESSION WINDOWS as a real Structured Streaming query — the
+    stateful merging-window operator (state stores per-key open
+    sessions; arrivals extend/merge them until `gap` of silence).
+    Complete output mode on bounded input ⇒ the final sink equals the
+    batch sessionization exactly (q_events_session's oracle). In
+    production the same query runs append-mode with the watermark
+    closing sessions and evicting their state — the property that
+    keeps state O(open sessions), not O(stream history)."""
+    import os
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("path", os.path.join(sf_dir))
+        .option("pathGlobFilter", "events.parquet")
+        .load()
+    )
+    stream = normalize_event_ts(stream)
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "total_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start"),
+            "n",
+            "total_value",
+        )
+    )
+    name = _scoped("dfwb_stream_sessions")
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
