@@ -753,3 +753,79 @@ query(
     """,
     tags=("extension", "events", "behavior"),
 )(_events_windowed_funnel)
+
+
+# ====================== unigram-LM perplexity filter ==================
+def _text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model perplexity scoring — the CCNet-style
+    quality filter: train token probabilities on the corpus itself,
+    score every document by mean negative log-likelihood, flag the
+    worst tail. Physical shape: one explode + one token-count shuffle
+    builds the LM; the vocabulary (≪ corpus) broadcasts back onto the
+    token stream, so scoring is map-side; one doc_id regroup ends it.
+    At 100 TB an oversized vocabulary would swap the broadcast for a
+    shuffle join — same semantics. Determinism: log(cnt/total) is
+    quantized HALF_UP to 1e-6 as int64 BEFORE the per-doc sum (dsum
+    recipe), and the surfaced perplexity double goes through
+    DECIMAL(18,6) (libm-vs-Java-exp ulp, CLAUDE.md pitfall g)."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+            ).alias("tok"),
+        )
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("tot"))
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.floor(
+            F.log(F.col("cnt") / F.col("tot")) * F.lit(1e6) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("qlogp"),
+    )
+    scored = (
+        toks.join(F.broadcast(probs), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_toks"), F.sum("qlogp").alias("qsum"))
+    )
+    return scored.filter(F.col("doc_id") < 500).select(
+        "doc_id",
+        "n_toks",
+        F.exp(-F.col("qsum") / F.lit(1e6) / F.col("n_toks"))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("perplexity"),
+    )
+
+
+query(
+    "q_text_perplexity",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM vocab),
+    probs AS (
+      SELECT tok,
+             CAST(floor(ln(CAST(cnt AS DOUBLE) / tot) * 1000000 + 0.5) AS BIGINT) AS qlogp
+      FROM vocab CROSS JOIN total
+    ),
+    scored AS (
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(p.qlogp) AS BIGINT) AS qsum
+      FROM toks t JOIN probs p ON t.tok = p.tok
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_toks,
+           CAST(CAST(exp(-CAST(qsum AS DOUBLE) / 1e6 / n_toks) AS DECIMAL(18,6)) AS DOUBLE)
+             AS perplexity
+    FROM scored WHERE doc_id < 500
+    """,
+    tags=("extension", "text", "quality"),
+)(_text_perplexity)
