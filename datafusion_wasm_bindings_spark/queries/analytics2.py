@@ -829,3 +829,77 @@ query(
     """,
     tags=("extension", "text", "quality"),
 )(_text_perplexity)
+
+
+# ====================== DAU / WAU / MAU ===============================
+def _events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU — rolling DISTINCT active users per day. Rolling
+    count-distinct does not decompose into window frames, so the scale
+    shape is: reduce to the DISTINCT (day, user) grid ONCE (the only
+    pass over raw events), then explode each activity day into the ≤7
+    (WAU) / ≤28 (MAU) report days it contributes to and re-aggregate
+    distinct users per report day — fan-out is bounded by the window
+    length, never by event volume. The report-day explode reuses one
+    shuffle per metric on the tiny grid, not on events."""
+    e = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    grid = e.distinct()  # (day, user) activity grid — the only event scan
+    dau = grid.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+
+    def rolling(days: int, alias: str) -> DataFrame:
+        exploded = grid.select(
+            F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), days - 1))).alias(
+                "rd"
+            ),
+            "user_id",
+        )
+        return (
+            exploded.select(F.col("rd").alias("d"), "user_id")
+            .distinct()
+            .groupBy("d")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    span = grid.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    out = (
+        dau.join(rolling(7, "wau"), "d")
+        .join(rolling(28, "mau"), "d")
+        .crossJoin(F.broadcast(span))
+        # trailing windows are only complete from lo+27 on; clip both
+        # ends so every reported day aggregates full windows only
+        .filter((F.col("d") >= F.date_add(F.col("lo"), 27)) & (F.col("d") <= F.col("hi")))
+        .select("d", "dau", "wau", "mau")
+    )
+    return out
+
+
+query(
+    "q_events_active_users",
+    """
+    WITH grid AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM grid GROUP BY d),
+    wau AS (
+      SELECT rd AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM (SELECT CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+                                CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                                INTERVAL 1 DAY)) AS DATE) AS rd, user_id
+            FROM grid)
+      GROUP BY rd
+    ),
+    mau AS (
+      SELECT rd AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM (SELECT CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+                                CAST(d AS TIMESTAMP) + INTERVAL 27 DAY,
+                                INTERVAL 1 DAY)) AS DATE) AS rd, user_id
+            FROM grid)
+      GROUP BY rd
+    ),
+    span AS (SELECT min(d) AS lo, max(d) AS hi FROM grid)
+    SELECT dau.d, dau.dau, wau.wau, mau.mau
+    FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
+    CROSS JOIN span
+    WHERE dau.d >= span.lo + INTERVAL 27 DAY AND dau.d <= span.hi
+    """,
+    tags=("extension", "events", "behavior"),
+)(_events_active_users)

@@ -672,3 +672,23 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan, plan
     assert "AQEShuffleRead coalesced" in plan or "coalesced" in plan, plan
+
+
+def test_perplexity_broadcasts_lm_probs(spark, sf_dir):
+    """The unigram LM's vocabulary table must broadcast back onto the
+    token stream (map-side scoring); the only hash exchanges are the
+    token count and the final doc regroup."""
+    df = REGISTRY["q_text_perplexity"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_incremental_dedup_anti_join_broadcasts(spark, sf_dir):
+    """Batch-vs-corpus ingest dedup: the corpus side must reach the
+    anti join as a DISTINCT key set (fixed-width md5), built and
+    broadcast — the corpus text never shuffles."""
+    df = REGISTRY["q_pipeline_incremental_dedup"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftAnti, BuildRight" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

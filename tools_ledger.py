@@ -62,6 +62,7 @@ NOTES = {
     "q_events_windowed_funnel": "new r3 wave 7 (conversion-deadline funnel), awaiting r4 window",
     "q_stream_session": "new r3 wave 7 (streaming session windows), awaiting r4 window",
     "q_text_perplexity": "new r3 wave 7 (unigram-LM quality filter), awaiting r4 window",
+    "q_events_active_users": "new r3 wave 7 (DAU/WAU/MAU), awaiting r4 window",
 }
 
 cur_round = max(rounds) + 1 if rounds else 1
