@@ -296,6 +296,38 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    documents: DataFrame,
+    *,
+    threshold: float = 0.9,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT similarity: inter / min(|a|, |b|) —
+    catches a document embedded inside a larger one (quotes, concat
+    crawls, boilerplate wrappers), which symmetric Jaccard misses
+    because the size union dilutes the score. Same inverted-index
+    physical shape (and df-cut skew guard) as ngram_jaccard_pairs."""
+    words = documents.select("doc_id", F.explode(F.array_distinct(tokens())).alias("tok"))
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    if max_doc_freq is not None:
+        rare = words.groupBy("tok").agg(F.count("*").alias("df")).filter(F.col("df") <= max_doc_freq)
+        words = words.join(rare.select("tok"), "tok")
+    a = words.alias("a")
+    b = words.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_tok", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_tok", "n_b"), "id_b")
+        .withColumn("containment", F.col("inter") / F.least("n_a", "n_b"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",

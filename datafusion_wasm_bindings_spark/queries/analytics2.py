@@ -903,3 +903,101 @@ query(
     """,
     tags=("extension", "events", "behavior"),
 )(_events_active_users)
+
+
+# ====================== containment near-dup ==========================
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.dedup import ngram_containment_pairs
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 200")
+    return ngram_containment_pairs(docs, threshold=0.9, max_doc_freq=160)
+
+
+def _dedup_containment_oracle() -> str:
+    from datafusion_wasm_bindings_spark.queries.extensions import _NGRAM_PAIRS_CTES
+
+    return f"""
+    WITH {_NGRAM_PAIRS_CTES}
+    SELECT id_a, id_b,
+           round(inter * 1.0 / least(sa.n_tok, sb.n_tok), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter * 1.0 / least(sa.n_tok, sb.n_tok) >= 0.9
+    """
+
+
+query(
+    "q_dedup_containment",
+    _dedup_containment_oracle(),
+    tags=("extension", "dedup"),
+)(_dedup_containment)
+
+
+# ====================== RFM segmentation ==============================
+def _events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation of
+    purchasers — the classic behavioral customer grid. Events reduce to
+    ONE row per user first; the ntile windows then run over that
+    per-user table (orders of magnitude smaller than events — at 1e9
+    users the quintile assignment would switch to the bucketed
+    two-pass rank of q_pipeline_rownum, semantics unchanged). ntile
+    ties broken by user_id so both engines bin identically; monetary
+    totals go through the decimal recipe."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    mx = e.agg(F.max(F.to_date("ts")).alias("today"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff(F.col("today"), F.col("last_d")).cast("long").alias("recency_d"),
+            "freq",
+            "monetary",
+        )
+    )
+    wq = lambda c: Window.orderBy(F.col(c).asc(), F.col("user_id").asc())  # noqa: E731
+    seg = per_user.select(
+        "user_id",
+        F.ntile(5).over(wq("recency_d")).alias("r_q"),
+        F.ntile(5).over(wq("freq")).alias("f_q"),
+        F.ntile(5).over(wq("monetary")).alias("m_q"),
+    )
+    return seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+query(
+    "q_events_rfm",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    mx AS (SELECT CAST(max(ts) AS DATE) AS today FROM p),
+    per_user AS (
+      SELECT user_id,
+             CAST(date_diff('day', CAST(max(ts) AS DATE),
+                            (SELECT today FROM mx)) AS BIGINT) AS recency_d,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      FROM p GROUP BY user_id
+    ),
+    seg AS (
+      SELECT user_id,
+             ntile(5) OVER (ORDER BY recency_d ASC, user_id ASC) AS r_q,
+             ntile(5) OVER (ORDER BY freq ASC, user_id ASC) AS f_q,
+             ntile(5) OVER (ORDER BY monetary ASC, user_id ASC) AS m_q
+      FROM per_user
+    )
+    SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM seg GROUP BY r_q, f_q, m_q
+    """,
+    tags=("extension", "events", "behavior"),
+)(_events_rfm)

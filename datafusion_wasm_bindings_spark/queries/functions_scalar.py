@@ -577,3 +577,29 @@ sql_query(
     """,
     tags=("functions", "map", "compat"),
 )
+
+# --- VARIANT semi-structured type (Spark 4) ----------------------------------------
+# parse_json → VARIANT → typed variant_get extraction; the VARIANT
+# value itself never reaches the output (hash-robustness lint), only
+# extracted scalars and the minified to_json round-trip. DataFusion
+# core has no JSON/VARIANT functions — this is the modern-Spark compat
+# row for semi-structured columns; the oracle answers with DuckDB's
+# JSON extraction.
+sql_query(
+    "q_fn_variant",
+    """
+    SELECT event_id,
+           variant_get(parse_json(props), '$.k', 'int') AS k,
+           try_variant_get(parse_json(props), '$.missing', 'int') AS missing_k,
+           to_json(parse_json(props)) AS roundtrip
+    FROM events WHERE event_id < 300
+    """,
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(NULL AS INT) AS missing_k,
+           CAST(json(props) AS VARCHAR) AS roundtrip
+    FROM events WHERE event_id < 300
+    """,
+    tags=("functions", "json", "compat"),
+)

@@ -63,6 +63,9 @@ NOTES = {
     "q_stream_session": "new r3 wave 7 (streaming session windows), awaiting r4 window",
     "q_text_perplexity": "new r3 wave 7 (unigram-LM quality filter), awaiting r4 window",
     "q_events_active_users": "new r3 wave 7 (DAU/WAU/MAU), awaiting r4 window",
+    "q_dedup_containment": "new r3 wave 8 (asymmetric containment), awaiting r4 window",
+    "q_events_rfm": "new r3 wave 8 (RFM quintile grid), awaiting r4 window",
+    "q_fn_variant": "new r3 wave 8 (Spark 4 VARIANT), awaiting r4 window",
 }
 
 cur_round = max(rounds) + 1 if rounds else 1
