@@ -834,32 +834,37 @@ query(
 # ====================== DAU / WAU / MAU ===============================
 def _events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU/MAU — rolling DISTINCT active users per day. Rolling
-    count-distinct does not decompose into window frames, so the scale
-    shape is: reduce to the DISTINCT (day, user) grid ONCE (the only
-    pass over raw events), then explode each activity day into the ≤7
-    (WAU) / ≤28 (MAU) report days it contributes to and re-aggregate
-    distinct users per report day — fan-out is bounded by the window
-    length, never by event volume. The report-day explode reuses one
-    shuffle per metric on the tiny grid, not on events."""
+    count-distinct does not decompose into window frames; the naive
+    shape (explode every activity day into all ≤7/≤28 report days it
+    reaches, then re-DISTINCT) re-shuffles window×grid rows. This uses
+    the span-merge formulation instead: reduce to the DISTINCT
+    (day, user) grid once, then per user explode each activity day
+    only up to the day BEFORE its next activity —
+    [d, min(d+w-1, next_d-1)] — so a user's report-day spans are
+    DISJOINT by construction: no second distinct, fan-out only for the
+    days a user is newly covered (measured 33 s → 7 s at 10M events ×
+    1M users, BASELINE.md). The oracle keeps the brute-force
+    explode+distinct formulation as independent proof."""
     e = table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("d"), "user_id"
     )
     grid = e.distinct()  # (day, user) activity grid — the only event scan
     dau = grid.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wnext = Window.partitionBy("user_id").orderBy(F.col("d").asc())
+    gaps = grid.withColumn("next_d", F.lead("d").over(wnext))
 
     def rolling(days: int, alias: str) -> DataFrame:
-        exploded = grid.select(
-            F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), days - 1))).alias(
-                "rd"
+        span_end = F.least(
+            F.date_add(F.col("d"), days - 1),
+            F.coalesce(
+                F.date_sub(F.col("next_d"), 1),
+                F.date_add(F.col("d"), days - 1),
             ),
-            "user_id",
         )
-        return (
-            exploded.select(F.col("rd").alias("d"), "user_id")
-            .distinct()
-            .groupBy("d")
-            .agg(F.count(F.lit(1)).alias(alias))
+        exploded = gaps.select(
+            F.explode(F.sequence(F.col("d"), span_end)).alias("d"), "user_id"
         )
+        return exploded.groupBy("d").agg(F.count(F.lit(1)).alias(alias))
 
     span = grid.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     out = (
