@@ -1006,3 +1006,89 @@ query(
     """,
     tags=("extension", "events", "behavior"),
 )(_events_rfm)
+
+
+# ====================== contrastive negative sampling =================
+_NEG_BUCKETS = 8
+_NEG_K = 4
+_NEG_ANCHORS = 100
+
+
+def _pipeline_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hard-negative sampling for contrastive training
+    pairs: every document hashes into one of B candidate buckets; each
+    anchor probes ONLY its own bucket (bounded |bucket| candidates —
+    the LSH-style guard that keeps this linear where anchor×corpus
+    would be quadratic), excludes same-source docs, ranks candidates
+    by the content-addressed md5(anchor:candidate) draw and keeps the
+    top k. md5 ranking makes the sample reproducible on ANY engine —
+    the same property as operators/sampling.md5_sample."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % _NEG_BUCKETS
+    )
+    docs = d.withColumn("bkt", bkt)
+    anchors = docs.filter(F.col("doc_id") < _NEG_ANCHORS).select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("source").alias("a_src"),
+        "bkt",
+    )
+    cand = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("n_src"), "bkt"
+    )
+    pairs = (
+        anchors.join(cand, "bkt")
+        .filter((F.col("neg_id") != F.col("anchor_id")) & (F.col("n_src") != F.col("a_src")))
+        .withColumn(
+            "draw",
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("anchor_id").cast("string"),
+                        F.lit(":"),
+                        F.col("neg_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("draw").asc(), F.col("neg_id").asc()
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _NEG_K)
+        .select("anchor_id", "neg_id", "rnk")
+    )
+
+
+query(
+    "q_pipeline_negatives",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               % {_NEG_BUCKETS} AS bkt
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS anchor_id, c.doc_id AS neg_id,
+             substr(md5(CAST(a.doc_id AS VARCHAR) || ':' || CAST(c.doc_id AS VARCHAR)),
+                    1, 8) AS draw
+      FROM d a JOIN d c ON a.bkt = c.bkt
+      WHERE a.doc_id < {_NEG_ANCHORS}
+        AND c.doc_id <> a.doc_id AND c.source <> a.source
+    )
+    SELECT anchor_id, neg_id, rnk FROM (
+      SELECT anchor_id, neg_id,
+             CAST(row_number() OVER (PARTITION BY anchor_id
+                  ORDER BY draw ASC, neg_id ASC) AS INT) AS rnk
+      FROM pairs
+    ) WHERE rnk <= {_NEG_K}
+    """,
+    tags=("extension", "pipeline", "sampling"),
+)(_pipeline_negatives)

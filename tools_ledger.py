@@ -66,6 +66,7 @@ NOTES = {
     "q_dedup_containment": "new r3 wave 8 (asymmetric containment), awaiting r4 window",
     "q_events_rfm": "new r3 wave 8 (RFM quintile grid), awaiting r4 window",
     "q_fn_variant": "new r3 wave 8 (Spark 4 VARIANT), awaiting r4 window",
+    "q_pipeline_negatives": "new r3 wave 8 (contrastive negatives), awaiting r4 window",
 }
 
 cur_round = max(rounds) + 1 if rounds else 1
