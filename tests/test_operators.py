@@ -1161,3 +1161,48 @@ def test_equi_width_histogram_covers_all_rows(spark):
     assert set(by_bucket) == set(range(10))
     assert by_bucket[9].n == 10  # 90..98 would be 9 rows + clamped 99.0
     assert by_bucket[0].lo == 0.0 and abs(by_bucket[9].hi - 99.0) < 1e-9
+
+
+def test_span_merge_rolling_actives_equals_bruteforce(spark):
+    """q_events_active_users' span-merge formulation must equal the
+    naive explode-all-window-days + re-DISTINCT on gap edge cases:
+    single-activity users, daily-active users, gaps exactly == window,
+    gaps > window, and activity on the span boundary."""
+    import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d0 = datetime.date(2024, 1, 1)
+    rows = []
+    rows += [(1, d0)]                                   # single activity
+    rows += [(2, d0 + datetime.timedelta(days=i)) for i in range(40)]  # daily
+    rows += [(3, d0), (3, d0 + datetime.timedelta(days=7))]            # gap == window
+    rows += [(4, d0), (4, d0 + datetime.timedelta(days=30))]           # gap > window
+    rows += [(5, d0), (5, d0 + datetime.timedelta(days=6))]            # boundary
+    grid = spark.createDataFrame(rows, "user_id long, d date").distinct()
+
+    for days in (7, 28):
+        naive = (
+            grid.select(
+                F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), days - 1))).alias("rd"),
+                "user_id",
+            )
+            .distinct()
+            .groupBy("rd")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        wnext = Window.partitionBy("user_id").orderBy(F.col("d").asc())
+        gaps = grid.withColumn("next_d", F.lead("d").over(wnext))
+        span_end = F.least(
+            F.date_add(F.col("d"), days - 1),
+            F.coalesce(F.date_sub(F.col("next_d"), 1), F.date_add(F.col("d"), days - 1)),
+        )
+        merged = (
+            gaps.select(F.explode(F.sequence(F.col("d"), span_end)).alias("rd"), "user_id")
+            .groupBy("rd")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        a = {r.rd: r.n for r in naive.collect()}
+        b = {r.rd: r.n for r in merged.collect()}
+        assert a == b, (days, a, b)
