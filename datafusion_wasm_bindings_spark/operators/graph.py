@@ -157,3 +157,34 @@ def pagerank_topk(edges: DataFrame, *, iters: int = 3, k: int = 20) -> DataFrame
         top.withColumn("pos", F.row_number().over(w))
         .select("node", "pos", F.round("rank", 6).alias("rank"))
     )
+
+
+def bfs_levels(edges: DataFrame, source: int, *, max_depth: int = 4) -> DataFrame:
+    """Breadth-first levels from ``source`` over a directed edge list
+    (columns ``src``, ``dst``): (node, lvl) for every node reachable
+    in ≤ ``max_depth`` hops, lvl = hop distance.
+
+    Distributed shape: per round, ONE frontier⋈edges equi-join on src
+    + a LEFT ANTI against the visited set — bytes ∝ edges touched by
+    the frontier, the textbook frontier-expansion BFS. Rounds are
+    UNROLLED to a fixed depth (no per-round driver count — an empty
+    frontier makes later rounds no-op joins), and per-round state is
+    localCheckpointed like pagerank/connected-components so lineage
+    stays O(1) per round instead of O(round²)."""
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    spark = e.sparkSession
+    visited = spark.range(1).select(
+        F.lit(source).cast("long").alias("node"), F.lit(0).cast("long").alias("lvl")
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(depth).cast("long").alias("lvl"))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

@@ -1092,3 +1092,140 @@ query(
     """,
     tags=("extension", "pipeline", "sampling"),
 )(_pipeline_negatives)
+
+
+# ====================== BFS hop levels ================================
+_BFS_SOURCE = 1  # supplier 0's node id in the bipartite encoding
+_BFS_DEPTH = 4
+
+
+def _graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from one node of the part↔supplier
+    co-occurrence graph (same bipartite encoding as q_graph_pagerank).
+    The oracle walks the same edges with a recursive CTE and takes
+    min(lvl) per node — BFS level == shortest unweighted distance, so
+    the two formulations must agree exactly."""
+    from datafusion_wasm_bindings_spark.operators.graph import bfs_levels
+
+    li = table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    rev = li.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("l_partkey") * 2).alias("dst"),
+    )
+    return bfs_levels(fwd.unionByName(rev), _BFS_SOURCE, max_depth=_BFS_DEPTH)
+
+
+query(
+    "q_graph_bfs",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+      UNION
+      SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem
+    ),
+    walk(node, lvl) AS (
+      SELECT CAST({_BFS_SOURCE} AS BIGINT) AS node, CAST(0 AS BIGINT) AS lvl
+      UNION
+      SELECT e.dst, w.lvl + 1 FROM walk w JOIN e ON e.src = w.node
+      WHERE w.lvl < {_BFS_DEPTH}
+    )
+    SELECT node, CAST(min(lvl) AS BIGINT) AS lvl FROM walk GROUP BY node
+    """,
+    tags=("extension", "graph", "scale"),
+)(_graph_bfs)
+
+
+# ====================== spatial radius self-join ======================
+_GEO_R_KM = 200.0
+_GEO_N = 400  # bounded point set for the oracle's all-pairs proof
+
+
+def _join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join (all point pairs within 200 km) via
+    grid-cell bucketing: points hash to lat/lon cells sized ≥ the
+    radius in BOTH axes (2° lat ≈ 222 km; 3° lon ≈ 236 km at the |45°|
+    latitude bound), each point probes its 9-cell neighborhood, and an
+    exact haversine verifies candidates — a bounded equi-join where
+    the naive formulation is a quadratic cross join. The oracle is the
+    ALL-PAIRS haversine, so a green row proves the 9-cell candidate
+    set has 100% recall (same proof pattern as q_dedup_embedding).
+    Coordinates are synthetic hash-derived (lat ∈ [-45,45),
+    lon ∈ [-90,90) — away from the antimeridian, where cell ids would
+    need modular wrap)."""
+    pts = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _GEO_N)
+        .select(
+            F.col("c_custkey").alias("id"),
+            ((F.col("c_custkey") * 7919 % 9000) / 100.0 - 45.0).alias("lat"),
+            ((F.col("c_custkey") * 104729 % 18000) / 100.0 - 90.0).alias("lon"),
+        )
+        .withColumn("cy", F.floor((F.col("lat") + 45.0) / 2.0).cast("long"))
+        .withColumn("cx", F.floor((F.col("lon") + 90.0) / 3.0).cast("long"))
+    )
+    probe = pts.select(
+        "id",
+        "lat",
+        "lon",
+        F.explode(
+            F.array(*[F.col("cy") + d for d in (-1, 0, 1)])
+        ).alias("py"),
+        "cx",
+    ).select(
+        "id",
+        "lat",
+        "lon",
+        "py",
+        F.explode(F.array(*[F.col("cx") + d for d in (-1, 0, 1)])).alias("px"),
+    )
+    b = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cy").alias("py"),
+        F.col("cx").alias("px"),
+    )
+    cand = probe.join(b, ["py", "px"]).filter(F.col("id") < F.col("id_b"))
+    dlat = F.radians(F.col("lat_b") - F.col("lat")) / 2
+    dlon = F.radians(F.col("lon_b") - F.col("lon")) / 2
+    h = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians("lat")) * F.cos(F.radians("lat_b")) * F.sin(dlon) * F.sin(dlon)
+    )
+    dist = 2 * 6371.0 * F.asin(F.sqrt(h))
+    return (
+        cand.withColumn("dist_km", dist)
+        .filter(F.col("dist_km") <= _GEO_R_KM)
+        .select(
+            F.col("id").alias("id_a"), "id_b", F.round("dist_km", 6).alias("dist_km")
+        )
+    )
+
+
+query(
+    "q_join_spatial",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             (c_custkey * 7919 % 9000) / 100.0 - 45.0 AS lat,
+             (c_custkey * 104729 % 18000) / 100.0 - 90.0 AS lon
+      FROM customer WHERE c_custkey < {_GEO_N}
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             2 * 6371.0 * asin(sqrt(
+               sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+             )) AS dist_km
+      FROM pts a JOIN pts b ON a.id < b.id
+    )
+    SELECT id_a, id_b, round(dist_km, 6) AS dist_km
+    FROM pairs WHERE dist_km <= {_GEO_R_KM}
+    """,
+    tags=("extension", "join", "spatial"),
+)(_join_spatial)

@@ -692,3 +692,15 @@ def test_incremental_dedup_anti_join_broadcasts(spark, sf_dir):
     plan = _plan(df)
     assert "LeftAnti, BuildRight" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_spatial_join_is_cell_bucketed_not_cartesian(spark, sf_dir):
+    """The spatial radius join must candidate-generate through the
+    (cell-y, cell-x) equi-join — never CartesianProduct /
+    BroadcastNestedLoopJoin (the all-pairs shape lives only in the
+    DuckDB oracle as the recall proof)."""
+    df = REGISTRY["q_join_spatial"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan, plan

@@ -67,6 +67,8 @@ NOTES = {
     "q_events_rfm": "new r3 wave 8 (RFM quintile grid), awaiting r4 window",
     "q_fn_variant": "new r3 wave 8 (Spark 4 VARIANT), awaiting r4 window",
     "q_pipeline_negatives": "new r3 wave 8 (contrastive negatives), awaiting r4 window",
+    "q_graph_bfs": "new r3 wave 8 (frontier BFS levels), awaiting r4 window",
+    "q_join_spatial": "new r3 wave 8 (grid-cell radius join), awaiting r4 window",
 }
 
 cur_round = max(rounds) + 1 if rounds else 1
