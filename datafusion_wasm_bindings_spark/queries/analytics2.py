@@ -1229,3 +1229,43 @@ query(
     """,
     tags=("extension", "join", "spatial"),
 )(_join_spatial)
+
+
+# ====================== multimodal payload dedup ======================
+def _multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of opaque MEDIA payloads by content hash — the
+    binary-column twin of q_dedup_exact (same md5 pre-hash rule: the
+    fixed-width digest shuffles, the payload bytes never do — at 100 TB
+    of media that difference is the whole game). Payload bytes are the
+    synthesized media column (operators/multimodal.synthesize_media);
+    the oracle hashes the same bytes as text (the documents fixture is
+    pure ASCII at every SF — the equivalence q_multimodal_features
+    already relies on)."""
+    from datafusion_wasm_bindings_spark.operators.multimodal import synthesize_media
+
+    media = synthesize_media(table(spark, sf_dir, "documents"))
+    per_key = (
+        media.select(F.md5(F.col("media")).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum("n").alias("n_media"),
+        F.sum(F.col("n") - 1).alias("n_dupes"),
+    )
+
+
+query(
+    "q_multimodal_dedup",
+    """
+    WITH per_key AS (
+      SELECT md5(text) AS key, COUNT(*) AS n FROM documents GROUP BY md5(text)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(n) AS BIGINT) AS n_media,
+           CAST(SUM(n - 1) AS BIGINT) AS n_dupes
+    FROM per_key
+    """,
+    tags=("extension", "multimodal", "dedup"),
+)(_multimodal_dedup)
