@@ -1269,3 +1269,60 @@ query(
     """,
     tags=("extension", "multimodal", "dedup"),
 )(_multimodal_dedup)
+
+
+# ====================== EWMA smoothing feature ========================
+_EWMA_ALPHA = 0.5
+_EWMA_TAPS = 5
+
+
+def _events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values —
+    the time-decay feature behind engagement scores and trend signals.
+    True infinite-history EWMA is a sequential recurrence (not window-
+    expressible without exploding scale factors); the standard
+    distributed form is the truncated k-tap filter: 5 lag() terms with
+    α(1-α)^i weights, renormalized over the taps that exist at the
+    series head. One user_id shuffle; every tap reads the same sorted
+    partition. The weighted sum is a FIXED left-associated expression
+    tree of IEEE ops — bit-identical on any engine, no decimal detour
+    needed."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i in range(_EWMA_TAPS):
+        wt = _EWMA_ALPHA * (1 - _EWMA_ALPHA) ** i
+        x = F.lag("value", i).over(w)
+        num = num + F.when(x.isNotNull(), F.lit(wt) * x).otherwise(F.lit(0.0))
+        den = den + F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return (
+        e.withColumn("ewma", num / den)
+        .filter(F.col("event_id") < 2000)
+        .select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))
+    )
+
+
+def _ewma_oracle() -> str:
+    num, den = "0.0", "0.0"
+    for i in range(_EWMA_TAPS):
+        wt = repr(_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** i)
+        x = f"lag(value, {i}) OVER w"
+        num += f" + CASE WHEN {x} IS NOT NULL THEN {wt} * ({x}) ELSE 0.0 END"
+        den += f" + CASE WHEN {x} IS NOT NULL THEN {wt} ELSE 0.0 END"
+    return f"""
+    SELECT user_id, event_id, round(({num}) / ({den}), 6) AS ewma
+    FROM events
+    WHERE event_id < 2000
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+    """
+
+
+query(
+    "q_events_ewma",
+    _ewma_oracle(),
+    tags=("extension", "events", "features"),
+)(_events_ewma)
