@@ -1326,3 +1326,73 @@ query(
     _ewma_oracle(),
     tags=("extension", "events", "features"),
 )(_events_ewma)
+
+
+# ====================== corpus curation funnel ========================
+_CURATE_Q = 0.5
+
+
+def _pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus CURATION funnel — the composed north-star
+    verb: quality gate (composite heuristic score, operators/text.
+    quality_scores) → language gate → exact dedup (md5 first
+    occurrence), reporting surviving docs and chars after every stage.
+    All gates evaluate in one pass over documents plus one fixed-width
+    dedup window; stage counts stack in a single union of four lean
+    aggregates. Threshold compares the ROUNDED 6-dp score (bit-
+    identical cross-engine), so the gate cannot flip on a ulp."""
+    from datafusion_wasm_bindings_spark.operators.text import quality_scores
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.md5(F.col("text")).alias("key")
+    )
+    q = quality_scores(table(spark, sf_dir, "documents")).select("doc_id", "quality")
+    s1 = d.join(q, "doc_id").filter(F.col("quality") >= _CURATE_Q)
+    s2 = s1.filter(F.col("lang") == "en")
+    w = Window.partitionBy("key").orderBy(F.col("doc_id").asc())
+    s3 = s2.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    def stage(df: DataFrame, i: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(i).cast("int").alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+
+    return (
+        stage(d, 0, "all")
+        .unionByName(stage(s1, 1, "quality"))
+        .unionByName(stage(s2, 2, "lang_en"))
+        .unionByName(stage(s3, 3, "dedup"))
+    )
+
+
+def _pipeline_curation_oracle() -> str:
+    from datafusion_wasm_bindings_spark.queries import QUERIES
+
+    quality_sql = QUERIES["q_text_quality"].oracle
+    return f"""
+    WITH q AS ({quality_sql}),
+    d AS (SELECT doc_id, lang, n_chars, md5(text) AS key FROM documents),
+    s1 AS (SELECT d.* FROM d JOIN q USING (doc_id) WHERE q.quality >= {_CURATE_Q}),
+    s2 AS (SELECT * FROM s1 WHERE lang = 'en'),
+    s3 AS (SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY key ORDER BY doc_id ASC) AS rn
+             FROM s2) WHERE rn = 1)
+    SELECT 0 AS stage, 'all' AS name, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM d
+    UNION ALL
+    SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT) FROM s1
+    UNION ALL
+    SELECT 2, 'lang_en', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 3, 'dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT) FROM s3
+    """
+
+
+query(
+    "q_pipeline_curation",
+    _pipeline_curation_oracle(),
+    tags=("extension", "pipeline", "text", "dedup"),
+)(_pipeline_curation)
