@@ -1396,3 +1396,106 @@ query(
     _pipeline_curation_oracle(),
     tags=("extension", "pipeline", "text", "dedup"),
 )(_pipeline_curation)
+
+
+# ====================== k-anonymity audit =============================
+_KANON_K = 5
+
+
+def _profile_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (nation ×
+    market segment × coarse balance band): any QI group smaller than k
+    re-identifies its members; report the groups and rows at risk and
+    the suppression rate a k-anonymizer would pay. One groupBy on the
+    QI tuple + one lean aggregate — the governance twin of
+    q_profile_skew."""
+    qi = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    groups = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").alias("n_rows"),
+        F.sum((F.col("n") < _KANON_K).cast("long")).alias("groups_at_risk"),
+        F.sum(F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+        (
+            F.sum(F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(0))
+            / F.sum("n")
+        ).alias("suppression_rate"),
+    )
+
+
+query(
+    "q_profile_kanon",
+    f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT) AS groups_at_risk,
+           CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+           CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE) AS suppression_rate
+    FROM g
+    """,
+    tags=("extension", "profiling", "governance"),
+)(_profile_kanon)
+
+
+# ====================== deletion propagation ==========================
+def _pipeline_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation: given a deletion list of
+    users, purge their events via LEFT ANTI join and PROVE the purge
+    (zero surviving rows for listed users — verified in the same
+    result, not assumed). The deletion list is broadcast (it is always
+    ≪ the fact table); the fact side streams map-side through the
+    anti join — the only scalable shape for deleting sparse keys from
+    100 TB of events."""
+    e = table(spark, sf_dir, "events")
+    dl = (
+        e.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 7 == 0)
+    )
+    kept = e.join(F.broadcast(dl), "user_id", "left_anti")
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_before"))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_after")))
+        .crossJoin(
+            kept.join(F.broadcast(dl), "user_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_leaked"))
+        )
+        .select(
+            "n_before",
+            "n_after",
+            (F.col("n_before") - F.col("n_after")).alias("n_purged"),
+            "n_leaked",
+        )
+    )
+
+
+query(
+    "q_pipeline_forget",
+    """
+    WITH dl AS (SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0),
+    kept AS (SELECT e.* FROM events e LEFT JOIN dl ON e.user_id = dl.user_id
+             WHERE dl.user_id IS NULL)
+    SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_before,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_after,
+           CAST((SELECT COUNT(*) FROM events) AS BIGINT)
+             - CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_purged,
+           CAST((SELECT COUNT(*) FROM kept k JOIN dl ON k.user_id = dl.user_id)
+                AS BIGINT) AS n_leaked
+    """,
+    tags=("extension", "pipeline", "governance"),
+)(_pipeline_forget)

@@ -72,6 +72,8 @@ NOTES = {
     "q_multimodal_dedup": "new r3 wave 8 (payload content-hash dedup), awaiting r4 window",
     "q_events_ewma": "new r3 wave 8 (truncated-tap EWMA), awaiting r4 window",
     "q_pipeline_curation": "new r3 wave 8 (curation funnel composition), awaiting r4 window",
+    "q_profile_kanon": "new r3 wave 9 (k-anonymity audit), awaiting r4 window",
+    "q_pipeline_forget": "new r3 wave 9 (deletion propagation), awaiting r4 window",
 }
 
 cur_round = max(rounds) + 1 if rounds else 1
