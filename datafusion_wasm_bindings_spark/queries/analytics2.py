@@ -1499,3 +1499,85 @@ query(
     """,
     tags=("extension", "pipeline", "governance"),
 )(_pipeline_forget)
+
+
+# ====================== co-occurrence mining (market basket) ==========
+_MB_TOPK = 25
+
+
+def _pipeline_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise frequent-itemset mining with lift — association rules
+    over the order/part basket graph. The pair join is keyed on the
+    BASKET id, so fan-out is bounded by per-basket item count (≤ C(7,2)
+    pairs per TPC-H order), never by catalog size — the property that
+    keeps pairwise mining linear-ish at 100 TB where an item-keyed
+    self-join would square the hot items. Lift divides exact int64
+    counts as doubles (bit-identical); top-k via TakeOrdered, then
+    positions from a k-row window (q_graph_pagerank's top-k pattern)."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().count()  # one scalar
+    marg = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("m"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    enriched = (
+        pairs.join(F.broadcast(marg.withColumnRenamed("l_partkey", "pa").withColumnRenamed("m", "m_a")), "pa")
+        .join(F.broadcast(marg.withColumnRenamed("l_partkey", "pb").withColumnRenamed("m", "m_b")), "pb")
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            F.round((F.col("n_ab") * F.lit(n_orders)) / (F.col("m_a") * F.col("m_b")), 6).alias("lift"),
+        )
+    )
+    top = enriched.orderBy(
+        F.col("n_ab").desc(), F.col("pa").asc(), F.col("pb").asc()
+    ).limit(_MB_TOPK)
+    w = Window.orderBy(F.col("n_ab").desc(), F.col("pa").asc(), F.col("pb").asc())
+    return top.withColumn("rn", F.row_number().over(w).cast("int")).select(
+        "rn", "pa", "pb", "n_ab", "lift"
+    )
+
+
+query(
+    "q_pipeline_itemsets",
+    f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+    marg AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS m FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT pa, pb, n_ab,
+             CAST(row_number() OVER (ORDER BY n_ab DESC, pa ASC, pb ASC) AS INT) AS rn
+      FROM pairs
+    )
+    SELECT t.rn, t.pa, t.pb, t.n_ab,
+           round(CAST(t.n_ab * n_orders.n AS DOUBLE)
+                 / CAST(ma.m * mb.m AS DOUBLE), 6) AS lift
+    FROM top t
+    JOIN marg ma ON ma.l_partkey = t.pa
+    JOIN marg mb ON mb.l_partkey = t.pb
+    CROSS JOIN n_orders
+    WHERE t.rn <= {_MB_TOPK}
+    """,
+    tags=("extension", "pipeline", "behavior"),
+)(_pipeline_itemsets)

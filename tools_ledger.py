@@ -74,6 +74,7 @@ NOTES = {
     "q_pipeline_curation": "new r3 wave 8 (curation funnel composition), awaiting r4 window",
     "q_profile_kanon": "new r3 wave 9 (k-anonymity audit), awaiting r4 window",
     "q_pipeline_forget": "new r3 wave 9 (deletion propagation), awaiting r4 window",
+    "q_pipeline_itemsets": "new r3 wave 9 (market-basket lift mining), awaiting r4 window",
 }
 
 cur_round = max(rounds) + 1 if rounds else 1
