@@ -1206,3 +1206,57 @@ def test_span_merge_rolling_actives_equals_bruteforce(spark):
         a = {r.rd: r.n for r in naive.collect()}
         b = {r.rd: r.n for r in merged.collect()}
         assert a == b, (days, a, b)
+
+
+def test_interval_merge_matches_python_reference(spark):
+    """q_events_interval_merge's window formulation vs a sequential
+    Python sweep over randomized inputs — covers adjacency (touching
+    intervals merge: new span only when start > prev max END, strict),
+    containment (an interval swallowed by an earlier longer one), and
+    duplicate starts."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for user in range(6):
+        for _ in range(40):
+            s = rng.randrange(0, 1000)
+            rows.append((user, eid, s, s + rng.randrange(1, 60)))
+            eid += 1
+
+    def reference(rows):
+        spans = {}
+        by_user = {}
+        for u, i, s, e in rows:
+            by_user.setdefault(u, []).append((s, i, e))
+        for u, ivs in by_user.items():
+            ivs.sort()
+            cur = []
+            for s, _i, e in ivs:
+                if not cur or s > cur[-1][1]:
+                    cur.append([s, e])
+                else:
+                    cur[-1][1] = max(cur[-1][1], e)
+            spans[u] = [(a, b) for a, b in cur]
+        return {(u, a, b) for u, sp in spans.items() for a, b in sp}
+
+    df = spark.createDataFrame(rows, "user_id long, event_id long, s long, e long")
+    w = Window.partitionBy("user_id").orderBy(F.col("s").asc(), F.col("event_id").asc())
+    pm = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.withColumn(
+        "flag", F.when(F.col("s") > F.coalesce(pm, F.lit(-(1 << 62))), 1).otherwise(0)
+    )
+    spans = flagged.withColumn(
+        "span_id", F.sum("flag").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    got = {
+        (r.user_id, r.a, r.b)
+        for r in spans.groupBy("user_id", "span_id")
+        .agg(F.min("s").alias("a"), F.max("e").alias("b"))
+        .collect()
+    }
+    assert got == reference(rows)
