@@ -1581,3 +1581,165 @@ query(
     """,
     tags=("extension", "pipeline", "behavior"),
 )(_pipeline_itemsets)
+
+
+# ====================== population-stability drift ====================
+_PSI_BINS = 10
+
+
+def _profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream (the standard production drift monitor): fixed
+    equi-width bins over the value domain, per-half bin shares, PSI =
+    Σ (p−q)·ln(p/q) with the ε-floor for empty bins. Two lean
+    aggregates over one scan + a |bins|-row join; the PSI sum runs
+    through the decimal recipe after per-bin quantization, and ln's
+    libm ulp is absorbed by rounding each bin term to 9 dp before the
+    exact sum."""
+    e = table(spark, sf_dir, "events").select("event_id", "value")
+    mid = e.agg(
+        F.expr("percentile(event_id, 0.5)").alias("mid"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    binned = e.crossJoin(F.broadcast(mid)).select(
+        (F.col("event_id") <= F.col("mid")).alias("first_half"),
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / _PSI_BINS)
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.col("first_half").cast("long")).alias("n_p"),
+        F.sum((~F.col("first_half")).cast("long")).alias("n_q"),
+    )
+    tot = counts.agg(
+        F.sum("n_p").alias("tp"), F.sum("n_q").alias("tq")
+    )
+    eps = F.lit(1e-6)
+    term = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_p",
+            "n_q",
+            F.round(
+                (
+                    (F.greatest(F.col("n_p") / F.col("tp"), eps))
+                    - (F.greatest(F.col("n_q") / F.col("tq"), eps))
+                )
+                * F.log(
+                    F.greatest(F.col("n_p") / F.col("tp"), eps)
+                    / F.greatest(F.col("n_q") / F.col("tq"), eps)
+                ),
+                9,
+            ).alias("t"),
+        )
+    )
+    return term.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_p").alias("n_first"),
+        F.sum("n_q").alias("n_second"),
+        F.sum(F.col("t").cast("decimal(18,9)")).cast("double").alias("psi"),
+    )
+
+
+query(
+    "q_profile_drift",
+    f"""
+    WITH m AS (
+      SELECT quantile_cont(event_id, 0.5) AS mid, min(value) AS lo, max(value) AS hi
+      FROM events
+    ),
+    b AS (
+      SELECT event_id <= m.mid AS first_half,
+             CAST(least({_PSI_BINS - 1},
+                  floor((value - m.lo) / ((m.hi - m.lo) / {_PSI_BINS}))) AS INT) AS bin
+      FROM events CROSS JOIN m
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+             CAST(SUM(CASE WHEN first_half THEN 0 ELSE 1 END) AS BIGINT) AS n_q
+      FROM b GROUP BY bin
+    ),
+    tot AS (SELECT CAST(SUM(n_p) AS BIGINT) AS tp, CAST(SUM(n_q) AS BIGINT) AS tq FROM counts),
+    term AS (
+      SELECT bin, n_p, n_q,
+             round((greatest(CAST(n_p AS DOUBLE) / tp, 1e-6)
+                    - greatest(CAST(n_q AS DOUBLE) / tq, 1e-6))
+                   * ln(greatest(CAST(n_p AS DOUBLE) / tp, 1e-6)
+                        / greatest(CAST(n_q AS DOUBLE) / tq, 1e-6)), 9) AS t
+      FROM counts CROSS JOIN tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(n_p) AS BIGINT) AS n_first,
+           CAST(SUM(n_q) AS BIGINT) AS n_second,
+           CAST(SUM(CAST(t AS DECIMAL(18,9))) AS DOUBLE) AS psi
+    FROM term
+    """,
+    tags=("extension", "profiling", "stats"),
+)(_profile_drift)
+
+
+# ====================== seasonal-naive forecast backtest ==============
+def _events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting baseline with a walk-forward
+    backtest: forecast(day, type) = actual(day−7, type), scored by
+    MAPE per event type over every day with a full week of history —
+    the benchmark every real forecasting model must beat, and the
+    backtest harness shape (lag feature + holdout eval) is the same
+    one a learned model would plug into. One shuffle to daily counts
+    (map-side combinable), then a lag window over the tiny
+    (day × type) table; MAPE terms are rounded to 9 dp before the
+    exact decimal mean."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("d").asc())
+    scored = (
+        daily.withColumn("fc", F.lag("n", 7).over(w))
+        .filter(F.col("fc").isNotNull())
+        .withColumn(
+            "ape", F.round(F.abs(F.col("n") - F.col("fc")) / F.col("n"), 9)
+        )
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(F.col("n") - F.col("fc"))).alias("abs_err_total"),
+        (
+            F.sum(F.col("ape").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mape"),
+    )
+
+
+query(
+    "q_events_forecast_backtest",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, n,
+             lag(n, 7) OVER (PARTITION BY event_type ORDER BY d ASC) AS fc
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(abs(n - fc)) AS BIGINT) AS abs_err_total,
+           CAST(SUM(CAST(round(abs(n - fc) * 1.0 / n, 9) AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*) AS mape
+    FROM scored WHERE fc IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("extension", "events", "stats"),
+)(_events_forecast_backtest)

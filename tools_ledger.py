@@ -75,6 +75,8 @@ NOTES = {
     "q_profile_kanon": "new r3 wave 9 (k-anonymity audit), awaiting r4 window",
     "q_pipeline_forget": "new r3 wave 9 (deletion propagation), awaiting r4 window",
     "q_pipeline_itemsets": "new r3 wave 9 (market-basket lift mining), awaiting r4 window",
+    "q_profile_drift": "new r3 wave 9 (PSI drift monitor), awaiting r4 window",
+    "q_events_forecast_backtest": "new r3 wave 9 (seasonal-naive MAPE backtest), awaiting r4 window",
 }
 
 cur_round = max(rounds) + 1 if rounds else 1
