@@ -704,3 +704,35 @@ def test_spatial_join_is_cell_bucketed_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Join" in plan, plan
+
+
+def test_no_cartesian_product_anywhere_in_registry(spark, sf_dir):
+    """Registry-wide guard: NO registered query may plan a
+    CartesianProduct — every all-pairs-shaped operator must candidate-
+    generate through an equi-join (LSH buckets, grid cells, length
+    bands, basket keys...). 1-row scalar attachments plan
+    BroadcastNestedLoopJoin and are fine; a CartesianProduct over
+    relations is the one shape that cannot survive 100 TB. Side-
+    effecting queries (sinks, streams) are skipped — their plan is
+    read at the returned summary, not the write."""
+    skip = (
+        "stream",
+        "q_copy",
+        "result",
+        "insert",
+        "balanced",
+        "ctas",
+        "bucketed",
+    )
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if any(s in name for s in skip):
+            continue
+        try:
+            plan = _plan(spec.spark_fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — surface as offender
+            offenders[name] = f"ERR {type(e).__name__}: {e}"[:120]
+            continue
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+    assert not offenders, offenders
