@@ -115,6 +115,21 @@ lines.append(
     f"**Cumulative: {checked} of {len(names)} checked; {green} green at last check; "
     f"{len(names) - checked} never in a window.**"
 )
+lines.append("")
+lines.append("### Round-4 rotation plan (mechanical, from this ledger)")
+lines.append("")
+lines.append("Priority order for the next 50-slot `_WINDOW`:")
+lines.append("1. the 7 HUGEINT-oracle fixes awaiting fail-closure re-check")
+lines.append("   (q_dedup_paragraph, q_text_stats, q_events_props_json,")
+lines.append("   q_pipeline_training_mix, q_pipeline_pack, q_profile_columns,")
+lines.append("   q_fn_sum_avg_min_max);")
+lines.append("2. never-checked ids in REGISTRATION order (extensions module")
+lines.append("   first — they carry the most novel oracle machinery), until")
+lines.append("   the 50 slots fill;")
+lines.append("3. run the conftest ORACLE_UNSAFE_TYPES + dtype-parity audit")
+lines.append("   (tools_driver_sim.py over the chosen ids) BEFORE committing")
+lines.append("   the rotation. Never re-verify a green id while any id is")
+lines.append("   unchecked or non-green.")
 
 text = open("COVERAGE.md").read()
 text = re.sub(r"\n## Driver verification ledger.*", "", text, flags=re.S)
