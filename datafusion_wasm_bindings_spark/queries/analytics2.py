@@ -1743,3 +1743,133 @@ query(
     """,
     tags=("extension", "events", "stats"),
 )(_events_forecast_backtest)
+
+
+# ====================== interval-overlap join =========================
+_OVL_A_US = 600_000_000     # 10-minute activity intervals
+_OVL_B_US = 1_800_000_000   # 30-minute maintenance windows
+_OVL_BKT_US = 1_800_000_000
+
+
+def _join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL×INTERVAL overlap join (both sides are spans — distinct
+    from the point-in-interval q_join_range): activity intervals ×
+    maintenance windows that intersect. Both sides explode to the time
+    buckets they cover (bucket ≥ either side's max length bounds the
+    fan-out), candidates pair on bucket equality, duplicates from
+    multi-bucket overlaps collapse with DISTINCT, and the exact
+    predicate a.s < b.e AND b.s < a.e verifies. The oracle is the
+    all-pairs inequality join — a green row proves bucket recall."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("s")
+    )
+    a = (
+        e.filter(F.col("event_id") % 5 == 0)
+        .select(
+            F.col("event_id").alias("a_id"),
+            F.col("s").alias("a_s"),
+            (F.col("s") + F.lit(_OVL_A_US)).alias("a_e"),
+        )
+    )
+    b = (
+        e.filter(F.col("event_id") % 97 == 0)
+        .select(
+            F.col("event_id").alias("b_id"),
+            F.col("s").alias("b_s"),
+            (F.col("s") + F.lit(_OVL_B_US)).alias("b_e"),
+        )
+    )
+
+    def bucketed(df: DataFrame, s: str, e_: str) -> DataFrame:
+        return df.withColumn(
+            "bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / _OVL_BKT_US).cast("long"),
+                    F.floor((F.col(e_) - 1) / _OVL_BKT_US).cast("long"),
+                )
+            ),
+        )
+
+    cand = bucketed(a, "a_s", "a_e").join(bucketed(b, "b_s", "b_e"), "bkt")
+    hits = (
+        cand.filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+        .select("a_id", "b_id", "a_s", "a_e", "b_s", "b_e")
+        .distinct()
+    )
+    return hits.select(
+        "a_id",
+        "b_id",
+        (
+            F.least(F.col("a_e"), F.col("b_e"))
+            - F.greatest(F.col("a_s"), F.col("b_s"))
+        ).alias("overlap_us"),
+    )
+
+
+query(
+    "q_join_interval_overlap",
+    f"""
+    WITH e AS (
+      SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s FROM events
+    ),
+    a AS (SELECT event_id AS a_id, s AS a_s, s + {_OVL_A_US} AS a_e
+          FROM e WHERE event_id % 5 = 0),
+    b AS (SELECT event_id AS b_id, s AS b_s, s + {_OVL_B_US} AS b_e
+          FROM e WHERE event_id % 97 = 0)
+    SELECT a_id, b_id,
+           least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us
+    FROM a JOIN b ON a_s < b_e AND b_s < a_e
+    """,
+    tags=("extension", "join", "events"),
+)(_join_interval_overlap)
+
+
+# ====================== class-balanced downsampling ===================
+def _sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-rebalancing downsample: every language class keeps exactly
+    min-class-count docs, chosen by the content-addressed md5 rank
+    (reproducible on any engine, no RNG). One shuffle on the class key
+    for the rank window + a broadcast of the |classes|-row floor
+    table; the standard pre-training rebalance before loss weighting
+    exists."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    floor_n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n").alias("k")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":bal"))).asc(),
+        F.col("doc_id").asc(),
+    )
+    ranked = d.withColumn("rn", F.row_number().over(w)).crossJoin(
+        F.broadcast(floor_n)
+    )
+    kept = ranked.filter(F.col("rn") <= F.col("k"))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("rn").cast("long").alias("rn_min"),
+        F.max("rn").cast("long").alias("rn_max"),
+    )
+
+
+query(
+    "q_sample_balanced",
+    """
+    WITH d AS (SELECT doc_id, lang FROM documents),
+    k AS (SELECT CAST(min(n) AS BIGINT) AS k
+          FROM (SELECT lang, COUNT(*) AS n FROM d GROUP BY lang)),
+    ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || ':bal') ASC,
+                          doc_id ASC) AS rn
+      FROM d
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(rn) AS BIGINT) AS rn_min,
+           CAST(MAX(rn) AS BIGINT) AS rn_max
+    FROM ranked CROSS JOIN k WHERE rn <= k.k
+    GROUP BY lang
+    """,
+    tags=("extension", "sampling", "pipeline"),
+)(_sample_balanced)

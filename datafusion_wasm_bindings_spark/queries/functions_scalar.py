@@ -603,3 +603,27 @@ sql_query(
     """,
     tags=("functions", "json", "compat"),
 )
+
+# --- collations (Spark 4 UTF8_LCASE) -----------------------------------------------
+# Case-insensitive comparison/search via COLLATION rather than lower()
+# rewriting — the Spark 4 surface; the oracle proves the semantics with
+# explicit lower() folds. The collated column itself never leaves the
+# query (comparisons yield plain booleans/counts).
+sql_query(
+    "q_fn_collation",
+    """
+    SELECT c_custkey,
+           collate(c_mktsegment, 'UTF8_LCASE') = 'building' AS seg_ci_eq,
+           startswith(collate(c_name, 'UTF8_LCASE'), 'CUSTOMER') AS name_ci_prefix,
+           contains(collate(c_mktsegment, 'UTF8_LCASE'), 'MOBILE') AS seg_ci_contains
+    FROM customer WHERE c_custkey <= 200
+    """,
+    oracle="""
+    SELECT c_custkey,
+           lower(c_mktsegment) = 'building' AS seg_ci_eq,
+           starts_with(lower(c_name), lower('CUSTOMER')) AS name_ci_prefix,
+           contains(lower(c_mktsegment), lower('MOBILE')) AS seg_ci_contains
+    FROM customer WHERE c_custkey <= 200
+    """,
+    tags=("functions", "string", "compat"),
+)

@@ -77,6 +77,9 @@ NOTES = {
     "q_pipeline_itemsets": "new r3 wave 9 (market-basket lift mining), awaiting r4 window",
     "q_profile_drift": "new r3 wave 9 (PSI drift monitor), awaiting r4 window",
     "q_events_forecast_backtest": "new r3 wave 9 (seasonal-naive MAPE backtest), awaiting r4 window",
+    "q_fn_collation": "new r3 wave 9 (Spark 4 UTF8_LCASE), awaiting r4 window",
+    "q_join_interval_overlap": "new r3 wave 9 (span-x-span bucketed), awaiting r4 window",
+    "q_sample_balanced": "new r3 wave 9 (class rebalance), awaiting r4 window",
 }
 
 cur_round = max(rounds) + 1 if rounds else 1
