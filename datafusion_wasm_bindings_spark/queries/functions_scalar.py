@@ -627,3 +627,23 @@ sql_query(
     """,
     tags=("functions", "string", "compat"),
 )
+
+# --- string distance ---------------------------------------------------------------
+sql_query(
+    "q_fn_stringdist",
+    """
+    SELECT n_nationkey,
+           levenshtein(n_name, 'NATION_0') AS lev,
+           levenshtein(left(n_name, 5), 'NATIO') AS lev_prefix,
+           (levenshtein(n_name, 'NATION_0') <= 2) AS near_seed
+    FROM nation
+    """,
+    oracle="""
+    SELECT n_nationkey,
+           CAST(levenshtein(n_name, 'NATION_0') AS INT) AS lev,
+           CAST(levenshtein(left(n_name, 5), 'NATIO') AS INT) AS lev_prefix,
+           (levenshtein(n_name, 'NATION_0') <= 2) AS near_seed
+    FROM nation
+    """,
+    tags=("functions", "string"),
+)

@@ -80,6 +80,7 @@ NOTES = {
     "q_fn_collation": "new r3 wave 9 (Spark 4 UTF8_LCASE), awaiting r4 window",
     "q_join_interval_overlap": "new r3 wave 9 (span-x-span bucketed), awaiting r4 window",
     "q_sample_balanced": "new r3 wave 9 (class rebalance), awaiting r4 window",
+    "q_fn_stringdist": "new r3 wave 9 (levenshtein row), awaiting r4 window",
 }
 
 cur_round = max(rounds) + 1 if rounds else 1
