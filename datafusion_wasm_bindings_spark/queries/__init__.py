@@ -60,6 +60,7 @@ _MODULES = (
     "sorts",
     "analytics",
     "analytics2",
+    "analytics3",
 )
 
 # Round-3 driver window (exactly 50 names, VERDICT r2 next-round #2):

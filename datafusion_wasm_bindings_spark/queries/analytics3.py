@@ -1,0 +1,616 @@
+"""Tenth-wave extension queries: dataset statistics and ML feature
+engineering — entropy / mutual information, chi-squared independence,
+closed-form multivariate OLS, Benford first-digit audit, leave-one-out
+target encoding, hashing-trick feature vectors, per-group Gini
+concentration, and MAD-based robust anomaly scores.
+
+Like the earlier waves these are statements the reference engine
+(datafusion-wasm-bindings executes arbitrary SQL through DataFusion,
+`/root/reference/src/lib.rs` execute_sql) could run textually; each is
+registered with a Spark-first physical shape chosen to survive 1000
+executors — the scale notes live on each query.
+
+Determinism recipes (FIXTURES.md rules): every surfaced double goes
+through the DECIMAL(18,6) quantization; ln/log10-derived terms are
+quantized per-cell BEFORE the exact decimal sum (libm-vs-Java ulp,
+CLAUDE.md pitfall g); integer counts are CAST to BIGINT on the DuckDB
+side (SUM→HUGEINT pandas-dtype trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_wasm_bindings_spark.queries import query
+from datafusion_wasm_bindings_spark.queries._util import DEC, dsum
+from datafusion_wasm_bindings_spark.sources.catalog import table
+
+
+# ================= entropy + mutual information =======================
+def _stats_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of o_orderpriority (X), o_orderstatus (Y), their
+    joint, and the mutual information I(X;Y) = H(X)+H(Y)-H(X,Y), in
+    nats. Feature-selection / leakage-audit primitive for a training
+    pipeline (is a candidate feature informative about the label?).
+
+    Scale shape: ONE map-side-combinable shuffle builds the joint
+    contingency table; its cardinality is |X|x|Y| (category product,
+    independent of row count), so marginals and entropy sums all run on
+    a broadcast-sized relation — nothing downstream grows with data.
+    Each p*ln(p) term is quantized to DECIMAL(18,6) per cell, summed
+    exactly, and the final additions run on already-quantized doubles —
+    bit-equal across engines."""
+    joint = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = joint.agg(F.sum("cnt").cast("long").alias("n"))
+    px = joint.groupBy("o_orderpriority").agg(F.sum("cnt").cast("long").alias("nx"))
+    py = joint.groupBy("o_orderstatus").agg(F.sum("cnt").cast("long").alias("ny"))
+
+    def _h(df: DataFrame, cnt_col: str, alias: str) -> DataFrame:
+        p = F.col(cnt_col) / F.col("n")
+        return df.crossJoin(F.broadcast(tot)).agg(
+            dsum(-p * F.log(p), alias), F.first("n").alias(f"_n_{alias}")
+        )
+
+    hx = _h(px, "nx", "h_x")
+    hy = _h(py, "ny", "h_y")
+    hxy = _h(joint, "cnt", "h_xy")
+    return (
+        hx.crossJoin(hy)
+        .crossJoin(hxy)
+        .select(
+            F.col("_n_h_x").alias("n"),
+            "h_x",
+            "h_y",
+            "h_xy",
+            (F.col("h_x") + F.col("h_y") - F.col("h_xy"))
+            .cast(DEC)
+            .cast("double")
+            .alias("mi_nats"),
+        )
+    )
+
+
+query(
+    "q_stats_entropy_mi",
+    """
+    WITH joint AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM joint),
+    hx AS (
+      SELECT CAST(SUM(CAST(-(CAST(nx AS DOUBLE) / n) * ln(CAST(nx AS DOUBLE) / n)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS h_x
+      FROM (SELECT x, CAST(SUM(cnt) AS BIGINT) AS nx FROM joint GROUP BY x) CROSS JOIN tot
+    ),
+    hy AS (
+      SELECT CAST(SUM(CAST(-(CAST(ny AS DOUBLE) / n) * ln(CAST(ny AS DOUBLE) / n)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS h_y
+      FROM (SELECT y, CAST(SUM(cnt) AS BIGINT) AS ny FROM joint GROUP BY y) CROSS JOIN tot
+    ),
+    hxy AS (
+      SELECT CAST(SUM(CAST(-(CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS h_xy
+      FROM joint CROSS JOIN tot
+    )
+    SELECT n, h_x, h_y, h_xy,
+           CAST(CAST(h_x + h_y - h_xy AS DECIMAL(18,6)) AS DOUBLE) AS mi_nats
+    FROM tot CROSS JOIN hx CROSS JOIN hy CROSS JOIN hxy
+    """,
+    tags=("extension", "stats", "profiling"),
+)(_stats_entropy_mi)
+
+
+# ================= chi-squared independence test ======================
+def _stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared statistic + Cramer's V for the
+    o_orderpriority x o_orderstatus contingency table — the classic
+    categorical-independence audit (is the label distribution skewed
+    across a data source? did a stratified split actually stratify?).
+
+    Scale shape: identical to q_stats_entropy_mi — one combinable
+    shuffle to the |X|x|Y|-cell table, broadcast marginal joins, and a
+    per-cell (o-e)^2/e quantized before the exact decimal sum."""
+    joint = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rx = joint.groupBy("x").agg(F.sum("cnt").cast("long").alias("nx"))
+    cy = joint.groupBy("y").agg(F.sum("cnt").cast("long").alias("ny"))
+    tot = joint.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.countDistinct("x").cast("long").alias("r"),
+        F.countDistinct("y").cast("long").alias("c"),
+    )
+    e = F.col("nx") * F.col("ny") / F.col("n")
+    cells = (
+        joint.join(F.broadcast(rx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    agg = cells.agg(
+        dsum((F.col("cnt") - e) * (F.col("cnt") - e) / e, "chi2"),
+        F.first("n").alias("n"),
+        F.first("r").alias("r"),
+        F.first("c").alias("c"),
+    )
+    return agg.select(
+        "n",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        "chi2",
+        F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - 1)))
+        .cast(DEC)
+        .cast("double")
+        .alias("cramers_v"),
+    )
+
+
+query(
+    "q_stats_chi2",
+    """
+    WITH joint AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    rx AS (SELECT x, CAST(SUM(cnt) AS BIGINT) AS nx FROM joint GROUP BY x),
+    cy AS (SELECT y, CAST(SUM(cnt) AS BIGINT) AS ny FROM joint GROUP BY y),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT x) AS BIGINT) AS r,
+                   CAST(COUNT(DISTINCT y) AS BIGINT) AS c FROM joint),
+    agg AS (
+      SELECT CAST(SUM(CAST(
+               (cnt - CAST(nx AS DOUBLE) * ny / n) * (cnt - CAST(nx AS DOUBLE) * ny / n)
+                 / (CAST(nx AS DOUBLE) * ny / n) AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+             MIN(n) AS n, MIN(r) AS r, MIN(c) AS c
+      FROM joint JOIN rx USING (x) JOIN cy USING (y) CROSS JOIN tot
+    )
+    SELECT n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof, chi2,
+           CAST(CAST(sqrt(chi2 / (n * (least(r, c) - 1))) AS DECIMAL(18,6)) AS DOUBLE)
+             AS cramers_v
+    FROM agg
+    """,
+    tags=("extension", "stats", "profiling"),
+)(_stats_chi2)
+
+
+# ================= closed-form 2-regressor OLS ========================
+def _stats_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag ordinary least squares of l_extendedprice on
+    (l_quantity, l_discount) solved in CLOSED FORM from sufficient
+    statistics — the distributed way to fit a small linear model: one
+    map-side-combinable aggregate collects the 9 cross-moments, and the
+    2x2 normal-equation solve (Cramer's rule on centered moments) is
+    plain scalar arithmetic on the aggregate row. No iteration, no
+    driver collect, no UDF; extends DataFusion's regr_* family
+    (regr_slope etc., single regressor) to the multivariate case.
+
+    Determinism: the moment sums go through the exact DECIMAL(18,6)
+    recipe; the solve is identical IEEE arithmetic on identical
+    aggregate doubles on both engines; coefficients are quantized."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("x1"), "sx1"),
+        dsum(F.col("x2"), "sx2"),
+        dsum(F.col("y"), "sy"),
+        dsum(F.col("x1") * F.col("x1"), "sx1x1"),
+        dsum(F.col("x1") * F.col("x2"), "sx1x2"),
+        dsum(F.col("x2") * F.col("x2"), "sx2x2"),
+        dsum(F.col("x1") * F.col("y"), "sx1y"),
+        dsum(F.col("x2") * F.col("y"), "sx2y"),
+        dsum(F.col("y") * F.col("y"), "syy"),
+    )
+    n = F.col("n")
+    s11 = F.col("sx1x1") - F.col("sx1") * F.col("sx1") / n
+    s12 = F.col("sx1x2") - F.col("sx1") * F.col("sx2") / n
+    s22 = F.col("sx2x2") - F.col("sx2") * F.col("sx2") / n
+    s1y = F.col("sx1y") - F.col("sx1") * F.col("sy") / n
+    s2y = F.col("sx2y") - F.col("sx2") * F.col("sy") / n
+    syy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = s11 * s22 - s12 * s12
+    b1 = (s1y * s22 - s2y * s12) / det
+    b2 = (s2y * s11 - s1y * s12) / det
+    b0 = F.col("sy") / n - b1 * F.col("sx1") / n - b2 * F.col("sx2") / n
+    r2 = (b1 * s1y + b2 * s2y) / syy
+    q = lambda c, a: c.cast(DEC).cast("double").alias(a)  # noqa: E731
+    return g.select(
+        "l_returnflag", "n", q(b0, "b0"), q(b1, "b1"), q(b2, "b2"), q(r2, "r2")
+    )
+
+
+_OLS_MOMS = """
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx1,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx1x1,
+             CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sx1x2,
+             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sx2x2,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sx1y,
+             CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sx2y,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+"""
+
+query(
+    "q_stats_ols2",
+    f"""
+    WITH g AS ({_OLS_MOMS}),
+    c AS (
+      SELECT l_returnflag, n, sx1, sx2, sy,
+             sx1x1 - sx1 * sx1 / n AS s11,
+             sx1x2 - sx1 * sx2 / n AS s12,
+             sx2x2 - sx2 * sx2 / n AS s22,
+             sx1y - sx1 * sy / n AS s1y,
+             sx2y - sx2 * sy / n AS s2y,
+             syy - sy * sy / n AS vyy
+      FROM g
+    ),
+    b AS (
+      SELECT l_returnflag, n, sx1, sx2, sy, s1y, s2y, vyy,
+             (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
+             (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2
+      FROM c
+    )
+    SELECT l_returnflag, n,
+           CAST(CAST(sy / n - b1 * sx1 / n - b2 * sx2 / n AS DECIMAL(18,6)) AS DOUBLE) AS b0,
+           CAST(CAST(b1 AS DECIMAL(18,6)) AS DOUBLE) AS b1,
+           CAST(CAST(b2 AS DECIMAL(18,6)) AS DOUBLE) AS b2,
+           CAST(CAST((b1 * s1y + b2 * s2y) / vyy AS DECIMAL(18,6)) AS DOUBLE) AS r2
+    FROM b
+    """,
+    tags=("extension", "stats", "pipeline"),
+)(_stats_ols2)
+
+
+# ================= Benford first-digit audit ==========================
+def _stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of l_extendedprice vs the
+    Benford expectation log10(1+1/d) — a fabricated-data / corrupted-
+    feed audit. Digit extraction is exact integer/string work (price →
+    rounded cents → leading decimal digit; multiplying by a power of 10
+    never changes the leading significant digit), so both engines bin
+    identically; frequencies quantize through DECIMAL(18,6).
+
+    Scale shape: pure map + one 9-group map-side-combinable aggregate;
+    the 9-row result cross-joins its own total. Nothing scales with
+    input but the scan."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    digits = (
+        li.filter(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1).cast("long").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = digits.agg(F.sum("n_obs").cast("long").alias("n_all"))
+    freq = F.col("n_obs") / F.col("n_all")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            freq.cast(DEC).cast("double").alias("freq"),
+            benford.cast(DEC).cast("double").alias("benford_freq"),
+            F.abs(freq - benford).cast(DEC).cast("double").alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+query(
+    "q_stats_benford",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem)
+      WHERE cents > 0
+    ),
+    g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_all FROM g)
+    SELECT digit, n_obs,
+           CAST(CAST(CAST(n_obs AS DOUBLE) / n_all AS DECIMAL(18,6)) AS DOUBLE) AS freq,
+           CAST(CAST(log10(1.0 + 1.0 / digit) AS DECIMAL(18,6)) AS DOUBLE) AS benford_freq,
+           CAST(CAST(abs(CAST(n_obs AS DOUBLE) / n_all - log10(1.0 + 1.0 / digit))
+                AS DECIMAL(18,6)) AS DOUBLE) AS abs_dev
+    FROM g CROSS JOIN tot
+    ORDER BY digit
+    """,
+    tags=("extension", "stats", "quality"),
+)(_stats_benford)
+
+
+# ================= leave-one-out target encoding ======================
+_TE_M = 20.0  # smoothing pseudo-count
+
+
+def _ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target-mean encoding of customer nation
+    against the binary target "order is URGENT" — the standard
+    high-cardinality-categorical feature for tabular models, computed
+    WITHOUT leaking the row's own label: enc_i = (S_g - y_i + m*prior)
+    / (n_g - 1 + m).
+
+    Scale shape: the stats pass joins orders→customer on the natural
+    key (one co-partitioned shuffle each side) and aggregates per
+    nation — map-side combinable, output is |nations| rows, broadcast
+    back. The OUTPUT pass filters orders to the sampled keys FIRST, so
+    the second join touches only the sample; group stats never
+    recompute per output row. Pure integer sums + one global prior;
+    the encode arithmetic is identical doubles, quantized."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("t"),
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    g = j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("t").cast("long").alias("s_g"),
+    )
+    tot = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("t").cast("long").alias("s_all"),
+    )
+    prior = F.col("s_all") / F.col("n_all")
+    enc = (F.col("s_g") - F.col("t") + F.lit(_TE_M) * prior) / (
+        F.col("n_g") - 1 + F.lit(_TE_M)
+    )
+    out = (
+        o.filter(F.col("o_orderkey") % 997 == 0)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(g), "c_nationkey")
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select(
+        "o_orderkey",
+        "c_nationkey",
+        "t",
+        enc.cast(DEC).cast("double").alias("nation_te"),
+    )
+
+
+query(
+    "q_ml_target_encode",
+    f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS t
+      FROM orders
+    ),
+    j AS (
+      SELECT o.o_orderkey, o.t, c.c_nationkey
+      FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(t) AS BIGINT) AS s_g
+      FROM j GROUP BY c_nationkey
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all, CAST(SUM(t) AS BIGINT) AS s_all FROM j
+    )
+    SELECT j.o_orderkey, j.c_nationkey, j.t,
+           CAST(CAST(
+             (g.s_g - j.t + {_TE_M} * (CAST(tot.s_all AS DOUBLE) / tot.n_all))
+               / (g.n_g - 1 + {_TE_M})
+           AS DECIMAL(18,6)) AS DOUBLE) AS nation_te
+    FROM j JOIN g USING (c_nationkey) CROSS JOIN tot
+    WHERE j.o_orderkey % 997 = 0
+    """,
+    tags=("extension", "pipeline", "stats"),
+)(_ml_target_encode)
+
+
+# ================= hashing-trick feature vectors ======================
+_FH_BUCKETS = 32
+
+
+def _ml_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashing-trick bag-of-words vectors (Weinberger et al.
+    2009): token → md5 bucket in [0,32), sign from an independent hex
+    digit, per-document signed counts. The fixed-width feature space
+    needs no vocabulary pass — the property that makes the hashing
+    trick THE text featurizer at 100 TB (one shuffle on (doc, bucket),
+    map-side combinable; no global dictionary to build or broadcast).
+
+    md5 is the engine-portable hash (same idiom as the sampling
+    draws); zero-weight buckets (sign cancellation) are dropped so the
+    output is the sparse vector. Vector surfaced as a '%02d:%d'
+    space-joined string, ordered by bucket on both engines."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    h = F.md5(F.concat(F.col("tok"), F.lit("dfwb-fh")))
+    hashed = toks.select(
+        "doc_id",
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % _FH_BUCKETS).alias("bkt"),
+        (F.conv(F.substring(h, 5, 1), 16, 10).cast("long") % 2 * 2 - 1).alias("sgn"),
+    )
+    vec = (
+        hashed.filter(F.col("doc_id") < 300)
+        .groupBy("doc_id", "bkt")
+        .agg(F.sum("sgn").cast("long").alias("wt"))
+        .filter(F.col("wt") != 0)
+    )
+    return vec.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.concat_ws(
+            " ", F.sort_array(F.collect_list(F.format_string("%02d:%d", "bkt", "wt")))
+        ).alias("fvec"),
+    )
+
+
+query(
+    "q_ml_feature_hash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents WHERE doc_id < 300
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok || 'dfwb-fh'), 1, 4) AS BIGINT)
+               % {_FH_BUCKETS} AS bkt,
+             CAST('0x' || substr(md5(tok || 'dfwb-fh'), 5, 1) AS BIGINT)
+               % 2 * 2 - 1 AS sgn
+      FROM toks
+    ),
+    vec AS (
+      SELECT doc_id, bkt, CAST(SUM(sgn) AS BIGINT) AS wt
+      FROM hashed GROUP BY doc_id, bkt HAVING SUM(sgn) <> 0
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           COALESCE(string_agg(printf('%02d:%d', bkt, wt), ' ' ORDER BY bkt), '') AS fvec
+    FROM vec GROUP BY doc_id
+    """,
+    tags=("extension", "pipeline", "text"),
+)(_ml_feature_hash)
+
+
+# ================= per-group Gini concentration =======================
+def _stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of (shifted-positive) customer account balance
+    within each nation — the concentration/inequality profile a data-
+    balance audit wants per stratum (is one source/nation dominating
+    the value mass?). Rank formula G = (2*Σ r_i x_(i) - (n+1) Σ x) /
+    (n Σ x) on the within-nation rank.
+
+    Scale shape: ONE shuffle on nation; the rank window is PARTITIONED
+    by nation (parallel across strata, never global), ties broken by
+    the unique key for a deterministic rank; the group aggregate reuses
+    the window's clustering — no second exchange. Balances are shifted
+    by +1000 (documented) so the mass is strictly positive."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", (F.col("c_acctbal") + 1000.0).alias("xs")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("xs").asc(), F.col("c_custkey").asc()
+    )
+    r = c.withColumn("r", F.row_number().over(w).cast("long"))
+    g = r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("r") * F.col("xs"), "srx"),
+        dsum(F.col("xs"), "sx"),
+    )
+    gini = (2 * F.col("srx") - (F.col("n") + 1) * F.col("sx")) / (
+        F.col("n") * F.col("sx")
+    )
+    return g.select(
+        "c_nationkey", "n", gini.cast(DEC).cast("double").alias("gini")
+    )
+
+
+query(
+    "q_stats_gini",
+    """
+    WITH r AS (
+      SELECT c_nationkey, c_acctbal + 1000.0 AS xs,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY c_acctbal + 1000.0 ASC, c_custkey ASC) AS BIGINT) AS r
+      FROM customer
+    ),
+    g AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(r * xs AS DECIMAL(18,6))) AS DOUBLE) AS srx,
+             CAST(SUM(CAST(xs AS DECIMAL(18,6))) AS DOUBLE) AS sx
+      FROM r GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n,
+           CAST(CAST((2 * srx - (n + 1) * sx) / (n * sx) AS DECIMAL(18,6)) AS DOUBLE)
+             AS gini
+    FROM g
+    """,
+    tags=("extension", "stats", "profiling"),
+)(_stats_gini)
+
+
+# ================= MAD robust anomaly scores ==========================
+def _events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-scores per event type — the outlier detector
+    that survives heavy tails where q_events_outliers' moment-based z
+    gets dragged by the outliers themselves (median breakdown point 50%
+    vs 0% for the mean). z = 0.6745 * (x - med) / MAD, |z| > 3.5 flags
+    (Iglewicz-Hoaglin).
+
+    Scale shape: two grouped exact medians (percentile sketch-free —
+    same engine pairing the green q_fn_median uses) over the SAME
+    event_type clustering, each a single shuffle; the per-type (med,
+    mad) table is category-sized and broadcast back; the scored pass
+    filters to the sampled ids FIRST so no full-table rescan. At 100 TB
+    swap percentile for percentile_approx (documented mode switch, same
+    plan shape)."""
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"),
+        )
+    )
+    z = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        e.filter(F.col("event_id") % 97 == 0)
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("med").cast(DEC).cast("double").alias("med"),
+            F.col("mad").cast(DEC).cast("double").alias("mad"),
+            F.when(F.col("mad") > 0, z.cast(DEC).cast("double")).alias("robust_z"),
+            F.when(F.col("mad") > 0, F.abs(z) > 3.5).otherwise(F.lit(False)).alias(
+                "is_anomaly"
+            ),
+        )
+    )
+
+
+query(
+    "q_events_anomaly_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, MIN(m.med) AS med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(CAST(m.med AS DECIMAL(18,6)) AS DOUBLE) AS med,
+           CAST(CAST(m.mad AS DECIMAL(18,6)) AS DOUBLE) AS mad,
+           CASE WHEN m.mad > 0 THEN
+             CAST(CAST(0.6745 * (e.value - m.med) / m.mad AS DECIMAL(18,6)) AS DOUBLE)
+           END AS robust_z,
+           CASE WHEN m.mad > 0 THEN abs(0.6745 * (e.value - m.med) / m.mad) > 3.5
+                ELSE FALSE END AS is_anomaly
+    FROM events e JOIN mad m USING (event_type)
+    WHERE e.event_id % 97 = 0
+    """,
+    tags=("extension", "events", "cleaning", "stats"),
+)(_events_anomaly_mad)
