@@ -2,7 +2,8 @@
 engineering — entropy / mutual information, chi-squared independence,
 closed-form multivariate OLS, Benford first-digit audit, leave-one-out
 target encoding, hashing-trick feature vectors, per-group Gini
-concentration, and MAD-based robust anomaly scores.
+concentration, MAD-based robust anomaly scores, NDCG@k ranking
+evaluation, Cohen's kappa agreement, and classifier calibration (ECE).
 
 Like the earlier waves these are statements the reference engine
 (datafusion-wasm-bindings executes arbitrary SQL through DataFusion,
@@ -614,3 +615,272 @@ query(
     """,
     tags=("extension", "events", "cleaning", "stats"),
 )(_events_anomaly_mad)
+
+
+# ================= NDCG@k ranking evaluation ==========================
+_NDCG_K = 10
+
+
+def _rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per event type — the ranking-quality metric a search /
+    retrieval training pipeline evaluates every candidate model with.
+    Model score = `value`; graded relevance = a deterministic pseudo-
+    label (user_id % 4, FIXTURES-seeded) so both engines share exact
+    labels. DCG uses the (2^rel - 1) / log2(rank + 1) gain; IDCG ranks
+    by relevance itself; rank ties broken by event_id on both sides.
+
+    Scale shape: both rankings are windows PARTITIONED by the query key
+    (parallel across queries, never global); rows beyond rank k drop
+    immediately, so the aggregate sees k rows per query. Per-rank gain
+    terms are quantized to DECIMAL(18,6) before the exact sum; the
+    final ratio divides two quantized sums."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").alias("score"),
+        (F.col("user_id") % 4).cast("long").alias("rel"),
+    )
+    wm = Window.partitionBy("event_type").orderBy(
+        F.col("score").desc(), F.col("event_id").asc()
+    )
+    wi = Window.partitionBy("event_type").orderBy(
+        F.col("rel").desc(), F.col("event_id").asc()
+    )
+    gain = lambda r: (F.pow(F.lit(2.0), F.col("rel")) - 1) / (  # noqa: E731
+        F.log(2.0, r + 1)
+    )
+    dcg = (
+        e.withColumn("r", F.row_number().over(wm))
+        .filter(F.col("r") <= _NDCG_K)
+        .groupBy("event_type")
+        .agg(dsum(gain(F.col("r")), "dcg"))
+    )
+    idcg = (
+        e.withColumn("r", F.row_number().over(wi))
+        .filter(F.col("r") <= _NDCG_K)
+        .groupBy("event_type")
+        .agg(dsum(gain(F.col("r")), "idcg"))
+    )
+    return (
+        dcg.join(idcg, "event_type")
+        .select(
+            "event_type",
+            "dcg",
+            "idcg",
+            (F.col("dcg") / F.col("idcg")).cast(DEC).cast("double").alias("ndcg"),
+        )
+    )
+
+
+query(
+    "q_rank_ndcg",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type, value AS score,
+             CAST(user_id % 4 AS BIGINT) AS rel
+      FROM events
+    ),
+    dcg AS (
+      SELECT event_type, CAST(SUM(CAST((pow(2.0, rel) - 1) / (ln(r + 1) / ln(2.0))
+               AS DECIMAL(18,6))) AS DOUBLE) AS dcg
+      FROM (SELECT event_type, rel,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY score DESC, event_id ASC) AS r FROM e)
+      WHERE r <= {_NDCG_K} GROUP BY event_type
+    ),
+    idcg AS (
+      SELECT event_type, CAST(SUM(CAST((pow(2.0, rel) - 1) / (ln(r + 1) / ln(2.0))
+               AS DECIMAL(18,6))) AS DOUBLE) AS idcg
+      FROM (SELECT event_type, rel,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY rel DESC, event_id ASC) AS r FROM e)
+      WHERE r <= {_NDCG_K} GROUP BY event_type
+    )
+    SELECT event_type, dcg, idcg,
+           CAST(CAST(dcg / idcg AS DECIMAL(18,6)) AS DOUBLE) AS ndcg
+    FROM dcg JOIN idcg USING (event_type)
+    """,
+    tags=("extension", "stats", "similarity"),
+)(_rank_ndcg)
+
+
+# ================= Cohen's kappa inter-rater agreement ================
+def _stats_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic 'annotators' of orders
+    (rater A = o_orderstatus; rater B = a seeded relabeling over the
+    same {F,O,P} space) — the label-quality audit run before trusting
+    crowd/model annotations: kappa = (p_o - p_e) / (1 - p_e), chance
+    agreement from the marginal product.
+
+    Scale shape: one combinable shuffle to the |labels|^2 agreement
+    matrix; marginals, p_o, p_e all run on the category-sized table."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("a"),
+        F.element_at(
+            F.array(F.lit("F"), F.lit("O"), F.lit("P")),
+            ((F.col("o_custkey") + F.col("o_orderkey")) % 3 + 1).cast("int"),
+        ).alias("b"),
+    )
+    m = o.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ra = m.groupBy("a").agg(F.sum("cnt").cast("long").alias("na"))
+    cb = m.groupBy("b").agg(F.sum("cnt").cast("long").alias("nb"))
+    tot = m.agg(F.sum("cnt").cast("long").alias("n"))
+    po = (
+        m.filter(F.col("a") == F.col("b"))
+        .agg(F.sum("cnt").cast("long").alias("agree"))
+        .crossJoin(F.broadcast(tot))
+        .select("n", "agree", (F.col("agree") / F.col("n")).alias("po"))
+    )
+    pe = (
+        ra.join(cb, ra.a == cb.b)
+        .crossJoin(F.broadcast(tot))
+        .agg(dsum(F.col("na") * F.col("nb") / (F.col("n") * F.col("n")), "pe"))
+    )
+    return po.crossJoin(pe).select(
+        "n",
+        "agree",
+        F.col("po").cast(DEC).cast("double").alias("p_o"),
+        "pe",
+        ((F.col("po") - F.col("pe")) / (1 - F.col("pe")))
+        .cast(DEC)
+        .cast("double")
+        .alias("kappa"),
+    )
+
+
+query(
+    "q_stats_kappa",
+    """
+    WITH o AS (
+      SELECT o_orderstatus AS a,
+             ['F', 'O', 'P'][CAST((o_custkey + o_orderkey) % 3 + 1 AS INTEGER)] AS b
+      FROM orders
+    ),
+    m AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM o GROUP BY a, b),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM m),
+    po AS (
+      SELECT n, CAST(COALESCE(SUM(cnt) FILTER (a = b), 0) AS BIGINT) AS agree
+      FROM m CROSS JOIN tot GROUP BY n
+    ),
+    pe AS (
+      SELECT CAST(SUM(CAST(CAST(ra.na AS DOUBLE) * cb.nb / (n * CAST(n AS DOUBLE))
+               AS DECIMAL(18,6))) AS DOUBLE) AS pe
+      FROM (SELECT a, CAST(SUM(cnt) AS BIGINT) AS na FROM m GROUP BY a) ra
+      JOIN (SELECT b, CAST(SUM(cnt) AS BIGINT) AS nb FROM m GROUP BY b) cb
+        ON ra.a = cb.b
+      CROSS JOIN tot
+    )
+    SELECT n, agree,
+           CAST(CAST(CAST(agree AS DOUBLE) / n AS DECIMAL(18,6)) AS DOUBLE) AS p_o,
+           pe,
+           CAST(CAST((CAST(agree AS DOUBLE) / n - pe) / (1 - pe) AS DECIMAL(18,6))
+                AS DOUBLE) AS kappa
+    FROM po CROSS JOIN pe
+    """,
+    tags=("extension", "stats", "quality"),
+)(_stats_kappa)
+
+
+# ================= score calibration / reliability curve ==============
+def _ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve + expected calibration error for a probability
+    score against a binary outcome — the post-training audit that a
+    classifier's 0.8 really means 80%. Score = logistic of centered
+    order value (deterministic stand-in for a model head); label =
+    order is URGENT. The score is QUANTIZED to DECIMAL(18,6) BEFORE
+    binning, so a last-ulp exp() divergence can never flip a bin edge
+    across engines (CLAUDE.md pitfall g).
+
+    Scale shape: one map-side-combinable shuffle to the 10-bin table;
+    ECE re-aggregates those 10 rows and is cross-joined back — two
+    scans of a 10-row relation, one of the data."""
+    o = table(spark, sf_dir, "orders").select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+        (
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(-(F.col("o_totalprice") - F.lit(150000.0)) / F.lit(60000.0))
+            )
+        )
+        .cast(DEC)
+        .cast("double")
+        .alias("score"),
+    )
+    b = o.select(
+        "y",
+        "score",
+        F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("long").alias("bin"),
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bin"),
+        dsum(F.col("score"), "s_score"),
+        F.sum("y").cast("long").alias("s_y"),
+    )
+    tot = g.agg(F.sum("n_bin").cast("long").alias("n_all"))
+    conf = F.col("s_score") / F.col("n_bin")
+    acc = F.col("s_y") / F.col("n_bin")
+    # The quotients surface RAW (davg convention): both engines divide
+    # identical exact-decimal sums by identical counts — bit-equal
+    # doubles. Quantizing them instead would EXPOSE midpoints: a
+    # 6-decimal numerator over a small count lands exactly between two
+    # DECIMAL(18,6) neighbors, where Spark (shortest-repr HALF_UP) and
+    # DuckDB (exact-binary nearest) round apart — observed live on
+    # abs_gap at sf0.001.
+    per_bin = g.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_bin",
+        conf.alias("mean_score"),
+        acc.alias("event_rate"),
+        F.abs(conf - acc).alias("abs_gap"),
+        "n_all",
+    )
+    # ECE = Σ n_bin·gap / N: integer-weighted terms quantized for the
+    # order-independent sum, one raw final division.
+    ece = per_bin.agg(
+        (
+            F.sum((F.col("n_bin") * F.col("abs_gap")).cast(DEC)).cast("double")
+            / F.first("n_all")
+        ).alias("ece")
+    )
+    return per_bin.crossJoin(F.broadcast(ece)).select(
+        "bin", "n_bin", "mean_score", "event_rate", "abs_gap", "ece"
+    )
+
+
+query(
+    "q_ml_calibration",
+    """
+    WITH o AS (
+      SELECT CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS y,
+             CAST(CAST(1.0 / (1.0 + exp(-(o_totalprice - 150000.0) / 60000.0))
+                  AS DECIMAL(18,6)) AS DOUBLE) AS score
+      FROM orders
+    ),
+    b AS (SELECT y, score,
+                 CAST(least(floor(score * 10), 9) AS BIGINT) AS bin FROM o),
+    g AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_bin,
+             CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS s_score,
+             CAST(SUM(y) AS BIGINT) AS s_y
+      FROM b GROUP BY bin
+    ),
+    tot AS (SELECT CAST(SUM(n_bin) AS BIGINT) AS n_all FROM g),
+    per_bin AS (
+      SELECT bin, n_bin,
+             s_score / n_bin AS mean_score,
+             CAST(s_y AS DOUBLE) / n_bin AS event_rate,
+             abs(s_score / n_bin - CAST(s_y AS DOUBLE) / n_bin) AS abs_gap,
+             n_all
+      FROM g CROSS JOIN tot
+    ),
+    ece AS (
+      SELECT CAST(SUM(CAST(n_bin * abs_gap AS DECIMAL(18,6))) AS DOUBLE) / MIN(n_all)
+               AS ece
+      FROM per_bin
+    )
+    SELECT bin, n_bin, mean_score, event_rate, abs_gap, ece
+    FROM per_bin CROSS JOIN ece
+    """,
+    tags=("extension", "stats", "pipeline", "quality"),
+)(_ml_calibration)
