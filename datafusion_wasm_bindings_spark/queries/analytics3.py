@@ -381,12 +381,12 @@ def _ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(g), "c_nationkey")
         .crossJoin(F.broadcast(tot))
     )
-    return out.select(
-        "o_orderkey",
-        "c_nationkey",
-        "t",
-        enc.cast(DEC).cast("double").alias("nation_te"),
-    )
+    # enc surfaces RAW (CLAUDE.md pitfall h): it is integer sums + one
+    # integer-ratio prior pushed through an identical expression tree —
+    # bit-equal doubles on both engines by construction; quantizing
+    # would only ADD a decimal-midpoint failure mode (the numerator can
+    # be an exact decimal when the prior's expansion terminates).
+    return out.select("o_orderkey", "c_nationkey", "t", enc.alias("nation_te"))
 
 
 query(
@@ -410,10 +410,8 @@ query(
       SELECT CAST(COUNT(*) AS BIGINT) AS n_all, CAST(SUM(t) AS BIGINT) AS s_all FROM j
     )
     SELECT j.o_orderkey, j.c_nationkey, j.t,
-           CAST(CAST(
-             (g.s_g - j.t + {_TE_M} * (CAST(tot.s_all AS DOUBLE) / tot.n_all))
-               / (g.n_g - 1 + {_TE_M})
-           AS DECIMAL(18,6)) AS DOUBLE) AS nation_te
+           (g.s_g - j.t + {_TE_M} * (CAST(tot.s_all AS DOUBLE) / tot.n_all))
+             / (g.n_g - 1 + {_TE_M}) AS nation_te
     FROM j JOIN g USING (c_nationkey) CROSS JOIN tot
     WHERE j.o_orderkey % 997 = 0
     """,
