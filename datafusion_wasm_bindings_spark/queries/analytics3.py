@@ -46,6 +46,10 @@ def _stats_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # materialize the |X|x|Y|-row table once (house pattern for
+        # reused subtrees): every derived marginal/entropy branch below
+        # would otherwise re-derive it — 6 scans of the fact table.
+        .localCheckpoint()
     )
     tot = joint.agg(F.sum("cnt").cast("long").alias("n"))
     px = joint.groupBy("o_orderpriority").agg(F.sum("cnt").cast("long").alias("nx"))
@@ -123,6 +127,7 @@ def _stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # one fact scan; marginals reuse the cells
     )
     rx = joint.groupBy("x").agg(F.sum("cnt").cast("long").alias("nx"))
     cy = joint.groupBy("y").agg(F.sum("cnt").cast("long").alias("ny"))
@@ -299,6 +304,7 @@ def _stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        .localCheckpoint()  # one fact scan; the total reuses the 9 rows
     )
     tot = digits.agg(F.sum("n_obs").cast("long").alias("n_all"))
     freq = F.col("n_obs") / F.col("n_all")
@@ -363,13 +369,19 @@ def _ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     j = o.join(c, o.o_custkey == c.c_custkey)
-    g = j.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_g"),
-        F.sum("t").cast("long").alias("s_g"),
+    g = (
+        j.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("t").cast("long").alias("s_g"),
+        )
+        .localCheckpoint()  # one stats pass over the join
     )
-    tot = j.agg(
-        F.count(F.lit(1)).cast("long").alias("n_all"),
-        F.sum("t").cast("long").alias("s_all"),
+    # global prior FROM the per-nation stats (25 rows) — re-deriving it
+    # from j would run the orders⋈customer join a second time.
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n_all"),
+        F.sum("s_g").cast("long").alias("s_all"),
     )
     prior = F.col("s_all") / F.col("n_all")
     enc = (F.col("s_g") - F.col("t") + F.lit(_TE_M) * prior) / (
@@ -719,7 +731,11 @@ def _stats_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("o_custkey") + F.col("o_orderkey")) % 3 + 1).cast("int"),
         ).alias("b"),
     )
-    m = o.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    m = (
+        o.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()  # one fact scan; marginals/diagonal reuse it
+    )
     ra = m.groupBy("a").agg(F.sum("cnt").cast("long").alias("na"))
     cb = m.groupBy("b").agg(F.sum("cnt").cast("long").alias("nb"))
     tot = m.agg(F.sum("cnt").cast("long").alias("n"))
@@ -810,10 +826,14 @@ def _ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("long").alias("bin"),
     )
-    g = b.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bin"),
-        dsum(F.col("score"), "s_score"),
-        F.sum("y").cast("long").alias("s_y"),
+    g = (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bin"),
+            dsum(F.col("score"), "s_score"),
+            F.sum("y").cast("long").alias("s_y"),
+        )
+        .localCheckpoint()  # one fact scan; total + ECE reuse the bins
     )
     tot = g.agg(F.sum("n_bin").cast("long").alias("n_all"))
     conf = F.col("s_score") / F.col("n_bin")
