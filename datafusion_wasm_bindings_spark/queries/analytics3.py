@@ -902,3 +902,225 @@ query(
     """,
     tags=("extension", "stats", "pipeline", "quality"),
 )(_ml_calibration)
+
+
+# ================= Kaplan-Meier survival curve ========================
+def _stats_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of time-to-first-'error' per user
+    — the churn/time-to-event curve a reliability or retention analysis
+    starts from. A user's observation window is [first event, last
+    event]; users with an 'error' anywhere are events (duration = full
+    window, in whole hours), everyone else is right-censored at their
+    last observation. S(t) = Π_{t_i<=t} (1 - d_i/n_i) over the hour
+    grid, with the standard deaths-before-censors tie rule.
+
+    Scale shape: one map-combinable shuffle reduces events to one row
+    per user; a second combinable shuffle reduces users to the bounded
+    HOUR grid (fixture span => a few hundred rows). The cumulative
+    at-risk / log-survival windows then run GLOBALLY — but over the
+    grid relation only, the same driver-trivial tiny-global-window
+    shape as q_pipeline_rownum's bucket offsets. The product is
+    exp(Σ ln) with per-grid-row quantized logs (pitfall g); a
+    d_i = n_i extinction row injects a -100 log-unit sentinel whose
+    exp underflows to exactly 0.000000 under the DECIMAL quantization
+    on both engines."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+        F.max((F.col("event_type") == "error").cast("long")).alias("died"),
+    )
+    grid = (
+        u.select(
+            F.floor((F.col("hi") - F.col("lo")) / F.lit(3_600_000_000)).cast("long").alias("dur_h"),
+            "died",
+        )
+        .groupBy("dur_h")
+        .agg(
+            F.sum("died").cast("long").alias("d"),
+            F.sum(1 - F.col("died")).cast("long").alias("c"),
+        )
+    )
+    w_all = Window.orderBy("dur_h").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, 0)
+    staged = grid.select(
+        "dur_h",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    qln = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.floor(
+            F.log(F.lit(1.0) - F.col("d") / F.cast("double", F.col("n_risk")))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(-100_000_000))
+    return (
+        staged.withColumn("qln", qln)
+        .select(
+            "dur_h",
+            "n_risk",
+            "d",
+            "c",
+            F.exp(F.sum("qln").over(w_cum) / F.lit(1e6))
+            .cast(DEC)
+            .cast("double")
+            .alias("survival"),
+        )
+    )
+
+
+query(
+    "q_stats_survival",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS hi,
+             MAX(CAST(event_type = 'error' AS BIGINT)) AS died
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT CAST(floor((hi - lo) / 3600000000.0) AS BIGINT) AS dur_h,
+             CAST(SUM(died) AS BIGINT) AS d,
+             CAST(SUM(1 - died) AS BIGINT) AS c
+      FROM u GROUP BY 1
+    ),
+    staged AS (
+      SELECT dur_h, d, c,
+             CAST(SUM(d + c) OVER () -
+                  COALESCE(SUM(d + c) OVER (ORDER BY dur_h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM grid
+    ),
+    logs AS (
+      SELECT dur_h, n_risk, d, c,
+             CASE WHEN d < n_risk THEN
+               CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1000000 + 0.5) AS BIGINT)
+             ELSE -100000000 END AS qln
+      FROM staged
+    )
+    SELECT dur_h, n_risk, d, c,
+           CAST(CAST(exp(SUM(qln) OVER (ORDER BY dur_h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1e6)
+                AS DECIMAL(18,6)) AS DOUBLE) AS survival
+    FROM logs
+    """,
+    tags=("extension", "stats", "events", "behavior"),
+)(_stats_survival)
+
+
+# ================= CUPED variance-reduced A/B readout =================
+def _events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout (Deng et al. 2013): the
+    variance-reduction step every mature A/B platform applies before
+    the t-test. Covariate X = a user's value-mass on even event ids,
+    outcome Y = on odd ids (a deterministic fixture surrogate for
+    pre/post-period metrics); arm = user_id parity. theta = cov(X,Y) /
+    var(X) pooled; adjusted mean = (S_y - theta * (S_x - n * x_bar)) / n;
+    achieved variance ratio = 1 - cov^2 / (var_x * var_y).
+
+    Scale shape: one combinable shuffle to per-user (x, y); one more to
+    the 2-row per-arm moment table; the pooled moments are window sums
+    OVER the 2-row relation (two-operand adds — deterministic without
+    quantization), so the fact data is never rescanned and theta needs
+    no broadcast join back. Every surfaced column is raw double
+    arithmetic on exact decimal sums (pitfall h: quantizing the
+    mean-style quotients would add midpoint risk, not remove any)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+    )
+    pu = e.groupBy("user_id").agg(
+        dsum(F.when(F.col("event_id") % 2 == 0, F.col("value")).otherwise(0.0), "x"),
+        dsum(F.when(F.col("event_id") % 2 == 1, F.col("value")).otherwise(0.0), "y"),
+    )
+    g = pu.groupBy((F.col("user_id") % 2).cast("long").alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("x"), "sx"),
+        dsum(F.col("y"), "sy"),
+        dsum(F.col("x") * F.col("x"), "sxx"),
+        dsum(F.col("x") * F.col("y"), "sxy"),
+        dsum(F.col("y") * F.col("y"), "syy"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = g.select(
+        "arm",
+        "n",
+        "sx",
+        "sy",
+        F.sum("n").over(w).alias("nt"),
+        F.sum("sx").over(w).alias("sxt"),
+        F.sum("sy").over(w).alias("syt"),
+        F.sum("sxx").over(w).alias("sxxt"),
+        F.sum("sxy").over(w).alias("sxyt"),
+        F.sum("syy").over(w).alias("syyt"),
+    )
+    cov = F.col("sxyt") - F.col("sxt") * F.col("syt") / F.col("nt")
+    varx = F.col("sxxt") - F.col("sxt") * F.col("sxt") / F.col("nt")
+    vary = F.col("syyt") - F.col("syt") * F.col("syt") / F.col("nt")
+    theta = cov / varx
+    xbar = F.col("sxt") / F.col("nt")
+    return tot.select(
+        "arm",
+        "n",
+        (F.col("sy") / F.col("n")).alias("mean_y"),
+        (
+            (F.col("sy") - theta * (F.col("sx") - F.col("n") * xbar)) / F.col("n")
+        ).alias("mean_y_cuped"),
+        theta.alias("theta"),
+        (F.lit(1.0) - cov * cov / (varx * vary)).alias("var_ratio"),
+    )
+
+
+query(
+    "q_events_cuped",
+    """
+    WITH pu AS (
+      SELECT user_id,
+             CAST(SUM(CAST(CASE WHEN event_id % 2 = 0 THEN value ELSE 0.0 END
+                  AS DECIMAL(18,6))) AS DOUBLE) AS x,
+             CAST(SUM(CAST(CASE WHEN event_id % 2 = 1 THEN value ELSE 0.0 END
+                  AS DECIMAL(18,6))) AS DOUBLE) AS y
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y * y AS DECIMAL(18,6))) AS DOUBLE) AS syy
+      FROM pu GROUP BY 1
+    ),
+    tot AS (
+      SELECT arm, n, sx, sy,
+             SUM(n) OVER () AS nt, SUM(sx) OVER () AS sxt, SUM(sy) OVER () AS syt,
+             SUM(sxx) OVER () AS sxxt, SUM(sxy) OVER () AS sxyt,
+             SUM(syy) OVER () AS syyt
+      FROM g
+    )
+    SELECT arm, CAST(n AS BIGINT) AS n,
+           sy / n AS mean_y,
+           (sy - ((sxyt - sxt * syt / nt) / (sxxt - sxt * sxt / nt))
+                 * (sx - n * (sxt / nt))) / n AS mean_y_cuped,
+           (sxyt - sxt * syt / nt) / (sxxt - sxt * sxt / nt) AS theta,
+           1.0 - (sxyt - sxt * syt / nt) * (sxyt - sxt * syt / nt)
+             / ((sxxt - sxt * sxt / nt) * (syyt - syt * syt / nt)) AS var_ratio
+    FROM tot
+    """,
+    tags=("extension", "events", "stats", "behavior"),
+)(_events_cuped)
