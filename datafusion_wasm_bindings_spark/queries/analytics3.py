@@ -1124,3 +1124,137 @@ query(
     """,
     tags=("extension", "events", "stats", "behavior"),
 )(_events_cuped)
+
+
+# ================= weight-of-evidence encoding ========================
+def _ml_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value for customer
+    nation against the URGENT-order target — credit-scoring's standard
+    monotone categorical encoding and its feature-strength summary:
+    WOE_k = ln(share of positives in k / share of negatives in k) with
+    0.5 Laplace smoothing, IV = Σ_k (p_k - q_k) * WOE_k.
+
+    Scale shape: same as q_ml_target_encode's stats pass — the natural-
+    key join then ONE combinable shuffle to the |nations|-row table;
+    WOE/IV arithmetic runs entirely on that tiny relation (window sum
+    for IV — 25 rows). WOE quantizes per category (ln-derived, pitfall
+    g) BEFORE the exact IV sum."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("t"),
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("t").cast("long").alias("n_pos"),
+        )
+        .localCheckpoint()  # one stats pass; totals reuse the 25 rows
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    staged = g.select(
+        "c_nationkey",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(w).alias("tot_pos"),
+        F.sum(F.col("n") - F.col("n_pos")).over(w).alias("tot_neg"),
+    )
+    pe = (F.col("n_pos") + 0.5) / (F.col("tot_pos") + 0.5)
+    qe = (F.col("n") - F.col("n_pos") + 0.5) / (F.col("tot_neg") + 0.5)
+    woe = F.log(pe / qe).cast(DEC).cast("double")
+    staged = staged.select(
+        "c_nationkey", "n", "n_pos", woe.alias("woe"), (pe - qe).alias("_d")
+    )
+    return staged.select(
+        "c_nationkey",
+        "n",
+        "n_pos",
+        "woe",
+        F.sum((F.col("_d") * F.col("woe")).cast(DEC))
+        .over(w)
+        .cast("double")
+        .alias("iv"),
+    )
+
+
+query(
+    "q_ml_woe_encode",
+    """
+    WITH g AS (
+      SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(o.o_orderpriority = '1-URGENT' AS BIGINT)) AS BIGINT)
+               AS n_pos
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    ),
+    staged AS (
+      SELECT c_nationkey, n, n_pos,
+             CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos,
+             CAST(SUM(n - n_pos) OVER () AS BIGINT) AS tot_neg
+      FROM g
+    ),
+    woed AS (
+      SELECT c_nationkey, n, n_pos,
+             CAST(CAST(ln(((n_pos + 0.5) / (tot_pos + 0.5))
+                        / ((n - n_pos + 0.5) / (tot_neg + 0.5)))
+                  AS DECIMAL(18,6)) AS DOUBLE) AS woe,
+             (n_pos + 0.5) / (tot_pos + 0.5)
+               - (n - n_pos + 0.5) / (tot_neg + 0.5) AS _d
+      FROM staged
+    )
+    SELECT c_nationkey, n, n_pos, woe,
+           CAST(SUM(CAST(_d * woe AS DECIMAL(18,6))) OVER () AS DOUBLE) AS iv
+    FROM woed
+    """,
+    tags=("extension", "pipeline", "stats"),
+)(_ml_woe_encode)
+
+
+# ================= BPE-style pair-frequency vocab step ================
+def _text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE vocabulary induction: the top-20 most
+    frequent ADJACENT character pairs over the corpus (the pair a BPE
+    trainer would merge first). Pure integer counting — no floats
+    anywhere.
+
+    Scale shape: tokenize → explode each word into its length-1
+    overlapping 2-grams (fan-out bounded by word length, never corpus
+    size) → ONE map-side-combinable count shuffle → TakeOrdered top-20
+    (never a full sort). Ties broken by the pair string."""
+    words = table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+query(
+    "q_text_bpe_merges",
+    """
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+      FROM words, LATERAL unnest(generate_series(1, length(w) - 1)) AS t(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 20
+    """,
+    tags=("extension", "text", "pipeline"),
+)(_text_bpe_merges)
