@@ -52,6 +52,7 @@ _MODULES = (
     "sources_q",
     "statements",
     "flagship",
+    "flagship2",
     "relational",
     "joins",
     "aggregates",

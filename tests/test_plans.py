@@ -808,3 +808,21 @@ def test_target_encode_and_benford_single_fact_pass(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, plan
     b = _plan(REGISTRY["q_stats_benford"].spark_fn(spark, sf_dir))
     assert b.count("Scan parquet") == 0 and "Scan ExistingRDD" in b, b
+
+
+def test_tpch_wave_plan_shapes(spark, sf_dir):
+    """The TPC-H expansion keeps the canonical physical shapes: Q6's
+    predicates push to the parquet scan; Q10/Q18's top-20 fuse to
+    TakeOrdered (no global sort); Q7/Q8 broadcast their nation/region
+    dims; Q4's EXISTS decorrelates to a semi join (no fact
+    duplication)."""
+    p6 = _plan(REGISTRY["q_tpch_q6"].spark_fn(spark, sf_dir))
+    assert "PushedFilters: [" in p6 and "l_shipdate" in p6.split("PushedFilters:", 1)[1].splitlines()[0], p6
+    for qid in ("q_tpch_q10", "q_tpch_q18"):
+        p = _plan(REGISTRY[qid].spark_fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in p, (qid, p)
+    for qid, min_bcast in (("q_tpch_q7", 2), ("q_tpch_q8", 3)):
+        p = _plan(REGISTRY[qid].spark_fn(spark, sf_dir))
+        assert p.count("BroadcastExchange") >= min_bcast, (qid, p)
+    p4 = _plan(REGISTRY["q_tpch_q4"].spark_fn(spark, sf_dir))
+    assert "LeftSemi" in p4, p4
