@@ -449,3 +449,195 @@ def editdist_join(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def l2_topk_bruteforce(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int],
+    k: int = 3,
+) -> DataFrame:
+    """Exact Euclidean top-k (integer-quantized squared distances —
+    exact int64 arithmetic, engine-identical). Same broadcast-queries /
+    no-corpus-shuffle plan as ``cosine_topk_bruteforce``; the exactness
+    baseline for the PQ-ADC path, which approximates L2."""
+    q = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), quantized(F.col("embedding")).alias("qv"))
+    )
+    corpus = embeddings.select("vec_id", quantized(F.col("embedding")).alias("cv"))
+    d2 = F.aggregate(
+        F.zip_with("cv", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("d2", d2)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("cand_id"), "rank", "d2")
+    )
+
+
+def pq_index(
+    embeddings: DataFrame,
+    *,
+    m_subspaces: int = 4,
+    n_codes: int = 8,
+    lloyd_iters: int = 1,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Product-quantization index (Jégou et al. 2011): split each
+    vector into ``m_subspaces`` contiguous subvectors, learn a small
+    per-subspace codebook (deterministic mini k-means, lowest-vec_id
+    seeds — same recipe as ``ivf_index``), and encode the corpus as m
+    small codes. The m×n_codes codebook replaces dims×8 bytes per
+    vector with m bytes — the memory trick that makes billion-vector
+    ANN fit.
+
+    Returns ``(codes, codebooks, sub_len)``: codes = (vec_id, sub_id,
+    code) — the persisted index, m rows per vector; codebooks =
+    (sub_id, code, cv) — tiny, broadcast at query time.
+
+    Scale: subvector explode is a map (fan-out m); each Lloyd step is
+    one broadcast-codebook assignment (map) + a (sub, code, dim)-keyed
+    combinable mean update — bytes ∝ m × n_codes × dims, independent
+    of corpus size."""
+    dim = embeddings.select(F.size("embedding").alias("d")).first()["d"]
+    sub_len = dim // m_subspaces
+    base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    subs = base.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m_subspaces - 1}),"
+                f" i -> slice(v, i * {sub_len} + 1, {sub_len}))"
+            )
+        ).alias("sub_id", "sv"),
+    )
+    w_init = Window.partitionBy("sub_id").orderBy("vec_id")
+    cb = (
+        subs.withColumn("__rk", F.row_number().over(w_init))
+        .filter(F.col("__rk") <= n_codes)
+        .select("sub_id", (F.col("__rk") - 1).alias("code"), F.col("sv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(lloyd_iters):
+        assigned = (
+            subs.join(F.broadcast(cb), "sub_id")
+            .withColumn("d2", _sq_dist("sv", "cv"))
+            .groupBy("vec_id", "sub_id")
+            .agg(F.min_by("code", "d2").alias("code"), F.first("sv").alias("sv"))
+        )
+        cb = (
+            assigned.select("sub_id", "code", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("sub_id", "code", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("sub_id", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    codes = (
+        subs.join(F.broadcast(cb), "sub_id")
+        .withColumn("d2", _sq_dist("sv", "cv"))
+        .groupBy("vec_id", "sub_id")
+        .agg(F.min_by("code", "d2").alias("code"))
+        .localCheckpoint(eager=True)
+    )
+    return codes, cb, sub_len
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    *,
+    query_ids: list[int],
+    k: int = 3,
+    m_subspaces: int = 4,
+    n_codes: int = 8,
+    lloyd_iters: int = 1,
+    rerank: int = 32,
+) -> DataFrame:
+    """ANN top-k via PQ asymmetric distance computation (ADC): the
+    query stays EXACT; each corpus vector's distance is approximated by
+    Σ_sub d²(q_sub, codebook[sub, code(vec, sub)]) — an m-entry table
+    lookup per vector instead of a dims-length scan.
+
+    Plan: the per-query distance TABLE (m × n_codes × |Q| rows) is
+    computed against the broadcast codebook and itself broadcast; the
+    codes relation joins it map-side and a (query, vec)-keyed
+    combinable sum produces ADC — the corpus never moves vectors at
+    query time, only (id, code) pairs. Completes the ANN triad: LSH
+    (data-independent), IVF (coarse partitions), PQ (compressed
+    exhaustive)."""
+    codes, cb, sub_len = pq_index(
+        embeddings,
+        m_subspaces=m_subspaces,
+        n_codes=n_codes,
+        lloyd_iters=lloyd_iters,
+    )
+    base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sub_len_expr = f"slice(v, sub_id * {sub_len} + 1, {sub_len})"
+    q_subs = (
+        base.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.expr(f"sequence(0, {m_subspaces - 1})")).alias("sub_id"),
+            F.col("v"),
+        )
+        .select("query_id", "sub_id", F.expr(sub_len_expr).alias("qsv"))
+    )
+    dtab = (
+        q_subs.join(F.broadcast(cb), "sub_id")
+        .select("query_id", "sub_id", "code", _sq_dist("qsv", "cv").alias("d2"))
+    )
+    cand = (
+        codes.join(F.broadcast(dtab), ["sub_id", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adc"))
+    )
+    # standard PQ deployment shape: ADC produces a SHORTLIST (top
+    # ``rerank`` per query), then the shortlist alone is re-ranked with
+    # exact distances — the corpus's full vectors are touched only for
+    # |Q| x rerank rows, preserving the compressed-scan economics while
+    # recovering the recall ADC's quantization error costs.
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    shortlist = (
+        cand.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    qv = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), quantized(F.col("v")).alias("qv")
+    )
+    exact = (
+        shortlist.join(base, "vec_id")
+        .withColumn("cv", quantized(F.col("v")))
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "d2",
+            F.aggregate(
+                F.zip_with("cv", "qv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("cand_id"), "rank", "d2")
+    )

@@ -426,6 +426,32 @@ def _sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("q_sim_ivf_topk", _RECALL_ORACLE, tags=("extension", "similarity"))(_sim_ivf)
 
 
+def _sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.similarity import (
+        l2_topk_bruteforce,
+        pq_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    approx = pq_topk(
+        emb,
+        query_ids=_QUERY_IDS,
+        k=3,
+        m_subspaces=8,
+        n_codes=16,
+        lloyd_iters=2,
+        # ADC shortlist of 64, exact re-rank: measured recall@3 >= 1/3
+        # per query on every fixture SF (the exactness baseline here is
+        # Euclidean, which PQ-ADC approximates)
+        rerank=64,
+    )
+    exact = l2_topk_bruteforce(emb, query_ids=_QUERY_IDS, k=3)
+    return _recall_vs_exact(approx, exact, min_hits=1)
+
+
+query("q_sim_pq_topk", _RECALL_ORACLE, tags=("extension", "similarity"))(_sim_pq)
+
+
 # ====================== text analysis ===================================
 def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.text import token_counts
