@@ -1258,3 +1258,72 @@ query(
     """,
     tags=("extension", "text", "pipeline"),
 )(_text_bpe_merges)
+
+
+# ================= differential-privacy noisy counts ==================
+_DP_EPS = 1.0
+
+
+def _profile_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy per-nation customer counts (epsilon = 1,
+    sensitivity 1) — the release format a privacy-reviewed aggregate
+    leaves the platform in, completing the governance set
+    (q_profile_kanon / q_pipeline_forget). The Laplace draw is
+    CONTENT-ADDRESSED for the oracle: u = md5-uniform of the group key
+    in (0,1), noise = -sign(u-1/2) * ln(1-2|u-1/2|) / eps — the inverse
+    CDF on engine-identical doubles (a production release would draw
+    from a CSPRNG instead; the mechanism, sensitivity bound, and
+    epsilon accounting are exactly what changes nothing at 100 TB).
+
+    Scale shape: one combinable count shuffle to the |nations| rows;
+    the noise is a per-row map on the tiny table. ln-derived output →
+    DECIMAL quantization (pitfall g)."""
+    g = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("c_nationkey").cast("string"), F.lit("dfwb-dp"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967297.0)
+    centered = u - 0.5
+    lap = (
+        -F.signum(centered)
+        * F.log(1 - 2 * F.abs(centered))
+        / F.lit(_DP_EPS)
+    )
+    return g.select(
+        "c_nationkey",
+        "n_true",
+        lap.cast(DEC).cast("double").alias("noise"),
+        (F.col("n_true") + lap).cast(DEC).cast("double").alias("n_dp"),
+    )
+
+
+query(
+    "q_profile_dp_counts",
+    f"""
+    WITH g AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM customer GROUP BY c_nationkey
+    ),
+    u AS (
+      SELECT c_nationkey, n_true,
+             (CAST('0x' || substr(md5(CAST(c_nationkey AS VARCHAR) || 'dfwb-dp'), 1, 8)
+                   AS BIGINT) + 1) / 4294967297.0 - 0.5 AS cu
+      FROM g
+    )
+    SELECT c_nationkey, n_true,
+           CAST(CAST(-sign(cu) * ln(1 - 2 * abs(cu)) / {_DP_EPS} AS DECIMAL(18,6))
+                AS DOUBLE) AS noise,
+           CAST(CAST(n_true + (-sign(cu) * ln(1 - 2 * abs(cu)) / {_DP_EPS})
+                AS DECIMAL(18,6)) AS DOUBLE) AS n_dp
+    FROM u
+    """,
+    tags=("extension", "stats", "profiling", "quality"),
+)(_profile_dp_counts)
