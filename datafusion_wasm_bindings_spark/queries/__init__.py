@@ -62,6 +62,7 @@ _MODULES = (
     "analytics",
     "analytics2",
     "analytics3",
+    "analytics4",
 )
 
 # Round-3 driver window (exactly 50 names, VERDICT r2 next-round #2):

@@ -1,0 +1,295 @@
+"""Eleventh-wave extension queries: classic business-analytics verbs —
+five-number boxplot profiles with IQR outlier counts, year-over-year
+growth, Pareto/ABC concentration classes, and cohort-LTV curves.
+
+Like the earlier waves these are statements the reference engine
+(datafusion-wasm-bindings executes arbitrary SQL through DataFusion,
+`/root/reference/src/lib.rs` execute_sql) could run textually; each is
+registered with a Spark-first physical shape chosen to survive 1000
+executors — the scale notes live on each query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_wasm_bindings_spark.queries import query
+from datafusion_wasm_bindings_spark.queries._util import DEC, dsum
+from datafusion_wasm_bindings_spark.sources.catalog import table
+
+
+# ================= five-number boxplot + IQR outliers =================
+def _profile_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type five-number summary (min/Q1/median/Q3/max) plus
+    the Tukey 1.5×IQR outlier count — the profiling verb behind every
+    box-and-whisker dashboard and robust-range data check.
+
+    Scale shape: one grouped exact-percentile aggregate per type (same
+    engine pairing as the green q_fn_median); the category-sized
+    summary broadcasts back for the outlier-count second pass, which
+    reuses the event_type clustering. Quantiles of 2-decimal fixture
+    values interpolate to ≤4 decimals — exact under the DECIMAL(18,6)
+    quantization on both engines."""
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    summ = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("value").alias("vmin"),
+        F.percentile(F.col("value"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med"),
+        F.percentile(F.col("value"), F.lit(0.75)).alias("q3"),
+        F.max("value").alias("vmax"),
+    )
+    out = (
+        e.join(F.broadcast(summ.select("event_type", "q1", "q3")), "event_type")
+        .filter(
+            (F.col("value") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+            | (F.col("value") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_outliers"))
+    )
+    q = lambda c, a: c.cast(DEC).cast("double").alias(a)  # noqa: E731
+    return (
+        summ.join(out, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            q(F.col("vmin"), "vmin"),
+            q(F.col("q1"), "q1"),
+            q(F.col("med"), "med"),
+            q(F.col("q3"), "q3"),
+            q(F.col("vmax"), "vmax"),
+            F.coalesce("n_outliers", F.lit(0)).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+query(
+    "q_profile_boxplot",
+    """
+    WITH summ AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(value) AS vmin,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.5) AS med,
+             quantile_cont(value, 0.75) AS q3,
+             MAX(value) AS vmax
+      FROM events GROUP BY event_type
+    ),
+    outl AS (
+      SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_outliers
+      FROM events e JOIN summ s USING (event_type)
+      WHERE e.value < s.q1 - 1.5 * (s.q3 - s.q1)
+         OR e.value > s.q3 + 1.5 * (s.q3 - s.q1)
+      GROUP BY e.event_type
+    )
+    SELECT s.event_type, s.n,
+           CAST(CAST(vmin AS DECIMAL(18,6)) AS DOUBLE) AS vmin,
+           CAST(CAST(q1 AS DECIMAL(18,6)) AS DOUBLE) AS q1,
+           CAST(CAST(med AS DECIMAL(18,6)) AS DOUBLE) AS med,
+           CAST(CAST(q3 AS DECIMAL(18,6)) AS DOUBLE) AS q3,
+           CAST(CAST(vmax AS DECIMAL(18,6)) AS DOUBLE) AS vmax,
+           CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers
+    FROM summ s LEFT JOIN outl o USING (event_type)
+    """,
+    tags=("extension", "profiling", "stats", "cleaning"),
+)(_profile_boxplot)
+
+
+# ================= year-over-year growth ==============================
+def _sales_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation — the KPI
+    verb every periodic business review runs. Revenue is the exact
+    decimal sum; the YoY ratio is raw double division of identical
+    sums (pitfall h).
+
+    Scale shape: orders⋈customer on the natural key, ONE combinable
+    shuffle to the |nations|×|years| table; the lag window runs on
+    that tiny relation, partitioned by nation."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").cast("long").alias("o_year"), "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_year")
+        .agg(dsum(F.col("o_totalprice"), "revenue"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return g.select(
+        "c_nationkey",
+        "o_year",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(prev.isNotNull(), F.col("revenue") / prev - 1.0).alias("yoy_growth"),
+    )
+
+
+query(
+    "q_sales_yoy",
+    """
+    WITH g AS (
+      SELECT c_nationkey, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey, o_year, revenue,
+           lag(revenue) OVER (PARTITION BY c_nationkey ORDER BY o_year)
+             AS prev_revenue,
+           CASE WHEN lag(revenue) OVER (PARTITION BY c_nationkey ORDER BY o_year)
+                     IS NOT NULL
+                THEN revenue / lag(revenue) OVER (PARTITION BY c_nationkey
+                       ORDER BY o_year) - 1.0 END AS yoy_growth
+    FROM g
+    """,
+    tags=("extension", "behavior", "window", "stats"),
+)(_sales_yoy)
+
+
+# ================= Pareto / ABC concentration =========================
+def _sales_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC analysis per nation: how many customers carry the
+    first 50% (class A) and next 30% (class B) of revenue — the
+    concentration verb behind every '80/20' review and inventory ABC
+    classification.
+
+    Scale shape: one combinable shuffle to per-customer revenue; the
+    rank + running-share windows are PARTITIONED by nation (parallel
+    across strata; at 1e9 customers per stratum the assignment switches
+    to the q_pipeline_rownum two-pass, same as q_events_rfm documents);
+    the final rollup reuses the nation clustering. Cumulative shares
+    are raw doubles from exact decimal sums — identical ranks and
+    thresholds on both engines (ties broken by customer key)."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(dsum(F.col("o_totalprice"), "rev"))
+    )
+    w_rank = Window.partitionBy("c_nationkey").orderBy(
+        F.col("rev").desc(), F.col("c_custkey").asc()
+    )
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("c_nationkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = per_cust.select(
+        "c_nationkey",
+        (
+            F.sum(F.col("rev").cast(DEC)).over(w_cum).cast("double")
+            / F.sum(F.col("rev").cast(DEC)).over(w_all).cast("double")
+        ).alias("cum_share"),
+    )
+    cls = F.when(F.col("cum_share") <= 0.5, "A").when(
+        F.col("cum_share") <= 0.8, "B"
+    ).otherwise("C")
+    return (
+        staged.select("c_nationkey", cls.alias("abc"))
+        .groupBy("c_nationkey", "abc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+query(
+    "q_sales_pareto",
+    """
+    WITH per_cust AS (
+      SELECT c_nationkey, c_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    staged AS (
+      SELECT c_nationkey,
+             CAST(SUM(CAST(rev AS DECIMAL(18,6))) OVER (PARTITION BY c_nationkey
+                    ORDER BY rev DESC, c_custkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(SUM(CAST(rev AS DECIMAL(18,6)))
+                    OVER (PARTITION BY c_nationkey) AS DOUBLE) AS cum_share
+      FROM per_cust
+    )
+    SELECT c_nationkey,
+           CASE WHEN cum_share <= 0.5 THEN 'A'
+                WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS abc,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM staged GROUP BY 1, 2
+    """,
+    tags=("extension", "behavior", "window", "stats"),
+)(_sales_pareto)
+
+
+# ================= cohort LTV curves ==================================
+def _events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-activity
+    month, cumulative value by months-since-cohort — the growth-team
+    view that q_events_retention counts and this query monetizes.
+
+    Scale shape: one shuffle assigns each user's cohort (min-ts
+    reduce, broadcast back is avoided by a window over user_id — the
+    same clustering the value rollup then reuses); the cohort×age
+    matrix is calendar-bounded, so its cumulative window is
+    driver-trivial. Month indices are exact integer arithmetic from
+    UTC-pinned timestamps."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    midx = (F.year("ts") * 12 + F.month("ts") - 1).cast("long")
+    w_user = Window.partitionBy("user_id")
+    staged = e.select(
+        "user_id",
+        "value",
+        midx.alias("m"),
+    ).withColumn("cohort_m", F.min("m").over(w_user))
+    g = (
+        staged.groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("age"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dsum(F.col("value"), "rev"),
+        )
+    )
+    w_cum = Window.partitionBy("cohort_m").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return g.select(
+        F.concat_ws(
+            "-",
+            F.floor(F.col("cohort_m") / 12).cast("long"),
+            F.lpad((F.col("cohort_m") % 12 + 1).cast("string"), 2, "0"),
+        ).alias("cohort"),
+        "age",
+        "n_events",
+        "rev",
+        F.sum(F.col("rev").cast(DEC)).over(w_cum).cast("double").alias("cum_rev"),
+    )
+
+
+query(
+    "q_events_ltv_cohort",
+    """
+    WITH staged AS (
+      SELECT user_id, value,
+             CAST(year(CAST(ts AS TIMESTAMP)) * 12
+                  + month(CAST(ts AS TIMESTAMP)) - 1 AS BIGINT) AS m,
+             CAST(MIN(year(CAST(ts AS TIMESTAMP)) * 12
+                  + month(CAST(ts AS TIMESTAMP)) - 1)
+                  OVER (PARTITION BY user_id) AS BIGINT) AS cohort_m
+      FROM events
+    ),
+    g AS (
+      SELECT cohort_m, m - cohort_m AS age,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      FROM staged GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_m // 12 AS BIGINT) || '-' ||
+             lpad(CAST(cohort_m % 12 + 1 AS VARCHAR), 2, '0') AS cohort,
+           CAST(age AS BIGINT) AS age, n_events, rev,
+           CAST(SUM(CAST(rev AS DECIMAL(18,6))) OVER (PARTITION BY cohort_m
+                  ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_rev
+    FROM g
+    """,
+    tags=("extension", "events", "behavior", "window"),
+)(_events_ltv_cohort)
