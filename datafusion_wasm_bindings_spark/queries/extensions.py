@@ -627,6 +627,132 @@ query(
 )(_text_langid)
 
 
+def _text_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision/recall/F1 of the langid classifier
+    against the documents.lang gold labels, plus macro-F1 — the
+    model-evaluation verb that turns q_text_langid's predictions into
+    a quality report (CLASSIFIER EVAL over the same plan).
+
+    Scale shape: reuses language_id's broadcast-lexicon scoring; the
+    confusion matrix is one combinable (label, pred) shuffle to a
+    |labels|²-sized table (checkpoint-materialized — tp/fp/support all
+    reuse it); metric arithmetic runs on that tiny relation. Per-label
+    F1 is quantized to DECIMAL(18,6) BEFORE the macro average so the
+    tiny-window sum is order-independent; precision/recall surface RAW
+    (integer ratios — pitfall h)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.text import language_id
+
+    pred = language_id(table(spark, sf_dir, "documents"), spark)
+    cm = (
+        pred.groupBy(F.col("lang"), F.col("lang_pred"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    support = cm.groupBy("lang").agg(F.sum("n").cast("long").alias("n_true"))
+    predtot = cm.groupBy("lang_pred").agg(F.sum("n").cast("long").alias("n_pred"))
+    tp = cm.filter(F.col("lang") == F.col("lang_pred")).select(
+        "lang", F.col("n").alias("tp")
+    )
+    m = (
+        support.join(tp, "lang", "left")
+        .join(predtot, support.lang == predtot.lang_pred, "left")
+        .select(
+            "lang",
+            "n_true",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+        )
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true")).otherwise(0.0)
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    staged = m.select(
+        "lang",
+        "n_true",
+        "tp",
+        "n_pred",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.cast("decimal(18,6)").cast("double").alias("f1"),
+    )
+    return staged.select(
+        "*",
+        (
+            F.sum(F.col("f1").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("macro_f1"),
+    )
+
+
+query(
+    "q_text_confusion",
+    f"""
+    WITH lex(lang_cand, tok) AS (VALUES {_lex_values()}),
+    toks AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+    hits AS (
+      SELECT doc_id, lang_cand, count(*) AS hits
+      FROM toks JOIN lex USING (tok) GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, lang_cand AS lang_pred,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang_cand DESC) AS rn
+      FROM hits
+    ),
+    pred AS (
+      SELECT d.doc_id, coalesce(b.lang_pred, 'und') AS lang_pred, d.lang
+      FROM documents d
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    ),
+    cm AS (
+      SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT s.lang, s.n_true,
+             CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+             CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred
+      FROM (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM cm GROUP BY lang) s
+      LEFT JOIN (SELECT lang, n AS tp FROM cm WHERE lang = lang_pred) t USING (lang)
+      LEFT JOIN (SELECT lang_pred, CAST(SUM(n) AS BIGINT) AS n_pred
+                 FROM cm GROUP BY lang_pred) p ON s.lang = p.lang_pred
+    ),
+    staged AS (
+      SELECT lang, n_true, tp, n_pred,
+             CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END
+               AS precision,
+             CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true ELSE 0.0 END
+               AS recall,
+             CAST(CAST(
+               CASE WHEN (CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred
+                          ELSE 0.0 END)
+                        + (CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true
+                           ELSE 0.0 END) > 0
+                    THEN 2 * (CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred
+                              ELSE 0.0 END)
+                           * (CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true
+                              ELSE 0.0 END)
+                         / ((CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred
+                             ELSE 0.0 END)
+                            + (CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true
+                               ELSE 0.0 END))
+                    ELSE 0.0 END
+             AS DECIMAL(18,6)) AS DOUBLE) AS f1
+      FROM m
+    )
+    SELECT lang, n_true, tp, n_pred, precision, recall, f1,
+           CAST(SUM(CAST(f1 AS DECIMAL(18,6))) OVER () AS DOUBLE)
+             / COUNT(*) OVER () AS macro_f1
+    FROM staged
+    """,
+    tags=("extension", "text", "stats", "quality"),
+)(_text_confusion)
+
+
 def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.text import repetition_scores
 
