@@ -293,3 +293,82 @@ query(
     """,
     tags=("extension", "events", "behavior", "window"),
 )(_events_ltv_cohort)
+
+
+# ================= Neyman-allocation stratified sample ================
+_NEYMAN_N = 400
+
+
+def _sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with NEYMAN allocation: the fixed budget is
+    split across strata proportionally to n_h·σ_h — the design that
+    minimizes estimator variance, vs the proportional allocation
+    q_sample_stratified draws. σ_h comes from the exact decimal-sum
+    variance identity (CLAUDE.md pitfall e); rows are then selected by
+    the engine-portable md5 rank within each stratum.
+
+    Scale shape: one combinable shuffle computes per-stratum moments
+    (category-sized, broadcast back); selection is a per-stratum md5
+    rank window — parallel across strata, top-a_h rows only."""
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC)).cast("double").alias("ss"),
+    )
+    sigma = F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n_h")) / (F.col("n_h") - 1)
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    alloc = g.select(
+        "event_type",
+        "n_h",
+        sigma.cast(DEC).cast("double").alias("sigma"),
+        F.floor(
+            F.lit(_NEYMAN_N)
+            * (F.col("n_h") * sigma)
+            / F.sum((F.col("n_h") * sigma).cast(DEC)).over(w_all).cast("double")
+        )
+        .cast("long")
+        .alias("a_h"),
+    )
+    draw = F.md5(F.concat(F.col("event_id").cast("string"), F.lit("dfwb-ney")))
+    w_sel = Window.partitionBy("event_type").orderBy(draw.asc(), F.col("event_id").asc())
+    return (
+        e.join(F.broadcast(alloc), "event_type")
+        .withColumn("rk", F.row_number().over(w_sel).cast("long"))
+        .filter(F.col("rk") <= F.col("a_h"))
+        .select("event_type", "event_id", "rk", "n_h", "sigma", "a_h")
+    )
+
+
+query(
+    "q_sample_neyman",
+    f"""
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS ss
+      FROM events GROUP BY event_type
+    ),
+    alloc AS (
+      SELECT event_type, n_h,
+             CAST(CAST(sqrt((ss - s * s / n_h) / (n_h - 1)) AS DECIMAL(18,6))
+                  AS DOUBLE) AS sigma,
+             CAST(floor({_NEYMAN_N} * (n_h * sqrt((ss - s * s / n_h) / (n_h - 1)))
+               / CAST(SUM(CAST(n_h * sqrt((ss - s * s / n_h) / (n_h - 1))
+                    AS DECIMAL(18,6))) OVER () AS DOUBLE)) AS BIGINT) AS a_h
+      FROM g
+    ),
+    ranked AS (
+      SELECT e.event_type, e.event_id, a.n_h, a.sigma, a.a_h,
+             CAST(row_number() OVER (PARTITION BY e.event_type
+               ORDER BY md5(CAST(e.event_id AS VARCHAR) || 'dfwb-ney') ASC,
+                        e.event_id ASC) AS BIGINT) AS rk
+      FROM events e JOIN alloc a USING (event_type)
+    )
+    SELECT event_type, event_id, rk, n_h, sigma, a_h
+    FROM ranked WHERE rk <= a_h
+    """,
+    tags=("extension", "sampling", "stats"),
+)(_sample_neyman)
