@@ -76,18 +76,15 @@ def _assign(v: DataFrame, centroids: list[Centroid]) -> DataFrame:
     )
 
 
-def kmeans_clusters(
+def fit_kmeans(
     embeddings: DataFrame,
     *,
     k: int = 4,
     iters: int = 2,
-) -> DataFrame:
-    """Lloyd's k-means, deterministically seeded by the ``k`` lowest
-    vec_ids, returning per-cluster stats after ``iters`` update rounds:
-    (cluster_id, n_vecs, min_vec, mean_inertia).
-
-    ``mean_inertia`` uses the decimal-sum recipe (queries/_util.py) so
-    the double total is order-independent."""
+) -> tuple[DataFrame, list[Centroid]]:
+    """Run the deterministic Lloyd fit (module docstring) and return
+    ``(assigned, centroids)``: the final per-vector assignment (vec_id,
+    x, cid, inertia) and the exact integer centroid state."""
     v = embeddings.select(
         "vec_id", quantized(F.col("embedding")).alias("x")
     ).withColumn("ssx", _norm2(F.col("x")))
@@ -117,7 +114,22 @@ def kmeans_clusters(
             for cid, dims in sorted(by_cid.items())
         ]
         assigned = _assign(v, centroids)
+    return assigned, centroids
 
+
+def kmeans_clusters(
+    embeddings: DataFrame,
+    *,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means, deterministically seeded by the ``k`` lowest
+    vec_ids, returning per-cluster stats after ``iters`` update rounds:
+    (cluster_id, n_vecs, min_vec, mean_inertia).
+
+    ``mean_inertia`` uses the decimal-sum recipe (queries/_util.py) so
+    the double total is order-independent."""
+    assigned, _ = fit_kmeans(embeddings, k=k, iters=iters)
     return (
         assigned.groupBy(F.col("cid").alias("cluster_id"))
         .agg(
@@ -133,5 +145,92 @@ def kmeans_clusters(
             "n_vecs",
             "min_vec",
             F.round("mean_inertia", 6).alias("mean_inertia"),
+        )
+    )
+
+
+def kmeans_quality(
+    embeddings: DataFrame,
+    *,
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Davies-Bouldin cluster-quality index over the fitted clustering:
+    DB = mean_i max_{j≠i} (S_i + S_j) / M_ij with S_i the mean
+    Euclidean distance to the centroid and M_ij the centroid-centroid
+    distance — the internal validation score a clustering-based
+    curation step (SemDeDup-style pruning, topic balancing) gates on.
+
+    Everything is derived from the exact fit state: per-row distances
+    are IEEE functions of exact integer sums (engine-identical), S_i
+    sums per-row DECIMAL-quantized square roots (order-independent),
+    and the k-row centroid matrix computes M_ij from the exact integer
+    centroid state — the pair ratios quantize before the max/mean.
+    S_i and the final DB surface RAW (CLAUDE.md pitfall h: quotients
+    of 6-decimal sums over counts are midpoint-prone).
+
+    Scale shape: the only corpus-sized work is the fit itself plus one
+    more per-cluster aggregate; the pair matrix is k² rows."""
+    assigned, centroids = fit_kmeans(embeddings, k=k, iters=iters)
+    spark = embeddings.sparkSession
+    si = assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        (
+            F.sum(F.sqrt(F.col("inertia")).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("s_mean"),
+    )
+    crows = [
+        (cid, [int(x) for x in s], int(n), int(sum(x * x for x in s)))
+        for cid, s, n in centroids
+    ]
+    cdf = spark.createDataFrame(
+        crows, "cid long, s array<long>, n long, ss long"
+    )
+    a, b = cdf.alias("a"), cdf.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.s"), F.col("b.s"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    m2 = (
+        F.col("a.ss").cast("double") / (F.col("a.n") * F.col("a.n"))
+        + F.col("b.ss").cast("double") / (F.col("b.n") * F.col("b.n"))
+        - 2 * dot.cast("double") / (F.col("a.n") * F.col("b.n"))
+    )
+    pairs = (
+        a.join(b, F.col("a.cid") != F.col("b.cid"))
+        .select(
+            F.col("a.cid").alias("ca"), F.col("b.cid").alias("cb"),
+            F.sqrt(m2).alias("mdist"),
+        )
+    )
+    sa = si.select(F.col("cluster_id").alias("ca"), F.col("s_mean").alias("s_a"))
+    sb = si.select(F.col("cluster_id").alias("cb"), F.col("s_mean").alias("s_b"))
+    r = (
+        pairs.join(F.broadcast(sa), "ca")
+        .join(F.broadcast(sb), "cb")
+        .groupBy(F.col("ca").alias("cluster_id"))
+        .agg(
+            F.max((F.col("s_a") + F.col("s_b")) / F.col("mdist"))
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("r_i")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        si.join(r, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_vecs",
+            "s_mean",
+            "r_i",
+            (
+                F.sum(F.col("r_i").cast("decimal(18,6)")).over(w).cast("double")
+                / F.count(F.lit(1)).over(w)
+            ).alias("db_index"),
         )
     )

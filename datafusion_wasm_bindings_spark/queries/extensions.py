@@ -2367,11 +2367,10 @@ def _cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int, iters: int) -> str:
+def _kmeans_chain(k: int, iters: int) -> str:
     """Unrolled Lloyd iterations as chained CTEs — the exact-integer
     centroid-state recipe (operators/clustering.py) makes every
-    assignment reproducible, so DuckDB replays the whole iterative fit
-    and the driver's full value check covers k-means end to end.
+    assignment reproducible, so DuckDB replays the whole iterative fit.
     ``norms.n2`` doubles as the per-vector squared norm (ssx)."""
     d_expr = (
         "CAST(cs.ss AS DOUBLE)/(cs.n*cs.n) - 2*CAST(d.dot AS DOUBLE)/cs.n"
@@ -2401,7 +2400,13 @@ def _kmeans_oracle(k: int, iters: int) -> str:
     cent{t + 1} AS (SELECT a.cid, c.i, sum(c.val) AS s, CAST(count(*) AS BIGINT) AS n
                     FROM asg{t} a JOIN comp c USING (vec_id) GROUP BY 1, 2)"""
             )
-    chain = ",".join(parts)
+    return ",".join(parts)
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Full value-check oracle for q_cluster_kmeans (per-cluster stats
+    after the replayed fit)."""
+    chain = _kmeans_chain(k, iters)
     return f"""
     WITH {_COMP.format(where="")},{chain}
     SELECT a.cid AS cluster_id,
@@ -2419,6 +2424,63 @@ query(
     _kmeans_oracle(_KMEANS_K, _KMEANS_ITERS),
     tags=("extension", "clustering", "similarity"),
 )(_cluster_kmeans)
+
+
+def _kmeans_db_oracle(k: int, iters: int) -> str:
+    """Davies-Bouldin index oracle: replays the fit chain, then derives
+    S_i (per-row DECIMAL-quantized sqrt distances, exact sum), the
+    centroid-pair matrix M_ij from the exact integer centroid state,
+    and DB = mean_i max_j (S_i+S_j)/M_ij. S_i and DB surface RAW
+    (pitfall h); the pair ratios quantize before max/mean."""
+    chain = _kmeans_chain(k, iters)
+    it = iters
+    return f"""
+    WITH {_COMP.format(where="")},{chain},
+    si AS (
+      SELECT a.cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(CAST(sqrt(CAST(n.n2 AS DOUBLE) + a.d) AS DECIMAL(18,6)))
+                  AS DOUBLE) / count(1) AS s_mean
+      FROM asg{it} a JOIN norms n USING (vec_id) GROUP BY a.cid
+    ),
+    cstat AS (SELECT cid, any_value(n) AS n, sum(s * s) AS ss
+              FROM cent{it} GROUP BY cid),
+    cdot AS (SELECT a.cid AS ca, b.cid AS cb, sum(a.s * b.s) AS dot
+             FROM cent{it} a JOIN cent{it} b ON a.i = b.i AND a.cid <> b.cid
+             GROUP BY 1, 2),
+    pairs AS (
+      SELECT d.ca, d.cb,
+             sqrt(CAST(sa.ss AS DOUBLE) / (sa.n * sa.n)
+                  + CAST(sb.ss AS DOUBLE) / (sb.n * sb.n)
+                  - 2 * CAST(d.dot AS DOUBLE) / (sa.n * sb.n)) AS mdist
+      FROM cdot d JOIN cstat sa ON d.ca = sa.cid JOIN cstat sb ON d.cb = sb.cid
+    ),
+    r AS (
+      SELECT p.ca AS cluster_id,
+             CAST(CAST(MAX((a.s_mean + b.s_mean) / p.mdist) AS DECIMAL(18,6))
+                  AS DOUBLE) AS r_i
+      FROM pairs p JOIN si a ON p.ca = a.cluster_id JOIN si b ON p.cb = b.cluster_id
+      GROUP BY p.ca
+    )
+    SELECT si.cluster_id, si.n_vecs, si.s_mean, r.r_i,
+           CAST(SUM(CAST(r.r_i AS DECIMAL(18,6))) OVER () AS DOUBLE)
+             / COUNT(*) OVER () AS db_index
+    FROM si JOIN r USING (cluster_id)
+    """
+
+
+def _cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_wasm_bindings_spark.operators.clustering import kmeans_quality
+
+    return kmeans_quality(
+        table(spark, sf_dir, "embeddings"), k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+
+
+query(
+    "q_cluster_quality",
+    _kmeans_db_oracle(_KMEANS_K, _KMEANS_ITERS),
+    tags=("extension", "clustering", "similarity", "stats"),
+)(_cluster_quality)
 
 
 # ====================== CDC snapshot maintenance =========================
