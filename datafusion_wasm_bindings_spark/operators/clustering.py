@@ -199,7 +199,7 @@ def kmeans_quality(
         - 2 * dot.cast("double") / (F.col("a.n") * F.col("b.n"))
     )
     pairs = (
-        a.join(b, F.col("a.cid") != F.col("b.cid"))
+        a.join(F.broadcast(b), F.col("a.cid") != F.col("b.cid"))
         .select(
             F.col("a.cid").alias("ca"), F.col("b.cid").alias("cb"),
             F.sqrt(m2).alias("mdist"),

@@ -212,3 +212,90 @@ def test_anomaly_mad_flags_match_threshold(spark, sf_dir):
             assert r.is_anomaly == (abs(r.robust_z) > 3.5), r
         else:
             assert r.is_anomaly is False and r.robust_z is None, r
+
+
+def test_boxplot_five_number_ordering(spark, sf_dir):
+    for r in _rows("q_profile_boxplot", spark, sf_dir):
+        assert r.vmin <= r.q1 <= r.med <= r.q3 <= r.vmax, r
+        assert 0 <= r.n_outliers < r.n, r
+
+
+def test_pareto_classes_partition_customers(spark, sf_dir):
+    rows = _rows("q_sales_pareto", spark, sf_dir)
+    per_nation: dict[int, int] = {}
+    for r in rows:
+        assert r.abc in ("A", "B", "C"), r
+        per_nation[r.c_nationkey] = per_nation.get(r.c_nationkey, 0) + r.n_customers
+    want = dict(
+        duckdb.sql(
+            f"""SELECT c_nationkey, count(DISTINCT o_custkey)
+            FROM '{sf_dir}/orders.parquet' JOIN '{sf_dir}/customer.parquet'
+              ON o_custkey = c_custkey GROUP BY 1"""
+        ).fetchall()
+    )
+    assert per_nation == want
+
+
+def test_yoy_growth_consistent_with_revenue(spark, sf_dir):
+    rows = _rows("q_sales_yoy", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert r.revenue > 0
+        if r.prev_revenue is not None:
+            assert abs(r.yoy_growth - (r.revenue / r.prev_revenue - 1.0)) < 1e-12
+        else:
+            assert r.yoy_growth is None
+
+
+def test_ltv_cumulative_is_monotone(spark, sf_dir):
+    rows = _rows("q_events_ltv_cohort", spark, sf_dir)
+    by_cohort: dict[str, list] = {}
+    for r in rows:
+        assert r.age >= 0
+        by_cohort.setdefault(r.cohort, []).append(r)
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r.age)
+        run = 0.0
+        for r in rs:
+            assert r.cum_rev >= run - 1e-9, r
+            run = r.cum_rev
+
+
+def test_neyman_respects_allocation_and_budget(spark, sf_dir):
+    rows = _rows("q_sample_neyman", spark, sf_dir)
+    assert rows
+    per: dict[str, list] = {}
+    for r in rows:
+        assert 1 <= r.rk <= r.a_h, r
+        per.setdefault(r.event_type, []).append(r)
+    total_alloc = sum(rs[0].a_h for rs in per.values())
+    assert total_alloc <= 400
+    for rs in per.values():
+        assert len(rs) == min(rs[0].a_h, rs[0].n_h), rs[0]
+
+
+def test_confusion_metrics_consistent(spark, sf_dir):
+    rows = _rows("q_text_confusion", spark, sf_dir)
+    assert rows
+    macro = {round(r.macro_f1, 9) for r in rows}
+    assert len(macro) == 1
+    f1s = []
+    for r in rows:
+        assert 0 <= r.tp <= min(r.n_true, r.n_pred if r.n_pred else r.n_true), r
+        assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0, r
+        assert 0.0 <= r.f1 <= 1.0 + 1e-9, r
+        f1s.append(r.f1)
+    assert abs(rows[0].macro_f1 - sum(f1s) / len(f1s)) < 2e-6
+
+
+def test_cluster_quality_db_index_valid(spark, sf_dir):
+    rows = _rows("q_cluster_quality", spark, sf_dir)
+    n_corpus = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_vecs for r in rows) == n_corpus
+    db = {round(r.db_index, 9) for r in rows}
+    assert len(db) == 1 and rows[0].db_index > 0
+    for r in rows:
+        assert r.s_mean > 0 and r.r_i > 0, r
+    assert abs(rows[0].db_index - sum(r.r_i for r in rows) / len(rows)) < 2e-6
