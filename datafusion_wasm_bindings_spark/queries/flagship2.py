@@ -689,3 +689,311 @@ query(
     """,
     tags=("flagship", "tpch", "join", "subquery", "agg"),
 )(_q22)
+
+
+# ============================ Q2 (adapted) ============================
+def _q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier. Adaptation: no partsupp table,
+    so supply cost is the MINIMUM observed unit sale price of the
+    (part, supplier) pair in lineitem — the correlated scalar-MIN
+    subquery, its decorrelation into a grouped min + join-back, and
+    the part/supplier/nation/region join topology are canonical.
+
+    Scale: the (part, supplier) cost table is one combinable shuffle;
+    the per-part min is a second tiny aggregate joined back; region/
+    nation broadcast; top-20 fuses to TakeOrdered."""
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") == 15).select("p_partkey")
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cand = (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(s, ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    mincost = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("cost").alias("mc")
+    )
+    return (
+        cand.join(F.broadcast(mincost), (cand.p_partkey == mincost.mk))
+        .filter(F.col("cost") == F.col("mc"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "cost")
+        .orderBy(
+            F.col("s_acctbal").desc_nulls_last(),
+            F.col("n_name").asc_nulls_last(),
+            F.col("s_name").asc_nulls_last(),
+            F.col("p_partkey").asc_nulls_last(),
+        )
+        .limit(20)
+    )
+
+
+query(
+    "q_tpch_q2",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name, cost
+      FROM ps
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size = 15 AND r_name = 'ASIA'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, cost
+    FROM cand c
+    WHERE cost = (SELECT MIN(cost) FROM cand m WHERE m.p_partkey = c.p_partkey)
+    ORDER BY s_acctbal DESC NULLS LAST, n_name ASC NULLS LAST,
+             s_name ASC NULLS LAST, p_partkey ASC NULLS LAST
+    LIMIT 20
+    """,
+    tags=("flagship", "tpch", "join", "subquery"),
+)(_q2)
+
+
+# ============================ Q9 (adapted) ============================
+def _q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit. Adaptation: supply cost is the
+    deterministic surrogate 0.9 × p_retailprice (no partsupp), and the
+    part filter is p_name LIKE '%red%' — the five-table join, the
+    per-row profit expression, and the nation×year rollup are
+    canonical.
+
+    Scale: part filter prunes before the fact join; nation broadcasts;
+    profit terms quantize per row into the exact decimal sum."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation")
+    amount = _rev() - 0.9 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(amount, "profit"))
+        .orderBy(F.col("nation").asc_nulls_last(), F.col("o_year").desc_nulls_last())
+    )
+
+
+query(
+    "q_tpch_q9",
+    f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {dsum_sql(f"{_REV} - 0.9 * p_retailprice * l_quantity", 'profit')}
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY nation ASC NULLS LAST, o_year DESC NULLS LAST
+    """,
+    tags=("flagship", "tpch", "join", "agg"),
+)(_q9)
+
+
+# ============================ Q11 (adapted) ===========================
+def _q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock identification. Adaptation: a part's
+    'value' is its revenue from NATION_5's suppliers in lineitem (no
+    partsupp availqty×supplycost) — the grouped value, the
+    scalar-subquery HAVING threshold (0.1% of the national total), and
+    the value-ranked output are canonical.
+
+    Scale: one combinable shuffle to per-part value (checkpoint-
+    materialized); the national total derives from that tiny table, so
+    the fact is scanned once; top-50 fuses to TakeOrdered."""
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(_rev(), "value"))
+        .localCheckpoint()
+    )
+    tot = per_part.agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("tv")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > 0.001 * F.col("tv"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc_nulls_last(), F.col("l_partkey").asc_nulls_last())
+        .limit(50)
+    )
+
+
+query(
+    "q_tpch_q11",
+    f"""
+    WITH per_part AS (
+      SELECT l_partkey, {dsum_sql(_REV, 'value')}
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_5'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, value
+    FROM per_part
+    WHERE value > 0.001 * (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) FROM per_part)
+    ORDER BY value DESC NULLS LAST, l_partkey ASC NULLS LAST
+    LIMIT 50
+    """,
+    tags=("flagship", "tpch", "subquery", "agg"),
+)(_q11)
+
+
+# ============================ Q16 (adapted) ===========================
+def _q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship counting. Adaptation: the
+    (part, supplier) relation comes from lineitem (no partsupp), and
+    the excluded-supplier NOT IN set is suppliers with negative
+    balances (no s_comment) — the distinct-supplier count per
+    (brand, type, size), the <> / IN-list predicates, and the NOT IN
+    anti join are canonical."""
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc_nulls_last(),
+            F.col("p_brand").asc_nulls_last(),
+            F.col("p_type").asc_nulls_last(),
+            F.col("p_size").asc_nulls_last(),
+        )
+    )
+
+
+query(
+    "q_tpch_q16",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC NULLS LAST, p_brand ASC NULLS LAST,
+             p_type ASC NULLS LAST, p_size ASC NULLS LAST
+    """,
+    tags=("flagship", "tpch", "join", "subquery", "agg"),
+)(_q16)
+
+
+# ============================ Q21 (adapted) ===========================
+def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting. Adaptation: the
+    'late' predicate is l_returnflag = 'R' (no commit/receipt dates) —
+    the EXISTS (another supplier contributed to the order) + NOT
+    EXISTS (no OTHER supplier was late) double-correlated pattern, the
+    multi-alias self-joins of lineitem, and the per-supplier top count
+    are canonical — the hardest subquery shape in the suite.
+
+    Scale: both correlated subqueries decorrelate to semi/anti joins
+    on l_orderkey with a supplier-inequality residual; lineitem
+    shuffles on the order key for each, nation broadcasts, top-20
+    fuses to TakeOrdered."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3")
+    )
+    waiting = (
+        l1.join(o, l1.l_orderkey == o.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey, "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc_nulls_last(), F.col("s_name").asc_nulls_last())
+        .limit(20)
+    )
+
+
+query(
+    "q_tpch_q21",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders ON l1.l_orderkey = o_orderkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE l1.l_returnflag = 'R'
+      AND o_orderstatus = 'F'
+      AND n_name = 'NATION_0'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC NULLS LAST, s_name ASC NULLS LAST
+    LIMIT 20
+    """,
+    tags=("flagship", "tpch", "join", "subquery", "topk"),
+)(_q21)
