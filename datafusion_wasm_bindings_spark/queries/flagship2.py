@@ -997,3 +997,71 @@ query(
     """,
     tags=("flagship", "tpch", "join", "subquery", "topk"),
 )(_q21)
+
+
+# ============================ Q20 (adapted) ===========================
+def _q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion. Adaptation: 'excess stock'
+    becomes shipped-volume dominance — suppliers in NATION_3 whose
+    shipped quantity of some 'red' part exceeds 50% of that part's
+    total shipped quantity (no partsupp availqty) — preserving Q20's
+    nested IN-subquery over a correlated-threshold HAVING, the
+    part-name LIKE filter, and the nation-filtered supplier output.
+
+    Scale: per-(part, supplier) and per-part totals are two combinable
+    aggregates over the part-filtered fact; the threshold compare is a
+    broadcast join of the per-part table; the qualifying-supplier set
+    semi-joins supplier."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    lp = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    per_ps = lp.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sq")
+    )
+    per_p = per_ps.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("sq").cast("decimal(18,6)")).cast("double").alias("tq")
+    )
+    qual = (
+        per_ps.join(F.broadcast(per_p), per_ps.l_partkey == per_p.pk)
+        .filter(F.col("sq") > 0.5 * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy(F.col("s_suppkey").asc_nulls_last())
+    )
+
+
+query(
+    "q_tpch_q20",
+    """
+    WITH per_ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY 1, 2
+    ),
+    per_p AS (
+      SELECT l_partkey, CAST(SUM(CAST(sq AS DECIMAL(18,6))) AS DOUBLE) AS tq
+      FROM per_ps GROUP BY 1
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT ps.l_suppkey FROM per_ps ps JOIN per_p p USING (l_partkey)
+        WHERE ps.sq > 0.5 * p.tq)
+    ORDER BY s_suppkey ASC NULLS LAST
+    """,
+    tags=("flagship", "tpch", "join", "subquery"),
+)(_q20)

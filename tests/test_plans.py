@@ -826,3 +826,12 @@ def test_tpch_wave_plan_shapes(spark, sf_dir):
         assert p.count("BroadcastExchange") >= min_bcast, (qid, p)
     p4 = _plan(REGISTRY["q_tpch_q4"].spark_fn(spark, sf_dir))
     assert "LeftSemi" in p4, p4
+    # Q21's double-correlated EXISTS/NOT EXISTS decorrelates to one
+    # semi and one anti join; Q16's NOT IN to an anti join
+    p21 = _plan(REGISTRY["q_tpch_q21"].spark_fn(spark, sf_dir))
+    assert "LeftSemi" in p21 and "LeftAnti" in p21, p21
+    p16 = _plan(REGISTRY["q_tpch_q16"].spark_fn(spark, sf_dir))
+    assert "LeftAnti" in p16, p16
+    # Q20's nested IN decorrelates to semi joins
+    p20 = _plan(REGISTRY["q_tpch_q20"].spark_fn(spark, sf_dir))
+    assert "LeftSemi" in p20, p20
