@@ -452,6 +452,124 @@ def _sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("q_sim_pq_topk", _RECALL_ORACLE, tags=("extension", "similarity"))(_sim_pq)
 
 
+_TRUNC_DIMS = 16
+
+
+def _sim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-embedding retrieval quality (the Matryoshka question):
+    how many of each query's exact top-3 cosine neighbors at the FULL
+    64 dims survive when the index stores only the first 16 dims —
+    the measurement that decides whether a cheaper truncated index is
+    good enough before switching storage to it. Exact integer
+    arithmetic end to end (quantized components), so unlike the
+    LSH/IVF/PQ recall CONTRACTS this is a full value check: the oracle
+    recomputes both rankings and the overlap.
+
+    Scale shape: two broadcast-queries brute scans (full + truncated,
+    corpus never shuffles) + per-query top-k windows + one tiny join
+    of two 15-row top-k sets."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.similarity import (
+        _dot,
+        _norm2,
+        quantized,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+
+    def topk(vec_expr, alias):
+        q = (
+            emb.filter(F.col("vec_id").isin(_QUERY_IDS))
+            .select(F.col("vec_id").alias("query_id"), vec_expr.alias("qv"))
+        )
+        c = emb.select(F.col("vec_id").alias("cand_id"), vec_expr.alias("cv"))
+        scored = (
+            c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+            .withColumn("dot", _dot(F.col("qv"), F.col("cv")))
+            .withColumn(
+                "cos",
+                F.col("dot") / F.sqrt(_norm2(F.col("qv")) * _norm2(F.col("cv"))),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("cand_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", "cand_id")
+        )
+
+    full = topk(quantized(F.col("embedding")), "full")
+    trunc = topk(
+        quantized(F.slice(F.col("embedding"), 1, _TRUNC_DIMS)), "trunc"
+    )
+    hits = (
+        full.join(trunc, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    base = full.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("hits", F.lit(0)).cast("long").alias("kept_of_3"),
+    )
+
+
+query(
+    "q_sim_truncation",
+    f"""
+    WITH q AS (SELECT vec_id FROM embeddings
+               WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})),
+    qv AS (SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           FROM embeddings),
+    full_s AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             list_sum(list_transform(list_zip(a.v, b.v),
+               t -> t[1] * t[2])) / sqrt(
+               CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE)
+               * list_sum(list_transform(b.v, x -> x * x))) AS cos
+      FROM qv a JOIN q USING (vec_id), qv b
+      WHERE b.vec_id <> a.vec_id
+    ),
+    full_k AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id ASC) AS rn
+        FROM full_s) WHERE rn <= 3
+    ),
+    tv AS (SELECT vec_id, v[1:{_TRUNC_DIMS}] AS v FROM qv),
+    tr_s AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             list_sum(list_transform(list_zip(a.v, b.v),
+               t -> t[1] * t[2])) / sqrt(
+               CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE)
+               * list_sum(list_transform(b.v, x -> x * x))) AS cos
+      FROM tv a JOIN q USING (vec_id), tv b
+      WHERE b.vec_id <> a.vec_id
+    ),
+    tr_k AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, cand_id ASC) AS rn
+        FROM tr_s) WHERE rn <= 3
+    )
+    SELECT f.query_id,
+           CAST(COALESCE(COUNT(t.cand_id), 0) AS BIGINT) AS kept_of_3
+    FROM full_k f LEFT JOIN tr_k t
+      ON f.query_id = t.query_id AND f.cand_id = t.cand_id
+    GROUP BY f.query_id
+    """,
+    tags=("extension", "similarity", "stats"),
+)(_sim_truncation)
+
+
 # ====================== text analysis ===================================
 def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.text import token_counts
