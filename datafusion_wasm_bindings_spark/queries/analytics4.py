@@ -372,3 +372,159 @@ query(
     """,
     tags=("extension", "sampling", "stats"),
 )(_sample_neyman)
+
+
+# ================= CUSUM changepoint detection ========================
+def _events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan per event type: the maximum standardized
+    cumulative deviation max_i |Σ_{j<=i}(x_j - mean)| / (sigma * sqrt(n))
+    and its position — the classic mean-shift detector a metrics
+    pipeline runs over each series (values near/above ~1.36 reject
+    'no change' at 5% by the Kolmogorov bound).
+
+    Scale shape: per-type moments from one combinable shuffle
+    (broadcast back); the cumulative window is PARTITIONED by type and
+    ordered by event time — parallel across series; per-step terms are
+    DECIMAL-quantized so the prefix sums are exact; the argmax row is
+    selected by a rank on the same clustering (earliest position wins
+    ties deterministically)."""
+    e = table(spark, sf_dir, "events").select("event_type", "event_id", "ts", "value")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC)).cast("double").alias("ss"),
+    )
+    mu = F.col("s") / F.col("n")
+    sigma = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+    stats = g.select("event_type", "n", mu.alias("mu"), sigma.alias("sigma"))
+    w_ord = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    staged = (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("pos", F.row_number().over(w_ord).cast("long"))
+        .withColumn(
+            "cusum",
+            F.sum((F.col("value") - F.col("mu")).cast(DEC)).over(w_cum).cast("double"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sigma",
+            "pos",
+            (F.abs(F.col("cusum")) / (F.col("sigma") * F.sqrt(F.col("n")))).alias("c"),
+        )
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), F.col("pos").asc()
+    )
+    return (
+        staged.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n",
+            F.col("c").cast(DEC).cast("double").alias("cusum_stat"),
+            F.col("pos").alias("at_pos"),
+        )
+    )
+
+
+query(
+    "q_events_changepoint",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS ss
+      FROM events GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n, s / n AS mu,
+             sqrt((ss - s * s / n) / (n - 1)) AS sigma
+      FROM g
+    ),
+    staged AS (
+      SELECT e.event_type, st.n, st.sigma,
+             CAST(row_number() OVER w AS BIGINT) AS pos,
+             abs(CAST(SUM(CAST(e.value - st.mu AS DECIMAL(18,6)))
+                   OVER (PARTITION BY e.event_type ORDER BY e.ts ASC, e.event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))
+               / (st.sigma * sqrt(st.n)) AS c
+      FROM events e JOIN stats st USING (event_type)
+      WINDOW w AS (PARTITION BY e.event_type ORDER BY e.ts ASC, e.event_id ASC)
+    )
+    SELECT event_type, n,
+           CAST(CAST(c AS DECIMAL(18,6)) AS DOUBLE) AS cusum_stat,
+           pos AS at_pos
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY c DESC, pos ASC) AS rn FROM staged)
+    WHERE rn = 1
+    """,
+    tags=("extension", "events", "stats", "cleaning"),
+)(_events_changepoint)
+
+
+# ================= two-proportion power analysis ======================
+def _stats_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sample-size calculator: per event type, the baseline
+    conversion rate (value > 10) and the per-arm n required to detect
+    a +10% relative lift at alpha = 0.05 / power = 0.80 (two-sided
+    two-proportion z-test, z constants inlined) — the design step that
+    precedes every q_events_experiment readout.
+
+    Scale shape: one combinable shuffle to per-type counts; the
+    closed-form arithmetic runs on the category-sized table. Rates are
+    integer ratios and surface RAW (pitfall h); the required n is a
+    ceil over identical doubles."""
+    za, zb = 1.959964, 0.841621
+    e = table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum((F.col("value") > 10.0).cast("long")).cast("long").alias("n_conv"),
+    )
+    p1 = F.col("n_conv") / F.col("n_obs")
+    p2 = F.least(p1 * 1.1, F.lit(0.999))
+    pbar = (p1 + p2) / 2
+    num = (
+        F.lit(za) * F.sqrt(2 * pbar * (1 - pbar))
+        + F.lit(zb) * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+    )
+    n_req = F.ceil(num * num / ((p2 - p1) * (p2 - p1))).cast("long")
+    return g.select(
+        "event_type",
+        "n_obs",
+        "n_conv",
+        p1.alias("base_rate"),
+        p2.alias("target_rate"),
+        n_req.alias("n_per_arm"),
+    )
+
+
+query(
+    "q_stats_power",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(CAST(value > 10.0 AS BIGINT)) AS BIGINT) AS n_conv
+      FROM events GROUP BY event_type
+    ),
+    r AS (
+      SELECT event_type, n_obs, n_conv,
+             CAST(n_conv AS DOUBLE) / n_obs AS p1,
+             least(CAST(n_conv AS DOUBLE) / n_obs * 1.1, 0.999) AS p2
+      FROM g
+    ),
+    z AS (
+      SELECT event_type, n_obs, n_conv, p1, p2,
+             1.959964 * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+               + 0.841621 * sqrt(p1 * (1 - p1) + p2 * (1 - p2)) AS num
+      FROM r
+    )
+    SELECT event_type, n_obs, n_conv, p1 AS base_rate, p2 AS target_rate,
+           CAST(ceil(num * num / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm
+    FROM z
+    """,
+    tags=("extension", "stats", "behavior"),
+)(_stats_power)
