@@ -528,3 +528,53 @@ query(
     """,
     tags=("extension", "stats", "behavior"),
 )(_stats_power)
+
+
+# ================= cumulative DISTINCT count over a window ============
+def _win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT user) per event type — the window verb
+    Spark SQL does not support directly (COUNT(DISTINCT ...) OVER is
+    rejected), rewritten as the first-occurrence-flag cumulative sum:
+    flag rows where row_number() over (type, user ORDER BY time) = 1,
+    then cumulate the flags over the type's time order. The DuckDB
+    oracle runs its NATIVE COUNT(DISTINCT) OVER — two independent
+    formulations of the same semantics must agree row-for-row.
+
+    Scale shape: both windows share the event_type clustering (one
+    shuffle); the per-(type, user) first-occurrence window is parallel
+    across users. Output sampled to bound the compare."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "ts"
+    )
+    w_first = Window.partitionBy("event_type", "user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        e.withColumn(
+            "first_seen", (F.row_number().over(w_first) == 1).cast("long")
+        )
+        .withColumn("distinct_users", F.sum("first_seen").over(w_cum).cast("long"))
+        .filter(F.col("event_id") % 97 == 0)
+        .select("event_id", "event_type", "distinct_users")
+    )
+
+
+query(
+    "q_win_distinct_running",
+    """
+    SELECT event_id, event_type, distinct_users FROM (
+      SELECT event_id, event_type,
+             CAST(count(DISTINCT user_id) OVER (PARTITION BY event_type
+               ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS distinct_users
+      FROM events
+    ) WHERE event_id % 97 = 0
+    """,
+    tags=("extension", "window", "events", "compat"),
+)(_win_distinct_running)
