@@ -65,71 +65,68 @@ _MODULES = (
     "analytics4",
 )
 
-# Round-3 driver window (exactly 50 names, VERDICT r2 next-round #2):
-# the 48 never-driver-checked ids (functions_agg tail 9 + functions_
-# scalar 17 + sources_q 16 + statements 6) plus the two round-1 fixes
-# awaiting re-verification (q_win_ranking, q_agg_order_within).
-# Left for round 4's window: the 7 re-fixed HUGEINT extension ids,
-# q_fn_weighted_percentile (repo extension, not a SURVEY §2 id),
-# q_fn_null_handling (green r1), and any queries newly added this
-# round. Names listed here move to the FRONT of the registry in this
-# order; everything else follows in registration order.
+# Round-4 driver window (exactly 50 names, VERDICT r3 next-round #1-2):
+# fail-closure first — the 7 ids whose latest driver verdict is the r2
+# oracle-HUGEINT fail (oracle BIGINT casts landed r3, driver-sim 7/7
+# green); then the 5 verdict-named priorities (the 3 never-checked
+# SURVEY catalog rows q_fn_bitwise/q_fn_array_ops/q_fn_higher_order and
+# the dedup pipeline pair); then never-checked ids in registration
+# order (extensions wave, functions tail, scan variants, TPC-H head).
+# q_tpch_q12/q13 were displaced by the forced pair and lead round 5's
+# window with the rest of the TPC-H wave. Names listed here move to
+# the FRONT of the registry in this order; everything else follows in
+# registration order.
 _WINDOW = (
-    # functions_agg tail (never checked)
-    "q_fn_approx_percentile",
-    "q_fn_array_agg",
-    "q_fn_string_agg",
-    "q_fn_first_last_value",
-    "q_fn_bool_and_or",
-    "q_fn_bit_agg",
-    "q_fn_stddev_var",
-    "q_fn_corr_covar",
-    "q_fn_regr",
-    # functions_scalar (never checked; null_handling green r1, omitted)
-    "q_fn_greatest_least",
-    "q_fn_struct",
-    "q_fn_math_basic",
-    "q_fn_math_log_trig",
-    "q_fn_math_gaps",
-    "q_fn_typeof_version",
-    "q_fn_string_basic",
-    "q_fn_string_pad_trim",
-    "q_fn_string_search",
-    "q_fn_unicode",
-    "q_fn_regex",
-    "q_fn_datetime_extract",
-    "q_fn_datetime_trunc_bin",
-    "q_fn_datetime_convert",
-    "q_fn_interval_arith",
-    "q_fn_to_char",
-    "q_fn_encoding",
-    # sources / sinks (never checked)
-    "q_scan_parquet",
-    "q_scan_csv",
-    "q_scan_arrow",
-    "q_scan_json",
-    "q_values_inline",
-    "q_values_ctas",
-    "q_generate_series",
-    "q_info_schema",
-    "q_copy_parquet",
-    "q_copy_csv",
-    "q_copy_json",
-    "q_scan_partitioned",
-    "q_insert_into",
-    "q_result_table",
-    "q_result_json",
-    "q_unnest",
-    # statements (never checked)
-    "q_multi_statement",
-    "q_cte",
-    "q_recursive_cte",
-    "q_recursive_cte_loop",
-    "q_prepared",
-    "q_ddl_view",
-    # round-1 fixes awaiting driver re-verification
-    "q_win_ranking",
-    "q_agg_order_within",
+    "q_dedup_paragraph",
+    "q_text_stats",
+    "q_events_props_json",
+    "q_pipeline_training_mix",
+    "q_pipeline_pack",
+    "q_profile_columns",
+    "q_fn_sum_avg_min_max",
+    "q_fn_bitwise",
+    "q_fn_array_ops",
+    "q_fn_higher_order",
+    "q_dedup_pipeline",
+    "q_dedup_containment",
+    "q_sim_pq_topk",
+    "q_sim_truncation",
+    "q_text_tokens_bpe",
+    "q_text_tfidf",
+    "q_text_confusion",
+    "q_pipeline_split",
+    "q_pipeline_epochs",
+    "q_stream_session",
+    "q_profile_columns_approx",
+    "q_events_json_quarantine",
+    "q_scale_incremental_agg",
+    "q_text_heavy_hitters",
+    "q_graph_pagerank",
+    "q_profile_skew",
+    "q_text_classifier",
+    "q_scale_hll_shards",
+    "q_scale_zorder",
+    "q_cluster_kmeans",
+    "q_cluster_quality",
+    "q_pipeline_upsert",
+    "q_fn_weighted_percentile",
+    "q_fn_bitmap_distinct",
+    "q_fn_argminmax",
+    "q_fn_pandas_udaf",
+    "q_fn_try_arith",
+    "q_fn_url_parse",
+    "q_fn_map_ops",
+    "q_fn_variant",
+    "q_fn_collation",
+    "q_fn_stringdist",
+    "q_scan_evolution",
+    "q_scan_orc",
+    "q_scan_text",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
 )
 
 

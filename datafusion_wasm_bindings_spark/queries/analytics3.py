@@ -571,17 +571,23 @@ def _events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad) table is category-sized and broadcast back; the scored pass
     filters to the sampled ids FIRST so no full-table rescan. At 100 TB
     swap percentile for percentile_approx (documented mode switch, same
-    plan shape)."""
+    plan shape). med/MAD are quantized (DECIMAL(18,6)) at the source so
+    the |z| > 3.5 flag compares against bit-identical operands on both
+    engines — percentile interpolation is not bit-identical, and a raw
+    threshold comparison could flip is_anomaly at the boundary."""
     e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     med = e.groupBy("event_type").agg(
-        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+        F.percentile(F.col("value"), F.lit(0.5)).cast(DEC).cast("double").alias("med")
     )
     mad = (
         e.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(
             F.first("med").alias("med"),
-            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"),
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5))
+            .cast(DEC)
+            .cast("double")
+            .alias("mad"),
         )
     )
     z = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
@@ -605,11 +611,13 @@ query(
     "q_events_anomaly_mad",
     """
     WITH med AS (
-      SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+      SELECT event_type,
+             CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS med
+      FROM events GROUP BY event_type
     ),
     mad AS (
       SELECT e.event_type, MIN(m.med) AS med,
-             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+             CAST(CAST(quantile_cont(abs(e.value - m.med), 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS mad
       FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
     )
     SELECT e.event_id, e.event_type,
@@ -1236,7 +1244,7 @@ def _text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.groupBy("pair")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .orderBy(F.col("n").desc_nulls_last(), F.col("pair").asc_nulls_last())
         .limit(20)
     )
 
@@ -1254,7 +1262,7 @@ query(
     )
     SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
     FROM pairs GROUP BY pair
-    ORDER BY n DESC, pair ASC LIMIT 20
+    ORDER BY n DESC NULLS LAST, pair ASC NULLS LAST LIMIT 20
     """,
     tags=("extension", "text", "pipeline"),
 )(_text_bpe_merges)

@@ -30,14 +30,17 @@ def _profile_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary broadcasts back for the outlier-count second pass, which
     reuses the event_type clustering. Quantiles of 2-decimal fixture
     values interpolate to ≤4 decimals — exact under the DECIMAL(18,6)
-    quantization on both engines."""
+    quantization on both engines. The Tukey fences compare against the
+    QUANTIZED quartiles (not the raw percentile outputs) so a value
+    landing exactly on a fence cannot flip n_outliers across engines
+    (engines' percentile interpolation is not bit-identical)."""
     e = table(spark, sf_dir, "events").select("event_type", "value")
     summ = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.min("value").alias("vmin"),
-        F.percentile(F.col("value"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("value"), F.lit(0.25)).cast(DEC).cast("double").alias("q1"),
         F.percentile(F.col("value"), F.lit(0.5)).alias("med"),
-        F.percentile(F.col("value"), F.lit(0.75)).alias("q3"),
+        F.percentile(F.col("value"), F.lit(0.75)).cast(DEC).cast("double").alias("q3"),
         F.max("value").alias("vmax"),
     )
     out = (
@@ -71,9 +74,9 @@ query(
     WITH summ AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              MIN(value) AS vmin,
-             quantile_cont(value, 0.25) AS q1,
+             CAST(CAST(quantile_cont(value, 0.25) AS DECIMAL(18,6)) AS DOUBLE) AS q1,
              quantile_cont(value, 0.5) AS med,
-             quantile_cont(value, 0.75) AS q3,
+             CAST(CAST(quantile_cont(value, 0.75) AS DECIMAL(18,6)) AS DOUBLE) AS q3,
              MAX(value) AS vmax
       FROM events GROUP BY event_type
     ),
@@ -255,7 +258,7 @@ def _events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         F.concat_ws(
             "-",
-            F.floor(F.col("cohort_m") / 12).cast("long"),
+            F.expr("cohort_m div 12").cast("long"),
             F.lpad((F.col("cohort_m") % 12 + 1).cast("string"), 2, "0"),
         ).alias("cohort"),
         "age",

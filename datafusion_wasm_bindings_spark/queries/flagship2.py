@@ -446,6 +446,10 @@ def _q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum(_rev(), "total_revenue")
     )
+    # the aggregate feeds BOTH the MAX scalar and the filter join —
+    # materialize it once so lineitem isn't scanned/re-aggregated twice
+    # (house pattern, same as q_tpch_q11's reused subtree)
+    rev = rev.localCheckpoint(eager=True)
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
