@@ -34,6 +34,7 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL; None => rows-only check
     headline: bool = False  # included in bench.py
     tags: tuple[str, ...] = field(default_factory=tuple)
+    module: str = ""  # defining module — drives the oracle-edit sim gate
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -146,7 +147,7 @@ def query(
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
-        QUERIES[name] = QuerySpec(name, wrapped, oracle, headline, tags)
+        QUERIES[name] = QuerySpec(name, wrapped, oracle, headline, tags, fn.__module__)
         return fn
 
     return deco
@@ -171,8 +172,17 @@ def sql_query(
         register_tables(spark, sf_dir)
         return spark.sql(sql)
 
+    import sys as _sys
+
     fn.__name__ = name
-    QUERIES[name] = QuerySpec(name, fn, sql if oracle == "same" else oracle, headline, tags)
+    QUERIES[name] = QuerySpec(
+        name,
+        fn,
+        sql if oracle == "same" else oracle,
+        headline,
+        tags,
+        _sys._getframe(1).f_globals.get("__name__", ""),
+    )
 
 
 def resolve_oracle(oracle: str | None, sf_dir: str) -> str | None:
