@@ -1,0 +1,164 @@
+"""Scale-headroom probes: replay a registered query's physical SHAPE
+over a generated 10M-row relation and report warm wall-clock, so
+BASELINE.md's 100 TB-posture claims are measured, not prose
+(VERDICT r3 next-round #6).
+
+Usage: ``python tools_scale_probe.py [ols2] [survival]`` (default:
+both). Each probe builds its input with spark.range (no fixture
+dependency), runs the shape once cold to pay codegen, then reports the
+median of 3 warm runs.
+"""
+
+from __future__ import annotations
+
+import statistics
+import sys
+import time
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+
+from datafusion_wasm_bindings_spark.queries._util import DEC, dsum
+from datafusion_wasm_bindings_spark.session import get_spark
+
+N = 10_000_000
+
+
+def _gen_ols(spark):
+    # 3 groups, deterministic pseudo-random regressors via hash mixing
+    return (
+        spark.range(N)
+        .select(
+            "id",
+            (F.col("id") % 3).cast("string").alias("flag"),
+            ((F.col("id") * 2654435761) % 50 + 1).cast("double").alias("x1"),
+            (((F.col("id") * 40503) % 100) / 100.0).alias("x2"),
+        )
+        .withColumn("y", F.col("x1") * 3.0 - F.col("x2") * 7.0 + (F.col("id") % 97).cast("double"))
+        .drop("id")
+    )
+
+
+def probe_ols2(spark) -> None:
+    """q_stats_ols2's shape: ONE map-combinable aggregate collecting 10
+    exact DECIMAL(18,6) cross-moments per group, then a scalar Cramer
+    solve on the 3-row aggregate."""
+    df = _gen_ols(spark).localCheckpoint()  # exclude generation from timing
+
+    def run():
+        g = df.groupBy("flag").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dsum(F.col("x1"), "sx1"),
+            dsum(F.col("x2"), "sx2"),
+            dsum(F.col("y"), "sy"),
+            dsum(F.col("x1") * F.col("x1"), "sx1x1"),
+            dsum(F.col("x1") * F.col("x2"), "sx1x2"),
+            dsum(F.col("x2") * F.col("x2"), "sx2x2"),
+            dsum(F.col("x1") * F.col("y"), "sx1y"),
+            dsum(F.col("x2") * F.col("y"), "sx2y"),
+            dsum(F.col("y") * F.col("y"), "syy"),
+        )
+        n = F.col("n")
+        s11 = F.col("sx1x1") - F.col("sx1") * F.col("sx1") / n
+        s12 = F.col("sx1x2") - F.col("sx1") * F.col("sx2") / n
+        s22 = F.col("sx2x2") - F.col("sx2") * F.col("sx2") / n
+        s1y = F.col("sx1y") - F.col("sx1") * F.col("sy") / n
+        s2y = F.col("sx2y") - F.col("sx2") * F.col("sy") / n
+        det = s11 * s22 - s12 * s12
+        b1 = (s1y * s22 - s2y * s12) / det
+        b2 = (s2y * s11 - s1y * s12) / det
+        rows = g.select(
+            "flag", "n", b1.cast(DEC).cast("double").alias("b1"),
+            b2.cast(DEC).cast("double").alias("b2"),
+        ).collect()
+        assert len(rows) == 3 and all(r.n > 3_000_000 for r in rows)
+
+    _time("ols2 (10 decimal cross-moments, 10M rows, 3 groups)", run)
+
+
+def probe_survival(spark) -> None:
+    """q_stats_survival's shape: 10M events → per-user reduce (1M
+    users) → hour-grid reduce (bounded rows) → tiny global windows for
+    the KM product."""
+    ev = (
+        spark.range(N)
+        .select(
+            (F.col("id") % 1_000_000).alias("user_id"),
+            # xxhash64 scatters event times uniformly over the 90-day
+            # span (a multiplicative lattice collapses every user onto
+            # ~10 distinct durations and the grid degenerates)
+            (F.lit(1_700_000_000_000_000) + F.expr(f"pmod(xxhash64(id), {90 * 86_400_000_000})")).alias("us"),
+            F.when((F.col("id") * 2654435761) % 50 == 0, "error").otherwise("view").alias("event_type"),
+        )
+        .localCheckpoint()
+    )
+
+    def run():
+        u = ev.groupBy("user_id").agg(
+            F.min("us").alias("lo"),
+            F.max("us").alias("hi"),
+            F.max((F.col("event_type") == "error").cast("long")).alias("died"),
+        )
+        grid = (
+            u.select(
+                F.floor((F.col("hi") - F.col("lo")) / F.lit(3_600_000_000)).cast("long").alias("dur_h"),
+                "died",
+            )
+            .groupBy("dur_h")
+            .agg(
+                F.sum("died").cast("long").alias("d"),
+                F.sum(1 - F.col("died")).cast("long").alias("c"),
+            )
+        )
+        w_all = Window.orderBy("dur_h").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        w_prev = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, -1)
+        w_cum = Window.orderBy("dur_h").rowsBetween(Window.unboundedPreceding, 0)
+        staged = grid.select(
+            "dur_h",
+            "d",
+            (
+                F.sum(F.col("d") + F.col("c")).over(w_all)
+                - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+            ).cast("long").alias("n_risk"),
+        )
+        qln = F.when(
+            F.col("d") < F.col("n_risk"),
+            F.floor(
+                F.log(F.lit(1.0) - F.col("d") / F.cast("double", F.col("n_risk"))) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
+        ).otherwise(F.lit(-100_000_000))
+        rows = (
+            staged.withColumn("qln", qln)
+            .select(
+                "dur_h", "n_risk",
+                F.exp(F.sum("qln").over(w_cum) / F.lit(1e6)).cast(DEC).cast("double").alias("survival"),
+            )
+            .collect()
+        )
+        assert len(rows) > 100  # grid is bounded, not corpus-sized
+
+    _time("survival (KM over 10M events / 1M users)", run)
+
+
+def _time(label: str, run) -> None:
+    run()  # cold: codegen + checkpoint warmup
+    times = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        run()
+        times.append(time.monotonic() - t0)
+    print(f"{label}: warm median {statistics.median(times):.1f} s ({[round(t,1) for t in times]})")
+
+
+if __name__ == "__main__":
+    which = set(sys.argv[1:]) or {"ols2", "survival"}
+    spark = get_spark("dfwb-scale-probe")
+    if "ols2" in which:
+        probe_ols2(spark)
+    if "survival" in which:
+        probe_survival(spark)
