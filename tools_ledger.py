@@ -119,21 +119,31 @@ lines.append(
     f"**Cumulative: {checked} of {len(names)} checked; {green} green at last check; "
     f"{len(names) - checked} never in a window.**"
 )
+def _last_status(n):
+    rs = [r for r in rounds if n in rounds[r]]
+    return status(rounds[max(rs)][n]) if rs else None
+
+
+nongreen = [n for n in names if _last_status(n) not in (None, "green")]
+never = [n for n in names if _last_status(n) is None]
 lines.append("")
-lines.append("### Round-4 rotation plan (mechanical, from this ledger)")
+lines.append(f"### Round-{cur_round} rotation plan (mechanical, from this ledger)")
 lines.append("")
-lines.append("Priority order for the next 50-slot `_WINDOW`:")
-lines.append("1. the 7 HUGEINT-oracle fixes awaiting fail-closure re-check")
-lines.append("   (q_dedup_paragraph, q_text_stats, q_events_props_json,")
-lines.append("   q_pipeline_training_mix, q_pipeline_pack, q_profile_columns,")
-lines.append("   q_fn_sum_avg_min_max);")
-lines.append("2. never-checked ids in REGISTRATION order (extensions module")
-lines.append("   first — they carry the most novel oracle machinery), until")
-lines.append("   the 50 slots fill;")
+lines.append(f"Priority order for the next 50-slot `_WINDOW`:")
+if nongreen:
+    lines.append(f"1. fail-closure first — the {len(nongreen)} ids whose latest driver")
+    lines.append("   verdict is non-green:")
+    lines.append("   " + ", ".join(f"`{n}`" for n in sorted(nongreen)) + ";")
+else:
+    lines.append("1. no non-green ids await fail-closure;")
+lines.append(f"2. never-checked ids in REGISTRATION order until the 50 slots")
+lines.append(f"   fill (pool: {len(never)} ids; SURVEY-inventory rows, if any, jump")
+lines.append("   the queue so catalog coverage never starves);")
 lines.append("3. run the conftest ORACLE_UNSAFE_TYPES + dtype-parity audit")
 lines.append("   (tools_driver_sim.py over the chosen ids) BEFORE committing")
-lines.append("   the rotation. Never re-verify a green id while any id is")
-lines.append("   unchecked or non-green.")
+lines.append("   the rotation — tests/test_driver_sim_gate.py enforces the sim")
+lines.append("   on any uncommitted query-module edit. Never re-verify a green")
+lines.append("   id while any id is unchecked or non-green.")
 
 text = open("COVERAGE.md").read()
 text = re.sub(r"\n## Driver verification ledger.*", "", text, flags=re.S)
