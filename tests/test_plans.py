@@ -837,6 +837,48 @@ def test_tpch_wave_plan_shapes(spark, sf_dir):
     assert "LeftSemi" in p20, p20
 
 
+def test_r4_window_extension_plan_shapes(spark, sf_dir):
+    """Shape assertions for the plan-sensitive r4-window extension ids
+    that had none (CLAUDE.md convention). Each pins the invariant that
+    makes the operator survive 100 TB, not incidental node counts."""
+    # PQ ANN: centroid/codebook state is checkpointed (ExistingRDD) and
+    # broadcast — corpus codes never move at query time
+    p = _plan(REGISTRY["q_sim_pq_topk"].spark_fn(spark, sf_dir))
+    assert "Scan ExistingRDD" in p and "BroadcastExchange" in p, p
+    # PageRank: per-round localCheckpoint means the FINAL plan reads
+    # only checkpointed state — zero parquet re-scans (the r3
+    # O(iters^2) lineage fix would regress as parquet scans here) —
+    # and top-k fuses to TakeOrdered
+    p = _plan(REGISTRY["q_graph_pagerank"].spark_fn(spark, sf_dir))
+    assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    # CMS heavy hitters: sketch broadcasts, top-k fuses to TakeOrdered
+    # (never a global sort of the token counts)
+    p = _plan(REGISTRY["q_text_heavy_hitters"].spark_fn(spark, sf_dir))
+    assert "BroadcastExchange" in p and "TakeOrderedAndProject" in p, p
+    # sharded HLL union: ONE scan feeds the two-level (shard, merge)
+    # aggregation — partial aggregation present at both levels
+    p = _plan(REGISTRY["q_scale_hll_shards"].spark_fn(spark, sf_dir))
+    assert p.count("Scan parquet") == 1 and p.count("HashAggregate") >= 4, p
+    # incremental aggregate merge: reading the month-sharded state
+    # table and merging to years is ONE combinable shuffle
+    p = _plan(REGISTRY["q_scale_incremental_agg"].spark_fn(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    # dedup pipeline: the CC fixpoint result is checkpointed state, not
+    # re-derived lineage
+    p = _plan(REGISTRY["q_dedup_pipeline"].spark_fn(spark, sf_dir))
+    assert "Scan ExistingRDD" in p, p
+    # containment dedup: candidate generation stays a bucketed
+    # equi-join — any nested-loop/cartesian here is the quadratic bug
+    p = _plan(REGISTRY["q_dedup_containment"].spark_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    # Davies-Bouldin: centroids are checkpointed; the only nested-loop
+    # join is the broadcast k x k centroid-pair matrix (bounded by k,
+    # corpus-independent)
+    p = _plan(REGISTRY["q_cluster_quality"].spark_fn(spark, sf_dir))
+    assert "Scan ExistingRDD" in p and p.count("BroadcastNestedLoopJoin") <= 1, p
+
+
 def test_tpch_hard_subquery_plan_shapes(spark, sf_dir):
     """VERDICT r3 #5: pin the physical shapes of the remaining hard
     TPC-H analogues — Q2 (min-cost join-back), Q9 (five-table profit
