@@ -385,12 +385,20 @@ def _events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs over each series (values near/above ~1.36 reject
     'no change' at 5% by the Kolmogorov bound).
 
-    Scale shape: per-type moments from one combinable shuffle
-    (broadcast back); the cumulative window is PARTITIONED by type and
-    ordered by event time — parallel across series; per-step terms are
-    DECIMAL-quantized so the prefix sums are exact; the argmax row is
-    selected by a rank on the same clustering (earliest position wins
-    ties deterministically)."""
+    Scale shape (two-pass bucketed prefix sum — the q_pipeline_rownum
+    rewrite): event_type has ~5 values, so a window PARTITIONED by type
+    would run one sequential task per series regardless of data size (a
+    hard fail at 100 TB). Instead rows bucket by fixed-width TIME range
+    (buckets grow with the span, never one task's memory): (1) one
+    combinable shuffle collects per-(type, bucket) row counts and EXACT
+    decimal deviation sums; (2) the |types|×|buckets| table takes its
+    per-type exclusive prefix (driver-trivial window) and broadcasts
+    back; (3) position and cumulative sum run windowed per (type,
+    bucket) — parallel — lifted by the bucket offsets. Decimal offsets
+    + decimal in-bucket sums reproduce the global decimal cumsum
+    BIT-identically. The argmax row then comes from two lean combinable
+    aggregates (max c per type, then min pos among exact-double ties) —
+    no per-type fact window anywhere."""
     e = table(spark, sf_dir, "events").select("event_type", "event_id", "ts", "value")
     g = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -400,37 +408,56 @@ def _events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = F.col("s") / F.col("n")
     sigma = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
     stats = g.select("event_type", "n", mu.alias("mu"), sigma.alias("sigma"))
-    w_ord = Window.partitionBy("event_type").orderBy(
+    bkt_us = 6 * 3_600_000_000  # 6-hour buckets: |buckets| ∝ time span
+    rows = (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("bkt", F.floor(F.unix_micros("ts") / F.lit(bkt_us)).cast("long"))
+        .withColumn("dev", (F.col("value") - F.col("mu")).cast(DEC))
+    )
+    bs = rows.groupBy("event_type", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("bn"),
+        F.sum("dev").alias("bsum"),  # exact decimal per-bucket sum
+    )
+    w_pref = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bs.select(
+        "event_type",
+        "bkt",
+        F.coalesce(F.sum("bn").over(w_pref), F.lit(0)).alias("pos_off"),
+        F.coalesce(F.sum("bsum").over(w_pref), F.lit(0).cast(DEC)).alias("sum_off"),
+    )
+    w_b = Window.partitionBy("event_type", "bkt").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
-    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_bcum = w_b.rowsBetween(Window.unboundedPreceding, 0)
     staged = (
-        e.join(F.broadcast(stats), "event_type")
-        .withColumn("pos", F.row_number().over(w_ord).cast("long"))
+        rows.join(F.broadcast(offs), ["event_type", "bkt"])
+        .withColumn("pos", (F.row_number().over(w_b) + F.col("pos_off")).cast("long"))
         .withColumn(
             "cusum",
-            F.sum((F.col("value") - F.col("mu")).cast(DEC)).over(w_cum).cast("double"),
+            (F.sum("dev").over(w_bcum) + F.col("sum_off")).cast("double"),
         )
         .select(
             "event_type",
             "n",
-            "sigma",
             "pos",
             (F.abs(F.col("cusum")) / (F.col("sigma") * F.sqrt(F.col("n")))).alias("c"),
         )
     )
-    w_pick = Window.partitionBy("event_type").orderBy(
-        F.col("c").desc(), F.col("pos").asc()
-    )
+    cmax = staged.groupBy("event_type").agg(F.max("c").alias("cmax"))
     return (
-        staged.withColumn("rn", F.row_number().over(w_pick))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_type",
-            "n",
-            F.col("c").cast(DEC).cast("double").alias("cusum_stat"),
-            F.col("pos").alias("at_pos"),
+        staged.join(F.broadcast(cmax), "event_type")
+        .filter(F.col("c") == F.col("cmax"))
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.first(F.col("cmax").cast(DEC).cast("double")).alias("cusum_stat"),
+            F.min("pos").alias("at_pos"),
         )
+        .select("event_type", "n", "cusum_stat", "at_pos")
     )
 
 

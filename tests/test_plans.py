@@ -879,6 +879,21 @@ def test_r4_window_extension_plan_shapes(spark, sf_dir):
     assert "Scan ExistingRDD" in p and p.count("BroadcastNestedLoopJoin") <= 1, p
 
 
+def test_changepoint_windows_are_bucketed(spark, sf_dir):
+    """q_events_changepoint's cumulative windows over the FACT must
+    partition by (event_type, bkt) — event_type alone has ~5 values, so
+    a type-only window is one sequential task per series at any scale.
+    Only the |types|x|buckets| offset table may window per type."""
+    import re
+
+    p = _plan(REGISTRY["q_events_changepoint"].spark_fn(spark, sf_dir))
+    # the in-bucket cumsum/row_number windows carry bkt in the spec
+    assert re.search(r"windowspecdefinition\(event_type#\d+L?, bkt#", p), p
+    # no window over the fact partitioned by type alone and ordered by
+    # event time (the pre-rewrite shape)
+    assert not re.search(r"windowspecdefinition\(event_type#\d+L?, ts#", p), p
+
+
 def test_tpch_hard_subquery_plan_shapes(spark, sf_dir):
     """VERDICT r3 #5: pin the physical shapes of the remaining hard
     TPC-H analogues — Q2 (min-cost join-back), Q9 (five-table profit

@@ -145,6 +145,77 @@ def probe_survival(spark) -> None:
     _time("survival (KM over 10M events / 1M users)", run)
 
 
+def probe_changepoint(spark) -> None:
+    """q_events_changepoint's two-pass bucketed CUSUM vs the naive
+    per-type window over 10M rows × 5 types: with ~5 series the naive
+    window is 5 sequential tasks regardless of input size; the bucketed
+    rewrite keeps parallelism ∝ time span."""
+    from datafusion_wasm_bindings_spark.queries._util import DEC
+
+    ev = (
+        spark.range(N)
+        .select(
+            (F.col("id") % 5).cast("string").alias("event_type"),
+            F.col("id").alias("event_id"),
+            (F.lit(1_700_000_000_000_000) + F.expr(f"pmod(xxhash64(id), {90 * 86_400_000_000})")).alias("us"),
+            ((F.col("id") * 2654435761) % 10000 / 100.0).alias("value"),
+        )
+        .localCheckpoint()
+    )
+
+    def _stats():
+        g = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("s"),
+        )
+        return g.select(
+            "event_type", "n", (F.col("s") / F.col("n")).alias("mu")
+        )
+
+    def run_naive():
+        w_cum = (
+            Window.partitionBy("event_type")
+            .orderBy(F.col("us").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        staged = ev.join(F.broadcast(_stats()), "event_type").withColumn(
+            "cusum", F.sum((F.col("value") - F.col("mu")).cast(DEC)).over(w_cum).cast("double")
+        )
+        rows = staged.groupBy("event_type").agg(F.max(F.abs(F.col("cusum"))).alias("m")).collect()
+        assert len(rows) == 5
+
+    def run_bucketed():
+        bkt_us = 6 * 3_600_000_000
+        rows_df = (
+            ev.join(F.broadcast(_stats()), "event_type")
+            .withColumn("bkt", F.floor(F.col("us") / F.lit(bkt_us)).cast("long"))
+            .withColumn("dev", (F.col("value") - F.col("mu")).cast(DEC))
+        )
+        bs = rows_df.groupBy("event_type", "bkt").agg(F.sum("dev").alias("bsum"))
+        w_pref = (
+            Window.partitionBy("event_type")
+            .orderBy(F.col("bkt").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = bs.select(
+            "event_type", "bkt",
+            F.coalesce(F.sum("bsum").over(w_pref), F.lit(0).cast(DEC)).alias("sum_off"),
+        )
+        w_bcum = (
+            Window.partitionBy("event_type", "bkt")
+            .orderBy(F.col("us").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        staged = rows_df.join(F.broadcast(offs), ["event_type", "bkt"]).withColumn(
+            "cusum", (F.sum("dev").over(w_bcum) + F.col("sum_off")).cast("double")
+        )
+        rows = staged.groupBy("event_type").agg(F.max(F.abs(F.col("cusum"))).alias("m")).collect()
+        assert len(rows) == 5
+
+    _time("cusum naive per-type window (10M rows, 5 types)", run_naive)
+    _time("cusum two-pass bucketed (10M rows, 5 types)", run_bucketed)
+
+
 def _time(label: str, run) -> None:
     run()  # cold: codegen + checkpoint warmup
     times = []
@@ -156,9 +227,11 @@ def _time(label: str, run) -> None:
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"ols2", "survival"}
+    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint"}
     spark = get_spark("dfwb-scale-probe")
     if "ols2" in which:
         probe_ols2(spark)
     if "survival" in which:
         probe_survival(spark)
+    if "changepoint" in which:
+        probe_changepoint(spark)
