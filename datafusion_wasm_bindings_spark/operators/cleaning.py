@@ -29,25 +29,26 @@ def zscore_outliers(
     """Flag rows whose ``value_col`` sits more than ``threshold``
     sample standard deviations from its group mean.
 
-    Shape: one hash-partitioned window on the group key computes
-    (n, Σv, Σv²) exactly on decimal-quantized values; mean/variance/z
-    derive per row from those totals. No self-join, no second shuffle.
-    At 100 TB the window partitions by a low-cardinality group key —
-    for skewed groups swap the window for a groupBy + broadcast join of
-    the per-group moments (same math, same oracle).
+    Shape: one map-side-combinable aggregate reduces the fact to the
+    |groups|-row moment table (n, Σv, Σv²) on decimal-quantized values;
+    the tiny table broadcasts back, and mean/variance/z derive per row
+    map-side. The fact itself is never shuffled — strictly better than
+    the per-group window formulation this replaced (r4), which hashed
+    the whole fact onto ~|groups| tasks (one sequential task per group
+    value at 100 TB for a low-cardinality group key).
     """
-    from pyspark.sql import Window
-
     v = F.col(value_col).cast(DEC)
-    w = Window.partitionBy(group_col)
-    n = F.count("*").over(w)
-    s = F.sum(v).over(w).cast("double")
-    ss = F.sum(v * v).over(w).cast("double")
+    moments = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v).cast("double").alias("__s"),
+        F.sum(v * v).cast("double").alias("__ss"),
+    )
     vd = v.cast("double")
+    n, s, ss = F.col("__n"), F.col("__s"), F.col("__ss")
     mean = s / n
     var = (ss - s * s / n) / (n - F.lit(1))
     z = (vd - mean) / F.sqrt(var)
-    return df.select(
+    return df.join(F.broadcast(moments), group_col).select(
         *key_cols,
         group_col,
         F.round(z, 6).alias("z"),

@@ -202,3 +202,54 @@ def merge_partial_aggregates(state: DataFrame, group_cols: list[str]) -> DataFra
         F.sum("cnt").alias("n_rows"),
         F.sum("vsum").cast("double").alias("vtotal"),
     )
+
+
+def bucketed_rank(
+    df: DataFrame,
+    partition_cols: list[str],
+    bucket: F.Column,
+    order_cols: list[F.Column],
+    *,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Per-partition-key row_number WITHOUT a per-key fact window — the
+    two-pass bucketed rewrite (q_pipeline_rownum's shape, generalized).
+
+    A window ``PARTITION BY key ORDER BY ...`` over a fact table with a
+    low-cardinality key (event_type ~ 5, nation ~ 25, language ~ 10)
+    runs ONE sequential task per key value regardless of input size — a
+    hard fail at 100 TB. Here the caller supplies a ``bucket`` column
+    that is MONOTONE non-decreasing in the ``order_cols`` ordering (a
+    range bucket of the leading sort key: a time bucket, a value-range
+    bucket, an md5-prefix bucket for content-addressed draws). Then:
+
+    1. one map-side-combinable shuffle counts rows per (key, bucket);
+    2. the |keys|x|buckets| table takes its per-key EXCLUSIVE prefix
+       sum in a driver-trivial window and broadcasts back;
+    3. row_number runs windowed per (key, bucket) — parallel, bounded
+       by bucket width — and the offset lifts it to the per-key rank.
+
+    The result is row-for-row identical to the naive window (bucket
+    monotonicity makes cross-bucket order agree with ``order_cols``;
+    the caller's order must be total, i.e. include a tiebreak id).
+    """
+    from pyspark.sql import Window
+
+    b = df.withColumn("__bkt", bucket.cast("long"))
+    counts = b.groupBy(*partition_cols, "__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    w_pref = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col("__bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        *partition_cols,
+        "__bkt",
+        F.coalesce(F.sum("__n").over(w_pref), F.lit(0)).alias("__off"),
+    )
+    w_b = Window.partitionBy(*partition_cols, "__bkt").orderBy(*order_cols)
+    return (
+        b.join(F.broadcast(offs), [*partition_cols, "__bkt"])
+        .withColumn(rank_col, (F.row_number().over(w_b) + F.col("__off")).cast("long"))
+        .drop("__bkt", "__off")
+    )

@@ -235,37 +235,50 @@ def _clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the k-th smallest / largest value with k = ceil(p·n), picked by a
     deterministic (value, event_id) rank — exact and bit-identical
     across engines, where interpolated `percentile` arithmetic is not.
-    One shuffle on event_type; both windows and the final group-by
-    reuse that clustering. At 100 TB the same shape holds per group;
-    for a single giant group the bounds would come from the two-pass
-    bucket rewrite (q_fn_weighted_percentile) instead of a full-
-    partition window — semantics unchanged."""
+
+    Scale shape (r4, two-pass): ~5 event types means a per-type rank
+    window over the fact is one sequential task per type at 100 TB, so
+    the rank runs through operators/scale.bucketed_rank on fixed-width
+    VALUE buckets (monotone in the sort key — row-identical rank,
+    parallel within types); per-type counts come from a combinable
+    aggregate, the two order-statistic bounds from a lean filter on the
+    exact rank, and the clipped mean from a broadcast of the
+    |types|-row bounds table. No per-type fact window anywhere."""
+    from datafusion_wasm_bindings_spark.operators.scale import bucketed_rank
+
     e = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("value").asc(), F.col("event_id").asc()
-    )
-    wfull = Window.partitionBy("event_type").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    r = (
-        e.withColumn("rn", F.row_number().over(w).cast("long"))
-        .withColumn("cnt", F.count(F.lit(1)).over(wfull))
+    g = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("k_lo", F.ceil(F.col("cnt") * F.lit(_WINS_P)))
         .withColumn("k_hi", F.col("cnt") - F.col("k_lo") + 1)
     )
-    bounded = r.withColumn(
-        "v_lo", F.max(F.when(F.col("rn") == F.col("k_lo"), F.col("value"))).over(wfull)
-    ).withColumn(
-        "v_hi", F.max(F.when(F.col("rn") == F.col("k_hi"), F.col("value"))).over(wfull)
+    r = bucketed_rank(
+        e,
+        ["event_type"],
+        F.floor(F.col("value")),
+        [F.col("value").asc(), F.col("event_id").asc()],
+    ).join(F.broadcast(g), "event_type")
+    bounds = (
+        r.filter((F.col("rn") == F.col("k_lo")) | (F.col("rn") == F.col("k_hi")))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rn") == F.col("k_lo"), F.col("value"))).alias("v_lo"),
+            F.min(F.when(F.col("rn") == F.col("k_hi"), F.col("value"))).alias("v_hi"),
+        )
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("v_lo")), F.col("v_hi"))
-    return bounded.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("v_lo").alias("lo"),
-        F.min("v_hi").alias("hi"),
-        (F.sum(clipped.cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
-            "wins_mean"
-        ),
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v_lo").alias("lo"),
+            F.min("v_hi").alias("hi"),
+            (F.sum(clipped.cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "wins_mean"
+            ),
+        )
     )
 
 
@@ -1829,21 +1842,34 @@ query(
 def _sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-rebalancing downsample: every language class keeps exactly
     min-class-count docs, chosen by the content-addressed md5 rank
-    (reproducible on any engine, no RNG). One shuffle on the class key
-    for the rank window + a broadcast of the |classes|-row floor
-    table; the standard pre-training rebalance before loss weighting
-    exists."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    (reproducible on any engine, no RNG) — the standard pre-training
+    rebalance before loss weighting exists.
+
+    Scale shape (r4): the keep-count k is data-dependent, so Spark's
+    rank-limit pushdown cannot bound a per-class window — and with ~10
+    language classes a `PARTITION BY lang` window over the corpus is
+    one sequential task per class at 100 TB. The rank therefore runs
+    through operators/scale.bucketed_rank: the first two hex chars of
+    the md5 draw are a MONOTONE prefix of the sort key, giving 256
+    uniform buckets per class — per-(class, bucket) windows stay
+    parallel and bounded, and the broadcast bucket offsets lift them to
+    the exact per-class rank (row-identical to the naive window)."""
+    from datafusion_wasm_bindings_spark.operators.scale import bucketed_rank
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":bal"))).alias("draw"),
+    )
     floor_n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).agg(
         F.min("n").alias("k")
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":bal"))).asc(),
-        F.col("doc_id").asc(),
-    )
-    ranked = d.withColumn("rn", F.row_number().over(w)).crossJoin(
-        F.broadcast(floor_n)
-    )
+    ranked = bucketed_rank(
+        d,
+        ["lang"],
+        F.conv(F.substring("draw", 1, 2), 16, 10),
+        [F.col("draw").asc(), F.col("doc_id").asc()],
+    ).crossJoin(F.broadcast(floor_n))
     kept = ranked.filter(F.col("rn") <= F.col("k"))
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),

@@ -508,18 +508,27 @@ def _stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value mass?). Rank formula G = (2*Σ r_i x_(i) - (n+1) Σ x) /
     (n Σ x) on the within-nation rank.
 
-    Scale shape: ONE shuffle on nation; the rank window is PARTITIONED
-    by nation (parallel across strata, never global), ties broken by
-    the unique key for a deterministic rank; the group aggregate reuses
-    the window's clustering — no second exchange. Balances are shifted
-    by +1000 (documented) so the mass is strictly positive."""
+    Scale shape (r4): the Gini needs the FULL within-nation rank (every
+    r_i weights the sum), so rank-limit pushdown can never bound a
+    per-nation window — and 25 nations means 25 sequential tasks over
+    the whole fact at 100 TB. The rank runs through
+    operators/scale.bucketed_rank on fixed-width VALUE-range buckets
+    (width 100 over the shifted balance: monotone in the sort key, so
+    the two-pass rank is row-identical); per-(nation, bucket) windows
+    stay parallel. Balances are shifted by +1000 (documented) so the
+    mass is strictly positive; ties broken by the unique key."""
+    from datafusion_wasm_bindings_spark.operators.scale import bucketed_rank
+
     c = table(spark, sf_dir, "customer").select(
         "c_nationkey", "c_custkey", (F.col("c_acctbal") + 1000.0).alias("xs")
     )
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.col("xs").asc(), F.col("c_custkey").asc()
+    r = bucketed_rank(
+        c,
+        ["c_nationkey"],
+        F.floor(F.col("xs") / 100.0),
+        [F.col("xs").asc(), F.col("c_custkey").asc()],
+        rank_col="r",
     )
-    r = c.withColumn("r", F.row_number().over(w).cast("long"))
     g = r.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         dsum(F.col("r") * F.col("xs"), "srx"),

@@ -311,8 +311,14 @@ def _sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine-portable md5 rank within each stratum.
 
     Scale shape: one combinable shuffle computes per-stratum moments
-    (category-sized, broadcast back); selection is a per-stratum md5
-    rank window — parallel across strata, top-a_h rows only."""
+    (category-sized, broadcast back). The per-stratum selection rank is
+    data-dependent (a_h), so rank-limit pushdown cannot bound a
+    per-stratum window — with ~5 strata that is one sequential task
+    per stratum at 100 TB; the rank therefore runs through
+    operators/scale.bucketed_rank on 256 md5-prefix buckets (r4),
+    row-identical to the naive window but parallel within strata."""
+    from datafusion_wasm_bindings_spark.operators.scale import bucketed_rank
+
     e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     g = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_h"),
@@ -335,12 +341,18 @@ def _sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("a_h"),
     )
-    draw = F.md5(F.concat(F.col("event_id").cast("string"), F.lit("dfwb-ney")))
-    w_sel = Window.partitionBy("event_type").orderBy(draw.asc(), F.col("event_id").asc())
+    staged = e.join(F.broadcast(alloc), "event_type").withColumn(
+        "draw", F.md5(F.concat(F.col("event_id").cast("string"), F.lit("dfwb-ney")))
+    )
+    ranked = bucketed_rank(
+        staged,
+        ["event_type"],
+        F.conv(F.substring("draw", 1, 2), 16, 10),
+        [F.col("draw").asc(), F.col("event_id").asc()],
+        rank_col="rk",
+    )
     return (
-        e.join(F.broadcast(alloc), "event_type")
-        .withColumn("rk", F.row_number().over(w_sel).cast("long"))
-        .filter(F.col("rk") <= F.col("a_h"))
+        ranked.filter(F.col("rk") <= F.col("a_h"))
         .select("event_type", "event_id", "rk", "n_h", "sigma", "a_h")
     )
 
@@ -570,25 +582,48 @@ def _win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle runs its NATIVE COUNT(DISTINCT) OVER — two independent
     formulations of the same semantics must agree row-for-row.
 
-    Scale shape: both windows share the event_type clustering (one
-    shuffle); the per-(type, user) first-occurrence window is parallel
-    across users. Output sampled to bound the compare."""
+    Scale shape (r4): the per-(type, user) first-occurrence window is
+    parallel across users; the per-type cumulative sum of the flags —
+    which with ~5 types would be one sequential task per type — runs as
+    the two-pass bucketed prefix sum (q_events_changepoint's shape):
+    per-(type, 6h-bucket) integer flag sums, per-type exclusive prefix
+    over the tiny bucket table broadcast back, in-bucket cumsum in
+    parallel. Integer sums make the lift trivially exact. Output
+    sampled to bound the compare."""
     e = table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "ts"
     )
     w_first = Window.partitionBy("event_type", "user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
-    w_cum = (
+    bkt_us = 6 * 3_600_000_000
+    flagged = e.withColumn(
+        "first_seen", (F.row_number().over(w_first) == 1).cast("long")
+    ).withColumn("bkt", F.floor(F.unix_micros("ts") / F.lit(bkt_us)).cast("long"))
+    bs = flagged.groupBy("event_type", "bkt").agg(
+        F.sum("first_seen").alias("bsum")
+    )
+    w_pref = (
         Window.partitionBy("event_type")
+        .orderBy(F.col("bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bs.select(
+        "event_type",
+        "bkt",
+        F.coalesce(F.sum("bsum").over(w_pref), F.lit(0)).alias("off"),
+    )
+    w_bcum = (
+        Window.partitionBy("event_type", "bkt")
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        e.withColumn(
-            "first_seen", (F.row_number().over(w_first) == 1).cast("long")
+        flagged.join(F.broadcast(offs), ["event_type", "bkt"])
+        .withColumn(
+            "distinct_users",
+            (F.sum("first_seen").over(w_bcum) + F.col("off")).cast("long"),
         )
-        .withColumn("distinct_users", F.sum("first_seen").over(w_cum).cast("long"))
         .filter(F.col("event_id") % 97 == 0)
         .select("event_id", "event_type", "distinct_users")
     )

@@ -1260,3 +1260,46 @@ def test_interval_merge_matches_python_reference(spark):
         .collect()
     }
     assert got == reference(rows)
+
+
+def test_bucketed_rank_matches_naive_window(spark):
+    from pyspark.sql import Window
+
+    from datafusion_wasm_bindings_spark.operators.scale import bucketed_rank
+
+    df = spark.createDataFrame(
+        [(i % 3, (i * 2654435761) % 1000 / 10.0, i) for i in range(500)],
+        "k long, v double, id long",
+    )
+    naive = df.withColumn(
+        "rn",
+        F.row_number()
+        .over(Window.partitionBy("k").orderBy(F.col("v").asc(), F.col("id").asc()))
+        .cast("long"),
+    )
+    two_pass = bucketed_rank(
+        df,
+        ["k"],
+        F.floor(F.col("v") / 7.0),
+        [F.col("v").asc(), F.col("id").asc()],
+    )
+    assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, two_pass.collect()))
+
+
+def test_bucketed_rank_md5_prefix_bucket(spark):
+    from pyspark.sql import Window
+
+    from datafusion_wasm_bindings_spark.operators.scale import bucketed_rank
+
+    df = spark.createDataFrame([(i % 4, i) for i in range(400)], "k long, id long")
+    draw = F.md5(F.concat(F.col("id").cast("string"), F.lit(":t")))
+    naive = df.withColumn(
+        "rn",
+        F.row_number()
+        .over(Window.partitionBy("k").orderBy(draw.asc(), F.col("id").asc()))
+        .cast("long"),
+    )
+    # first hex char of the draw is a prefix of the sort key -> monotone
+    bucket = F.conv(F.substring(draw, 1, 1), 16, 10)
+    two_pass = bucketed_rank(df, ["k"], bucket, [draw.asc(), F.col("id").asc()])
+    assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, two_pass.collect()))

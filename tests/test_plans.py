@@ -302,13 +302,18 @@ def test_profile_columns_single_scan(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1, plan
 
 
-def test_zscore_outliers_single_window_exchange(spark, sf_dir):
-    """One hash partitioning on the group key feeds the moment window;
-    no self-join and no second shuffle."""
+def test_zscore_outliers_broadcast_moments_no_fact_shuffle(spark, sf_dir):
+    """r4 shape: the fact reduces to a |groups|-row moment table via
+    ONE combinable exchange; the moments broadcast back and z derives
+    map-side — the fact itself is never hashed (the per-group window
+    this replaced put the whole fact through ~|groups| tasks)."""
     df = REGISTRY["q_events_outliers"].spark_fn(spark, sf_dir)
     plan = _plan(df)
+    # the only hash exchange is the tiny moment aggregate's
     assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan, plan
 
 
 def test_asof_join_single_exchange_no_join_node(spark, sf_dir):
@@ -877,6 +882,33 @@ def test_r4_window_extension_plan_shapes(spark, sf_dir):
     # corpus-independent)
     p = _plan(REGISTRY["q_cluster_quality"].spark_fn(spark, sf_dir))
     assert "Scan ExistingRDD" in p and p.count("BroadcastNestedLoopJoin") <= 1, p
+
+
+def test_no_low_cardinality_fact_windows(spark, sf_dir):
+    """r4 bucketed-rank migration: the queries that rank/cumulate the
+    FACT per low-cardinality key (event_type ~5, nation ~25, lang ~10)
+    must window per (key, bucket) — a key-only window over the fact is
+    one sequential task per key value at 100 TB. The offset table's
+    per-key prefix window is fine (|keys|x|buckets| rows)."""
+    import re
+
+    for qid, key, order_head in (
+        ("q_sample_balanced", "lang", "draw"),
+        ("q_sample_neyman", "event_type", "draw"),
+        ("q_stats_gini", "c_nationkey", "xs"),
+        ("q_clean_winsorize", "event_type", "value"),
+        ("q_win_distinct_running", "event_type", "ts"),
+    ):
+        p = _plan(REGISTRY[qid].spark_fn(spark, sf_dir))
+        # no window spec of (key, <sort-key>) — i.e. key-only partition
+        # ordered directly by the query's sort column
+        assert not re.search(
+            rf"windowspecdefinition\({key}#\d+L?, {order_head}#", p
+        ), (qid, p)
+        # the in-bucket window is present: (key, __bkt|bkt, ...)
+        assert re.search(
+            rf"windowspecdefinition\({key}#\d+L?, (__)?bkt#", p
+        ), (qid, p)
 
 
 def test_changepoint_windows_are_bucketed(spark, sf_dir):
