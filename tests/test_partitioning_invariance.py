@@ -1,0 +1,55 @@
+"""Whole-query partitioning invariance: a distributed engine's results
+must not depend on HOW the data was partitioned — shuffle partition
+count, AQE coalescing/re-planning — only on the data. Every repo
+determinism recipe (decimal sums, content-addressed draws, explicit
+tie-breaks, two-pass bucketed ranks) exists to guarantee exactly this;
+here it is asserted end-to-end on a cross-section of query shapes:
+exact-decimal aggregation, bucketed rank rewrites, order statistics,
+prefix sums, MinHash dedup, TF-IDF top-k, and KM survival.
+
+Each query runs under spark.sql.shuffle.partitions in {2, 8, 64} and
+once more with AQE disabled; all four row sets must be IDENTICAL
+(values included — not just row counts).
+"""
+
+from __future__ import annotations
+
+from datafusion_wasm_bindings_spark.queries import load_all
+
+REGISTRY = load_all()
+
+_IDS = (
+    "q_flagship_pricing_summary",  # 8 exact decimal aggregates
+    "q_stats_gini",                # value-bucketed two-pass rank
+    "q_clean_winsorize",           # order-statistic bounds
+    "q_events_changepoint",        # bucketed decimal prefix sum + argmax
+    "q_win_distinct_running",      # bucketed integer prefix sum
+    "q_dedup_minhash",             # banded LSH + exact verify
+    "q_text_tfidf",                # tf-idf top-k with tie-breaks
+    "q_stats_survival",            # KM product over the hour grid
+    "q_pipeline_rownum",           # global row ids without global window
+)
+
+
+def _canon(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_results_invariant_to_shuffle_partitions_and_aqe(spark, sf_dir):
+    base_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    base_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        for qid in _IDS:
+            spec = REGISTRY[qid]
+            results = []
+            for parts, aqe in ((2, "true"), (8, "true"), (64, "true"), (8, "false")):
+                spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+                spark.conf.set("spark.sql.adaptive.enabled", aqe)
+                results.append(_canon(spec.spark_fn(spark, sf_dir).collect()))
+            for other in results[1:]:
+                assert other == results[0], (
+                    f"{qid} result depends on partitioning/AQE"
+                )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", base_aqe)
