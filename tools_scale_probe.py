@@ -216,6 +216,48 @@ def probe_changepoint(spark) -> None:
     _time("cusum two-pass bucketed (10M rows, 5 types)", run_bucketed)
 
 
+def probe_rank(spark) -> None:
+    """operators/scale.bucketed_rank vs the naive per-key window over
+    10M rows × 5 keys — the primitive behind the gini / winsorize /
+    balanced / neyman migrations. Local[32] mostly shows the removed
+    single-task sort; at 100 TB the naive form simply cannot run."""
+    from datafusion_wasm_bindings_spark.operators.scale import bucketed_rank
+
+    df = (
+        spark.range(N)
+        .select(
+            (F.col("id") % 5).cast("string").alias("k"),
+            ((F.col("id") * 2654435761) % 1_000_000 / 100.0).alias("v"),
+            F.col("id"),
+        )
+        .localCheckpoint()
+    )
+
+    def run_naive():
+        w = Window.partitionBy("k").orderBy(F.col("v").asc(), F.col("id").asc())
+        out = (
+            df.withColumn("rn", F.row_number().over(w).cast("long"))
+            .groupBy("k")
+            .agg(F.max("rn").alias("mx"), F.sum("rn").alias("s"))
+            .collect()
+        )
+        assert len(out) == 5
+
+    def run_bucketed():
+        out = (
+            bucketed_rank(
+                df, ["k"], F.floor(F.col("v") / 100.0), [F.col("v").asc(), F.col("id").asc()]
+            )
+            .groupBy("k")
+            .agg(F.max("rn").alias("mx"), F.sum("rn").alias("s"))
+            .collect()
+        )
+        assert len(out) == 5
+
+    _time("per-key rank naive window (10M rows, 5 keys)", run_naive)
+    _time("per-key rank bucketed two-pass (10M rows, 5 keys)", run_bucketed)
+
+
 def _time(label: str, run) -> None:
     run()  # cold: codegen + checkpoint warmup
     times = []
@@ -227,7 +269,7 @@ def _time(label: str, run) -> None:
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint"}
+    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank"}
     spark = get_spark("dfwb-scale-probe")
     if "ols2" in which:
         probe_ols2(spark)
@@ -235,3 +277,5 @@ if __name__ == "__main__":
         probe_survival(spark)
     if "changepoint" in which:
         probe_changepoint(spark)
+    if "rank" in which:
+        probe_rank(spark)
