@@ -194,6 +194,11 @@ sql_query(
 # nondeterministic in a parallel engine — SURVEY §5 determinism rules).
 # Arrays are surfaced as ','-joined STRINGs: the driver's canonicalizer
 # can't hash list cells (CORRECTNESS_r01 q_agg_order_within driver err).
+# 100 TB caveat (applies to string_agg below too, and to the reference's
+# own array_agg/string_agg identically): the per-group payload grows
+# with group size, so these are semantically-unbounded-row functions —
+# run them over bounded key spaces (here: 25 nations / 5 regions) or
+# cap with slice(); the engine parity is the point, not a scale claim.
 sql_query(
     "q_fn_array_agg",
     """
