@@ -231,11 +231,21 @@ def bucketed_rank(
 
     The result is row-for-row identical to the naive window (bucket
     monotonicity makes cross-bucket order agree with ``order_cols``;
-    the caller's order must be total, i.e. include a tiebreak id).
+    the caller's order must be total, i.e. include a tiebreak id, and
+    ASCENDING — for descending order pass a negated bucket and
+    desc order_cols is on the caller).
+
+    NULL order keys: a NULL leading key yields a NULL bucket, which an
+    equi-join would silently DROP — so NULL buckets are coalesced to a
+    minimal sentinel, placing those rows in the first bucket exactly
+    like the naive ascending window's default NULLS FIRST (the
+    in-bucket window then orders them by the caller's order_cols).
     """
     from pyspark.sql import Window
 
-    b = df.withColumn("__bkt", bucket.cast("long"))
+    b = df.withColumn(
+        "__bkt", F.coalesce(bucket.cast("long"), F.lit(-(1 << 62)))
+    )
     counts = b.groupBy(*partition_cols, "__bkt").agg(F.count(F.lit(1)).alias("__n"))
     w_pref = (
         Window.partitionBy(*partition_cols)

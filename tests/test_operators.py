@@ -1303,3 +1303,47 @@ def test_bucketed_rank_md5_prefix_bucket(spark):
     bucket = F.conv(F.substring(draw, 1, 1), 16, 10)
     two_pass = bucketed_rank(df, ["k"], bucket, [draw.asc(), F.col("id").asc()])
     assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, two_pass.collect()))
+
+
+def test_bucketed_rank_nulls_ties_and_widths(spark):
+    """Adversarial bucketed_rank: NULL order keys (land in the NULL
+    bucket, which sorts first exactly like the naive window's default
+    NULLS FIRST), heavy duplicate values (ties share a bucket because
+    the bucket is a function of the leading sort key), and bucket
+    widths from 1 to wider-than-domain (single bucket == naive)."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import Window
+
+    from datafusion_wasm_bindings_spark.operators.scale import bucketed_rank
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        vals=st.lists(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=9)),
+            min_size=1,
+            max_size=60,
+        ),
+        width=st.sampled_from([1, 3, 100]),
+    )
+    def check(vals, width):
+        df = spark.createDataFrame(
+            [(i % 2, v, i) for i, v in enumerate(vals)], "k long, v long, id long"
+        )
+        naive = df.withColumn(
+            "rn",
+            F.row_number()
+            .over(Window.partitionBy("k").orderBy(F.col("v").asc(), F.col("id").asc()))
+            .cast("long"),
+        )
+        two_pass = bucketed_rank(
+            df,
+            ["k"],
+            F.floor(F.col("v") / width),
+            [F.col("v").asc(), F.col("id").asc()],
+        )
+        key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+        assert sorted(map(tuple, naive.collect()), key=key) == sorted(
+            map(tuple, two_pass.collect()), key=key
+        ), (vals, width)
+
+    check()
