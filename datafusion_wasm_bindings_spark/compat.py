@@ -61,6 +61,26 @@ def _mask_literals(sql: str) -> tuple[str, list[str]]:
     return masked, literals
 
 
+_DQ_IDENT_RE = re.compile(r'"((?:[^"]|"")*)"')
+
+
+def _rewrite_double_quoted_identifiers(masked: str) -> str:
+    """DataFusion/Postgres double-quoted identifiers → Spark backticks
+    (SURVEY §1.1 dialect row). Runs on MASKED text, so double quotes
+    inside 'string literals' are untouched. In the DataFusion dialect
+    double quotes are unambiguously identifiers ('' is the string
+    quote), with "" as the embedded-quote escape; Spark escapes a
+    backtick by doubling it. Case-sensitivity nuance: DataFusion
+    treats quoted identifiers case-sensitively while our session pins
+    spark.sql.caseSensitive=false — same observable behavior whenever
+    the schema has no case-colliding names (our fixtures and any sane
+    catalog)."""
+    return _DQ_IDENT_RE.sub(
+        lambda m: "`" + m.group(1).replace('""', '"').replace("`", "``") + "`",
+        masked,
+    )
+
+
 def _unmask(sql: str, literals: list[str]) -> str:
     for i, lit in enumerate(literals):
         sql = sql.replace(f"\x00L{i}\x00", lit)
@@ -495,6 +515,7 @@ def rewrite(sql: str) -> str:
     if m:
         sql = f"SET {m.group(1)}"
     masked, lits = _mask_literals(sql)
+    masked = _rewrite_double_quoted_identifiers(masked)
 
     def similar_repl(m: re.Match) -> str:
         idx = int(m.group("idx"))

@@ -265,3 +265,18 @@ def test_groups_frame_through_engine(spark):
     # peers {10}={1,2}, {20}={4}, {30}={8}: frames -> 7, 7, 15, 12
     for v in ("7", "15", "12"):
         assert v in out
+
+
+def test_double_quoted_identifiers_rewrite(spark):
+    """DataFusion/Postgres "ident" quoting (SURVEY §1.1) reaches Spark
+    as backticks; double quotes inside string literals are untouched;
+    "" escapes an embedded quote."""
+    from datafusion_wasm_bindings_spark.compat import rewrite
+
+    assert rewrite('SELECT "a" FROM t') == "SELECT `a` FROM t"
+    assert rewrite('SELECT 1 AS "x;y"') == "SELECT 1 AS `x;y`"
+    assert rewrite('SELECT 1 AS "wi""th"') == "SELECT 1 AS `wi\"th`"
+    assert rewrite("SELECT 'he said \"hi\"' AS s") == "SELECT 'he said \"hi\"' AS s"
+    # end-to-end through the session
+    rows = spark.sql(rewrite('SELECT "v" FROM (SELECT 7 AS v)')).collect()
+    assert rows[0][0] == 7
