@@ -349,3 +349,21 @@ def test_describe_and_show_columns_passthrough(engine, sf_dir):
     assert "n_nationkey" in out and "n_regionkey" in out
     out = engine.execute_sql("SHOW COLUMNS IN region")
     assert "r_regionkey" in out and "r_name" in out
+
+
+def test_dialect_edge_forms_accepted(spark):
+    """Pin the DataFusion-dialect edge forms the engine accepts
+    end-to-end: postgres :: casts, LIMIT ALL, empty statements from
+    trailing semicolons, OFFSET without LIMIT, double-quoted
+    identifiers (compat rewrite), and semicolons inside string
+    literals surviving the multi-statement splitter."""
+    from datafusion_wasm_bindings_spark.engine import SQLEngine
+
+    eng = SQLEngine(spark)
+    assert "4" in eng.execute_sql("SELECT '3'::INT + 1 AS x")
+    assert "1" in eng.execute_sql("SELECT 1 AS x LIMIT ALL")
+    assert "1" in eng.execute_sql("SELECT 1 AS x;;")
+    assert "1" in eng.execute_sql("SELECT 1 AS x OFFSET 0")
+    assert "7" in eng.execute_sql('SELECT 7 AS "id;x"')
+    out = eng.execute_sql("SELECT 'a;b' AS s; SELECT 2 AS two")
+    assert "a;b" in out and "two" in out
