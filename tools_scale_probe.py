@@ -258,6 +258,45 @@ def probe_rank(spark) -> None:
     _time("per-key rank bucketed two-pass (10M rows, 5 keys)", run_bucketed)
 
 
+
+def probe_minhash(spark) -> None:
+    """End-to-end MinHash-LSH dedup over a 100,000-document corpus (20
+    token-disjoint replicas of the sf0.1 documents: every token gets a
+    per-replica suffix, so shingles never match across replicas and
+    the verified pair count must be exactly 20x the per-replica
+    count). Refreshes BASELINE's stale pre-r3-fix datapoint."""
+    from pyspark.sql import DataFrame
+
+    from datafusion_wasm_bindings_spark.operators.dedup import minhash_lsh_pairs
+    from datafusion_wasm_bindings_spark.sources.catalog import table
+
+    docs = table(spark, "/root/testdata/sf0.1", "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    reps = [
+        docs.select(
+            (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+            F.regexp_replace("text", r"([A-Za-z0-9]+)", f"$1q{i}").alias("text"),
+        )
+        for i in range(20)
+    ]
+    corpus: DataFrame = reps[0]
+    for r in reps[1:]:
+        corpus = corpus.unionByName(r)
+    corpus = corpus.localCheckpoint()
+    base_pairs = minhash_lsh_pairs(
+        docs, bands=8, rows_per_band=2, jaccard_threshold=0.5
+    ).count()
+
+    def run():
+        n = minhash_lsh_pairs(
+            corpus, bands=8, rows_per_band=2, jaccard_threshold=0.5
+        ).count()
+        assert n == 20 * base_pairs, (n, base_pairs)
+
+    print(f"minhash corpus: {n_docs} docs x 20 replicas, {base_pairs} pairs/replica")
+    _time(f"minhash-LSH dedup (100k docs, {20 * base_pairs} verified pairs)", run)
+
+
 def _time(label: str, run) -> None:
     run()  # cold: codegen + checkpoint warmup
     times = []
@@ -269,7 +308,7 @@ def _time(label: str, run) -> None:
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank"}
+    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash"}
     spark = get_spark("dfwb-scale-probe")
     if "ols2" in which:
         probe_ols2(spark)
@@ -279,3 +318,5 @@ if __name__ == "__main__":
         probe_changepoint(spark)
     if "rank" in which:
         probe_rank(spark)
+    if "minhash" in which:
+        probe_minhash(spark)
