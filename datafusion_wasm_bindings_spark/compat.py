@@ -49,36 +49,61 @@ ARROW_TO_SPARK_TYPE = {
 
 
 def _mask_literals(sql: str) -> tuple[str, list[str]]:
-    """Replace 'string literals' with placeholders so rewrites never
-    touch literal contents."""
+    """Single left-to-right scan that (a) replaces 'string literals'
+    with placeholders so rewrites never touch literal contents,
+    (b) converts double-quoted identifiers to Spark backticks in place
+    (DataFusion/Postgres dialect, SURVEY §1.1 — unambiguous because ''
+    is the string quote and "" the identifier quote), and (c) passes
+    -- line and /* block */ comments through untouched.
+
+    A regex pass per quote kind cannot do this: a single quote inside
+    "a'b" or inside a comment would open a phantom string literal and
+    swallow everything up to the next real quote (observed live on
+    SELECT "a'b" AS x, 'y' AS s). One scanner, one source of truth for
+    what is quoted."""
     literals: list[str] = []
-
-    def repl(m: re.Match) -> str:
-        literals.append(m.group(0))
-        return f"\x00L{len(literals) - 1}\x00"
-
-    masked = re.sub(r"'(?:[^']|'')*'", repl, sql)
-    return masked, literals
-
-
-_DQ_IDENT_RE = re.compile(r'"((?:[^"]|"")*)"')
-
-
-def _rewrite_double_quoted_identifiers(masked: str) -> str:
-    """DataFusion/Postgres double-quoted identifiers → Spark backticks
-    (SURVEY §1.1 dialect row). Runs on MASKED text, so double quotes
-    inside 'string literals' are untouched. In the DataFusion dialect
-    double quotes are unambiguously identifiers ('' is the string
-    quote), with "" as the embedded-quote escape; Spark escapes a
-    backtick by doubling it. Case-sensitivity nuance: DataFusion
-    treats quoted identifiers case-sensitively while our session pins
-    spark.sql.caseSensitive=false — same observable behavior whenever
-    the schema has no case-colliding names (our fixtures and any sane
-    catalog)."""
-    return _DQ_IDENT_RE.sub(
-        lambda m: "`" + m.group(1).replace('""', '"').replace("`", "``") + "`",
-        masked,
-    )
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            literals.append(sql[i : min(j + 1, n)])
+            out.append(f"\x00L{len(literals) - 1}\x00")
+            i = j + 1
+        elif c == '"':
+            j = i + 1
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        j += 2
+                        continue
+                    break
+                j += 1
+            body = sql[i + 1 : j].replace('""', '"').replace("`", "``")
+            out.append("`" + body + "`")
+            i = j + 1
+        elif c == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            out.append(sql[i:j])
+            i = j
+        elif c == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            out.append(sql[i:j])
+            i = j
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out), literals
 
 
 def _unmask(sql: str, literals: list[str]) -> str:
@@ -515,7 +540,6 @@ def rewrite(sql: str) -> str:
     if m:
         sql = f"SET {m.group(1)}"
     masked, lits = _mask_literals(sql)
-    masked = _rewrite_double_quoted_identifiers(masked)
 
     def similar_repl(m: re.Match) -> str:
         idx = int(m.group("idx"))

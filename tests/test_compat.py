@@ -280,3 +280,19 @@ def test_double_quoted_identifiers_rewrite(spark):
     # end-to-end through the session
     rows = spark.sql(rewrite('SELECT "v" FROM (SELECT 7 AS v)')).collect()
     assert rows[0][0] == 7
+
+
+def test_literal_masking_scanner_quote_interplay():
+    """The single-pass masker must not let a single quote inside a
+    double-quoted identifier or a comment open a phantom string
+    literal (the regex-per-quote-kind approach swallowed everything up
+    to the next real quote)."""
+    from datafusion_wasm_bindings_spark.compat import rewrite
+
+    assert rewrite('SELECT "a\'b" AS x, \'y\' AS s') == "SELECT `a'b` AS x, 'y' AS s"
+    assert (
+        rewrite("-- it's a comment\nSELECT 1 AS a, 'x' AS s")
+        == "-- it's a comment\nSELECT 1 AS a, 'x' AS s"
+    )
+    assert rewrite("SELECT /* don't */ 'y' AS s") == "SELECT /* don't */ 'y' AS s"
+    assert rewrite("SELECT 'don''t' AS s, \"col\" AS c") == "SELECT 'don''t' AS s, `col` AS c"
