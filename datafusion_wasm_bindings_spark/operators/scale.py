@@ -263,3 +263,43 @@ def bucketed_rank(
         .withColumn(rank_col, (F.row_number().over(w_b) + F.col("__off")).cast("long"))
         .drop("__bkt", "__off")
     )
+
+
+def equidepth_bucket(
+    df: DataFrame, value: F.Column, *, n_buckets: int = 256
+) -> F.Column:
+    """A MONOTONE bucket column for ``bucketed_rank`` whose boundaries
+    come from approximate quantiles of ``value`` — the skew-proof
+    alternative to a fixed-width value bucket. A fixed width keeps
+    buckets balanced only for roughly uniform values; a value
+    distribution with heavy mass in one range (prices, latencies)
+    piles those rows into one bucket and re-creates the single-task
+    sort the rewrite exists to avoid. Equi-depth boundaries put ~1/n
+    of the rows in every bucket BY CONSTRUCTION, whatever the shape.
+
+    The returned expression is monotone non-decreasing in ``value``
+    (count of boundaries <= value), so ``bucketed_rank``'s output is
+    row-for-row IDENTICAL whichever bucketing is used — bucket choice
+    affects distribution, never results — and the oracle contract of
+    any query using it is untouched. Boundaries are collected once
+    (n_buckets-1 doubles, corpus-independent driver state — same class
+    as a broadcast join's build side).
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    col_name = "__edb_v"
+    probe = df.select(value.alias(col_name))
+    bounds = sorted(set(probe.stat.approxQuantile(col_name, qs, 0.001)))
+    if not bounds:
+        return F.lit(0)
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    # count of boundaries <= value == equi-depth bucket index; NULL
+    # values yield NULL (bucketed_rank maps NULL to its first-bucket
+    # sentinel, matching NULLS FIRST)
+    return F.when(
+        value.isNotNull(),
+        F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(b <= value.cast("double"), 1).otherwise(0),
+        ),
+    )

@@ -1347,3 +1347,47 @@ def test_bucketed_rank_nulls_ties_and_widths(spark):
         ), (vals, width)
 
     check()
+
+
+def test_equidepth_bucket_balances_skew_and_preserves_ranks(spark):
+    """Skewed values (90% of rows in 1% of the domain) pile into one
+    fixed-width bucket but spread across equi-depth buckets; and since
+    any monotone bucketing yields identical bucketed_rank output, the
+    ranks match the naive window either way."""
+    from pyspark.sql import Window
+
+    from datafusion_wasm_bindings_spark.operators.scale import (
+        bucketed_rank,
+        equidepth_bucket,
+    )
+
+    # 90% of values in [0, 10), 10% spread over [10, 1000)
+    rows = [
+        (i % 2, float(i % 10) if i % 10 else float(10 + (i * 37) % 990), i)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k long, v double, id long")
+    ed = equidepth_bucket(df, F.col("v"), n_buckets=16)
+    ranked = bucketed_rank(df, ["k"], ed, [F.col("v").asc(), F.col("id").asc()])
+    naive = df.withColumn(
+        "rn",
+        F.row_number()
+        .over(Window.partitionBy("k").orderBy(F.col("v").asc(), F.col("id").asc()))
+        .cast("long"),
+    )
+    assert sorted(map(tuple, ranked.collect())) == sorted(map(tuple, naive.collect()))
+    # balance: the largest equi-depth bucket holds a bounded share of
+    # rows, where the fixed-width bucketing at the same granularity
+    # puts ~90% into one bucket
+    ed_counts = [
+        r.n for r in df.withColumn("b", ed).groupBy("b").agg(F.count("*").alias("n")).collect()
+    ]
+    fw_counts = [
+        r.n
+        for r in df.withColumn("b", F.floor(F.col("v") / (1000.0 / 16)))
+        .groupBy("b")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert max(fw_counts) > 0.85 * len(rows)  # fixed width degenerates
+    assert max(ed_counts) < 0.3 * len(rows)  # equi-depth stays bounded
