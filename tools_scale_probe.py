@@ -341,6 +341,60 @@ def probe_embedding(spark) -> None:
     print("planted found / extras:", run.stats)
 
 
+
+def probe_ann(spark) -> None:
+    """The ANN triad at 40,000 x 64-dim (same planted corpus as
+    `embedding`: vector q+20000 is a cosine~0.97 near-copy of vector
+    q): brute-force exact top-3 as the baseline, IVF (32 cells, probe
+    4) and PQ-ADC (8 subspaces, 16 codes, exact re-rank) as the scale
+    paths. Each method must place every query's planted partner in its
+    top-3 — top-1-neighbor recall on structure we KNOW exists."""
+    from datafusion_wasm_bindings_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+        pq_topk,
+    )
+
+    half = 20_000
+    base = spark.range(half).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d ->"
+            " CAST(pmod(xxhash64(id * 64 + d), 2001) - 1000 AS DOUBLE) / 1000.0)"
+        ).alias("embedding"),
+    )
+    noisy = spark.range(half).select(
+        (F.col("id") + half).alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d ->"
+            " CAST(pmod(xxhash64(id * 64 + d), 2001) - 1000 AS DOUBLE) / 1000.0"
+            " + CAST(pmod(xxhash64(id * 64 + d + 99991), 2001) - 1000 AS DOUBLE) / 4000.0)"
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(noisy).localCheckpoint()
+    qids = list(range(8))
+
+    def check(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.cand_id)
+        for q in qids:
+            assert q + half in got.get(q, set()), (q, sorted(got.get(q, set())))
+
+    def run_bf():
+        check(cosine_topk_bruteforce(corpus, query_ids=qids, k=3).collect())
+
+    def run_ivf():
+        check(ivf_topk(corpus, query_ids=qids, k=3, n_centroids=32, n_probe=4).collect())
+
+    def run_pq():
+        check(pq_topk(corpus, query_ids=qids, k=3, m_subspaces=8, n_codes=16, rerank=64).collect())
+
+    _time("ANN brute-force exact top-3 (40k x 64-dim, 8 queries)", run_bf)
+    _time("ANN IVF top-3 (32 cells, probe 4)", run_ivf)
+    _time("ANN PQ-ADC top-3 (8 subspaces, 16 codes, re-rank 64)", run_pq)
+
+
 def _time(label: str, run) -> None:
     run()  # cold: codegen + checkpoint warmup
     times = []
@@ -352,7 +406,7 @@ def _time(label: str, run) -> None:
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding"}
+    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann"}
     spark = get_spark("dfwb-scale-probe")
     if "ols2" in which:
         probe_ols2(spark)
@@ -366,3 +420,5 @@ if __name__ == "__main__":
         probe_minhash(spark)
     if "embedding" in which:
         probe_embedding(spark)
+    if "ann" in which:
+        probe_ann(spark)
