@@ -66,68 +66,67 @@ _MODULES = (
     "analytics4",
 )
 
-# Round-4 driver window (exactly 50 names, VERDICT r3 next-round #1-2):
-# fail-closure first — the 7 ids whose latest driver verdict is the r2
-# oracle-HUGEINT fail (oracle BIGINT casts landed r3, driver-sim 7/7
-# green); then the 5 verdict-named priorities (the 3 never-checked
-# SURVEY catalog rows q_fn_bitwise/q_fn_array_ops/q_fn_higher_order and
-# the dedup pipeline pair); then never-checked ids in registration
-# order (extensions wave, functions tail, scan variants, TPC-H head).
-# q_tpch_q12/q13 were displaced by the forced pair and lead round 5's
-# window with the rest of the TPC-H wave. Names listed here move to
-# the FRONT of the registry in this order; everything else follows in
-# registration order.
+# Round-5 driver window (exactly 50 names, VERDICT r4 next-round #1):
+# zero fail-closures exist (a first), so the window is pure
+# never-checked drain. TPC-H wave first (the reference's canonical
+# workload, SURVEY §7.6: the displaced q_tpch_q12/q13 plus
+# q14-q22/q2/q9/q11/q16/q20/q21), then the 5 verdict-named relational
+# extensions (pivot/unpivot/qualify/groupby-all/lateral), then
+# never-checked ids in registration order (events/pipeline/profile
+# wave). 39 never-checked ids remain for round 6. Names listed here
+# move to the FRONT of the registry in this order; everything else
+# follows in registration order.
 _WINDOW = (
-    "q_dedup_paragraph",
-    "q_text_stats",
-    "q_events_props_json",
-    "q_pipeline_training_mix",
-    "q_pipeline_pack",
-    "q_profile_columns",
-    "q_fn_sum_avg_min_max",
-    "q_fn_bitwise",
-    "q_fn_array_ops",
-    "q_fn_higher_order",
-    "q_dedup_pipeline",
-    "q_dedup_containment",
-    "q_sim_pq_topk",
-    "q_sim_truncation",
-    "q_text_tokens_bpe",
-    "q_text_tfidf",
-    "q_text_confusion",
-    "q_pipeline_split",
-    "q_pipeline_epochs",
-    "q_stream_session",
-    "q_profile_columns_approx",
-    "q_events_json_quarantine",
-    "q_scale_incremental_agg",
-    "q_text_heavy_hitters",
-    "q_graph_pagerank",
-    "q_profile_skew",
-    "q_text_classifier",
-    "q_scale_hll_shards",
-    "q_scale_zorder",
-    "q_cluster_kmeans",
-    "q_cluster_quality",
-    "q_pipeline_upsert",
-    "q_fn_weighted_percentile",
-    "q_fn_bitmap_distinct",
-    "q_fn_argminmax",
-    "q_fn_pandas_udaf",
-    "q_fn_try_arith",
-    "q_fn_url_parse",
-    "q_fn_map_ops",
-    "q_fn_variant",
-    "q_fn_collation",
-    "q_fn_stringdist",
-    "q_scan_evolution",
-    "q_scan_orc",
-    "q_scan_text",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q10",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q21",
+    "q_tpch_q20",
+    "q_pivot",
+    "q_unpivot",
+    "q_qualify",
+    "q_agg_groupby_all",
+    "q_join_lateral",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_pipeline_scd2",
+    "q_scale_compaction",
+    "q_text_editdist_join",
+    "q_sample_per_key",
+    "q_graph_triangles",
+    "q_pipeline_manifest",
+    "q_text_bm25",
+    "q_profile_fk",
+    "q_profile_expectations",
+    "q_events_rolling",
+    "q_pipeline_folds",
+    "q_pipeline_diff",
+    "q_events_experiment",
+    "q_profile_histogram",
+    "q_fn_udtf",
+    "q_stream_upsert",
+    "q_pipeline_rownum",
+    "q_events_interval_merge",
+    "q_events_markov",
+    "q_events_attribution",
+    "q_clean_winsorize",
+    "q_text_normalize",
+    "q_union_by_name",
+    "q_scale_balanced_write",
+    "q_events_gapfill",
+    "q_text_pr_curve",
+    "q_pipeline_incremental_dedup",
+    "q_events_windowed_funnel",
+    "q_text_perplexity",
 )
 
 
