@@ -53,8 +53,11 @@ def _mask_literals(sql: str) -> tuple[str, list[str]]:
     with placeholders so rewrites never touch literal contents,
     (b) converts double-quoted identifiers to Spark backticks in place
     (DataFusion/Postgres dialect, SURVEY §1.1 — unambiguous because ''
-    is the string quote and "" the identifier quote), and (c) passes
-    -- line and /* block */ comments through untouched.
+    is the string quote and "" the identifier quote), and (c) masks
+    -- line and /* block */ comments with the SAME placeholders, so a
+    function name or DISTINCT ON mentioned inside a comment can never
+    trigger a rewrite (ADVICE r4); comments are restored verbatim by
+    ``_unmask``.
 
     A regex pass per quote kind cannot do this: a single quote inside
     "a'b" or inside a comment would open a phantom string literal and
@@ -93,12 +96,14 @@ def _mask_literals(sql: str) -> tuple[str, list[str]]:
         elif c == "-" and sql[i : i + 2] == "--":
             j = sql.find("\n", i)
             j = n if j < 0 else j
-            out.append(sql[i:j])
+            literals.append(sql[i:j])
+            out.append(f"\x00L{len(literals) - 1}\x00")
             i = j
         elif c == "/" and sql[i : i + 2] == "/*":
             j = sql.find("*/", i + 2)
             j = n if j < 0 else j + 2
-            out.append(sql[i:j])
+            literals.append(sql[i:j])
+            out.append(f"\x00L{len(literals) - 1}\x00")
             i = j
         else:
             out.append(c)

@@ -36,9 +36,13 @@ def zscore_outliers(
     the per-group window formulation this replaced (r4), which hashed
     the whole fact onto ~|groups| tasks (one sequential task per group
     value at 100 TB for a low-cardinality group key).
+
+    The join back is NULL-SAFE on ``group_col``: groupBy keeps NULL as
+    its own group exactly like the window's PARTITION BY did, and a
+    plain equi-join would silently drop those rows (ADVICE r4).
     """
     v = F.col(value_col).cast(DEC)
-    moments = df.groupBy(group_col).agg(
+    moments = df.groupBy(F.col(group_col).alias("__g")).agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(v).cast("double").alias("__s"),
         F.sum(v * v).cast("double").alias("__ss"),
@@ -48,7 +52,9 @@ def zscore_outliers(
     mean = s / n
     var = (ss - s * s / n) / (n - F.lit(1))
     z = (vd - mean) / F.sqrt(var)
-    return df.join(F.broadcast(moments), group_col).select(
+    return df.join(
+        F.broadcast(moments), F.col(group_col).eqNullSafe(F.col("__g"))
+    ).select(
         *key_cols,
         group_col,
         F.round(z, 6).alias("z"),

@@ -240,6 +240,12 @@ def bucketed_rank(
     minimal sentinel, placing those rows in the first bucket exactly
     like the naive ascending window's default NULLS FIRST (the
     in-bucket window then orders them by the caller's order_cols).
+
+    NULL partition keys: the naive window keeps NULL as its own
+    partition (window partitioning, like groupBy, groups NULL keys
+    together), so the offset join back uses NULL-SAFE equality
+    (``eqNullSafe``) on the partition columns — a plain equi-join would
+    silently drop every NULL-keyed row (ADVICE r4).
     """
     from pyspark.sql import Window
 
@@ -253,15 +259,18 @@ def bucketed_rank(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = counts.select(
-        *partition_cols,
-        "__bkt",
+        *[F.col(c).alias(f"__pk{i}") for i, c in enumerate(partition_cols)],
+        F.col("__bkt").alias("__bkt_r"),
         F.coalesce(F.sum("__n").over(w_pref), F.lit(0)).alias("__off"),
     )
+    cond = F.col("__bkt") == F.col("__bkt_r")
+    for i, c in enumerate(partition_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__pk{i}"))
     w_b = Window.partitionBy(*partition_cols, "__bkt").orderBy(*order_cols)
     return (
-        b.join(F.broadcast(offs), [*partition_cols, "__bkt"])
+        b.join(F.broadcast(offs), cond)
         .withColumn(rank_col, (F.row_number().over(w_b) + F.col("__off")).cast("long"))
-        .drop("__bkt", "__off")
+        .drop("__bkt", "__bkt_r", "__off", *[f"__pk{i}" for i in range(len(partition_cols))])
     )
 
 

@@ -296,3 +296,20 @@ def test_literal_masking_scanner_quote_interplay():
     )
     assert rewrite("SELECT /* don't */ 'y' AS s") == "SELECT /* don't */ 'y' AS s"
     assert rewrite("SELECT 'don''t' AS s, \"col\" AS c") == "SELECT 'don''t' AS s, `col` AS c"
+
+
+def test_comments_are_masked_from_rewrites():
+    """Comment text must be invisible to dialect rewrites: a function
+    name or DISTINCT ON mentioned in a -- or /* */ comment must come
+    back verbatim, never rewritten (ADVICE r4 — the scanner now masks
+    comments with literal placeholders)."""
+    from datafusion_wasm_bindings_spark.compat import rewrite
+
+    s = (
+        "SELECT x FROM t -- use arrow_cast(x, 'Int64') on DISTINCT ON\n"
+        "WHERE y /* strpos(a,b) SIMILAR TO 'z%' */ = 1"
+    )
+    assert rewrite(s) == s
+    # and real rewrites around the comments still fire
+    r = rewrite("SELECT strpos(a, b) AS p /* strpos stays */ FROM t")
+    assert r == "SELECT locate(b, a) AS p /* strpos stays */ FROM t"

@@ -56,8 +56,17 @@ def test_sim_flags_value_drift():
 
 
 def _changed_query_modules() -> set[str]:
+    # tracked edits (staged or not) PLUS untracked new modules — a
+    # brand-new query module must not bypass the gate (ADVICE r4)
     out = subprocess.run(
         ["git", "diff", "HEAD", "--name-only"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    out += subprocess.run(
+        ["git", "ls-files", "--others", "--exclude-standard"],
         cwd=REPO,
         capture_output=True,
         text=True,

@@ -1308,9 +1308,11 @@ def test_bucketed_rank_md5_prefix_bucket(spark):
 def test_bucketed_rank_nulls_ties_and_widths(spark):
     """Adversarial bucketed_rank: NULL order keys (land in the NULL
     bucket, which sorts first exactly like the naive window's default
-    NULLS FIRST), heavy duplicate values (ties share a bucket because
-    the bucket is a function of the leading sort key), and bucket
-    widths from 1 to wider-than-domain (single bucket == naive)."""
+    NULLS FIRST), NULL PARTITION keys (the naive window keeps NULL as
+    its own partition — the offset join must be null-safe, ADVICE r4),
+    heavy duplicate values (ties share a bucket because the bucket is a
+    function of the leading sort key), and bucket widths from 1 to
+    wider-than-domain (single bucket == naive)."""
     from hypothesis import given, settings, strategies as st
     from pyspark.sql import Window
 
@@ -1327,7 +1329,8 @@ def test_bucketed_rank_nulls_ties_and_widths(spark):
     )
     def check(vals, width):
         df = spark.createDataFrame(
-            [(i % 2, v, i) for i, v in enumerate(vals)], "k long, v long, id long"
+            [(None if i % 5 == 0 else i % 2, v, i) for i, v in enumerate(vals)],
+            "k long, v long, id long",
         )
         naive = df.withColumn(
             "rn",
@@ -1391,3 +1394,19 @@ def test_equidepth_bucket_balances_skew_and_preserves_ranks(spark):
     ]
     assert max(fw_counts) > 0.85 * len(rows)  # fixed width degenerates
     assert max(ed_counts) < 0.3 * len(rows)  # equi-depth stays bounded
+
+
+def test_zscore_outliers_keeps_null_group(spark):
+    """The groupBy+broadcast rewrite must keep NULL-group rows like the
+    window formulation it replaced (PARTITION BY keeps NULL as its own
+    partition) — requires a null-safe join back (ADVICE r4)."""
+    from datafusion_wasm_bindings_spark.operators.cleaning import zscore_outliers
+
+    df = spark.createDataFrame(
+        [(i, None if i % 4 == 0 else f"g{i % 3}", float(i * i % 17)) for i in range(40)],
+        "id long, grp string, v double",
+    )
+    out = zscore_outliers(df, ["id"], "grp", "v")
+    assert out.count() == 40
+    assert out.filter(F.col("grp").isNull()).count() == 10
+    assert out.columns == ["id", "grp", "z", "is_outlier"]
