@@ -334,6 +334,7 @@ def connected_components(
     dst: str = "id_b",
     *,
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Resolve similarity candidate pairs into duplicate CLUSTERS —
     the step that turns pairwise near-dup evidence into a keep/drop
@@ -354,18 +355,22 @@ def connected_components(
 
     Returns (node, comp): every node appearing in ``pairs`` mapped to
     its component id = min node id in the component.
+
+    ``checkpoint_dir``: None (default) cuts per-round lineage with
+    localCheckpoint; a storage path switches to fault-tolerant
+    ``checkpoint`` (operators/checkpoint.py).
     """
+    from datafusion_wasm_bindings_spark.operators.checkpoint import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    edges = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    edges = ckpt(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
-    labels = (
+    labels = ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         nbr_min = (
@@ -377,14 +382,13 @@ def connected_components(
         # the change flag falls out of the same row (old comp vs
         # neighbor min) — checking it on the checkpointed result avoids
         # a per-round convergence join
-        new_labels = (
+        new_labels = ckpt(
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
                 (F.coalesce("nbr_comp", "comp") < F.col("comp")).alias("changed"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = new_labels.filter("changed").limit(1).count()
         labels = new_labels.drop("changed")
@@ -407,6 +411,7 @@ def connected_components_star(
     dst: str = "id_b",
     *,
     max_iters: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star —
     the 100 TB scale path (Kiveris et al., "Connected Components in
@@ -430,13 +435,15 @@ def connected_components_star(
 
     Returns (node, comp) exactly like ``connected_components``: every
     node appearing in ``pairs`` mapped to the min node id of its
-    component.
+    component. ``checkpoint_dir``: see ``connected_components``.
     """
-    edges = (
+    from datafusion_wasm_bindings_spark.operators.checkpoint import make_checkpointer
+
+    ckpt = make_checkpointer(checkpoint_dir)
+    edges = ckpt(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def signature(e: DataFrame) -> tuple:
@@ -470,13 +477,12 @@ def connected_components_star(
             F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
         )
         smins = oriented.groupBy("hi").agg(F.min("lo").alias("m"))
-        small = (
+        small = ckpt(
             oriented.join(smins, "hi")
             .select(F.col("lo").alias("a"), F.col("m").alias("b"))
             .union(smins.select(F.col("hi").alias("a"), F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         edges = small
         sig = signature(edges)

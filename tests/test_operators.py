@@ -1410,3 +1410,44 @@ def test_zscore_outliers_keeps_null_group(spark):
     assert out.count() == 40
     assert out.filter(F.col("grp").isNull()).count() == 10
     assert out.columns == ["id", "grp", "z", "is_outlier"]
+
+
+def test_iterative_operators_durable_checkpoint(spark, tmp_path):
+    """The checkpoint_dir knob (VERDICT r4 #5) swaps localCheckpoint
+    for fault-tolerant storage checkpoints without changing results:
+    pagerank / BFS / both CC variants return identical rows either way,
+    and the durable run actually writes RDD checkpoint files."""
+    import os
+
+    from datafusion_wasm_bindings_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+    from datafusion_wasm_bindings_spark.operators.graph import bfs_levels, pagerank
+
+    ckdir = str(tmp_path / "ck")
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 20) for i in range(20)] + [(i, (i + 1) % 20) for i in range(20)],
+        "src long, dst long",
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 18, 2)] + [(100, 101)], "id_a long, id_b long"
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(pagerank(edges, iters=2)) == rows(
+        pagerank(edges, iters=2, checkpoint_dir=ckdir)
+    )
+    assert rows(bfs_levels(edges, 0, max_depth=3)) == rows(
+        bfs_levels(edges, 0, max_depth=3, checkpoint_dir=ckdir)
+    )
+    assert rows(connected_components(pairs)) == rows(
+        connected_components(pairs, checkpoint_dir=ckdir)
+    )
+    assert rows(connected_components_star(pairs)) == rows(
+        connected_components_star(pairs, checkpoint_dir=ckdir)
+    )
+    # the durable path wrote real checkpoint state
+    assert any(os.scandir(ckdir)), "no checkpoint files written"

@@ -493,11 +493,28 @@ def test_editdist_join_is_equi_blocked_not_all_pairs(spark, sf_dir):
 
 def test_triangle_count_no_cartesian(spark, sf_dir):
     """Degree-oriented wedge enumeration: both the wedge self-join and
-    the closing join are equi-joins; the degree-rank tables broadcast."""
+    the closing join are equi-joins. The O(|V|) degree-rank table is
+    NOT force-broadcast (VERDICT r4): AQE picks broadcast when the
+    runtime size fits and degrades to a shuffle join — never a
+    nested-loop shape — when it doesn't."""
     df = REGISTRY["q_graph_triangles"].spark_fn(spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastExchange" in plan, plan  # degree-rank lookup broadcasts
+    # only the final 1x1 crossJoin of the two scalar counts may be a
+    # nested-loop shape; every keyed join must be a hash/SMJ join
+    keyed_joins = [
+        ln
+        for ln in plan.splitlines()
+        if "Join" in ln and "NestedLoop" not in ln and "Cross" not in ln
+    ]
+    assert keyed_joins, plan
+    assert all(
+        "SortMergeJoin" in ln or "HashJoin" in ln for ln in keyed_joins
+    ), plan
+    # no compile-time broadcast hint on the O(|V|) rank table: the
+    # analyzed logical plan must carry no explicit broadcast hint
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in logical.lower(), logical
 
 
 def test_funnel_reuses_user_partitioning(spark, sf_dir):
