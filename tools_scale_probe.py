@@ -226,7 +226,11 @@ def probe_rank(spark) -> None:
     df = (
         spark.range(N)
         .select(
-            (F.col("id") % 5).cast("string").alias("k"),
+            # ~1/16 NULL keys: exercises the null-safe offset join the
+            # r5 fix added (a plain equi-join dropped NULL-keyed rows)
+            F.when(F.col("id") % 16 == 0, F.lit(None))
+            .otherwise((F.col("id") % 5).cast("string"))
+            .alias("k"),
             ((F.col("id") * 2654435761) % 1_000_000 / 100.0).alias("v"),
             F.col("id"),
         )
@@ -241,7 +245,7 @@ def probe_rank(spark) -> None:
             .agg(F.max("rn").alias("mx"), F.sum("rn").alias("s"))
             .collect()
         )
-        assert len(out) == 5
+        assert len(out) == 6  # 5 keys + the NULL group
 
     def run_bucketed():
         out = (
@@ -252,7 +256,8 @@ def probe_rank(spark) -> None:
             .agg(F.max("rn").alias("mx"), F.sum("rn").alias("s"))
             .collect()
         )
-        assert len(out) == 5
+        assert len(out) == 6
+        assert sum(r.mx for r in out) == N  # ranks cover every row, NULLs kept
 
     _time("per-key rank naive window (10M rows, 5 keys)", run_naive)
     _time("per-key rank bucketed two-pass (10M rows, 5 keys)", run_bucketed)
@@ -395,6 +400,37 @@ def probe_ann(spark) -> None:
     _time("ANN PQ-ADC top-3 (8 subspaces, 16 codes, re-rank 64)", run_pq)
 
 
+def probe_triangles(spark) -> None:
+    """operators/graph.triangle_count over a 2M-edge graph whose node
+    count (200k) makes the degree-rank table a real join side: r5
+    removed the forced broadcast so AQE picks the strategy from runtime
+    sizes (broadcast here, shuffle join at 1e9+ nodes) instead of dying
+    past the ceiling. Triangle count is cross-checked on a planted
+    construction: nodes i, i+1, i+2 ring edges plus chords."""
+    from datafusion_wasm_bindings_spark.operators.graph import triangle_count
+
+    n_nodes = 200_000
+    # each node i contributes edges (i, i+1) and (i, i+2) mod n: every
+    # consecutive triple {i, i+1, i+2} closes exactly one triangle
+    base = spark.range(n_nodes)
+    e1 = base.select(F.col("id").alias("u"), ((F.col("id") + 1) % n_nodes).alias("v"))
+    e2 = base.select(F.col("id").alias("u"), ((F.col("id") + 2) % n_nodes).alias("v"))
+    # pad with provably non-closing edges to reach 2M: each pad edge
+    # gets a UNIQUE high endpoint (degree 1 — no wedges can form there;
+    # a hash-scattered pad closed ~130 accidental triangles)
+    pad = spark.range(8 * n_nodes).select(
+        F.expr(f"pmod(xxhash64(id), {n_nodes})").alias("u"),
+        (F.col("id") + n_nodes).alias("v"),
+    )
+    edges = e1.unionByName(e2).unionByName(pad).localCheckpoint()
+
+    def run():
+        n = triangle_count(edges).collect()[0]["n_triangles"]
+        assert n == n_nodes, n  # degree-1 pad endpoints close nothing
+
+    _time("triangle count, AQE-chosen joins (2M edges, 200k nodes)", run)
+
+
 def _time(label: str, run) -> None:
     run()  # cold: codegen + checkpoint warmup
     times = []
@@ -406,7 +442,7 @@ def _time(label: str, run) -> None:
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann"}
+    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles"}
     spark = get_spark("dfwb-scale-probe")
     if "ols2" in which:
         probe_ols2(spark)
@@ -422,3 +458,5 @@ if __name__ == "__main__":
         probe_embedding(spark)
     if "ann" in which:
         probe_ann(spark)
+    if "triangles" in which:
+        probe_triangles(spark)
