@@ -943,6 +943,54 @@ def test_changepoint_windows_are_bucketed(spark, sf_dir):
     assert not re.search(r"windowspecdefinition\(event_type#\d+L?, ts#", p), p
 
 
+def test_tpch_r5_window_plan_shapes(spark, sf_dir):
+    """Pin the remaining TPC-H analogues entering the r5 driver window
+    (q12-q15/q17/q19/q22 had no shape assertions). Each pins the
+    invariant that carries to 100 TB, not incidental node counts."""
+    # Q12: the ship-date range reaches the lineitem parquet scan, so
+    # the fact⋈fact join starts pruned; conditional counts partial-agg
+    p12 = _plan(REGISTRY["q_tpch_q12"].spark_fn(spark, sf_dir))
+    pushed12 = p12.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed12, p12
+    assert "partial_sum" in p12 and "CartesianProduct" not in p12, p12
+    # Q13: zero-order customers survive — the join stays LeftOuter —
+    # and both cascaded aggregates partial-combine map-side
+    p13 = _plan(REGISTRY["q_tpch_q13"].spark_fn(spark, sf_dir))
+    assert "LeftOuter" in p13, p13
+    assert p13.count("HashAggregate") >= 4, p13  # 2 aggs x partial/final
+    # Q14: one-month shipdate slice pushed to the scan; single global
+    # aggregate partial-combines
+    p14 = _plan(REGISTRY["q_tpch_q14"].spark_fn(spark, sf_dir))
+    pushed14 = p14.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "l_shipdate" in pushed14, p14
+    assert "partial_sum" in p14 and "CartesianProduct" not in p14, p14
+    # Q15: the revenue view is checkpoint-materialized (ExistingRDD) —
+    # lineitem is aggregated ONCE inside the checkpoint; the only
+    # parquet scan left downstream is supplier; the max-revenue scalar
+    # joins without any nested-loop shape over it
+    p15 = _plan(REGISTRY["q_tpch_q15"].spark_fn(spark, sf_dir))
+    assert "Scan ExistingRDD" in p15, p15
+    assert p15.count("Scan parquet") == 1, p15
+    assert "CartesianProduct" not in p15, p15
+    # Q17: the brand/size filter reaches the part scan; the per-part
+    # threshold table broadcasts back (never the fact); no cartesian
+    p17 = _plan(REGISTRY["q_tpch_q17"].spark_fn(spark, sf_dir))
+    assert "EqualTo(p_brand,Brand#1)" in p17, p17
+    assert "BroadcastExchange" in p17 and "CartesianProduct" not in p17, p17
+    # Q19: the disjunctive (brand, size, quantity) predicate derives
+    # per-side filters pushed to BOTH parquet scans — the scans start
+    # pruned even though the OR spans the join
+    p19 = _plan(REGISTRY["q_tpch_q19"].spark_fn(spark, sf_dir))
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in p19, p19
+    assert "Or(Or(And(EqualTo(p_brand,Brand#1)" in p19, p19
+    assert "CartesianProduct" not in p19, p19
+    # Q22: NOT EXISTS decorrelates to an anti join; the scalar average
+    # is the only nested-loop shape (1-row broadcast)
+    p22 = _plan(REGISTRY["q_tpch_q22"].spark_fn(spark, sf_dir))
+    assert "LeftAnti" in p22, p22
+    assert "CartesianProduct" not in p22, p22
+
+
 def test_tpch_hard_subquery_plan_shapes(spark, sf_dir):
     """VERDICT r3 #5: pin the physical shapes of the remaining hard
     TPC-H analogues — Q2 (min-cost join-back), Q9 (five-table profit
