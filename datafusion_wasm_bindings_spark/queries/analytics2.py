@@ -498,8 +498,11 @@ def _dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     i.e. the component label itself) → retention stats. Every stage is
     the already-plan-audited building block; the composition shows the
     full pipeline stays shuffle-bounded (bucketed pair-gen, O(diameter)
-    label rounds with per-round localCheckpoint, one broadcast-sized
-    cluster map joined back). The oracle recomputes the same edges and
+    label rounds with per-round localCheckpoint, the cluster map joined
+    back WITHOUT a broadcast hint — it is O(near-dup docs), corpus-
+    proportional at a 30-50% dup rate, so AQE picks broadcast only
+    when the runtime size fits, the triangle-count lesson). The
+    oracle recomputes the same edges and
     reaches the same fixpoint through a recursive reachability CTE."""
     from datafusion_wasm_bindings_spark.operators.dedup import (
         connected_components,
@@ -511,7 +514,7 @@ def _dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = connected_components(pairs).selectExpr(
         "node AS doc_id", "comp AS cluster_id"
     )
-    kept = docs.select("doc_id", "n_chars").join(F.broadcast(comps), "doc_id", "left")
+    kept = docs.select("doc_id", "n_chars").join(comps, "doc_id", "left")
     keep = (
         F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
     ).cast("long")

@@ -547,8 +547,11 @@ def _q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 by order value fuses to TakeOrdered.
 
     Scale: the qualifying-order set is computed with one combinable
-    shuffle and is tiny (heavy-tail orders), so it broadcasts into the
-    semi join; the outer join tree shuffles each fact once."""
+    shuffle; it is SELECTIVITY-dependent (tiny at TPC-H's canonical
+    threshold, but fact-derived), so the join back carries no explicit
+    broadcast hint — AQE broadcasts it when the runtime size fits and
+    falls back to a shuffle join when it does not; the outer join tree
+    shuffles each fact once."""
     li = table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -559,7 +562,7 @@ def _q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
