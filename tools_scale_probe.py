@@ -400,6 +400,52 @@ def probe_ann(spark) -> None:
     _time("ANN PQ-ADC top-3 (8 subspaces, 16 codes, re-rank 64)", run_pq)
 
 
+def probe_q1_100m(spark) -> None:
+    """TPC-H Q1's pricing-summary shape (the flagship headline) at
+    100,000,000 rows — 10x the other probes, ~2 GB of working set: one
+    map-side-combinable aggregate over 4 decimal-quantized measures
+    into 6 groups. The shape's shuffle bytes are 6 groups x partitions
+    regardless of input size, so throughput here IS the 100 TB
+    per-core story (scan + quantize + partial-agg, no data movement).
+    The 100M-row input is NOT checkpointed (2+ GB exceeds the 8 g
+    driver-mem session's storage comfort): range generation is fused
+    whole-stage codegen, a few % of the aggregate cost, so the timing
+    is the honest generate+aggregate pipeline."""
+    n = 100_000_000
+    df = (
+        spark.range(n)
+        .select(
+            F.element_at(
+                F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("rf"),
+            F.element_at(
+                F.array(F.lit("F"), F.lit("O")), (F.col("id") % 2 + 1).cast("int")
+            ).alias("ls"),
+            ((F.col("id") * 2654435761) % 5000 / 100.0).alias("qty"),
+            ((F.col("id") * 40503) % 100000 / 100.0).alias("price"),
+            ((F.col("id") * 69069) % 10 / 100.0).alias("disc"),
+            ((F.col("id") * 12345) % 8 / 100.0).alias("tax"),
+        )
+    )
+
+    def run():
+        rows = (
+            df.groupBy("rf", "ls")
+            .agg(
+                dsum(F.col("qty"), "sum_qty"),
+                dsum(F.col("price"), "sum_base"),
+                dsum(F.col("price") * (1 - F.col("disc")), "sum_disc"),
+                dsum(F.col("price") * (1 - F.col("disc")) * (1 + F.col("tax")), "sum_charge"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        assert len(rows) == 6 and sum(r.n for r in rows) == n
+
+    _time("TPC-H Q1 shape, 100M rows -> 6 groups (4 decimal measures)", run)
+
+
 def probe_triangles(spark) -> None:
     """operators/graph.triangle_count over a 2M-edge graph whose node
     count (200k) makes the degree-rank table a real join side: r5
@@ -442,7 +488,7 @@ def _time(label: str, run) -> None:
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles"}
+    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m"}
     spark = get_spark("dfwb-scale-probe")
     if "ols2" in which:
         probe_ols2(spark)
@@ -460,3 +506,5 @@ if __name__ == "__main__":
         probe_ann(spark)
     if "triangles" in which:
         probe_triangles(spark)
+    if "q1_100m" in which:
+        probe_q1_100m(spark)
