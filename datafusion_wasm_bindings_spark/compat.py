@@ -97,13 +97,13 @@ def _mask_literals(sql: str) -> tuple[str, list[str]]:
             j = sql.find("\n", i)
             j = n if j < 0 else j
             literals.append(sql[i:j])
-            out.append(f"\x00L{len(literals) - 1}\x00")
+            out.append(f"\x00C{len(literals) - 1}\x00")
             i = j
         elif c == "/" and sql[i : i + 2] == "/*":
             j = sql.find("*/", i + 2)
             j = n if j < 0 else j + 2
             literals.append(sql[i:j])
-            out.append(f"\x00L{len(literals) - 1}\x00")
+            out.append(f"\x00C{len(literals) - 1}\x00")
             i = j
         else:
             out.append(c)
@@ -113,7 +113,7 @@ def _mask_literals(sql: str) -> tuple[str, list[str]]:
 
 def _unmask(sql: str, literals: list[str]) -> str:
     for i, lit in enumerate(literals):
-        sql = sql.replace(f"\x00L{i}\x00", lit)
+        sql = sql.replace(f"\x00L{i}\x00", lit).replace(f"\x00C{i}\x00", lit)
     return sql
 
 
@@ -132,11 +132,14 @@ def similar_to_regex(pattern: str) -> str:
     return "^(?:" + "".join(out) + ")$"
 
 
+# \x00C\d+\x00 comment placeholders are whitespace to the parser: the
+# adjacency-sensitive rewrites skip them wherever whitespace may appear
+_WS = r"(?:\s|\x00C\d+\x00)*"
 _SIMILAR_RE = re.compile(
-    r"(?P<not>NOT\s+)?SIMILAR\s+TO\s+(?P<lit>\x00L(?P<idx>\d+)\x00)", re.IGNORECASE
+    rf"(?P<not>NOT\s+)?SIMILAR\s+TO{_WS}(?P<lit>\x00L(?P<idx>\d+)\x00)", re.IGNORECASE
 )
 _ARROW_CAST_RE = re.compile(
-    r"arrow_cast\s*\(\s*(?P<expr>[^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*\x00L(?P<idx>\d+)\x00\s*\)",
+    rf"arrow_cast\s*\(\s*(?P<expr>[^,()]+(?:\([^()]*\))?[^,()]*),{_WS}\x00L(?P<idx>\d+)\x00{_WS}\)",
     re.IGNORECASE,
 )
 _INFO_SCHEMA_RE = re.compile(
@@ -200,7 +203,7 @@ def chrono_to_java(fmt: str) -> str:
 
 
 _TO_CHAR_RE = re.compile(
-    r"\bto_char\s*\(\s*(?P<expr>[^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*\x00L(?P<idx>\d+)\x00\s*\)",
+    rf"\bto_char\s*\(\s*(?P<expr>[^,()]+(?:\([^()]*\))?[^,()]*),{_WS}\x00L(?P<idx>\d+)\x00{_WS}\)",
     re.IGNORECASE,
 )
 
@@ -546,12 +549,25 @@ def rewrite(sql: str) -> str:
         sql = f"SET {m.group(1)}"
     masked, lits = _mask_literals(sql)
 
+    def _kept_comments(m: re.Match) -> str:
+        """Comment placeholders consumed by an adjacency rewrite:
+        /* block */ comments are re-emitted after the rewritten
+        expression (position-independent by construction); -- line
+        comments are dropped — moving one would swallow the rest of
+        its new line, and a comment is whitespace to the parser."""
+        kept = [
+            f"\x00C{i}\x00"
+            for i in (int(x) for x in re.findall(r"\x00C(\d+)\x00", m.group(0)))
+            if lits[i].startswith("/*")
+        ]
+        return (" " + " ".join(kept)) if kept else ""
+
     def similar_repl(m: re.Match) -> str:
         idx = int(m.group("idx"))
         pat = lits[idx][1:-1].replace("''", "'")
         lits[idx] = "'" + similar_to_regex(pat).replace("'", "''") + "'"
         op = "NOT RLIKE" if m.group("not") else "RLIKE"
-        return f"{op} \x00L{idx}\x00"
+        return f"{op} \x00L{idx}\x00{_kept_comments(m)}"
 
     masked = _SIMILAR_RE.sub(similar_repl, masked)
 
@@ -569,7 +585,7 @@ def rewrite(sql: str) -> str:
             else:
                 raise ValueError(f"arrow_cast: unsupported Arrow type {type_name!r}")
         lits[idx] = ""  # consumed
-        return f"CAST({m.group('expr').strip()} AS {spark_type})"
+        return f"CAST({m.group('expr').strip()} AS {spark_type}){_kept_comments(m)}"
 
     masked = _ARROW_CAST_RE.sub(cast_repl, masked)
 
@@ -577,7 +593,7 @@ def rewrite(sql: str) -> str:
         idx = int(m.group("idx"))
         fmt = lits[idx][1:-1].replace("''", "'")
         lits[idx] = "'" + chrono_to_java(fmt).replace("'", "''") + "'"
-        return f"date_format({m.group('expr').strip()}, \x00L{idx}\x00)"
+        return f"date_format({m.group('expr').strip()}, \x00L{idx}\x00){_kept_comments(m)}"
 
     masked = _TO_CHAR_RE.sub(to_char_repl, masked)
 

@@ -313,3 +313,66 @@ def test_comments_are_masked_from_rewrites():
     # and real rewrites around the comments still fire
     r = rewrite("SELECT strpos(a, b) AS p /* strpos stays */ FROM t")
     assert r == "SELECT locate(b, a) AS p /* strpos stays */ FROM t"
+
+
+def test_fuzz_comments_invisible_to_rewrites():
+    """Property (hypothesis): inserting a comment — whose body is built
+    ENTIRELY from rewrite-trigger tokens — at any whitespace boundary
+    of a statement (1) leaves the statement's own rewrite unchanged
+    modulo the insertion, (2) preserves /* block */ comments verbatim
+    (an adjacency rewrite that consumes one re-emits it after the
+    rewritten expression), and (3) preserves -- line comments verbatim
+    EXCEPT inside a rewritten construct, where they are dropped —
+    moving a line comment would swallow the rest of its new line, and
+    comments are whitespace to the parser. Guards the r5 scanner
+    change against regressions where a rewrite fires on comment text
+    or a comment defeats/shifts code rewrites."""
+    from hypothesis import given, settings, strategies as st
+
+    from datafusion_wasm_bindings_spark.compat import rewrite
+
+    bases = [
+        "SELECT a FROM t WHERE b = 1",
+        "SELECT strpos(a, b) AS p FROM t",
+        "SELECT arrow_cast(x, 'Int64') AS a FROM t",
+        "SELECT a FROM t WHERE n SIMILAR TO 'ab%'",
+        "SELECT 'don''t' AS s, \"col\" AS c FROM t",
+    ]
+    trigger_words = st.lists(
+        st.sampled_from(
+            ["arrow_cast(x, 'Int64')", "strpos(a,b)", "SIMILAR TO 'z%'",
+             "DISTINCT ON", "trunc(1.5)", "it's", "information_schema.tables"]
+        ),
+        min_size=1,
+        max_size=3,
+    ).map(" ".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        base=st.sampled_from(bases),
+        body=trigger_words,
+        block=st.booleans(),
+        pos_seed=st.integers(min_value=0, max_value=10**6),
+    )
+    def check(base, body, block, pos_seed):
+        comment = f"/* {body} */" if block else f"-- {body}\n"
+        gaps = [i for i, ch in enumerate(base) if ch == " "]
+        at = gaps[pos_seed % len(gaps)]
+        s_with = base[:at] + " " + comment + base[at:]
+        out = rewrite(s_with)
+        if block:
+            assert comment in out, (s_with, out)
+        stripped = out.replace(comment, " ") if comment in out else out
+        if not block:
+            # a dropped line comment must be FULLY dropped, never a
+            # mangled fragment
+            assert body not in stripped, (s_with, out)
+        # arg-reordering rewrites (strpos->locate) may move a comment
+        # WITH its argument and leave extra spaces — compare the code
+        # parts whitespace-free
+        assert "".join(stripped.split()) == "".join(rewrite(base).split()), (
+            s_with,
+            out,
+        )
+
+    check()
