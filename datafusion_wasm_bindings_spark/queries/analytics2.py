@@ -959,12 +959,20 @@ query(
 def _events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) quintile segmentation of
     purchasers — the classic behavioral customer grid. Events reduce to
-    ONE row per user first; the ntile windows then run over that
-    per-user table (orders of magnitude smaller than events — at 1e9
-    users the quintile assignment would switch to the bucketed
-    two-pass rank of q_pipeline_rownum, semantics unchanged). ntile
-    ties broken by user_id so both engines bin identically; monetary
-    totals go through the decimal recipe."""
+    ONE row per user first; quintiles are then assigned WITHOUT a
+    global ntile window over the O(|users|) table (one sequential task
+    at 1e9 users — the registry's last fact-scaled global window,
+    removed r5): each metric takes the bucketed two-pass rank
+    (operators/scale.bucketed_rank with NO partition key — the offset
+    prefix runs over |buckets| rows only) and the exact SQL ntile
+    bucket derives arithmetically from (rank, n): with q = n div k,
+    r = n mod k, the first r buckets hold q+1 rows — reproduced
+    row-identically (property-tested vs F.ntile in
+    tests/test_operators.py::test_ntile_from_rank_formula). ntile ties
+    broken by user_id so both engines bin identically; monetary totals
+    go through the decimal recipe."""
+    from datafusion_wasm_bindings_spark.operators.scale import _idiv, bucketed_rank
+
     e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     mx = e.agg(F.max(F.to_date("ts")).alias("today"))
     per_user = (
@@ -981,13 +989,35 @@ def _events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
             "monetary",
         )
+        .localCheckpoint(eager=True)  # feeds 3 ranks + the count: one events scan
     )
-    wq = lambda c: Window.orderBy(F.col(c).asc(), F.col("user_id").asc())  # noqa: E731
-    seg = per_user.select(
+    n_tot = per_user.agg(F.count(F.lit(1)).alias("__n"))
+
+    def ntile5(rn: F.Column) -> F.Column:
+        q = _idiv(F.col("__n"), F.lit(5))
+        r = F.col("__n") - q * 5
+        cut = r * (q + 1)
+        return F.when(rn <= cut, _idiv(rn - 1, q + 1) + 1).otherwise(
+            r + _idiv(rn - cut - 1, q) + 1
+        )
+
+    seg = per_user
+    for c, alias in (("recency_d", "r_q"), ("freq", "f_q"), ("monetary", "m_q")):
+        # any monotone bucket of the sort key works (row-identical by
+        # bucketed_rank's contract); fixed width is fine for these
+        # bounded-skew metrics, equidepth_bucket is the skew escape
+        seg = bucketed_rank(
+            seg,
+            [],
+            F.floor(F.col(c) / 16.0),
+            [F.col(c).asc(), F.col("user_id").asc()],
+            rank_col=f"__rn_{alias}",
+        )
+    seg = seg.crossJoin(F.broadcast(n_tot)).select(
         "user_id",
-        F.ntile(5).over(wq("recency_d")).alias("r_q"),
-        F.ntile(5).over(wq("freq")).alias("f_q"),
-        F.ntile(5).over(wq("monetary")).alias("m_q"),
+        ntile5(F.col("__rn_r_q")).alias("r_q"),
+        ntile5(F.col("__rn_f_q")).alias("f_q"),
+        ntile5(F.col("__rn_m_q")).alias("m_q"),
     )
     return seg.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_users")

@@ -1451,3 +1451,41 @@ def test_iterative_operators_durable_checkpoint(spark, tmp_path):
     )
     # the durable path wrote real checkpoint state
     assert any(os.scandir(ckdir)), "no checkpoint files written"
+
+
+def test_ntile_from_rank_formula(spark):
+    """The arithmetic ntile used by q_events_rfm (quintile from a
+    bucketed rank + total count — no global window) must reproduce
+    F.ntile's exact SQL bucket-size semantics (first n mod k buckets
+    get one extra row) for adversarial n, including n < k, and with an
+    EMPTY bucketed_rank partition list (global rank, offset table of
+    |buckets| rows)."""
+    from pyspark.sql import Window
+
+    from datafusion_wasm_bindings_spark.operators.scale import _idiv, bucketed_rank
+
+    for n, k in ((1, 5), (3, 5), (5, 5), (7, 5), (23, 5), (100, 5), (101, 5)):
+        df = spark.createDataFrame(
+            [((i * 2654435761) % 997, i) for i in range(n)], "v long, id long"
+        )
+        naive = df.select(
+            "id",
+            F.ntile(k)
+            .over(Window.orderBy(F.col("v").asc(), F.col("id").asc()))
+            .cast("long")
+            .alias("t"),
+        )
+        ranked = bucketed_rank(
+            df, [], F.floor(F.col("v") / 64.0), [F.col("v").asc(), F.col("id").asc()]
+        )
+        q = _idiv(F.lit(n).cast("long"), F.lit(k))
+        r = F.lit(n).cast("long") - q * k
+        cut = r * (q + 1)
+        rn = F.col("rn")
+        tile = F.when(rn <= cut, _idiv(rn - 1, q + 1) + 1).otherwise(
+            r + _idiv(rn - cut - 1, q) + 1
+        )
+        two_pass = ranked.select("id", tile.cast("long").alias("t"))
+        assert sorted(map(tuple, naive.collect())) == sorted(
+            map(tuple, two_pass.collect())
+        ), (n, k)

@@ -928,6 +928,22 @@ def test_no_low_cardinality_fact_windows(spark, sf_dir):
         ), (qid, p)
 
 
+def test_rfm_quintiles_have_no_global_window(spark, sf_dir):
+    """q_events_rfm (rewritten r5): quintile assignment must not plan a
+    global ntile window over the O(|users|) per-user table — the ranks
+    come from the bucketed two-pass (windows partitioned by __bkt; the
+    only partition-less windows run over the bounded |buckets| offset
+    table, ordered by __bkt)."""
+    import re
+
+    p = _plan(REGISTRY["q_events_rfm"].spark_fn(spark, sf_dir))
+    assert "ntile" not in p, p
+    # no partition-less window ordered by a user metric
+    for metric in ("recency_d", "freq", "monetary"):
+        assert not re.search(rf"windowspecdefinition\({metric}#\d+L? ASC", p), (metric, p)
+    assert re.search(r"windowspecdefinition\(__bkt#\d+L?,", p), p
+
+
 def test_changepoint_windows_are_bucketed(spark, sf_dir):
     """q_events_changepoint's cumulative windows over the FACT must
     partition by (event_type, bkt) — event_type alone has ~5 values, so
