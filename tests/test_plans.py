@@ -729,14 +729,26 @@ def test_spatial_join_is_cell_bucketed_not_cartesian(spark, sf_dir):
 
 
 def test_no_cartesian_product_anywhere_in_registry(spark, sf_dir):
-    """Registry-wide guard: NO registered query may plan a
-    CartesianProduct — every all-pairs-shaped operator must candidate-
-    generate through an equi-join (LSH buckets, grid cells, length
-    bands, basket keys...). 1-row scalar attachments plan
-    BroadcastNestedLoopJoin and are fine; a CartesianProduct over
-    relations is the one shape that cannot survive 100 TB. Side-
-    effecting queries (sinks, streams) are skipped — their plan is
-    read at the returned summary, not the write."""
+    """Registry-wide guards over one plan pass.
+
+    (1) NO registered query may plan a CartesianProduct — every
+    all-pairs-shaped operator must candidate-generate through an
+    equi-join (LSH buckets, grid cells, length bands, basket keys...).
+    1-row scalar attachments plan BroadcastNestedLoopJoin and are
+    fine; a CartesianProduct over relations is the one shape that
+    cannot survive 100 TB.
+
+    (2) NO registered query may plan a partition-less window outside
+    the allowlist of BOUNDED-input cases (r5 survey): offset/grid/
+    manifest tables, TakeOrdered-limited top-k rows, and the RANGE-
+    frame semantics demo. A global window over a corpus-scaled table
+    is one sequential task at 100 TB (q_events_rfm was the live
+    instance, rewritten r5 to bucketed ranks).
+
+    Side-effecting queries (sinks, streams) are skipped — their plan
+    is read at the returned summary, not the write."""
+    import re
+
     skip = (
         "stream",
         "q_copy",
@@ -746,6 +758,18 @@ def test_no_cartesian_product_anywhere_in_registry(spark, sf_dir):
         "ctas",
         "bucketed",
     )
+    # global windows over provably bounded inputs (see docstrings):
+    bounded_global_windows = {
+        "q_scale_compaction",  # file manifest (1 row/file; 1M-file probe 0.7 s)
+        "q_pipeline_rownum",  # |buckets| offset table
+        "q_text_heavy_hitters",  # CMS-thresholded candidates, TakeOrdered
+        "q_graph_pagerank",  # top-k rows after limit k
+        "q_profile_skew",  # per-key count table
+        "q_fn_weighted_percentile",  # |buckets| offset table
+        "q_win_range_frame",  # SURVEY §2.5 RANGE-frame semantics demo (dim input)
+        "q_pipeline_itemsets",  # TakeOrdered-limited pair ranks
+        "q_stats_survival",  # bounded hour-grid KM windows
+    }
     offenders = {}
     for name, spec in REGISTRY.items():
         if any(s in name for s in skip):
@@ -757,6 +781,17 @@ def test_no_cartesian_product_anywhere_in_registry(spark, sf_dir):
             continue
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
+        if name not in bounded_global_windows:
+            for m in re.finditer(r"windowspecdefinition\(([^,)]+)", plan):
+                head = m.group(1)
+                # a __bkt-ordered global window is bucketed_rank's own
+                # offset prefix over the |buckets| table — bounded by
+                # construction
+                if ("_bkt#" in head) or ("bkt#" in head.split(" ")[0]):
+                    continue
+                if " ASC" in head or " DESC" in head:
+                    offenders[name] = f"global window: {head}"
+                    break
     assert not offenders, offenders
 
 
