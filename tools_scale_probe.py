@@ -446,6 +446,56 @@ def probe_q1_100m(spark) -> None:
     _time("TPC-H Q1 shape, 100M rows -> 6 groups (4 decimal measures)", run)
 
 
+def probe_ntile(spark) -> None:
+    """q_events_rfm's r5 rewrite, measured at scale: global ntile(5)
+    over a 10M-row per-user table (ONE sequential sort task, whatever
+    the cluster size) vs the bucketed two-pass rank + arithmetic ntile
+    (parallel by bucket). Identical outputs asserted per run."""
+    from pyspark.sql import Window
+
+    from datafusion_wasm_bindings_spark.operators.scale import _idiv, bucketed_rank
+
+    df = (
+        spark.range(N)
+        .select(
+            F.col("id").alias("user_id"),
+            ((F.col("id") * 2654435761) % 1_000_000 / 100.0).alias("monetary"),
+        )
+        .localCheckpoint()
+    )
+
+    def seg_counts(seg):
+        out = seg.groupBy("m_q").agg(F.count(F.lit(1)).alias("n")).collect()
+        assert len(out) == 5 and sum(r.n for r in out) == N
+        return {r.m_q: r.n for r in out}
+
+    state = {}
+
+    def run_naive():
+        w = Window.orderBy(F.col("monetary").asc(), F.col("user_id").asc())
+        state["naive"] = seg_counts(
+            df.select(F.ntile(5).over(w).cast("long").alias("m_q"))
+        )
+
+    def run_bucketed():
+        ranked = bucketed_rank(
+            df, [], F.floor(F.col("monetary") / 16.0),
+            [F.col("monetary").asc(), F.col("user_id").asc()],
+        )
+        q = _idiv(F.lit(N).cast("long"), F.lit(5))
+        r = F.lit(N).cast("long") - q * 5
+        cut = r * (q + 1)
+        rn = F.col("rn")
+        tile = F.when(rn <= cut, _idiv(rn - 1, q + 1) + 1).otherwise(
+            r + _idiv(rn - cut - 1, q) + 1
+        )
+        state["bucketed"] = seg_counts(ranked.select(tile.cast("long").alias("m_q")))
+
+    _time("global ntile(5), one sort task (10M rows)", run_naive)
+    _time("bucketed rank + arithmetic ntile (10M rows)", run_bucketed)
+    assert state["naive"] == state["bucketed"], state
+
+
 def probe_triangles(spark) -> None:
     """operators/graph.triangle_count over a 2M-edge graph whose node
     count (200k) makes the degree-rank table a real join side: r5
@@ -488,7 +538,7 @@ def _time(label: str, run) -> None:
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m"}
+    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile"}
     spark = get_spark("dfwb-scale-probe")
     if "ols2" in which:
         probe_ols2(spark)
@@ -508,3 +558,5 @@ if __name__ == "__main__":
         probe_triangles(spark)
     if "q1_100m" in which:
         probe_q1_100m(spark)
+    if "ntile" in which:
+        probe_ntile(spark)
