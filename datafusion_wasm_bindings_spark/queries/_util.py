@@ -42,3 +42,27 @@ def dsum_sql(expr_sql: str, alias: str) -> str:
 
 def davg_sql(expr_sql: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr_sql} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(1) AS {alias}"
+
+
+def nsjoin(fact, stats, on: list[str] | str, *, how: str = "inner", broadcast: bool = True):
+    """NULL-safe group-stats join-back (ADVICE r4 / the zscore class).
+
+    The window→aggregate+join rewrite family attaches a per-GROUP stat
+    table back onto its fact. groupBy and PARTITION BY both keep NULL
+    as its own group, but a plain equi-join drops NULL-keyed rows —
+    silently diverging from the window oracle the rewrite must match.
+    This helper joins with ``eqNullSafe`` on every key, keeps the fact
+    side's key columns, and drops the renamed stats-side keys; column
+    order is fact columns then stats non-key columns, the same as
+    Spark's USING-join layout."""
+    keys = [on] if isinstance(on, str) else list(on)
+    renamed = stats
+    for i, k in enumerate(keys):
+        renamed = renamed.withColumnRenamed(k, f"__nsk{i}")
+    if broadcast:
+        renamed = F.broadcast(renamed)
+    cond = None
+    for i, k in enumerate(keys):
+        c = fact[k].eqNullSafe(F.col(f"__nsk{i}"))
+        cond = c if cond is None else (cond & c)
+    return fact.join(renamed, cond, how).drop(*[f"__nsk{i}" for i in range(len(keys))])

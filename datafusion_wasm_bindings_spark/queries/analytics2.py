@@ -243,8 +243,12 @@ def _clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel within types); per-type counts come from a combinable
     aggregate, the two order-statistic bounds from a lean filter on the
     exact rank, and the clipped mean from a broadcast of the
-    |types|-row bounds table. No per-type fact window anywhere."""
+    |types|-row bounds table. No per-type fact window anywhere. The
+    oracle is window-only (PARTITION BY keeps a NULL type as its own
+    group), so both stat join-backs are NULL-SAFE (_util.nsjoin — the
+    ADVICE-r4 zscore class)."""
     from datafusion_wasm_bindings_spark.operators.scale import bucketed_rank
+    from datafusion_wasm_bindings_spark.queries._util import nsjoin
 
     e = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
     g = (
@@ -253,12 +257,16 @@ def _clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("k_lo", F.ceil(F.col("cnt") * F.lit(_WINS_P)))
         .withColumn("k_hi", F.col("cnt") - F.col("k_lo") + 1)
     )
-    r = bucketed_rank(
-        e,
-        ["event_type"],
-        F.floor(F.col("value")),
-        [F.col("value").asc(), F.col("event_id").asc()],
-    ).join(F.broadcast(g), "event_type")
+    r = nsjoin(
+        bucketed_rank(
+            e,
+            ["event_type"],
+            F.floor(F.col("value")),
+            [F.col("value").asc(), F.col("event_id").asc()],
+        ),
+        g,
+        "event_type",
+    )
     bounds = (
         r.filter((F.col("rn") == F.col("k_lo")) | (F.col("rn") == F.col("k_hi")))
         .groupBy("event_type")
@@ -269,7 +277,7 @@ def _clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("v_lo")), F.col("v_hi"))
     return (
-        e.join(F.broadcast(bounds), "event_type")
+        nsjoin(e, bounds, "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -1489,3 +1489,20 @@ def test_ntile_from_rank_formula(spark):
         assert sorted(map(tuple, naive.collect())) == sorted(
             map(tuple, two_pass.collect())
         ), (n, k)
+
+
+def test_nsjoin_keeps_null_groups(spark):
+    """_util.nsjoin (the window→aggregate+join rewrite family's
+    join-back): NULL group keys must survive the stats attachment —
+    groupBy keeps NULL as a group, so the join must too (ADVICE r4)."""
+    from datafusion_wasm_bindings_spark.queries._util import nsjoin
+
+    fact = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else f"g{i % 2}", float(i)) for i in range(12)],
+        "id long, grp string, v double",
+    )
+    stats = fact.groupBy("grp").agg(F.count(F.lit(1)).alias("cnt"))
+    out = nsjoin(fact, stats, "grp")
+    assert out.count() == 12
+    assert out.columns == ["id", "grp", "v", "cnt"]
+    assert out.filter(F.col("grp").isNull()).agg(F.min("cnt")).collect()[0][0] == 4
