@@ -156,12 +156,19 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
-def pagerank_topk(edges: DataFrame, *, iters: int = 3, k: int = 20) -> DataFrame:
+def pagerank_topk(
+    edges: DataFrame,
+    *,
+    iters: int = 3,
+    k: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Top-``k`` PageRank nodes: (node, pos, rank) with rank rounded to
-    6 places and ties broken by node id ascending."""
+    6 places and ties broken by node id ascending. ``checkpoint_dir``
+    forwards to ``pagerank`` (durable lineage cuts)."""
     from pyspark.sql import Window
 
-    r = pagerank(edges, iters=iters)
+    r = pagerank(edges, iters=iters, checkpoint_dir=checkpoint_dir)
     # TakeOrdered top-k first (distributed per-partition heaps), THEN
     # number positions with a window over only k rows — never a global
     # single-partition window over all |nodes|
