@@ -134,9 +134,12 @@ def similar_to_regex(pattern: str) -> str:
 
 # \x00C\d+\x00 comment placeholders are whitespace to the parser: the
 # adjacency-sensitive rewrites skip them wherever whitespace may appear
+# (_WS = optional run, _WS1 = at least one whitespace/comment token)
 _WS = r"(?:\s|\x00C\d+\x00)*"
+_WS1 = r"(?:\s|\x00C\d+\x00)+"
 _SIMILAR_RE = re.compile(
-    rf"(?P<not>NOT\s+)?SIMILAR\s+TO{_WS}(?P<lit>\x00L(?P<idx>\d+)\x00)", re.IGNORECASE
+    rf"(?P<not>NOT{_WS1})?SIMILAR{_WS1}TO{_WS}(?P<lit>\x00L(?P<idx>\d+)\x00)",
+    re.IGNORECASE,
 )
 _ARROW_CAST_RE = re.compile(
     rf"arrow_cast\s*\(\s*(?P<expr>[^,()]+(?:\([^()]*\))?[^,()]*),{_WS}\x00L(?P<idx>\d+)\x00{_WS}\)",

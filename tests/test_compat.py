@@ -347,7 +347,7 @@ def test_fuzz_comments_invisible_to_rewrites():
         max_size=3,
     ).map(" ".join)
 
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=250, deadline=None)
     @given(
         base=st.sampled_from(bases),
         body=trigger_words,
