@@ -417,3 +417,45 @@ def test_s3_live_round_trip_if_endpoint_configured(spark):
     path = f"s3a://{os.environ['SPARK_GRAFT_S3_BUCKET']}/smoke/t.parquet"
     spark.range(10).write.mode("overwrite").parquet(path)
     assert spark.read.parquet(path).count() == 10
+
+
+def test_fuzz_split_statements_semicolons_in_tokens():
+    """Property (hypothesis): a script assembled from statements whose
+    string literals, escaped quotes, double-quoted identifiers, and
+    line/block comments all CONTAIN semicolons splits back into exactly
+    those statements — the splitter's quote/comment state machine must
+    never split inside a token (same bug class the compat scanner's
+    comment masking fixed r5)."""
+    from hypothesis import given, settings, strategies as st
+
+    from datafusion_wasm_bindings_spark.engine import split_statements
+
+    decorations = st.sampled_from(
+        [
+            ", 'a;b' AS s",
+            ", 'it''s;x' AS e",
+            ', "c;d" AS q',
+            " /* ; mid ; */",
+            " -- tail;comment\n",  # newline-terminated: safe mid-script
+        ]
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        decos=st.lists(st.lists(decorations, max_size=3), min_size=1, max_size=5),
+        trailing=st.booleans(),
+    )
+    def check(decos, trailing):
+        stmts = []
+        for i, ds in enumerate(decos):
+            body = f"SELECT {i} AS c{i}" + "".join(
+                d for d in ds if not d.startswith(" --")
+            )
+            # line comments must come last within a statement
+            body += "".join(d for d in ds if d.startswith(" --"))
+            stmts.append(body)
+        script = ";".join(stmts) + (";" if trailing else "")
+        got = split_statements(script)
+        assert got == [s.strip() for s in stmts], (script, got)
+
+    check()
