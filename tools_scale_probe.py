@@ -446,6 +446,32 @@ def probe_q1_100m(spark) -> None:
     _time("TPC-H Q1 shape, 100M rows -> 6 groups (4 decimal measures)", run)
 
 
+def probe_join_100m(spark) -> None:
+    """Broadcast dim join at 100,000,000 fact rows (q_join_inner's
+    shape at 1000x bench scale): the 25-row dim broadcasts, the fact
+    never shuffles, and the post-join aggregate partial-combines — the
+    plan whose per-core scan rate carries directly to 100 TB."""
+    n = 100_000_000
+    fact = spark.range(n).select(
+        (F.col("id") % 25).alias("nk"),
+        ((F.col("id") * 2654435761) % 10000 / 100.0).alias("v"),
+    )
+    dim = spark.range(25).select(
+        F.col("id").alias("nk"), F.concat(F.lit("NATION_"), F.col("id")).alias("name")
+    )
+
+    def run():
+        rows = (
+            fact.join(F.broadcast(dim), "nk")
+            .groupBy("name")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sv"))
+            .collect()
+        )
+        assert len(rows) == 25 and sum(r.cnt for r in rows) == n
+
+    _time("fact join broadcast dim, 100M rows -> 25 groups", run)
+
+
 def probe_ntile(spark) -> None:
     """q_events_rfm's r5 rewrite, measured at scale: global ntile(5)
     over a 10M-row per-user table (ONE sequential sort task, whatever
@@ -538,7 +564,7 @@ def _time(label: str, run) -> None:
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile"}
+    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m"}
     spark = get_spark("dfwb-scale-probe")
     if "ols2" in which:
         probe_ols2(spark)
@@ -560,3 +586,5 @@ if __name__ == "__main__":
         probe_q1_100m(spark)
     if "ntile" in which:
         probe_ntile(spark)
+    if "join_100m" in which:
+        probe_join_100m(spark)
