@@ -446,6 +446,54 @@ def probe_q1_100m(spark) -> None:
     _time("TPC-H Q1 shape, 100M rows -> 6 groups (4 decimal measures)", run)
 
 
+def probe_durable(spark) -> None:
+    """Cost of the r5 durable-checkpoint knob: pagerank over a 2M-edge
+    graph with the default localCheckpoint lineage cut vs the
+    fault-tolerant storage checkpoint (operators/checkpoint.py).
+    Identical ranks asserted; the delta is the per-round storage
+    round-trip a real cluster pays for executor-loss recovery."""
+    import shutil
+    import tempfile
+
+    from datafusion_wasm_bindings_spark.operators.graph import pagerank
+
+    n_nodes = 200_000
+    base = spark.range(n_nodes)
+    edges = (
+        base.select(F.col("id").alias("src"), ((F.col("id") * 7 + 1) % n_nodes).alias("dst"))
+        .unionByName(
+            base.select(F.col("id").alias("src"), ((F.col("id") + 1) % n_nodes).alias("dst"))
+        )
+        .unionByName(
+            spark.range(8 * n_nodes).select(
+                F.expr(f"pmod(xxhash64(id), {n_nodes})").alias("src"),
+                F.expr(f"pmod(xxhash64(id + 13), {n_nodes})").alias("dst"),
+            )
+        )
+        .localCheckpoint()
+    )
+    ckdir = tempfile.mkdtemp(prefix="dfwb_durable_probe_")
+    state = {}
+
+    def run_local():
+        state["local"] = sorted(
+            (r.node, round(r.rank, 9)) for r in pagerank(edges, iters=3).collect()
+        )
+
+    def run_durable():
+        state["durable"] = sorted(
+            (r.node, round(r.rank, 9))
+            for r in pagerank(edges, iters=3, checkpoint_dir=ckdir).collect()
+        )
+
+    try:
+        _time("pagerank 2M edges, localCheckpoint cuts (3 rounds)", run_local)
+        _time("pagerank 2M edges, durable storage checkpoints", run_durable)
+        assert state["local"] == state["durable"]
+    finally:
+        shutil.rmtree(ckdir, ignore_errors=True)
+
+
 def probe_join_100m(spark) -> None:
     """Broadcast dim join at 100,000,000 fact rows (q_join_inner's
     shape at 1000x bench scale): the 25-row dim broadcasts, the fact
@@ -564,7 +612,7 @@ def _time(label: str, run) -> None:
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m"}
+    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable"}
     spark = get_spark("dfwb-scale-probe")
     if "ols2" in which:
         probe_ols2(spark)
@@ -588,3 +636,5 @@ if __name__ == "__main__":
         probe_ntile(spark)
     if "join_100m" in which:
         probe_join_100m(spark)
+    if "durable" in which:
+        probe_durable(spark)
