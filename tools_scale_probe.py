@@ -446,6 +446,38 @@ def probe_q1_100m(spark) -> None:
     _time("TPC-H Q1 shape, 100M rows -> 6 groups (4 decimal measures)", run)
 
 
+def probe_cc_chain(spark) -> None:
+    """Adversarial-diameter connected components: a single
+    1,000,000-node CHAIN (diameter 1e6 — min-label propagation would
+    need 1e6 rounds; the large-star/small-star variant converges in
+    O(log n) alternations) plus 500k isolated 2-cliques as ballast.
+    Verifies the one-component/500k-component structure exactly."""
+    from datafusion_wasm_bindings_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 1_000_000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    pairs = chain.unionByName(
+        spark.range(500_000).select(
+            (F.col("id") * 2 + n).alias("id_a"), (F.col("id") * 2 + n + 1).alias("id_b")
+        )
+    ).localCheckpoint()
+
+    def run():
+        comps = connected_components_star(pairs)
+        agg = comps.agg(
+            F.countDistinct("comp").alias("n_comp"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        ).collect()[0]
+        assert agg.n_comp == 1 + 500_000, agg
+        assert agg.n_nodes == n + 1_000_000, agg
+
+    _time("connected components, 1M-node chain + 500k cliques (star variant)", run)
+
+
 def probe_durable(spark) -> None:
     """Cost of the r5 durable-checkpoint knob: pagerank over a 2M-edge
     graph with the default localCheckpoint lineage cut vs the
@@ -612,7 +644,7 @@ def _time(label: str, run) -> None:
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable"}
+    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain"}
     spark = get_spark("dfwb-scale-probe")
     if "ols2" in which:
         probe_ols2(spark)
@@ -638,3 +670,5 @@ if __name__ == "__main__":
         probe_join_100m(spark)
     if "durable" in which:
         probe_durable(spark)
+    if "cc_chain" in which:
+        probe_cc_chain(spark)
