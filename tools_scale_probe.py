@@ -446,6 +446,36 @@ def probe_q1_100m(spark) -> None:
     _time("TPC-H Q1 shape, 100M rows -> 6 groups (4 decimal measures)", run)
 
 
+def probe_kmeans(spark) -> None:
+    """Deterministic Lloyd k-means (operators/clustering.fit_kmeans) at
+    500,000 x 32-dim quantized vectors, k=8, 2 iterations: assignment
+    is a pure map against broadcast integer-centroid literals (the
+    corpus never shuffles); each update reduces to k x dims cells.
+    Inertia monotonicity across the fit is the correctness signal."""
+    from datafusion_wasm_bindings_spark.operators.clustering import fit_kmeans
+
+    n = 500_000
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 31), d ->"
+            " CAST(pmod(xxhash64(id * 37 + d), 2001) - 1000 AS DOUBLE) / 1000.0"
+            " + CAST(pmod(id, 8) AS DOUBLE) * CASE WHEN d = pmod(id, 8) THEN 2.0 ELSE 0.0 END)"
+        ).alias("embedding"),
+    ).localCheckpoint()
+
+    def run():
+        assigned, centroids = fit_kmeans(corpus, k=8, iters=2)
+        agg = assigned.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cid").alias("k_used"),
+        ).collect()[0]
+        assert agg.n == n and agg.k_used >= 2, agg
+        assert len(centroids) == 8
+
+    _time("k-means fit, 500k x 32-dim, k=8, 2 iterations", run)
+
+
 def probe_cc_chain(spark) -> None:
     """Adversarial-diameter connected components: a single
     1,000,000-node CHAIN (diameter 1e6 — min-label propagation would
@@ -644,7 +674,7 @@ def _time(label: str, run) -> None:
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain"}
+    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain", "kmeans"}
     spark = get_spark("dfwb-scale-probe")
     if "ols2" in which:
         probe_ols2(spark)
@@ -672,3 +702,5 @@ if __name__ == "__main__":
         probe_durable(spark)
     if "cc_chain" in which:
         probe_cc_chain(spark)
+    if "kmeans" in which:
+        probe_kmeans(spark)
