@@ -446,6 +446,39 @@ def probe_q1_100m(spark) -> None:
     _time("TPC-H Q1 shape, 100M rows -> 6 groups (4 decimal measures)", run)
 
 
+def probe_multimodal(spark) -> None:
+    """Arrow-batched multimodal plumbing throughput: 200,000 binary
+    payloads of ~3.7 KB (~740 MB total) through the mapInPandas decode +
+    feature-extract path (operators/multimodal.extract_features, the
+    STUB decoder standing in for PIL/ffmpeg). Measures the real cost
+    component a 100 TB media pipeline pays per row: Arrow
+    serialization of binary columns into Python workers — payloads
+    never shuffle (map-only plan)."""
+    from datafusion_wasm_bindings_spark.operators.multimodal import extract_features
+
+    n = 200_000
+    media = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.encode(
+            F.expr("repeat(concat('payload-', CAST(id AS STRING), '-'), 256)"),
+            "UTF-8",
+        ).alias("media"),
+        F.struct(
+            F.when(F.col("id") % 2 == 0, F.lit("png")).otherwise(F.lit("jpeg")).alias("format"),
+            F.lit(5000).cast("bigint").alias("declared_len"),
+        ).alias("meta"),
+    ).localCheckpoint()
+
+    def run():
+        agg = extract_features(media).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+        ).collect()[0]
+        assert agg.n == n and agg.total_bytes > n * 3000, agg
+
+    _time("multimodal decode plumbing, 200k x ~3.7KB payloads (~740MB)", run)
+
+
 def probe_kmeans(spark) -> None:
     """Deterministic Lloyd k-means (operators/clustering.fit_kmeans) at
     500,000 x 32-dim quantized vectors, k=8, 2 iterations: assignment
@@ -674,7 +707,7 @@ def _time(label: str, run) -> None:
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain", "kmeans"}
+    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain", "kmeans", "multimodal"}
     spark = get_spark("dfwb-scale-probe")
     if "ols2" in which:
         probe_ols2(spark)
@@ -704,3 +737,5 @@ if __name__ == "__main__":
         probe_cc_chain(spark)
     if "kmeans" in which:
         probe_kmeans(spark)
+    if "multimodal" in which:
+        probe_multimodal(spark)
