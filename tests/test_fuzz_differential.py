@@ -871,3 +871,43 @@ def test_positional_params_shift_documented(spark):
         "SELECT regexp_replace(:s, :p, 'X') AS r", args={"s": "s3", "p": "p3"}
     ).collect()[0]
     assert named.r == "s3"  # named binding is correct
+
+
+def test_similar_to_duckdb_divergence_documented(duck):
+    """Pin WHY DuckDB is not an oracle for SIMILAR TO: DuckDB maps the
+    operator to regexp_full_match on the RAW pattern (RE2 syntax), so
+    'a' SIMILAR TO '%' is FALSE there — while SQL92/Postgres/DataFusion
+    define % as the zero-or-more wildcard (TRUE). Our rewrite follows
+    the SQL92/DataFusion semantics; the fuzz below therefore checks the
+    translated regex across engines instead of the operator itself."""
+    assert duck.sql("SELECT 'a' SIMILAR TO '%'").fetchall()[0][0] is False
+    assert duck.sql("SELECT 'a' SIMILAR TO '.*'").fetchall()[0][0] is True
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    s=st.text(alphabet="abAB_%", max_size=6),
+    p=st.text(alphabet="ab%_|", max_size=6).filter(
+        lambda x: "||" not in x and not x.startswith("|") and not x.endswith("|")
+    ),
+    neg=st.booleans(),
+)
+def test_similar_to_translation_agrees(spark, duck, s, p, neg):
+    """Differential fuzz of the SIMILAR TO -> RLIKE translation
+    (compat.similar_to_regex + the masked rewrite): Spark evaluates the
+    rewritten RLIKE statement; DuckDB evaluates regexp_full_match on
+    the SAME translated pattern (its SIMILAR TO is raw-regex, see the
+    divergence pin above) — Java regex and RE2 must agree over %/_
+    wildcards and | alternation, and the NOT form must negate."""
+    from datafusion_wasm_bindings_spark.compat import rewrite, similar_to_regex
+
+    op = "NOT SIMILAR TO" if neg else "SIMILAR TO"
+    sql = f"SELECT ('{s}' {op} '{p}') AS r"
+    got = spark.sql(rewrite(sql)).collect()[0].r
+    body = similar_to_regex(p)[len("^(?:"):-len(")$")]
+    want = duck.sql(
+        "SELECT regexp_full_match(?, ?)", params=[s, body]
+    ).fetchall()[0][0]
+    if neg:
+        want = not want
+    assert got == want, (sql, rewrite(sql), got, want)
