@@ -159,13 +159,21 @@ def _sales_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentration verb behind every '80/20' review and inventory ABC
     classification.
 
-    Scale shape: one combinable shuffle to per-customer revenue; the
-    rank + running-share windows are PARTITIONED by nation (parallel
-    across strata; at 1e9 customers per stratum the assignment switches
-    to the q_pipeline_rownum two-pass, same as q_events_rfm documents);
-    the final rollup reuses the nation clustering. Cumulative shares
-    are raw doubles from exact decimal sums — identical ranks and
-    thresholds on both engines (ties broken by customer key)."""
+    Scale shape (migrated r5, the last of the low-cardinality-window
+    family): ~25 nations over the O(|customers|) per-customer revenue
+    table meant 25 sequential sort tasks at scale, so the running
+    share now takes the two-pass bucketed DECIMAL prefix sum (the
+    q_events_changepoint pattern): revenue-range buckets — monotone in
+    the (rev DESC, custkey ASC) order via the negated-value bucket —
+    one combinable (nation, bucket) shuffle of exact decimal sums, the
+    |nations|x|buckets| offset table prefix-summed and joined back
+    NULL-SAFE (window-only oracle, convention f), and the in-bucket
+    running sums lifted by the exact decimal offsets — the global
+    decimal cumsum is reproduced BIT-identically, so shares and A/B/C
+    thresholds match the oracle's window formulation exactly. The
+    per-nation total joins back null-safe from a lean aggregate."""
+    from datafusion_wasm_bindings_spark.queries._util import nsjoin
+
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     per_cust = (
@@ -173,19 +181,50 @@ def _sales_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey", "c_custkey")
         .agg(dsum(F.col("o_totalprice"), "rev"))
     )
-    w_rank = Window.partitionBy("c_nationkey").orderBy(
-        F.col("rev").desc(), F.col("c_custkey").asc()
+    # monotone bucket of the DESC sort key: -rev/1000 rises as rev falls
+    b = per_cust.withColumn(
+        "bkt", F.floor(-F.col("rev") / 1000.0).cast("long")
+    ).localCheckpoint(eager=True)  # feeds bucket sums, totals, and the final pass
+    bs = b.groupBy("c_nationkey", "bkt").agg(
+        F.sum(F.col("rev").cast(DEC)).alias("bsum")
     )
-    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy("c_nationkey").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    w_pref = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    staged = per_cust.select(
+    offs = bs.select(
         "c_nationkey",
-        (
-            F.sum(F.col("rev").cast(DEC)).over(w_cum).cast("double")
-            / F.sum(F.col("rev").cast(DEC)).over(w_all).cast("double")
-        ).alias("cum_share"),
+        "bkt",
+        F.coalesce(F.sum("bsum").over(w_pref), F.lit(0).cast(DEC)).alias("sum_off"),
+    )
+    tot = b.groupBy("c_nationkey").agg(
+        F.sum(F.col("rev").cast(DEC)).cast("double").alias("tot")
+    )
+    w_bcum = (
+        Window.partitionBy("c_nationkey", "bkt")
+        .orderBy(F.col("rev").desc(), F.col("c_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cond = F.col("bkt") == F.col("__bkt_r")
+    offs_r = offs.select(
+        F.col("c_nationkey").alias("__nk0"), F.col("bkt").alias("__bkt_r"), "sum_off"
+    )
+    staged = (
+        b.join(
+            F.broadcast(offs_r),
+            cond & F.col("c_nationkey").eqNullSafe(F.col("__nk0")),
+        )
+        .drop("__bkt_r", "__nk0")
+        .withColumn(
+            "cum",
+            (F.sum(F.col("rev").cast(DEC)).over(w_bcum) + F.col("sum_off")).cast(
+                "double"
+            ),
+        )
+    )
+    staged = nsjoin(staged, tot, "c_nationkey").withColumn(
+        "cum_share", F.col("cum") / F.col("tot")
     )
     cls = F.when(F.col("cum_share") <= 0.5, "A").when(
         F.col("cum_share") <= 0.8, "B"

@@ -950,6 +950,7 @@ def test_no_low_cardinality_fact_windows(spark, sf_dir):
         ("q_stats_gini", "c_nationkey", "xs"),
         ("q_clean_winsorize", "event_type", "value"),
         ("q_win_distinct_running", "event_type", "ts"),
+        ("q_sales_pareto", "c_nationkey", "rev"),
     ):
         p = _plan(REGISTRY[qid].spark_fn(spark, sf_dir))
         # no window spec of (key, <sort-key>) — i.e. key-only partition
