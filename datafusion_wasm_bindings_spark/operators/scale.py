@@ -312,3 +312,50 @@ def equidepth_bucket(
             lambda acc, b: acc + F.when(b <= value.cast("double"), 1).otherwise(0),
         ),
     )
+
+
+def hash_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    how: str = "inner",
+    m: int = 1 << 20,
+) -> DataFrame:
+    """Equi-join ``fact`` ⋈ ``dim`` on ``on`` with a runtime semi-join
+    reduction: the fact side is pre-filtered by a broadcast membership
+    sketch of the dim side's join keys BEFORE the join's shuffle — the
+    "Bloom/runtime-filter" pattern every warehouse engine injects when
+    a selective dim filter would otherwise shuffle the whole fact.
+
+    The sketch is the distinct set of ``xxhash64(key) mod m`` buckets
+    on the dim side: at most ``min(|dim keys|, m)`` longs, so its
+    broadcast is BOUNDED BY m (8 MB at the default 2^20) no matter how
+    large the dim grows — unlike broadcasting the dim itself, this
+    hint can never exceed the broadcast ceiling (the r5 audit rule:
+    no forced O(|input|) broadcasts). False-positive buckets only let
+    extra fact rows through to the exact join, which discards them, so
+    the result is row-identical to ``fact.join(dim, on, how)``; what
+    changes is shuffle volume: with a selective dim (the Q17-style
+    brand/container probe) the fact bytes entering the join exchange
+    drop by roughly the dim's key selectivity.
+
+    Spark's own ``spark.sql.optimizer.runtime.bloomFilter.enabled``
+    injects this automatically for some shapes; the explicit operator
+    makes the reduction deterministic, plan-assertable, and available
+    to DataFrame pipelines the optimizer rule does not cover. ``how``
+    supports ``inner``/``left_semi`` (reductions of the fact side);
+    NULL fact keys hash to a bucket but never match the exact join,
+    preserving inner-join semantics exactly.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"hash_prefilter_join supports inner/left_semi, got {how!r}")
+    buckets = dim.select(
+        F.pmod(F.xxhash64(F.col(on)), F.lit(m)).alias("__pfb")
+    ).distinct()
+    pre = fact.join(
+        F.broadcast(buckets),
+        F.pmod(F.xxhash64(fact[on]), F.lit(m)) == F.col("__pfb"),
+        "left_semi",
+    )
+    return pre.join(dim, on, how)

@@ -64,6 +64,7 @@ _MODULES = (
     "analytics2",
     "analytics3",
     "analytics4",
+    "analytics5",
 )
 
 # Round-5 driver window (exactly 50 names, VERDICT r4 next-round #1):

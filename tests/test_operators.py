@@ -1506,3 +1506,51 @@ def test_nsjoin_keeps_null_groups(spark):
     assert out.count() == 12
     assert out.columns == ["id", "grp", "v", "cnt"]
     assert out.filter(F.col("grp").isNull()).agg(F.min("cnt")).collect()[0][0] == 4
+
+
+def test_hash_prefilter_join_row_identical(spark):
+    """hash_prefilter_join must be row-identical to the plain join for
+    any m — including m=2, where nearly every bucket is a false
+    positive and the exact join does all the discarding — and must
+    drop NULL fact keys exactly like the inner join it accelerates."""
+    from datafusion_wasm_bindings_spark.operators.scale import hash_prefilter_join
+
+    fact = spark.createDataFrame(
+        [(i, None if i % 7 == 0 else i % 20, float(i)) for i in range(100)],
+        "id long, k long, v double",
+    ).select("k", "id", "v")
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(0, 20, 3)], "k long, label string"
+    )
+    expect = sorted(map(tuple, fact.join(dim, "k").collect()))
+    for m in (2, 16, 1 << 20):
+        got = sorted(map(tuple, hash_prefilter_join(fact, dim, "k", m=m).collect()))
+        assert got == expect, m
+
+
+def test_auc_rank_sum_formula(spark):
+    """auc_from_scores vs the O(P·N) pairwise definition —
+    AUC = mean over (pos, neg) pairs of 1[s_p > s_n] + ½·1[s_p = s_n]
+    — on tie-heavy random data, across bucket granularities (bucket
+    choice must never change the result)."""
+    import itertools
+    import random
+
+    from datafusion_wasm_bindings_spark.queries.analytics5 import auc_from_scores
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randint(0, 1), rng.choice([0.0, 0.001, 0.002, 0.005, 0.25, 0.31]))
+        for _ in range(80)
+    ]
+    pos = [s for l, s in rows if l == 1]
+    neg = [s for l, s in rows if l == 0]
+    naive = sum(
+        1.0 if sp > sn else (0.5 if sp == sn else 0.0)
+        for sp, sn in itertools.product(pos, neg)
+    ) / (len(pos) * len(neg))
+    d = spark.createDataFrame(rows, "label long, score double")
+    for scale in (1.0, 8000.0, 1e6):
+        row = auc_from_scores(d, bucket_scale=scale).collect()[0]
+        assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+        assert abs(row["auc"] - naive) < 1e-12, scale

@@ -1079,3 +1079,16 @@ def test_tpch_hard_subquery_plan_shapes(spark, sf_dir):
     assert "BroadcastExchange" in p21, p21
     assert "TakeOrderedAndProject" in p21, p21
     assert "CartesianProduct" not in p21, p21
+
+
+def test_join_bloom_semi_prefilter_shape(spark, sf_dir):
+    """q_join_bloom's runtime-filter posture: the fact side passes a
+    broadcast LEFT-SEMI bucket probe BEFORE the exact join's exchange
+    (shuffle bytes track dim selectivity, not fact size), the sketch
+    side is a broadcast (bounded by m, never O(|dim|)), and the dim's
+    selective predicates still push into the part scan."""
+    df = REGISTRY["q_join_bloom"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "PushedFilters: [" in plan and "p_brand" in plan, plan
