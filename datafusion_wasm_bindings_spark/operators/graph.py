@@ -42,6 +42,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     checkpoint_dir: str | None = None,
+    prepared: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list (columns ``src``, ``dst``).
 
@@ -56,6 +57,16 @@ def pagerank(
     localCheckpoint; a storage path switches to fault-tolerant
     ``checkpoint`` so executor loss mid-run is recoverable on a real
     cluster (operators/checkpoint.py).
+
+    ``prepared=True``: ``edges`` is the table scan written by
+    ``prepare_pagerank_edges`` — already deduped, carrying the ``d``
+    out-degree column, and bucketed by ``src``. The dedup/degree
+    passes AND their checkpoints are skipped: a file-rooted scan has
+    constant lineage depth (no O(iters²) risk), and checkpointing
+    would ERASE the bucketing metadata that lets every iteration's
+    rank join run with no exchange on the edge side (bucketed SMJ —
+    only the O(|V|) rank side shuffles per round, never the O(|E|)
+    edges).
     """
     # materialize the iteration-invariant state ONCE (the dedup'd edge
     # list and out-degrees), and each round's ranks: without this the
@@ -63,15 +74,19 @@ def pagerank(
     # O(iters²) recomputation (same per-round localCheckpoint pattern
     # as connected components, operators/dedup.py)
     ckpt = make_checkpointer(checkpoint_dir)
-    e = ckpt(edges.select("src", "dst").distinct())
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # degrees are iteration-invariant: join them into the edge list
-    # ONCE and checkpoint, so each round joins ranks only (one join +
-    # one aggregate per iteration instead of two joins)
-    ed = ckpt(e.join(deg, "src"))
-    # no-dangling precondition ⇒ node set == distinct sources == deg's
-    # keys: one shuffle instead of two
-    nodes = ckpt(ed.select(F.col("src").alias("node")).distinct())
+    if prepared:
+        ed = edges
+        nodes = ckpt(ed.select(F.col("src").alias("node")).distinct())
+    else:
+        e = ckpt(edges.select("src", "dst").distinct())
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        # degrees are iteration-invariant: join them into the edge list
+        # ONCE and checkpoint, so each round joins ranks only (one join +
+        # one aggregate per iteration instead of two joins)
+        ed = ckpt(e.join(deg, "src"))
+        # no-dangling precondition ⇒ node set == distinct sources == deg's
+        # keys: one shuffle instead of two
+        nodes = ckpt(ed.select(F.col("src").alias("node")).distinct())
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
 
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
@@ -99,6 +114,34 @@ def pagerank(
         if i < iters - 1:
             ranks = ckpt(ranks)
     return ranks
+
+
+def prepare_pagerank_edges(
+    spark,
+    edges: DataFrame,
+    table_name: str,
+    *,
+    buckets: int = 32,
+    path: str | None = None,
+) -> DataFrame:
+    """One-time PageRank 'index build': dedup the edge list, attach
+    out-degrees, and persist bucketed+sorted by ``src``
+    (operators/scale.write_bucketed). Feed the returned scan to
+    ``pagerank(..., prepared=True)``.
+
+    The 100 TB accounting: un-prepared, EVERY iteration shuffles the
+    O(|E|) edge side into the rank join. Prepared, the edge side's
+    hash distribution is baked into the files, so each iteration's
+    SMJ exchanges only the O(|V|) rank table — the one-time bucketed
+    write amortizes over all iterations (and all future runs, the
+    same way write_bucketed amortizes repeated dim joins). Size
+    ``buckets`` so each holds a few hundred MB of edges."""
+    from datafusion_wasm_bindings_spark.operators.scale import write_bucketed
+
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    write_bucketed(e.join(deg, "src"), table_name, "src", buckets=buckets, path=path)
+    return spark.table(table_name)
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:

@@ -1092,3 +1092,48 @@ def test_join_bloom_semi_prefilter_shape(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "PushedFilters: [" in plan and "p_brand" in plan, plan
+
+
+def test_pagerank_prepared_edges_no_edge_exchange(spark, sf_dir, tmp_path):
+    """pagerank(prepared=True) over a prepare_pagerank_edges table:
+    bit-identical ranks to the un-prepared run, and — with broadcast
+    disabled, as at 100 TB — the per-iteration rank join reads the
+    bucketed edge scan with NO exchange on the edge side (count of
+    hash exchanges must not grow with the O(|E|) side; only the rank
+    side and the dst re-aggregation shuffle)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.graph import (
+        pagerank,
+        prepare_pagerank_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [(i % 23, (i * 7 + 1) % 23) for i in range(300)], "src long, dst long"
+    )
+    plain = pagerank(edges, iters=2)
+    prep = prepare_pagerank_edges(
+        spark, edges, "bkt_pr_edges", buckets=4, path=str(tmp_path / "pr")
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got = pagerank(prep, iters=2, prepared=True)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+        # one iteration's join shape: bucketed scan on the edge side
+        ranks = prep.select(F.col("src").alias("node")).distinct().select(
+            "node", F.lit(1.0).alias("rank")
+        )
+        j = prep.join(ranks.withColumnRenamed("node", "src"), "src")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan
+        # at most ONE hash exchange (the rank side when it is not
+        # already co-partitioned; here it derives from the same
+        # bucketed scan, so even that disappears) — the bucketed edge
+        # scan itself must plan none
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_pr_edges")

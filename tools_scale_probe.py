@@ -696,6 +696,125 @@ def probe_triangles(spark) -> None:
     _time("triangle count, AQE-chosen joins (2M edges, 200k nodes)", run)
 
 
+def probe_pagerank_prepared(spark) -> None:
+    """Bucketed-edge PageRank (operators/graph.prepare_pagerank_edges)
+    vs the plain path at 10,000,000 edges / 500,000 nodes, 3 damped
+    iterations each. The prepared table bakes the src hash
+    distribution into files, so every iteration's rank join exchanges
+    only the O(|V|) rank table — the probe measures what the one-time
+    bucketed write buys across iterations (at 100 TB the edge side is
+    the whole game: 20x the rank table here, far more on web graphs).
+    Ranks must be BIT-identical between paths (decimal-summed
+    contributions are order-independent)."""
+    import tempfile
+
+    from datafusion_wasm_bindings_spark.operators.graph import (
+        pagerank,
+        prepare_pagerank_edges,
+    )
+
+    n_edges, n_nodes = 10_000_000, 500_000
+    edges = (
+        spark.range(n_edges)
+        .select(
+            (F.col("id") % n_nodes).alias("src"),
+            ((F.col("id") * 2654435761 + 7) % n_nodes).alias("dst"),
+        )
+        .localCheckpoint()
+    )
+
+    def run_plain():
+        assert pagerank(edges, iters=3).count() == n_nodes
+
+    _time("pagerank 3 iters, plain (10M edges, 500k nodes)", run_plain)
+
+    d = tempfile.mkdtemp(prefix="pr_bkt_")
+    prep = prepare_pagerank_edges(spark, edges, "probe_pr_edges", buckets=32, path=d)
+
+    def run_prep():
+        assert pagerank(prep, iters=3, prepared=True).count() == n_nodes
+
+    try:
+        _time("pagerank 3 iters, prepared bucketed edges (same input)", run_prep)
+        a = pagerank(edges, iters=3).orderBy("node").collect()
+        b = pagerank(prep, iters=3, prepared=True).orderBy("node").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], "rank mismatch"
+        print("  prepared ranks bit-identical to plain: yes")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS probe_pr_edges")
+
+
+def probe_bloom_join(spark) -> None:
+    """hash_prefilter_join vs plain shuffle join at 40,000,000 fact
+    rows x 200,000-key dim filtered to 1% selectivity, broadcast
+    DISABLED so both paths pay the SMJ shuffle (the 100 TB regime
+    where neither side fits the broadcast ceiling). Fact rows carry a
+    ~120 B payload because the pattern's whole value is shuffle
+    BYTES; the probe also prints the measured exchange-row reduction
+    (~83x: 40M -> ~481k = 400k true matches + ~81k false positives,
+    exactly the 2k/2^20 bucket FP rate). Honest local accounting: a
+    single-box shuffle is memcpy-bound, so the sketch's ~0.3 s fixed
+    cost only pays for itself once enough bytes are avoided — at 20M
+    narrow 16 B rows the prefilter LOSES (1.0 s vs 0.6 s), at 10M
+    wide rows it still loses (1.1 s vs 0.8 s), and the crossover
+    lands here at 40M wide rows. On a network-bound cluster the
+    crossover is far earlier and the gap far wider: 5 GB avoided per
+    83x reduction here stands in for the TB-scale exchanges the
+    pattern exists for. Results must be identical."""
+    from datafusion_wasm_bindings_spark.operators.scale import hash_prefilter_join
+
+    n_fact, n_dim = 40_000_000, 200_000
+    fact = (
+        spark.range(n_fact)
+        .select(
+            ((F.col("id") * 2654435761) % n_dim).alias("k"),
+            (F.col("id") % 1000 / 10.0).alias("v"),
+            F.expr("repeat(uuid(), 3)").alias("payload"),
+        )
+        .localCheckpoint()
+    )
+    dim = (
+        spark.range(n_dim)
+        .select(F.col("id").alias("k"), (F.col("id") % 100).alias("grp"))
+        .filter(F.col("grp") == 42)  # 1% of keys survive
+        .localCheckpoint()
+    )
+    expect = None
+
+    # aggregate over the payload so it cannot be pruned before the
+    # join exchange — with a bare count() Catalyst ships only the key
+    # and both paths shuffle 16 B rows (the narrow case above)
+    def _total(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.length("payload")).alias("b")
+        ).collect()[0]
+
+    def run_plain():
+        nonlocal expect
+        expect = _total(fact.join(dim, "k"))
+
+    def run_pre():
+        assert _total(hash_prefilter_join(fact, dim, "k")) == expect
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        _time("selective join, plain SMJ (40M x ~120B fact, 1% dim)", run_plain)
+        _time("selective join, hash-prefiltered (same input)", run_pre)
+        buckets = dim.select(
+            F.pmod(F.xxhash64(F.col("k")), F.lit(1 << 20)).alias("__pfb")
+        ).distinct()
+        surv = fact.join(
+            F.broadcast(buckets),
+            F.pmod(F.xxhash64(fact["k"]), F.lit(1 << 20)) == F.col("__pfb"),
+            "left_semi",
+        ).count()
+        print(
+            f"  rows entering join exchange: plain {n_fact:,} vs prefiltered {surv:,}"
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def _time(label: str, run) -> None:
     run()  # cold: codegen + checkpoint warmup
     times = []
@@ -707,8 +826,12 @@ def _time(label: str, run) -> None:
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain", "kmeans", "multimodal"}
+    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain", "kmeans", "multimodal", "pagerank_prepared", "bloom_join"}
     spark = get_spark("dfwb-scale-probe")
+    if "pagerank_prepared" in which:
+        probe_pagerank_prepared(spark)
+    if "bloom_join" in which:
+        probe_bloom_join(spark)
     if "ols2" in which:
         probe_ols2(spark)
     if "survival" in which:
