@@ -328,6 +328,34 @@ def ngram_containment_pairs(
     )
 
 
+def prepare_cc_edges(
+    spark,
+    pairs: DataFrame,
+    table_name: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    buckets: int = 32,
+    path: str | None = None,
+) -> DataFrame:
+    """One-time connected-components edge prep: symmetrize, dedup, and
+    persist bucketed by ``b`` — the label-join key — via
+    operators/scale.write_bucketed. Feed the returned scan (columns
+    ``a``, ``b``) to ``connected_components(..., prepared=True)``:
+    every propagation round's edges⋈labels join then plans no
+    exchange on the O(|E|) edge side; only the O(|V|) label table
+    moves per round. Match ``buckets`` to the join's target
+    parallelism (spark.sql.shuffle.partitions) — on a mismatch the
+    planner disables the bucketed scan rather than de-parallelize
+    the label side (operators/graph.prepare_pagerank_edges)."""
+    from datafusion_wasm_bindings_spark.operators.scale import write_bucketed
+
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    write_bucketed(und, table_name, "b", buckets=buckets, path=path)
+    return spark.table(table_name)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -335,6 +363,7 @@ def connected_components(
     *,
     max_iters: int = 25,
     checkpoint_dir: str | None = None,
+    prepared: bool = False,
 ) -> DataFrame:
     """Resolve similarity candidate pairs into duplicate CLUSTERS —
     the step that turns pairwise near-dup evidence into a keep/drop
@@ -358,15 +387,22 @@ def connected_components(
 
     ``checkpoint_dir``: None (default) cuts per-round lineage with
     localCheckpoint; a storage path switches to fault-tolerant
-    ``checkpoint`` (operators/checkpoint.py).
+    ``checkpoint`` (operators/checkpoint.py). ``prepared=True`` takes
+    ``pairs`` from ``prepare_cc_edges`` (columns ``a``/``b``, already
+    symmetrized + deduped, bucketed by ``b``): the symmetrize pass
+    and its checkpoint are skipped so every round's label join stays
+    exchange-free on the edge side.
     """
     from datafusion_wasm_bindings_spark.operators.checkpoint import make_checkpointer
 
     ckpt = make_checkpointer(checkpoint_dir)
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    edges = ckpt(
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    )
+    if prepared:
+        edges = pairs.select("a", "b")
+    else:
+        e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        edges = ckpt(
+            e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+        )
     labels = ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()

@@ -135,7 +135,11 @@ def prepare_pagerank_edges(
     SMJ exchanges only the O(|V|) rank table — the one-time bucketed
     write amortizes over all iterations (and all future runs, the
     same way write_bucketed amortizes repeated dim joins). Size
-    ``buckets`` so each holds a few hundred MB of edges."""
+    ``buckets`` so each holds a few hundred MB of edges AND matches
+    the join's target parallelism (spark.sql.shuffle.partitions): on
+    a mismatch the planner disables the bucketed scan rather than
+    de-parallelize the rank side (observed: 4 buckets vs 32 shuffle
+    partitions reads un-bucketed)."""
     from datafusion_wasm_bindings_spark.operators.scale import write_bucketed
 
     e = edges.select("src", "dst").distinct()
@@ -223,12 +227,39 @@ def pagerank_topk(
     )
 
 
+def prepare_bfs_edges(
+    spark,
+    edges: DataFrame,
+    table_name: str,
+    *,
+    buckets: int = 32,
+    path: str | None = None,
+) -> DataFrame:
+    """One-time BFS edge prep: dedup and persist bucketed by ``src``
+    (operators/scale.write_bucketed); feed the returned scan to
+    ``bfs_levels(..., prepared=True)``. Every round's frontier⋈edges
+    join then plans no exchange on the O(|E|) edge side — only the
+    frontier (usually broadcast-sized anyway) moves. Match ``buckets``
+    to the join's target parallelism (see prepare_pagerank_edges)."""
+    from datafusion_wasm_bindings_spark.operators.scale import write_bucketed
+
+    write_bucketed(
+        edges.select("src", "dst").distinct(),
+        table_name,
+        "src",
+        buckets=buckets,
+        path=path,
+    )
+    return spark.table(table_name)
+
+
 def bfs_levels(
     edges: DataFrame,
     source: int,
     *,
     max_depth: int = 4,
     checkpoint_dir: str | None = None,
+    prepared: bool = False,
 ) -> DataFrame:
     """Breadth-first levels from ``source`` over a directed edge list
     (columns ``src``, ``dst``): (node, lvl) for every node reachable
@@ -242,9 +273,16 @@ def bfs_levels(
     localCheckpointed like pagerank/connected-components so lineage
     stays O(1) per round instead of O(round²); ``checkpoint_dir``
     switches the cut to fault-tolerant storage checkpoints
-    (operators/checkpoint.py)."""
+    (operators/checkpoint.py). ``prepared=True`` takes ``edges`` from
+    ``prepare_bfs_edges`` (already deduped, bucketed by src): the
+    dedup pass and its checkpoint are skipped — a file-rooted scan
+    has constant lineage, and checkpointing would erase the bucketing
+    that makes each round's frontier join exchange-free on the edge
+    side."""
     ckpt = make_checkpointer(checkpoint_dir)
-    e = ckpt(edges.select("src", "dst").distinct())
+    e = edges.select("src", "dst") if prepared else ckpt(
+        edges.select("src", "dst").distinct()
+    )
     spark = e.sparkSession
     visited = spark.range(1).select(
         F.lit(source).cast("long").alias("node"), F.lit(0).cast("long").alias("lvl")

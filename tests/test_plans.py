@@ -1137,3 +1137,63 @@ def test_pagerank_prepared_edges_no_edge_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_pr_edges")
+
+
+def test_bfs_cc_prepared_edges_identity_and_bucketed_scan(spark, sf_dir, tmp_path):
+    """prepare_bfs_edges / prepare_cc_edges: results identical to the
+    un-prepared operators, and the per-round edge side is a bucketed
+    file scan (no exchange above it with broadcast disabled)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.dedup import (
+        connected_components,
+        prepare_cc_edges,
+    )
+    from datafusion_wasm_bindings_spark.operators.graph import (
+        bfs_levels,
+        prepare_bfs_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [(i % 17, (i * 5 + 1) % 17) for i in range(120)], "src long, dst long"
+    )
+    try:
+        prep_b = prepare_bfs_edges(
+            spark, edges, "bkt_bfs_edges", buckets=4, path=str(tmp_path / "b")
+        )
+        got = bfs_levels(prep_b, 0, max_depth=3, prepared=True)
+        want = bfs_levels(edges, 0, max_depth=3)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+        pairs = edges.select(
+            F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+        ).filter("id_a != id_b")
+        # bucket count must match the join's partitioning (here
+        # spark.sql.shuffle.partitions=32) or the planner disables the
+        # bucketed scan rather than de-parallelize the other side —
+        # the sizing rule prepare_*_edges documents
+        prep_c = prepare_cc_edges(
+            spark, pairs, "bkt_cc_edges", buckets=32, path=str(tmp_path / "c")
+        )
+        got_c = connected_components(prep_c, prepared=True)
+        want_c = connected_components(pairs)
+        assert sorted(map(tuple, got_c.collect())) == sorted(
+            map(tuple, want_c.collect())
+        )
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        labels = prep_c.select(F.col("a").alias("node")).distinct().select(
+            "node", F.col("node").alias("comp")
+        )
+        j = prep_c.join(labels.select(F.col("node").alias("b"), "comp"), "b")
+        plan = _plan(j)
+        assert "Bucketed: true" in plan, plan
+        # label side pays its own exchanges (distinct + join
+        # repartition here; one per round in the real operator) — the
+        # point is the EDGE side: its bucketed scan must sit directly
+        # under the join's Sort with no exchange between
+        assert "Exchange" not in plan.split("SortMergeJoin", 1)[1].split("Sort ", 2)[1], plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_bfs_edges")
+        spark.sql("DROP TABLE IF EXISTS bkt_cc_edges")
