@@ -28,6 +28,8 @@ _IDS = (
     "q_text_tfidf",                # tf-idf top-k with tie-breaks
     "q_stats_survival",            # KM product over the hour grid
     "q_pipeline_rownum",           # global row ids without global window
+    "q_ml_auc",                    # doubled-rank AUC over bucketed prefix sum
+    "q_join_bloom",                # semi-filter row-identity under AQE on/off
 )
 
 
