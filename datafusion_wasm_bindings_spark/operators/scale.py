@@ -317,7 +317,7 @@ def equidepth_bucket(
 def hash_prefilter_join(
     fact: DataFrame,
     dim: DataFrame,
-    on: str,
+    on: str | list[str],
     *,
     how: str = "inner",
     m: int = 1 << 20,
@@ -346,16 +346,19 @@ def hash_prefilter_join(
     to DataFrame pipelines the optimizer rule does not cover. ``how``
     supports ``inner``/``left_semi`` (reductions of the fact side);
     NULL fact keys hash to a bucket but never match the exact join,
-    preserving inner-join semantics exactly.
+    preserving inner-join semantics exactly. ``on`` may be a single
+    column or a composite key list (one sketch over the combined
+    xxhash64 — same bound, same guarantees).
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(f"hash_prefilter_join supports inner/left_semi, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
     buckets = dim.select(
-        F.pmod(F.xxhash64(F.col(on)), F.lit(m)).alias("__pfb")
+        F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(m)).alias("__pfb")
     ).distinct()
     pre = fact.join(
         F.broadcast(buckets),
-        F.pmod(F.xxhash64(fact[on]), F.lit(m)) == F.col("__pfb"),
+        F.pmod(F.xxhash64(*[fact[k] for k in keys]), F.lit(m)) == F.col("__pfb"),
         "left_semi",
     )
-    return pre.join(dim, on, how)
+    return pre.join(dim, keys, how)

@@ -1526,6 +1526,14 @@ def test_hash_prefilter_join_row_identical(spark):
     for m in (2, 16, 1 << 20):
         got = sorted(map(tuple, hash_prefilter_join(fact, dim, "k", m=m).collect()))
         assert got == expect, m
+    # composite key: one sketch over the combined hash
+    fact2 = fact.withColumn("k2", (F.col("id") % 3).cast("long"))
+    dim2 = dim.withColumn("k2", (F.col("k") % 3).cast("long"))
+    expect2 = sorted(map(tuple, fact2.join(dim2, ["k", "k2"]).collect()))
+    got2 = sorted(
+        map(tuple, hash_prefilter_join(fact2, dim2, ["k", "k2"], m=16).collect())
+    )
+    assert got2 == expect2
 
 
 def test_auc_rank_sum_formula(spark):
