@@ -149,6 +149,75 @@ def kmeans_clusters(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    *,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pruning (Abbas et al.
+    2023, arXiv:2303.09540): cluster the corpus embeddings with the
+    deterministic Lloyd fit, elect each cluster's REPRESENTATIVE (the
+    lowest vec_id — content-independent and replayable), and flag every
+    other member whose cosine to the representative clears
+    ``threshold`` as a semantic duplicate. Returns per-cluster pruning
+    stats: (cluster_id, rep_vec, n_members, n_dups, n_kept, first_dup)
+    with ``first_dup`` = lowest flagged vec_id or -1.
+
+    The real SemDeDup compares all within-cluster pairs; comparing to
+    one representative is the scale-safe variant — the k-row
+    representative table broadcasts (bounded by k, NEVER O(|corpus|),
+    the r5 broadcast rule) and each member is scored in one map-side
+    pass, so the only corpus-sized work beyond the fit itself is one
+    broadcast join + one aggregate. Cosines divide exact integer dot
+    products by exact integer norms (operators/similarity.py
+    quantization), so the threshold compare is bit-identical in any
+    engine — same determinism contract as q_dedup_embedding's 0.35
+    cut, no quantization needed.
+
+    The reference (DataFusion WASM binding, src/core.rs:34-99) has no
+    clustering surface; UNNEST-decomposed oracle twin:
+    queries/analytics5.py:q_dedup_semantic."""
+    from datafusion_wasm_bindings_spark.operators.similarity import _dot
+
+    assigned, _ = fit_kmeans(embeddings, k=k, iters=iters)
+    a = assigned.select("vec_id", "x", "cid").withColumn(
+        "ssx", _norm2(F.col("x"))
+    )
+    reps = a.groupBy("cid").agg(F.min("vec_id").alias("rep_vec"))
+    repv = reps.join(
+        a.select(
+            F.col("vec_id").alias("rep_vec"),
+            F.col("x").alias("rx"),
+            F.col("ssx").alias("rss"),
+        ),
+        "rep_vec",
+    )
+    j = a.join(F.broadcast(repv), "cid")
+    cos = _dot(F.col("x"), F.col("rx")) / F.sqrt(F.col("ssx") * F.col("rss"))
+    dup = (F.col("vec_id") != F.col("rep_vec")) & (cos >= F.lit(threshold))
+    return (
+        j.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.min("rep_vec").alias("rep_vec"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(dup.cast("long")).cast("long").alias("n_dups"),
+            F.coalesce(F.min(F.when(dup, F.col("vec_id"))), F.lit(-1))
+            .cast("long")
+            .alias("first_dup"),
+        )
+        .select(
+            "cluster_id",
+            "rep_vec",
+            "n_members",
+            "n_dups",
+            (F.col("n_members") - F.col("n_dups")).cast("long").alias("n_kept"),
+            "first_dup",
+        )
+    )
+
+
 def kmeans_quality(
     embeddings: DataFrame,
     *,

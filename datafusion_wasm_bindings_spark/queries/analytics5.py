@@ -1,7 +1,9 @@
-"""Twelfth-wave extension queries (r5): runtime-filtered joins and two
-training-pipeline eval/construction verbs — a Bloom-style semi-join
-reduction ahead of a fact⋈dim shuffle, RLHF preference-pair
-construction, and exact tie-aware ROC-AUC.
+"""Twelfth- and thirteenth-wave extension queries (r5): runtime-
+filtered joins and training-pipeline eval/construction verbs — a
+Bloom-style semi-join reduction ahead of a fact⋈dim shuffle, RLHF
+preference-pair construction, exact tie-aware ROC-AUC, exact
+two-sample KS drift, binned PSI drift, reciprocal-rank fusion, and
+SemDeDup-style semantic dedup.
 
 Like the earlier waves these are statements the reference engine
 (datafusion-wasm-bindings executes arbitrary SQL through DataFusion,
@@ -249,9 +251,7 @@ def auc_from_scores(d: DataFrame, *, bucket_scale: float = 8000.0) -> DataFrame:
     )
 
 
-query(
-    "q_ml_auc",
-    """
+_AUC_ORACLE = """
     WITH d AS (
       SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
              (length(lower(text)) - length(replace(lower(text), 'the', '')))
@@ -281,6 +281,439 @@ query(
            CAST(rs2 - np * (np + 1) AS DOUBLE)
              / CAST(2 * np * (nt - np) AS DOUBLE) AS auc
     FROM s
+    """
+
+query("q_ml_auc", _AUC_ORACLE, tags=("extension", "stats", "ml"))(_ml_auc)
+
+
+# ===================== wave 13: drift + fusion + SemDeDup =============
+def _src_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(is_a, score) per document: the corpus split into two slices by
+    source parity (src<2i> vs src<2i+1>) with the same exact-double
+    'the'-density score as q_ml_auc — the drift-monitoring frame the
+    KS / PSI queries consume. ``lower(text)`` is materialized once
+    before the two length() references (CLAUDE.md expensive-expression
+    rule)."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            (F.substring(F.col("source"), 4, 8).cast("long") % 2 == 0).alias(
+                "is_a"
+            ),
+            F.lower(F.col("text")).alias("lt"),
+            "n_chars",
+        )
+        .select(
+            "is_a",
+            (
+                (
+                    F.length(F.col("lt"))
+                    - F.length(F.regexp_replace(F.col("lt"), "the", ""))
+                )
+                / F.lit(3.0)
+                / F.greatest(F.col("n_chars"), F.lit(1))
+            ).alias("score"),
+        )
+        .filter(F.col("score").isNotNull() & F.col("is_a").isNotNull())
+    )
+    return d
+
+
+_SRC_SCORE_SQL = """
+    d0 AS (
+      SELECT CAST(substr(source, 4) AS BIGINT) % 2 = 0 AS is_a,
+             lower(text) AS lt, n_chars
+      FROM documents
+    ),
+    d AS (
+      SELECT is_a,
+             (length(lt) - length(replace(lt, 'the', '')))
+               / 3.0 / greatest(n_chars, 1) AS score
+      FROM d0
+    ),
+    d2 AS (SELECT * FROM d WHERE score IS NOT NULL AND is_a IS NOT NULL)
+"""
+
+
+def ks_from_scores(d: DataFrame, *, bucket_scale: float = 8000.0) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the score
+    distributions of slices A (is_a) and B: D = max_s |F_A(s) − F_B(s)|
+    over the pooled distinct scores, plus the smallest score attaining
+    it. Both empirical CDFs divide exact BIGINT cumulative counts by
+    exact totals — identical IEEE divisions in every engine, so the
+    max and its argmin location replay bit-identically (no
+    quantization anywhere; same contract as auc_from_scores).
+
+    Scale shape: the global cumulative counts are the r4/r5 bucketed
+    two-pass prefix sum over per-distinct-score (n_A, n_B) pairs —
+    never a partition-less window over the corpus; the only
+    partition-less window runs over the BOUNDED value-bucket table
+    (score ∈ [0, 1/3] → ≤ ⌈bucket_scale/3⌉ buckets by construction).
+    The 1-row totals and max rows attach via broadcast nested-loop
+    joins (1-row build side — the allowed scalar-attachment shape)."""
+    g = (
+        d.groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("is_a").cast("long")).cast("long").alias("na"),
+        )
+        .withColumn("nb", (F.col("n") - F.col("na")).cast("long"))
+        .withColumn("__bkt", F.floor(F.col("score") * bucket_scale).cast("long"))
+    )
+    bs = g.groupBy("__bkt").agg(
+        F.sum("na").alias("ba"), F.sum("nb").alias("bb")
+    )
+    w_pref = (
+        Window.orderBy(F.col("__bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bs.select(
+        "__bkt",
+        F.coalesce(F.sum("ba").over(w_pref), F.lit(0)).alias("offa"),
+        F.coalesce(F.sum("bb").over(w_pref), F.lit(0)).alias("offb"),
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col("score").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = (
+        g.join(F.broadcast(offs), "__bkt")
+        .withColumn("ca", (F.col("offa") + F.sum("na").over(w_in)).cast("long"))
+        .withColumn("cb", (F.col("offb") + F.sum("nb").over(w_in)).cast("long"))
+    )
+    t = g.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+    )
+    x = r.crossJoin(F.broadcast(t)).select(
+        "score",
+        F.abs(
+            F.col("ca").cast("double") / F.col("n_a").cast("double")
+            - F.col("cb").cast("double") / F.col("n_b").cast("double")
+        ).alias("diff"),
+    )
+    m = x.agg(F.max("diff").alias("ks_d"))
+    at = (
+        x.join(F.broadcast(m), F.col("diff") == F.col("ks_d"))
+        .agg(F.min("score").alias("ks_at"))
+    )
+    return (
+        t.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(at))
+        .select("n_a", "n_b", "n_scores", "ks_d", "ks_at")
+    )
+
+
+def _ml_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS drift statistic between the quality-score
+    distributions of two corpus slices (even- vs odd-numbered sources)
+    — the distribution-shift gate a training pipeline runs between
+    data snapshots before mixing them (see ks_from_scores for the
+    exactness + scale contract)."""
+    return ks_from_scores(_src_score(spark, sf_dir))
+
+
+query(
+    "q_ml_ks_drift",
+    f"""
+    WITH {_SRC_SCORE_SQL},
+    g AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na
+      FROM d2 GROUP BY score
+    ),
+    r AS (
+      SELECT score,
+             CAST(SUM(na) OVER (ORDER BY score ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS ca,
+             CAST(SUM(n - na) OVER (ORDER BY score ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cb
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+             CAST(SUM(n - na) AS BIGINT) AS n_b,
+             CAST(COUNT(*) AS BIGINT) AS n_scores
+      FROM g
+    ),
+    x AS (
+      SELECT score,
+             abs(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)) AS diff
+      FROM r CROSS JOIN t
+    ),
+    m AS (SELECT MAX(diff) AS ks_d FROM x)
+    SELECT n_a, n_b, n_scores, ks_d,
+           (SELECT MIN(score) FROM x WHERE diff = ks_d) AS ks_at
+    FROM t CROSS JOIN m
     """,
     tags=("extension", "stats", "ml"),
-)(_ml_auc)
+)(_ml_ks_drift)
+
+
+_PSI_BINS_SCALE = 60  # score ∈ [0, 1/3] → bins 0..20, bounded
+
+
+def _ml_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the two source slices over
+    fixed-width score bins — the standard drift monitor
+    (PSI = Σ (p_A − p_B)·ln(p_A/p_B), bins where either slice is
+    empty are excluded, as is standard, and counted out via n_bins).
+
+    Exactness: bin counts are exact BIGINTs; the proportions are
+    identical IEEE divisions; ln() differs in the last ulp across
+    libm implementations (CLAUDE.md pitfall g), so each PER-BIN term
+    is quantized to DECIMAL(18,6) and the PSI total is the exact
+    decimal sum — order-independent and irrational-valued (midpoints
+    measure-zero, quantization rule ii).
+
+    Scale shape: one map-side-combinable aggregate to the BOUNDED
+    |bins| table (≤ 21 rows by construction); everything after is
+    bounded work with 1-row broadcast attachments."""
+    d = _src_score(spark, sf_dir)
+    g = (
+        d.groupBy(
+            F.floor(F.col("score") * _PSI_BINS_SCALE).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("is_a").cast("long")).cast("long").alias("na"),
+        )
+        .withColumn("nb", (F.col("n") - F.col("na")).cast("long"))
+    )
+    t = g.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+    )
+    pa = F.col("na").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("nb").cast("double") / F.col("n_b").cast("double")
+    terms = (
+        g.crossJoin(F.broadcast(t))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(((pa - pb) * F.log(pa / pb)).cast("decimal(18,6)").alias("term"))
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.coalesce(F.sum("term"), F.lit(0).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("psi"),
+    )
+    return t.crossJoin(F.broadcast(s)).select("n_a", "n_b", "n_bins", "psi")
+
+
+query(
+    "q_ml_psi",
+    f"""
+    WITH {_SRC_SCORE_SQL},
+    g AS (
+      SELECT CAST(floor(score * {_PSI_BINS_SCALE}) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na
+      FROM d2 GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+             CAST(SUM(n - na) AS BIGINT) AS n_b
+      FROM g
+    ),
+    terms AS (
+      SELECT CAST((CAST(na AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(n - na AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  * ln((CAST(na AS DOUBLE) / CAST(n_a AS DOUBLE))
+                       / (CAST(n - na AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                  AS DECIMAL(18,6)) AS term
+      FROM g CROSS JOIN t
+      WHERE na > 0 AND n - na > 0
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+             CAST(COALESCE(SUM(term), 0) AS DOUBLE) AS psi
+      FROM terms
+    )
+    SELECT n_a, n_b, n_bins, psi FROM t CROSS JOIN s
+    """,
+    tags=("extension", "stats", "ml"),
+)(_ml_psi)
+
+
+# ================= reciprocal-rank fusion retrieval ===================
+_RRF_C = 60  # the standard RRF constant (Cormack et al. 2009)
+_RRF_TOPK = 10
+
+
+def _rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers: every corpus vector is
+    ranked against query vec 1 and query vec 2 (exact integer dot
+    products, operators/similarity quantization), and the fused score
+    RRF(d) = Σ_r 1/(60 + rank_r(d)) surfaces the top-10. The standard
+    multi-retriever merge (BM25 ⊕ dense, two dense indexes...) a
+    retrieval pipeline runs at serving and eval time.
+
+    Exactness: ranks are exact integers (total order: dot DESC, vec_id
+    ASC); each fused term divides 1.0 by an exact integer and the
+    two-term sum is evaluated in the same order on both engines —
+    bit-identical doubles, no quantization.
+
+    Scale shape: the two global ranks are operators/scale.bucketed_rank
+    with an EMPTY partition list (the exact-ntile/RFM recipe, r5 (e)):
+    equi-depth value buckets → per-bucket counts → exclusive prefix
+    over the BOUNDED bucket table → in-bucket windows. No
+    partition-less window ever touches the corpus; the final top-10 is
+    a TakeOrdered, and the two 1-row query vectors attach map-side via
+    broadcast (bounded build side)."""
+    from datafusion_wasm_bindings_spark.operators.scale import (
+        bucketed_rank,
+        equidepth_bucket,
+    )
+    from datafusion_wasm_bindings_spark.operators.similarity import _dot, quantized
+
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized(F.col("embedding")).alias("x")
+    )
+    q1 = v.filter(F.col("vec_id") == 1).select(F.col("x").alias("q1x"))
+    q2 = v.filter(F.col("vec_id") == 2).select(F.col("x").alias("q2x"))
+    c = (
+        v.filter(~F.col("vec_id").isin(1, 2))
+        .crossJoin(F.broadcast(q1))
+        .crossJoin(F.broadcast(q2))
+        .select(
+            "vec_id",
+            _dot(F.col("x"), F.col("q1x")).alias("s1"),
+            _dot(F.col("x"), F.col("q2x")).alias("s2"),
+        )
+    )
+    r1 = bucketed_rank(
+        c,
+        [],
+        equidepth_bucket(c, -F.col("s1")),
+        [F.col("s1").desc(), F.col("vec_id").asc()],
+        rank_col="r1",
+    )
+    r2 = bucketed_rank(
+        r1,
+        [],
+        equidepth_bucket(r1, -F.col("s2")),
+        [F.col("s2").desc(), F.col("vec_id").asc()],
+        rank_col="r2",
+    )
+    fused = (
+        F.lit(1).cast("double") / (F.lit(_RRF_C) + F.col("r1"))
+        + F.lit(1).cast("double") / (F.lit(_RRF_C) + F.col("r2"))
+    ).alias("rrf")
+    return (
+        r2.select("vec_id", "r1", "r2", fused)
+        .orderBy(F.col("rrf").desc_nulls_last(), F.col("vec_id").asc())
+        .limit(_RRF_TOPK)
+    )
+
+
+query(
+    "q_rank_rrf",
+    f"""
+    WITH q AS (SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+               FROM embeddings),
+    comp AS (SELECT vec_id, unnest(qv) AS val,
+                    generate_subscripts(qv, 1) AS i FROM q),
+    d1 AS (
+      SELECT c.vec_id, sum(c.val * k.val) AS s1
+      FROM comp c JOIN comp k ON k.i = c.i AND k.vec_id = 1
+      WHERE c.vec_id NOT IN (1, 2) GROUP BY 1
+    ),
+    d2 AS (
+      SELECT c.vec_id, sum(c.val * k.val) AS s2
+      FROM comp c JOIN comp k ON k.i = c.i AND k.vec_id = 2
+      WHERE c.vec_id NOT IN (1, 2) GROUP BY 1
+    ),
+    s AS (SELECT d1.vec_id, s1, s2 FROM d1 JOIN d2 ON d1.vec_id = d2.vec_id),
+    r AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY s1 DESC, vec_id ASC)
+                  AS BIGINT) AS r1,
+             CAST(row_number() OVER (ORDER BY s2 DESC, vec_id ASC)
+                  AS BIGINT) AS r2
+      FROM s
+    )
+    SELECT vec_id, r1, r2,
+           CAST(1 AS DOUBLE) / ({_RRF_C} + r1)
+             + CAST(1 AS DOUBLE) / ({_RRF_C} + r2) AS rrf
+    FROM r
+    ORDER BY rrf DESC NULLS LAST, vec_id ASC
+    LIMIT {_RRF_TOPK}
+    """,
+    tags=("extension", "similarity", "rank"),
+)(_rank_rrf)
+
+
+# ================= SemDeDup semantic near-dup pruning =================
+_SEM_K, _SEM_ITERS, _SEM_TAU = 4, 2, 0.35
+
+
+def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding corpus
+    (operators/clustering.semantic_dedup): deterministic k-means fit,
+    per-cluster representative election, cosine-to-representative
+    pruning at τ = 0.35 — per-cluster keep/prune stats. The DuckDB
+    twin replays the full Lloyd fit through the unrolled CTE chain
+    (extensions._kmeans_chain) and then the representative scoring."""
+    from datafusion_wasm_bindings_spark.operators.clustering import semantic_dedup
+
+    return semantic_dedup(
+        table(spark, sf_dir, "embeddings"),
+        k=_SEM_K,
+        iters=_SEM_ITERS,
+        threshold=_SEM_TAU,
+    )
+
+
+def _semantic_oracle(k: int, iters: int, tau: float) -> str:
+    from datafusion_wasm_bindings_spark.queries.extensions import (
+        _COMP,
+        _kmeans_chain,
+    )
+
+    chain = _kmeans_chain(k, iters)
+    return f"""
+    WITH {_COMP.format(where="")},{chain},
+    rep AS (
+      SELECT cid, CAST(min(vec_id) AS BIGINT) AS rep_vec
+      FROM asg{iters} GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.cid, a.vec_id, r.rep_vec, sum(c.val * rc.val) AS dot
+      FROM asg{iters} a
+      JOIN rep r ON r.cid = a.cid
+      JOIN comp c ON c.vec_id = a.vec_id
+      JOIN comp rc ON rc.vec_id = r.rep_vec AND rc.i = c.i
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT d.cid, d.vec_id, d.rep_vec,
+             (d.vec_id <> d.rep_vec
+              AND d.dot / sqrt(nm.n2 * nr.n2) >= {tau}) AS is_dup
+      FROM dots d
+      JOIN norms nm ON nm.vec_id = d.vec_id
+      JOIN norms nr ON nr.vec_id = d.rep_vec
+    )
+    SELECT cid AS cluster_id,
+           CAST(min(rep_vec) AS BIGINT) AS rep_vec,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           CAST(count(*) - SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(COALESCE(MIN(CASE WHEN is_dup THEN vec_id END), -1)
+                AS BIGINT) AS first_dup
+    FROM scored GROUP BY 1
+    """
+
+
+query(
+    "q_dedup_semantic",
+    _semantic_oracle(_SEM_K, _SEM_ITERS, _SEM_TAU),
+    tags=("extension", "dedup", "clustering", "similarity"),
+)(_dedup_semantic)

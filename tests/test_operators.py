@@ -1562,3 +1562,168 @@ def test_auc_rank_sum_formula(spark):
         row = auc_from_scores(d, bucket_scale=scale).collect()[0]
         assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
         assert abs(row["auc"] - naive) < 1e-12, scale
+
+
+def test_ks_from_scores_naive(spark):
+    """ks_from_scores vs the direct two-sample KS definition (max CDF
+    gap over pooled distinct scores) on tie-heavy random data, across
+    bucket granularities — bucket choice must never change the result,
+    and ks_at must be the SMALLEST score attaining the max gap."""
+    import random
+
+    from datafusion_wasm_bindings_spark.queries.analytics5 import ks_from_scores
+
+    rng = random.Random(13)
+    rows = [
+        (
+            rng.random() < 0.5,
+            rng.choice([0.0, 0.001, 0.002, 0.005, 0.013, 0.25, 0.31]),
+        )
+        for _ in range(120)
+    ]
+    a = sorted(s for is_a, s in rows if is_a)
+    b = sorted(s for is_a, s in rows if not is_a)
+    pooled = sorted({s for _, s in rows})
+    gaps = [
+        (
+            abs(
+                sum(1 for x in a if x <= s) / len(a)
+                - sum(1 for x in b if x <= s) / len(b)
+            ),
+            s,
+        )
+        for s in pooled
+    ]
+    naive_d = max(g for g, _ in gaps)
+    naive_at = min(s for g, s in gaps if g == naive_d)
+    d = spark.createDataFrame(rows, "is_a boolean, score double")
+    for scale in (1.0, 8000.0, 1e6):
+        row = ks_from_scores(d, bucket_scale=scale).collect()[0]
+        assert row["n_a"] == len(a) and row["n_b"] == len(b), scale
+        assert row["n_scores"] == len(pooled), scale
+        assert abs(row["ks_d"] - naive_d) < 1e-12, scale
+        assert row["ks_at"] == naive_at, scale
+
+
+def test_psi_matches_naive(spark, sf_dir):
+    """q_ml_psi vs a pure-python replay of the binned PSI on the same
+    fixture frame (quantized per-bin terms, exact sum)."""
+    from decimal import Decimal
+
+    from datafusion_wasm_bindings_spark.queries import QUERIES as REGISTRY
+    from datafusion_wasm_bindings_spark.queries.analytics5 import (
+        _PSI_BINS_SCALE,
+        _src_score,
+    )
+    import math
+
+    rows = _src_score(spark, sf_dir).collect()
+    bins: dict[int, list[int]] = {}
+    for r in rows:
+        b = math.floor(r["score"] * _PSI_BINS_SCALE)
+        cnt = bins.setdefault(b, [0, 0])
+        cnt[0 if r["is_a"] else 1] += 1
+    ta = sum(v[0] for v in bins.values())
+    tb = sum(v[1] for v in bins.values())
+    total = Decimal(0)
+    n_bins = 0
+    for na, nb in bins.values():
+        if na > 0 and nb > 0:
+            n_bins += 1
+            pa, pb = na / ta, nb / tb
+            total += Decimal(f"{(pa - pb) * math.log(pa / pb):.6f}")
+    got = REGISTRY["q_ml_psi"].spark_fn(spark, sf_dir).collect()[0]
+    assert got["n_a"] == ta and got["n_b"] == tb
+    assert got["n_bins"] == n_bins
+    assert abs(got["psi"] - float(total)) < 1e-9
+
+
+def test_rrf_ranks_match_naive_window(spark, sf_dir):
+    """q_rank_rrf's bucketed global ranks vs the naive partition-less
+    row_number over the same exact dot products — row-identical,
+    including the fused-score top-10 cut."""
+    from pyspark.sql import Window
+
+    from datafusion_wasm_bindings_spark.operators.similarity import _dot, quantized
+    from datafusion_wasm_bindings_spark.queries import QUERIES as REGISTRY
+    from datafusion_wasm_bindings_spark.queries.analytics5 import _RRF_C, _RRF_TOPK
+    from datafusion_wasm_bindings_spark.sources.catalog import table
+
+    v = table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantized(F.col("embedding")).alias("x")
+    )
+    q1 = v.filter(F.col("vec_id") == 1).select(F.col("x").alias("q1x"))
+    q2 = v.filter(F.col("vec_id") == 2).select(F.col("x").alias("q2x"))
+    c = (
+        v.filter(~F.col("vec_id").isin(1, 2))
+        .crossJoin(F.broadcast(q1))
+        .crossJoin(F.broadcast(q2))
+        .select(
+            "vec_id",
+            _dot(F.col("x"), F.col("q1x")).alias("s1"),
+            _dot(F.col("x"), F.col("q2x")).alias("s2"),
+        )
+    )
+    naive = (
+        c.withColumn(
+            "r1",
+            F.row_number()
+            .over(Window.orderBy(F.col("s1").desc(), F.col("vec_id").asc()))
+            .cast("long"),
+        )
+        .withColumn(
+            "r2",
+            F.row_number()
+            .over(Window.orderBy(F.col("s2").desc(), F.col("vec_id").asc()))
+            .cast("long"),
+        )
+        .select(
+            "vec_id",
+            "r1",
+            "r2",
+            (
+                F.lit(1).cast("double") / (F.lit(_RRF_C) + F.col("r1"))
+                + F.lit(1).cast("double") / (F.lit(_RRF_C) + F.col("r2"))
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc_nulls_last(), F.col("vec_id").asc())
+        .limit(_RRF_TOPK)
+    )
+    got = sorted(
+        REGISTRY["q_rank_rrf"].spark_fn(spark, sf_dir).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    want = sorted(naive.collect(), key=lambda r: r["vec_id"])
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """semantic_dedup: clusters partition the corpus, keep+prune
+    bookkeeping is consistent, the representative is its cluster's
+    minimum member, and first_dup is -1 exactly when nothing was
+    flagged (and never the representative itself)."""
+    from datafusion_wasm_bindings_spark.operators.clustering import (
+        fit_kmeans,
+        semantic_dedup,
+    )
+    from datafusion_wasm_bindings_spark.sources.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    out = {r["cluster_id"]: r for r in semantic_dedup(emb).collect()}
+    assert sum(r["n_members"] for r in out.values()) == n_corpus
+    assigned, _ = fit_kmeans(emb)
+    mins = {
+        r["cid"]: (r["mn"], r["n"])
+        for r in assigned.groupBy("cid")
+        .agg(F.min("vec_id").alias("mn"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(out) == set(mins)
+    for cid, r in out.items():
+        assert r["rep_vec"] == mins[cid][0]
+        assert r["n_members"] == mins[cid][1]
+        assert r["n_kept"] + r["n_dups"] == r["n_members"]
+        assert (r["first_dup"] == -1) == (r["n_dups"] == 0)
+        if r["first_dup"] != -1:
+            assert r["first_dup"] > r["rep_vec"]
