@@ -30,6 +30,10 @@ _IDS = (
     "q_pipeline_rownum",           # global row ids without global window
     "q_ml_auc",                    # doubled-rank AUC over bucketed prefix sum
     "q_join_bloom",                # semi-filter row-identity under AQE on/off
+    "q_ml_ks_drift",               # two-CDF bucketed prefix sums + exact argmax
+    "q_ml_psi",                    # quantized-term decimal sum over bounded bins
+    "q_rank_rrf",                  # two bucketed global ranks + fused top-k
+    "q_dedup_semantic",            # iterative fit + broadcast rep scoring
 )
 
 
