@@ -815,6 +815,110 @@ def probe_bloom_join(spark) -> None:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def probe_ks(spark) -> None:
+    """q_ml_ks_drift's shape at 10,000,000 rows / ~100k distinct
+    scores: two-slice exact KS via the bucketed two-pass CDF prefix
+    sums (queries/analytics5.ks_from_scores). The corpus-sized work is
+    one combinable groupBy(score) shuffle; everything after runs over
+    the distinct-score table with __bkt-partitioned windows. Slice A
+    is shifted +0.01 so the probe asserts a genuinely nonzero D."""
+    from datafusion_wasm_bindings_spark.queries.analytics5 import ks_from_scores
+
+    n = 10_000_000
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 2 == 0).alias("is_a"),
+            (
+                ((F.col("id") * 2654435761) % 100003).cast("double") / 100003.0
+                + F.when(F.col("id") % 2 == 0, 0.01).otherwise(0.0)
+            ).alias("score"),
+        )
+        .localCheckpoint()
+    )
+
+    def run():
+        row = ks_from_scores(df, bucket_scale=1000.0).collect()[0]
+        assert row["n_a"] == n // 2 and row["n_b"] == n - n // 2, row
+        assert row["ks_d"] > 0.001, row
+
+    _time("exact two-sample KS (10M rows, ~200k distinct scores)", run)
+
+
+def probe_rrf(spark) -> None:
+    """q_rank_rrf's shape at 1,000,000 x 16-dim vectors: two exact
+    integer dot products map-side against broadcast query literals,
+    two bucketed global ranks (equi-depth buckets, no partition-less
+    corpus window), fused-score top-10 via TakeOrdered."""
+    from datafusion_wasm_bindings_spark.operators.scale import (
+        bucketed_rank,
+        equidepth_bucket,
+    )
+    from datafusion_wasm_bindings_spark.operators.similarity import _dot
+
+    n = 1_000_000
+    v = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 15), d ->"
+            " CAST(pmod(xxhash64(id * 53 + d), 2001) - 1000 AS BIGINT))"
+        ).alias("x"),
+    ).localCheckpoint()
+    q1 = F.array(*[F.lit((i * 911) % 2001 - 1000).cast("long") for i in range(16)])
+    q2 = F.array(*[F.lit((i * 389) % 2001 - 1000).cast("long") for i in range(16)])
+
+    def run():
+        c = v.select(
+            "vec_id", _dot(F.col("x"), q1).alias("s1"), _dot(F.col("x"), q2).alias("s2")
+        )
+        r1 = bucketed_rank(
+            c, [], equidepth_bucket(c, -F.col("s1")),
+            [F.col("s1").desc(), F.col("vec_id").asc()], rank_col="r1",
+        )
+        r2 = bucketed_rank(
+            r1, [], equidepth_bucket(r1, -F.col("s2")),
+            [F.col("s2").desc(), F.col("vec_id").asc()], rank_col="r2",
+        )
+        fused = (
+            F.lit(1).cast("double") / (F.lit(60) + F.col("r1"))
+            + F.lit(1).cast("double") / (F.lit(60) + F.col("r2"))
+        ).alias("rrf")
+        top = (
+            r2.select("vec_id", "r1", "r2", fused)
+            .orderBy(F.col("rrf").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .collect()
+        )
+        assert len(top) == 10 and top[0]["rrf"] >= top[-1]["rrf"]
+
+    _time("RRF fusion (1M x 16-dim, two bucketed global ranks)", run)
+
+
+def probe_semdedup(spark) -> None:
+    """operators/clustering.semantic_dedup at 500,000 x 32-dim, k=8:
+    probe_kmeans's fit cost plus representative election (k-row
+    groupBy), broadcast rep scoring (pure map), and one final
+    aggregate — the increment over the bare fit is the point."""
+    from datafusion_wasm_bindings_spark.operators.clustering import semantic_dedup
+
+    n = 500_000
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 31), d ->"
+            " CAST(pmod(xxhash64(id * 37 + d), 2001) - 1000 AS DOUBLE) / 1000.0"
+            " + CAST(pmod(id, 8) AS DOUBLE) * CASE WHEN d = pmod(id, 8) THEN 2.0 ELSE 0.0 END)"
+        ).alias("embedding"),
+    ).localCheckpoint()
+
+    def run():
+        out = semantic_dedup(corpus, k=8, iters=2, threshold=0.9).collect()
+        assert sum(r["n_members"] for r in out) == n
+        assert all(r["n_kept"] + r["n_dups"] == r["n_members"] for r in out)
+
+    _time("SemDeDup prune (500k x 32-dim, k=8, tau=0.9)", run)
+
+
 def _time(label: str, run) -> None:
     run()  # cold: codegen + checkpoint warmup
     times = []
@@ -826,7 +930,7 @@ def _time(label: str, run) -> None:
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain", "kmeans", "multimodal", "pagerank_prepared", "bloom_join"}
+    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain", "kmeans", "multimodal", "pagerank_prepared", "bloom_join", "ks", "rrf", "semdedup"}
     spark = get_spark("dfwb-scale-probe")
     if "pagerank_prepared" in which:
         probe_pagerank_prepared(spark)
@@ -858,6 +962,12 @@ if __name__ == "__main__":
         probe_durable(spark)
     if "cc_chain" in which:
         probe_cc_chain(spark)
+    if "ks" in which:
+        probe_ks(spark)
+    if "rrf" in which:
+        probe_rrf(spark)
+    if "semdedup" in which:
+        probe_semdedup(spark)
     if "kmeans" in which:
         probe_kmeans(spark)
     if "multimodal" in which:
