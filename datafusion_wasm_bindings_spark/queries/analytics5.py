@@ -209,7 +209,15 @@ def auc_from_scores(d: DataFrame, *, bucket_scale: float = 8000.0) -> DataFrame:
     ``bucket_scale`` sets the monotone value-bucket granularity for
     the two-pass prefix sum; any positive value yields identical
     output (bucketing is a distribution knob, never a semantics one —
-    the bucketed_rank contract)."""
+    the bucketed_rank contract).
+
+    The distinct-score table ``g`` feeds the bucket offsets, the rank
+    join, AND the totals — uncut, each branch re-runs the fact scan +
+    aggregate (the r3 contingency-cells lesson). One localCheckpoint
+    bounds the fact work at exactly one scan; ``g`` is no larger than
+    what the groupBy shuffle already materialized
+    (plan-asserted: tests/test_plans.py
+    test_drift_stats_single_fact_scan)."""
     g = (
         d.groupBy("score")
         .agg(
@@ -217,6 +225,7 @@ def auc_from_scores(d: DataFrame, *, bucket_scale: float = 8000.0) -> DataFrame:
             F.sum("label").cast("long").alias("p"),
         )
         .withColumn("__bkt", F.floor(F.col("score") * bucket_scale).cast("long"))
+        .localCheckpoint()
     )
     bs = g.groupBy("__bkt").agg(F.sum("n").alias("bn"))
     w_pref = (
@@ -351,6 +360,8 @@ def ks_from_scores(d: DataFrame, *, bucket_scale: float = 8000.0) -> DataFrame:
     (score ∈ [0, 1/3] → ≤ ⌈bucket_scale/3⌉ buckets by construction).
     The 1-row totals and max rows attach via broadcast nested-loop
     joins (1-row build side — the allowed scalar-attachment shape)."""
+    # distinct-score table: feeds offsets, the rank join, and totals —
+    # one localCheckpoint = one fact scan (see auc_from_scores)
     g = (
         d.groupBy("score")
         .agg(
@@ -359,6 +370,7 @@ def ks_from_scores(d: DataFrame, *, bucket_scale: float = 8000.0) -> DataFrame:
         )
         .withColumn("nb", (F.col("n") - F.col("na")).cast("long"))
         .withColumn("__bkt", F.floor(F.col("score") * bucket_scale).cast("long"))
+        .localCheckpoint()
     )
     bs = g.groupBy("__bkt").agg(
         F.sum("na").alias("ba"), F.sum("nb").alias("bb")
@@ -475,6 +487,8 @@ def _ml_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     |bins| table (≤ 21 rows by construction); everything after is
     bounded work with 1-row broadcast attachments."""
     d = _src_score(spark, sf_dir)
+    # bounded |bins| table: feeds both totals and terms — one
+    # localCheckpoint = one fact scan (see auc_from_scores)
     g = (
         d.groupBy(
             F.floor(F.col("score") * _PSI_BINS_SCALE).cast("long").alias("bin")
@@ -484,6 +498,7 @@ def _ml_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("is_a").cast("long")).cast("long").alias("na"),
         )
         .withColumn("nb", (F.col("n") - F.col("na")).cast("long"))
+        .localCheckpoint()
     )
     t = g.agg(
         F.sum("na").cast("long").alias("n_a"),

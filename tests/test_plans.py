@@ -1197,3 +1197,36 @@ def test_bfs_cc_prepared_edges_identity_and_bucketed_scan(spark, sf_dir, tmp_pat
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_bfs_edges")
         spark.sql("DROP TABLE IF EXISTS bkt_cc_edges")
+
+
+def test_drift_stats_single_fact_scan(spark, sf_dir):
+    """q_ml_auc / q_ml_ks_drift / q_ml_psi: the distinct-score (or
+    bin) table is localCheckpointed, so the FACT scan + combinable
+    aggregate run exactly once — the offset/rank/totals branches all
+    read the materialized cells (the r3 contingency-cells pattern;
+    uncut, each branch re-ran the documents scan)."""
+    for qid in ("q_ml_auc", "q_ml_ks_drift", "q_ml_psi"):
+        df = REGISTRY[qid].spark_fn(spark, sf_dir)
+        plan = _plan(df)
+        assert plan.count("Scan parquet") == 0, (qid, plan)
+        assert "Scan ExistingRDD" in plan, (qid, plan)
+
+
+def test_rrf_take_ordered_topk(spark, sf_dir):
+    """q_rank_rrf: the fused-score top-10 must plan as TakeOrdered
+    (per-partition top-k then driver merge — never a global sort),
+    and the two global ranks come from bucketed_rank, so no
+    partition-less window may order by a score column (the registry
+    lint asserts this too; pinned here for the query's own contract)."""
+    df = REGISTRY["q_rank_rrf"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semantic_dedup_broadcast_rep(spark, sf_dir):
+    """q_dedup_semantic: the k-row representative table must attach to
+    the corpus-sized assignment via BROADCAST join (bounded by k) —
+    a shuffle join here would re-exchange the whole corpus."""
+    df = REGISTRY["q_dedup_semantic"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
