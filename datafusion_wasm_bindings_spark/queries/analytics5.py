@@ -579,7 +579,15 @@ def _rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the BOUNDED bucket table → in-bucket windows. No
     partition-less window ever touches the corpus; the final top-10 is
     a TakeOrdered, and the two 1-row query vectors attach map-side via
-    broadcast (bounded build side)."""
+    broadcast (bounded build side).
+
+    Single-scan rule (r5 wave-13 (a)): the score table feeds BOTH
+    ranks plus each rank's equi-depth quantile probe and bucket-count
+    pass, and the second rank's input embeds the first's full lineage —
+    uncut, the parquet scan + dot products re-run ~6×. Both stages are
+    localCheckpointed, which is the 8.0 s-vs-12.7 s gap at 1M×16-dim
+    (BASELINE.md); plan-asserted Scan parquet == 0 in
+    tests/test_plans.py::test_rrf_take_ordered_topk."""
     from datafusion_wasm_bindings_spark.operators.scale import (
         bucketed_rank,
         equidepth_bucket,
@@ -600,6 +608,7 @@ def _rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot(F.col("x"), F.col("q1x")).alias("s1"),
             _dot(F.col("x"), F.col("q2x")).alias("s2"),
         )
+        .localCheckpoint(eager=True)
     )
     r1 = bucketed_rank(
         c,
@@ -607,7 +616,7 @@ def _rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         equidepth_bucket(c, -F.col("s1")),
         [F.col("s1").desc(), F.col("vec_id").asc()],
         rank_col="r1",
-    )
+    ).localCheckpoint(eager=True)
     r2 = bucketed_rank(
         r1,
         [],

@@ -1217,10 +1217,17 @@ def test_rrf_take_ordered_topk(spark, sf_dir):
     (per-partition top-k then driver merge — never a global sort),
     and the two global ranks come from bucketed_rank, so no
     partition-less window may order by a score column (the registry
-    lint asserts this too; pinned here for the query's own contract)."""
+    lint asserts this too; pinned here for the query's own contract).
+    Single-scan rule: the score table and the first rank are
+    localCheckpointed, so the final plan reads materialized RDDs —
+    zero parquet scans (uncut, the dot-product scan re-ran ~6× through
+    the nested bucketed_rank lineage: 12.7 s vs 8.0 s at 1M rows,
+    BASELINE.md)."""
     df = REGISTRY["q_rank_rrf"].spark_fn(spark, sf_dir)
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
 
 
 def test_semantic_dedup_broadcast_rep(spark, sf_dir):

@@ -849,7 +849,10 @@ def probe_rrf(spark) -> None:
     """q_rank_rrf's shape at 1,000,000 x 16-dim vectors: two exact
     integer dot products map-side against broadcast query literals,
     two bucketed global ranks (equi-depth buckets, no partition-less
-    corpus window), fused-score top-10 via TakeOrdered."""
+    corpus window), fused-score top-10 via TakeOrdered. Matches the
+    registered shape: score table and first rank localCheckpointed
+    (single-scan rule, r5 wave-13 (a)) — the uncut variant re-derived
+    the dot-product stage ~6x and ran 12.7 s vs 8.0 s here."""
     from datafusion_wasm_bindings_spark.operators.scale import (
         bucketed_rank,
         equidepth_bucket,
@@ -870,11 +873,11 @@ def probe_rrf(spark) -> None:
     def run():
         c = v.select(
             "vec_id", _dot(F.col("x"), q1).alias("s1"), _dot(F.col("x"), q2).alias("s2")
-        )
+        ).localCheckpoint(eager=True)
         r1 = bucketed_rank(
             c, [], equidepth_bucket(c, -F.col("s1")),
             [F.col("s1").desc(), F.col("vec_id").asc()], rank_col="r1",
-        )
+        ).localCheckpoint(eager=True)
         r2 = bucketed_rank(
             r1, [], equidepth_bucket(r1, -F.col("s2")),
             [F.col("s2").desc(), F.col("vec_id").asc()], rank_col="r2",
