@@ -1013,7 +1013,13 @@ def _events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c, alias in (("recency_d", "r_q"), ("freq", "f_q"), ("monetary", "m_q")):
         # any monotone bucket of the sort key works (row-identical by
         # bucketed_rank's contract); fixed width is fine for these
-        # bounded-skew metrics, equidepth_bucket is the skew escape
+        # bounded-skew metrics, equidepth_bucket is the skew escape.
+        # Deliberately NO checkpoint between ranks: the buckets are
+        # LAZY expressions, so the whole 3-rank chain is one action and
+        # Spark reuses each rank's exchanges (probe rfm_chain: uncut
+        # 7.8 s vs checkpoint-between 21.7 s at 10M rows). Checkpoint
+        # is only owed to inputs of EAGER probes — equidepth_bucket's
+        # approxQuantile action — the q_rank_rrf case.
         seg = bucketed_rank(
             seg,
             [],

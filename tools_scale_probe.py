@@ -665,6 +665,61 @@ def probe_ntile(spark) -> None:
     assert state["naive"] == state["bucketed"], state
 
 
+def probe_rfm_chain(spark) -> None:
+    """q_events_rfm's THREE chained bucketed global ranks at 10M rows,
+    uncut vs localCheckpoint-between. MEASURED VERDICT: uncut wins ~3x
+    (7.8 s vs 21.7 s) — the fixed-width buckets are lazy expressions,
+    so the whole chain is ONE action and Spark reuses each rank's
+    exchanges (ReusedExchange); per-rank checkpoints just pay three
+    10M-row materializations. This is the mirror of probe_rrf, where
+    equidepth_bucket's EAGER approxQuantile action re-derives its
+    input outside any exchange reuse and checkpointing wins. Rule:
+    checkpoint what eager sub-actions consume, never lazy chains."""
+    from datafusion_wasm_bindings_spark.operators.scale import bucketed_rank
+
+    df = (
+        spark.range(N)
+        .select(
+            F.col("id").alias("user_id"),
+            ((F.col("id") * 2654435761) % 1_000_000 / 100.0).alias("m1"),
+            ((F.col("id") * 40503) % 730).alias("m2"),
+            ((F.col("id") * 69069) % 5_000).alias("m3"),
+        )
+        .localCheckpoint()
+    )
+
+    state = {}
+
+    def chain(cut: bool):
+        seg = df
+        for i, c in enumerate(("m1", "m2", "m3")):
+            seg = bucketed_rank(
+                seg, [], F.floor(F.col(c) / 16.0),
+                [F.col(c).asc(), F.col("user_id").asc()],
+                rank_col=f"__rn_{i}",
+            )
+            if cut:
+                seg = seg.localCheckpoint(eager=True)
+        row = seg.agg(
+            *[
+                F.sum((F.col(f"__rn_{i}") * F.col("user_id")).cast("decimal(38,0)"))
+                .alias(f"s{i}")
+                for i in range(3)
+            ]
+        ).collect()[0]
+        return tuple(row)
+
+    def run_uncut():
+        state["uncut"] = chain(cut=False)
+
+    def run_cut():
+        state["cut"] = chain(cut=True)
+
+    _time("3 chained bucketed ranks, uncut lineage (10M rows)", run_uncut)
+    _time("3 chained bucketed ranks, checkpoint between (10M rows)", run_cut)
+    assert state["uncut"] == state["cut"], state
+
+
 def probe_triangles(spark) -> None:
     """operators/graph.triangle_count over a 2M-edge graph whose node
     count (200k) makes the degree-rank table a real join side: r5
@@ -933,7 +988,7 @@ def _time(label: str, run) -> None:
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain", "kmeans", "multimodal", "pagerank_prepared", "bloom_join", "ks", "rrf", "semdedup"}
+    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain", "kmeans", "multimodal", "pagerank_prepared", "bloom_join", "ks", "rrf", "semdedup", "rfm_chain"}
     spark = get_spark("dfwb-scale-probe")
     if "pagerank_prepared" in which:
         probe_pagerank_prepared(spark)
@@ -959,6 +1014,8 @@ if __name__ == "__main__":
         probe_q1_100m(spark)
     if "ntile" in which:
         probe_ntile(spark)
+    if "rfm_chain" in which:
+        probe_rfm_chain(spark)
     if "join_100m" in which:
         probe_join_100m(spark)
     if "durable" in which:
