@@ -977,6 +977,115 @@ def probe_semdedup(spark) -> None:
     _time("SemDeDup prune (500k x 32-dim, k=8, tau=0.9)", run)
 
 
+def probe_session(spark) -> None:
+    """q_events_session's shape at 10M events / 1M users: Spark's
+    native session_window groupBy (streaming/events.sessionized — the
+    same operator the registered query runs). The state is per-user
+    per-gap merges; parallelism follows the hash of the grouping key,
+    so user cardinality (1M) keeps every core busy at any input size —
+    no low-cardinality window anywhere."""
+    from datafusion_wasm_bindings_spark.streaming.events import sessionized
+
+    ev = (
+        spark.range(N)
+        .select(
+            (F.col("id") % 1_000_000).alias("user_id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000)
+                + F.expr(f"pmod(xxhash64(id), {30 * 86_400_000_000})")
+            ).alias("ts"),
+            ((F.col("id") * 2654435761) % 10_000 / 100.0).alias("value"),
+        )
+        .localCheckpoint()
+    )
+
+    def run():
+        out = sessionized(ev).agg(
+            F.count(F.lit(1)).alias("sessions"),
+            F.sum("n").alias("events"),
+        ).collect()[0]
+        assert out["events"] == N and out["sessions"] >= 1_000_000
+
+    _time("session_window sessionization (10M events, 1M users)", run)
+
+
+def probe_profile(spark) -> None:
+    """q_profile_columns' one-scan wide aggregate at 10M rows x 4
+    columns, exact count(DISTINCT) mode vs approx (HLL) mode — the
+    documented 100 TB escape hatch (profiling.profile_columns
+    exact_distinct=False), measured: the exact mode pays
+    RewriteDistinctAggregates' Expand (5x row replication here), the
+    HLL mode stays a true single-pass map-side aggregate."""
+    from datafusion_wasm_bindings_spark.operators.profiling import profile_columns
+
+    df = (
+        spark.range(N)
+        .select(
+            ((F.col("id") * 2654435761) % 1_000_000 / 100.0).alias("a"),
+            F.when(F.col("id") % 97 == 0, None)
+            .otherwise((F.col("id") * 40503) % 50_000)
+            .cast("double")
+            .alias("b"),
+            ((F.col("id") * 69069) % 365).cast("double").alias("c"),
+            F.expr("CAST(pmod(xxhash64(id), 1000000) AS DOUBLE) / 7.0").alias("d"),
+        )
+        .localCheckpoint()
+    )
+    cols = ["a", "b", "c", "d"]
+
+    def run_exact():
+        out = profile_columns(df, cols, exact_distinct=True).collect()
+        assert len(out) == 4 and all(r["n"] > 0 for r in out)
+
+    def run_hll():
+        out = profile_columns(df, cols, exact_distinct=False).collect()
+        assert len(out) == 4 and all(r["n_distinct"] > 0 for r in out)
+
+    _time("column profile, exact countDistinct (10M rows x 4 cols)", run_exact)
+    _time("column profile, HLL mode (same input)", run_hll)
+
+
+def probe_textmap(spark) -> None:
+    """The text-analysis map path (q_text_quality shape,
+    operators/text.quality_scores) over 2M synthetic ~60-token docs:
+    pure whole-stage-codegen expressions (regexp + HOF token filters),
+    zero shuffles until the final bounded aggregate — the throughput
+    every corpus-quality pre-filter runs at before model scoring."""
+    from datafusion_wasm_bindings_spark.operators.text import quality_scores
+
+    words = (
+        "the quick brown fox jumps over a lazy dog and then runs to "
+        "data spark engine query shuffle partition broadcast join"
+    ).split()
+    arr = F.array(*[F.lit(w) for w in words])
+    n_docs = 2_000_000
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(60)),
+                    lambda i: F.element_at(
+                        arr, (F.pmod(F.xxhash64(F.col("id") * 31 + i), F.lit(len(words))) + 1).cast("int")
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .localCheckpoint()
+    )
+
+    def run():
+        out = quality_scores(docs).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("quality").alias("q"),
+        ).collect()[0]
+        assert out["n"] == n_docs and 0.0 < out["q"] <= 1.0
+
+    _time("text quality map path (2M x ~60-token docs, codegen-only)", run)
+
+
 def _time(label: str, run) -> None:
     run()  # cold: codegen + checkpoint warmup
     times = []
@@ -988,7 +1097,7 @@ def _time(label: str, run) -> None:
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain", "kmeans", "multimodal", "pagerank_prepared", "bloom_join", "ks", "rrf", "semdedup", "rfm_chain"}
+    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain", "kmeans", "multimodal", "pagerank_prepared", "bloom_join", "ks", "rrf", "semdedup", "rfm_chain", "session", "profile", "textmap"}
     spark = get_spark("dfwb-scale-probe")
     if "pagerank_prepared" in which:
         probe_pagerank_prepared(spark)
@@ -1016,6 +1125,12 @@ if __name__ == "__main__":
         probe_ntile(spark)
     if "rfm_chain" in which:
         probe_rfm_chain(spark)
+    if "session" in which:
+        probe_session(spark)
+    if "profile" in which:
+        probe_profile(spark)
+    if "textmap" in which:
+        probe_textmap(spark)
     if "join_100m" in which:
         probe_join_100m(spark)
     if "durable" in which:
