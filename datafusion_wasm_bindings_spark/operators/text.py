@@ -103,17 +103,20 @@ def tfidf_keywords(documents: DataFrame, *, k: int = 3) -> DataFrame:
 
     Scale: one explode→(doc, tok) aggregate for tf, a token-keyed
     aggregate for df, then a tok join and a per-doc top-k window. The
-    df table is vocabulary-sized — broadcast here (fixture vocab is
-    tiny); at 100 TB it becomes a shuffle join on tok, with the df-cut
-    of ngram_jaccard_pairs available to cap hot-token skew. N (corpus
-    size) joins as a broadcast scalar.
+    df table is VOCABULARY-sized, so it carries no broadcast hint
+    (CLAUDE.md r5 (d): an explicit hint past the ceiling kills the
+    job) — AQE broadcasts it while it fits (always at fixture scale)
+    and degrades to a shuffle join on tok at corpus scale, with the
+    df-cut of ngram_jaccard_pairs available to cap hot-token skew.
+    N (corpus size) joins as a broadcast scalar (1 row, bounded by
+    construction).
     """
     toks = documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df_counts = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = documents.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_counts), "tok")
+        tf.join(df_counts, "tok")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",

@@ -812,7 +812,11 @@ def _text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qlogp"),
     )
     scored = (
-        toks.join(F.broadcast(probs), "tok")
+        # probs is VOCABULARY-sized: no broadcast hint (r5 (d)) — AQE
+        # broadcasts while it fits, shuffle-joins on tok past the
+        # ceiling (the docstring's "oversized vocabulary" path, now
+        # automatic)
+        toks.join(probs, "tok")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_toks"), F.sum("qlogp").alias("qsum"))
     )
@@ -1517,22 +1521,23 @@ def _pipeline_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten propagation: given a deletion list of
     users, purge their events via LEFT ANTI join and PROVE the purge
     (zero surviving rows for listed users — verified in the same
-    result, not assumed). The deletion list is broadcast (it is always
-    ≪ the fact table); the fact side streams map-side through the
-    anti join — the only scalable shape for deleting sparse keys from
-    100 TB of events."""
+    result, not assumed). The deletion list is ≪ the fact table but
+    O(|users|) in the worst case, so it carries NO broadcast hint
+    (r5 (d)): AQE broadcasts it while it fits — the map-side
+    anti-join shape — and degrades to a shuffled anti join when a
+    billion-user delete list exceeds the ceiling, instead of dying."""
     e = table(spark, sf_dir, "events")
     dl = (
         e.select("user_id")
         .distinct()
         .filter(F.col("user_id") % 7 == 0)
     )
-    kept = e.join(F.broadcast(dl), "user_id", "left_anti")
+    kept = e.join(dl, "user_id", "left_anti")
     return (
         e.agg(F.count(F.lit(1)).alias("n_before"))
         .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_after")))
         .crossJoin(
-            kept.join(F.broadcast(dl), "user_id", "left_semi")
+            kept.join(dl, "user_id", "left_semi")
             .agg(F.count(F.lit(1)).alias("n_leaked"))
         )
         .select(
@@ -1595,8 +1600,10 @@ def _pipeline_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
     enriched = (
-        pairs.join(F.broadcast(marg.withColumnRenamed("l_partkey", "pa").withColumnRenamed("m", "m_a")), "pa")
-        .join(F.broadcast(marg.withColumnRenamed("l_partkey", "pb").withColumnRenamed("m", "m_b")), "pb")
+        # marg is O(|distinct items|) — unbounded at catalog scale, so
+        # no broadcast hint (r5 (d)); AQE chooses per runtime size
+        pairs.join(marg.withColumnRenamed("l_partkey", "pa").withColumnRenamed("m", "m_a"), "pa")
+        .join(marg.withColumnRenamed("l_partkey", "pb").withColumnRenamed("m", "m_b"), "pb")
         .select(
             "pa",
             "pb",

@@ -415,14 +415,21 @@ def test_profile_columns_approx_two_lean_aggregates(spark, sf_dir):
     assert p2.count("FileScan parquet") == 1 and "Expand" not in p2, p2
 
 
-def test_tfidf_broadcasts_df_table(spark, sf_dir):
-    """The vocabulary (df) table and the 1-row corpus count join as
-    broadcasts — the fact stream (tf pairs) never reshuffles for them;
-    no sort-merge join anywhere."""
+def test_tfidf_df_table_aqe_chosen(spark, sf_dir):
+    """The vocabulary (df) table is O(|vocab|) — unbounded at corpus
+    scale — so it must carry NO compile-time broadcast hint (r5 (d):
+    a hint past the ceiling kills the job; AQE broadcasts while it
+    fits and degrades to a shuffle join when it doesn't). Only the
+    1-row corpus count may be hinted. At fixture scale the FINAL
+    adaptive plan still broadcasts the df table (map-side scoring),
+    proving the hint's absence costs nothing where it used to apply."""
     df = REGISTRY["q_text_tfidf"].spark_fn(spark, sf_dir)
-    plan = _plan(df)
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert logical.lower().count("resolvedhint") == 1, logical  # n_docs only
+    df.collect()
+    final = _plan(df)
+    assert "isFinalPlan=true" in final, final
+    assert "BroadcastHashJoin" in final, final
 
 
 def test_pipeline_upsert_single_exchange_no_join(spark, sf_dir):
@@ -696,14 +703,20 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     assert "AQEShuffleRead coalesced" in plan or "coalesced" in plan, plan
 
 
-def test_perplexity_broadcasts_lm_probs(spark, sf_dir):
-    """The unigram LM's vocabulary table must broadcast back onto the
-    token stream (map-side scoring); the only hash exchanges are the
-    token count and the final doc regroup."""
+def test_perplexity_lm_probs_aqe_chosen(spark, sf_dir):
+    """The unigram LM's probability table is O(|vocab|), so it carries
+    NO compile-time broadcast hint (r5 (d)) — only the 1-row token
+    total is hinted. At fixture scale the FINAL adaptive plan still
+    broadcasts it back onto the token stream (map-side scoring); past
+    the ceiling AQE degrades to a tok-keyed shuffle join instead of
+    dying."""
     df = REGISTRY["q_text_perplexity"].spark_fn(spark, sf_dir)
-    plan = _plan(df)
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert logical.lower().count("resolvedhint") == 1, logical  # total only
+    df.collect()
+    final = _plan(df)
+    assert "isFinalPlan=true" in final, final
+    assert "BroadcastHashJoin" in final, final
 
 
 def test_incremental_dedup_anti_join_broadcasts(spark, sf_dir):
