@@ -34,6 +34,11 @@ _IDS = (
     "q_ml_psi",                    # quantized-term decimal sum over bounded bins
     "q_rank_rrf",                  # two bucketed global ranks + fused top-k
     "q_dedup_semantic",            # iterative fit + broadcast rep scoring
+    # r5 de-hinting pass: join strategy is now AQE-chosen for these,
+    # so row-identity under AQE on/off is the contract being asserted
+    "q_text_perplexity",           # vocab LM probs join (was hinted)
+    "q_pipeline_itemsets",         # per-item margin joins (was hinted)
+    "q_pipeline_forget",           # delete-list anti/semi join (was hinted)
 )
 
 
