@@ -42,29 +42,11 @@ def main() -> None:
     registry = load_all()
     headline = {n: s for n, s in registry.items() if s.headline} or registry
 
-    # Size the scan split to THIS input (the 100 TB-posture sizing rule,
-    # SURVEY §7.6 / task brief): split = clamp(largest_table / cores,
-    # 256 KB, 128 MB). Spark's 128 MB default is right when files are
-    # executor-memory-scale, but at bench SFs the largest table is a
-    # few MB and a 128 MB split scans it as 1-3 tasks on a 32-core box
-    # — measured 12-18% of headline wall-clock. On a real cluster the
-    # same formula lands back on the 128 MB ceiling. Row-identity under
-    # partitioning is the registry's tested invariant
-    # (tests/test_partitioning_invariance.py), so this is pure speed.
-    try:
-        largest = max(
-            os.path.getsize(os.path.join(sf_dir, f))
-            for f in os.listdir(sf_dir)
-            if f.endswith(".parquet")
-        )
-        cores = spark.sparkContext.defaultParallelism
-        split = min(max(largest // max(cores, 1), 256 * 1024), 128 * 1024 * 1024)
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
-        spark.conf.set(
-            "spark.sql.files.openCostInBytes", str(min(split, 256 * 1024))
-        )
-    except (OSError, ValueError):
-        pass  # unreadable dir: keep Spark defaults
+    # Size the scan split to THIS input (the 100 TB-posture sizing
+    # rule; see session.size_scan_splits for the measured rationale).
+    from datafusion_wasm_bindings_spark.session import size_scan_splits
+
+    size_scan_splits(spark, sf_dir)
 
     # warm the JVM + parquet footers once, outside the timed section
     from datafusion_wasm_bindings_spark.sources.catalog import register_tables

@@ -81,3 +81,33 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def size_scan_splits(spark: SparkSession, data_dir: str) -> int | None:
+    """Size ``spark.sql.files.maxPartitionBytes`` to the data actually
+    under ``data_dir``: clamp(largest_parquet / cores, 256 KB, 128 MB)
+    — the 100 TB-posture sizing rule executed from the input instead
+    of guessed. Spark's 128 MB default is right when files are
+    executor-memory-scale; at bench SFs it scans a few-MB table as
+    1-3 tasks on a 32-core box (measured 12-18% of headline
+    wall-clock, BASELINE.md). At cluster scale the same formula lands
+    back on the 128 MB ceiling. Row-identity under partitioning is
+    the registry's tested invariant
+    (tests/test_partitioning_invariance.py).
+
+    Returns the chosen split in bytes, or None if ``data_dir`` holds
+    no readable parquet (confs left untouched).
+    """
+    try:
+        largest = max(
+            os.path.getsize(os.path.join(data_dir, f))
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+    except (OSError, ValueError):
+        return None
+    cores = spark.sparkContext.defaultParallelism
+    split = min(max(largest // max(cores, 1), 256 * 1024), 128 * 1024 * 1024)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(min(split, 256 * 1024)))
+    return split

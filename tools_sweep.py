@@ -20,9 +20,10 @@ def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SWEEP_r03_local.json"
 
     from datafusion_wasm_bindings_spark.queries import load_all
-    from datafusion_wasm_bindings_spark.session import get_spark
+    from datafusion_wasm_bindings_spark.session import get_spark, size_scan_splits
 
     spark = get_spark("dfwb-sweep")
+    size_scan_splits(spark, sf_dir)  # input-sized splits, as bench.py
     registry = load_all()
     # untimed warm-up: pay session/codegen/scan-index fixed costs once
     # so position-1 of the sweep doesn't absorb them (the cold-vs-warm
