@@ -190,37 +190,47 @@ def quality_scores(documents: DataFrame) -> DataFrame:
 
 
 def language_id(documents: DataFrame, spark: SparkSession | None = None) -> DataFrame:
-    """Stopword-lexicon language ID: explode tokens, broadcast-join the
-    lexicon, count hits per (doc, lang), argmax with deterministic
-    tiebreak, 'und' (undetermined) when nothing matches.
+    """Stopword-lexicon language ID: per-language hit counts, argmax
+    with deterministic tiebreak (highest hits, then lexicographically
+    greatest language code), 'und' (undetermined) when nothing matches.
 
-    The lexicon join broadcasts (~40 rows); the only real shuffle is
-    the per-doc regroup — both survive any corpus size.
+    Shape (r5 rewrite): a PURE MAP — the lexicons are bounded literal
+    arrays, so each language's hit count is an HOF filter over the
+    once-materialized token array and the argmax is ``array_max`` over
+    a |languages|-sized (hits, lang) struct array. ZERO shuffles at
+    any corpus size. The previous explode → broadcast-join →
+    groupBy(doc, lang) → groupBy(doc) → join-back formulation shuffled
+    O(corpus tokens) twice and re-joined the corpus; measured 1.7× at
+    2M docs on one box (6.6 s vs 11.2 s, BASELINE.md `langid` probe)
+    — and the structural win grows with corpus size and token skew,
+    since the map variant shuffles NOTHING. The oracle keeps the
+    join/group formulation: same output, different plan.
     """
-    spark = spark or documents.sparkSession
-    lex_rows = [(lang, w) for lang, words in LANG_LEXICON.items() for w in words]
-    lexicon = spark.createDataFrame(lex_rows, "lang_cand string, tok string")
-    toks = documents.select("doc_id", F.explode(tokens_col()).alias("tok"))
-    hits = (
-        toks.join(F.broadcast(lexicon), "tok")
-        .groupBy("doc_id", "lang_cand")
-        .agg(F.count("*").alias("hits"))
-    )
-    # deterministic argmax: highest hit count, ties broken by the
-    # lexicographically greatest language code
-    best = hits.groupBy("doc_id").agg(
-        F.expr("max_by(lang_cand, struct(hits, lang_cand))").alias("lang_pred"),
-        F.max("hits").alias("best_hits"),
-    )
-    return (
-        documents.select("doc_id", "lang")
-        .join(best, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
-            F.coalesce("best_hits", F.lit(0)).alias("best_hits"),
-            "lang",
+    langs = sorted(LANG_LEXICON)
+    base = documents.select("doc_id", "lang", tokens_col().alias("__toks"))
+
+    def hits(lang: str) -> F.Column:
+        lex = F.array(*[F.lit(w) for w in LANG_LEXICON[lang]])
+        n = F.size(F.filter(F.col("__toks"), lambda t: F.array_contains(lex, t)))
+        return F.when(F.col("__toks").isNull(), F.lit(0)).otherwise(n).cast("long")
+
+    # array_max over structs compares field-wise: (hits, lang_cand) —
+    # exactly the old max_by(lang_cand, struct(hits, lang_cand)) order
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(hits(lang).alias("hits"), F.lit(lang).alias("lang_cand"))
+                for lang in langs
+            ]
         )
+    )
+    return base.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["lang_cand"])
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        best["hits"].alias("best_hits"),
+        "lang",
     )
 
 

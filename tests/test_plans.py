@@ -703,6 +703,18 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     assert "AQEShuffleRead coalesced" in plan or "coalesced" in plan, plan
 
 
+def test_langid_pure_map_no_exchange(spark, sf_dir):
+    """q_text_langid (r5 rewrite): per-language HOF hit counts +
+    array_max argmax — a pure map over the documents scan. The plan
+    must contain NO exchange and NO join of any kind (the old
+    formulation shuffled O(corpus tokens) twice: 6.6 s vs 11.2 s at
+    2M docs, BASELINE.md `langid` probe)."""
+    df = REGISTRY["q_text_langid"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_perplexity_lm_probs_aqe_chosen(spark, sf_dir):
     """The unigram LM's probability table is O(|vocab|), so it carries
     NO compile-time broadcast hint (r5 (d)) — only the 1-row token

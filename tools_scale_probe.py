@@ -1045,24 +1045,18 @@ def probe_profile(spark) -> None:
     _time("column profile, HLL mode (same input)", run_hll)
 
 
-def probe_textmap(spark) -> None:
-    """The text-analysis map path (q_text_quality shape,
-    operators/text.quality_scores) over 2M synthetic ~60-token docs:
-    pure whole-stage-codegen expressions (regexp + HOF token filters),
-    zero shuffles until the final bounded aggregate — the throughput
-    every corpus-quality pre-filter runs at before model scoring."""
-    from datafusion_wasm_bindings_spark.operators.text import quality_scores
-
+def _gen_docs(spark, n_docs: int):
+    """Deterministic ~60-token synthetic docs (doc_id, lang, text)."""
     words = (
         "the quick brown fox jumps over a lazy dog and then runs to "
         "data spark engine query shuffle partition broadcast join"
     ).split()
     arr = F.array(*[F.lit(w) for w in words])
-    n_docs = 2_000_000
-    docs = (
+    return (
         spark.range(n_docs)
         .select(
             F.col("id").alias("doc_id"),
+            F.lit("en").alias("lang"),
             F.array_join(
                 F.transform(
                     F.sequence(F.lit(1), F.lit(60)),
@@ -1076,6 +1070,18 @@ def probe_textmap(spark) -> None:
         .localCheckpoint()
     )
 
+
+def probe_textmap(spark) -> None:
+    """The text-analysis map path (q_text_quality shape,
+    operators/text.quality_scores) over 2M synthetic ~60-token docs:
+    pure whole-stage-codegen expressions (regexp + HOF token filters),
+    zero shuffles until the final bounded aggregate — the throughput
+    every corpus-quality pre-filter runs at before model scoring."""
+    from datafusion_wasm_bindings_spark.operators.text import quality_scores
+
+    n_docs = 2_000_000
+    docs = _gen_docs(spark, n_docs)
+
     def run():
         out = quality_scores(docs).agg(
             F.count(F.lit(1)).alias("n"),
@@ -1084,6 +1090,66 @@ def probe_textmap(spark) -> None:
         assert out["n"] == n_docs and 0.0 < out["q"] <= 1.0
 
     _time("text quality map path (2M x ~60-token docs, codegen-only)", run)
+
+
+def probe_langid(spark) -> None:
+    """operators/text.language_id at 2M docs: the r5 pure-map rewrite
+    (per-language HOF hit counts + array_max argmax, zero shuffles)
+    vs the previous explode → broadcast-join → groupBy(doc, lang) →
+    groupBy(doc) → join-back formulation (shuffles O(corpus tokens)
+    twice and re-joins the corpus). Identical (lang_pred, best_hits)
+    aggregate checksums asserted per run."""
+    from datafusion_wasm_bindings_spark.operators.text import (
+        LANG_LEXICON,
+        language_id,
+        tokens_col,
+    )
+
+    n_docs = 2_000_000
+    docs = _gen_docs(spark, n_docs)
+
+    def summarize(df):
+        rows = (
+            df.groupBy("lang_pred")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("best_hits").alias("h"),
+            )
+            .collect()
+        )
+        return sorted((r["lang_pred"], r["n"], int(r["h"])) for r in rows)
+
+    state = {}
+
+    def run_map():
+        state["map"] = summarize(language_id(docs))
+
+    def run_joins():
+        lex_rows = [(l, w) for l, ws in LANG_LEXICON.items() for w in ws]
+        lexicon = spark.createDataFrame(lex_rows, "lang_cand string, tok string")
+        toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+        hits = (
+            toks.join(F.broadcast(lexicon), "tok")
+            .groupBy("doc_id", "lang_cand")
+            .agg(F.count("*").alias("hits"))
+        )
+        best = hits.groupBy("doc_id").agg(
+            F.expr("max_by(lang_cand, struct(hits, lang_cand))").alias("lang_pred"),
+            F.max("hits").alias("best_hits"),
+        )
+        joined = (
+            docs.select("doc_id")
+            .join(best, "doc_id", "left")
+            .select(
+                F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+                F.coalesce("best_hits", F.lit(0)).alias("best_hits"),
+            )
+        )
+        state["joins"] = summarize(joined)
+
+    _time("langid pure-map argmax (2M docs)", run_map)
+    _time("langid explode+join formulation (same input)", run_joins)
+    assert state["map"] == state["joins"], state
 
 
 def _time(label: str, run) -> None:
@@ -1097,7 +1163,7 @@ def _time(label: str, run) -> None:
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain", "kmeans", "multimodal", "pagerank_prepared", "bloom_join", "ks", "rrf", "semdedup", "rfm_chain", "session", "profile", "textmap"}
+    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain", "kmeans", "multimodal", "pagerank_prepared", "bloom_join", "ks", "rrf", "semdedup", "rfm_chain", "session", "profile", "textmap", "langid"}
     spark = get_spark("dfwb-scale-probe")
     if "pagerank_prepared" in which:
         probe_pagerank_prepared(spark)
@@ -1131,6 +1197,8 @@ if __name__ == "__main__":
         probe_profile(spark)
     if "textmap" in which:
         probe_textmap(spark)
+    if "langid" in which:
+        probe_langid(spark)
     if "join_100m" in which:
         probe_join_100m(spark)
     if "durable" in which:
