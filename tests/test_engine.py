@@ -459,3 +459,46 @@ def test_fuzz_split_statements_semicolons_in_tokens():
         assert got == [s.strip() for s in stmts], (script, got)
 
     check()
+
+
+def test_size_scan_splits_clamps_and_sets_confs(spark, tmp_path):
+    """session.size_scan_splits: split = clamp(largest_parquet/cores,
+    256 KB, 128 MB); both scan confs are set; an empty dir leaves them
+    untouched and returns None."""
+    from datafusion_wasm_bindings_spark.session import size_scan_splits
+
+    before_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    before_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        # empty dir: no-op
+        assert size_scan_splits(spark, str(tmp_path)) is None
+        assert spark.conf.get("spark.sql.files.maxPartitionBytes") == before_split
+
+        # a small parquet: clamps to the 256 KB floor
+        spark.range(10).write.mode("overwrite").parquet(
+            str(tmp_path / "tiny.parquet")
+        )
+        # the helper keys on files named *.parquet directly in the dir;
+        # the write above creates a DIRECTORY — place a real file too
+        import shutil, os
+        part = next(
+            p for p in (tmp_path / "tiny.parquet").iterdir()
+            if p.name.endswith(".parquet")
+        )
+        shutil.copy(part, tmp_path / "flat.parquet")
+        split = size_scan_splits(spark, str(tmp_path))
+        assert split == 256 * 1024
+        assert spark.conf.get("spark.sql.files.maxPartitionBytes") == str(split)
+        assert spark.conf.get("spark.sql.files.openCostInBytes") == str(split)
+
+        # a large synthetic file: cores divide, ceiling respected
+        cores = spark.sparkContext.defaultParallelism
+        with open(tmp_path / "big.parquet", "wb") as fh:
+            fh.seek(cores * 1024 * 1024 - 1)
+            fh.write(b"\0")
+        split = size_scan_splits(spark, str(tmp_path))
+        assert split == min(max((cores * 1024 * 1024) // cores, 256 * 1024),
+                            128 * 1024 * 1024)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before_split)
+        spark.conf.set("spark.sql.files.openCostInBytes", before_open)

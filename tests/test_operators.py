@@ -1727,3 +1727,79 @@ def test_semantic_dedup_invariants(spark, sf_dir):
         assert (r["first_dup"] == -1) == (r["n_dups"] == 0)
         if r["first_dup"] != -1:
             assert r["first_dup"] > r["rep_vec"]
+
+
+def test_language_id_map_matches_explode_join_reference(spark):
+    """The r5 pure-map language_id (HOF hit counts + array_max argmax)
+    must be row-identical to the explode → broadcast-join → groupBy →
+    argmax → join-back formulation it replaced, including: NULL and
+    empty text ('und', 0), zero-hit docs, cross-language tie-breaks
+    (fr∩es share 'la'/'que'; equal hits resolve to the
+    lexicographically GREATEST language code), and tokens counted per
+    OCCURRENCE, not distinct. 200 seeded random lexicon soups plus the
+    crafted cases."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.text import (
+        LANG_LEXICON,
+        language_id,
+        tokens_col,
+    )
+
+    rng = random.Random(20260815)
+    pool = [w for ws in LANG_LEXICON.values() for w in ws] + [
+        "xyzzy", "qwerty", "zzz", "la", "que", "la",
+    ]
+    rows = [
+        (0, "en", None),
+        (1, "en", ""),
+        (2, "fr", "la la que"),          # fr/es tie -> 'fr' (greatest code)
+        (3, "en", "the und la"),          # 4-way tie at 1 hit -> 'fr'
+        (4, "de", "xyzzy qwerty"),        # zero hits -> 'und'
+        (5, "en", "The AND of of of"),    # case-folded, per-occurrence
+    ]
+    rows += [
+        (10 + i, "en", " ".join(rng.choices(pool, k=rng.randint(1, 30))))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    got = sorted(map(tuple, language_id(docs).collect()))
+
+    lex_rows = [(lang, w) for lang, ws in LANG_LEXICON.items() for w in ws]
+    lexicon = spark.createDataFrame(lex_rows, "lang_cand string, tok string")
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    hits = (
+        toks.join(F.broadcast(lexicon), "tok")
+        .groupBy("doc_id", "lang_cand")
+        .agg(F.count("*").alias("hits"))
+    )
+    best = hits.groupBy("doc_id").agg(
+        F.expr("max_by(lang_cand, struct(hits, lang_cand))").alias("lang_pred"),
+        F.max("hits").alias("best_hits"),
+    )
+    ref = sorted(
+        map(
+            tuple,
+            docs.select("doc_id", "lang")
+            .join(best, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+                F.coalesce("best_hits", F.lit(0)).alias("best_hits"),
+                "lang",
+            )
+            .collect(),
+        )
+    )
+    assert got == ref
+    # the crafted tie cases pin the argmax order explicitly
+    by_id = {r[0]: r for r in got}
+    assert by_id[0][1:3] == ("und", 0)
+    assert by_id[1][1:3] == ("und", 0)
+    assert by_id[2][1:3] == ("fr", 3)
+    assert by_id[3][1:3] == ("fr", 1)
+    assert by_id[4][1:3] == ("und", 0)
+    assert by_id[5][1:3] == ("en", 5)
