@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from datafusion_wasm_bindings_spark.operators.scale import bucketed_prefix_sum
 from datafusion_wasm_bindings_spark.operators.text import tokens_col
 
 
@@ -46,6 +47,14 @@ def pack_sequences(
     ``n_docs`` (documents starting in the sequence), ``start_tokens``
     (their summed token counts), ``n_split`` (how many of them cross
     the sequence's right boundary and would be split by a loader).
+
+    Scale shape (r5 migration): the per-shard running token offset is
+    operators/scale.bucketed_prefix_sum on doc_id-range buckets — a
+    ``PARTITION BY shard`` window over the corpus is one sequential
+    task per shard, and ``n_shards`` routinely sits far below cluster
+    parallelism (the fixture's 8 shards = 8 tasks at 100 TB). The
+    bucketed two-pass is row-identical (integer sums, total doc_id
+    order) and parallel within shards (probe `pack`, BASELINE.md).
     """
     toks = F.size(tokens_col())
     docs = documents.select(
@@ -53,16 +62,18 @@ def pack_sequences(
         (F.col("doc_id") % F.lit(n_shards)).alias("shard"),
         toks.alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    placed = docs.select(
+    placed = bucketed_prefix_sum(
+        docs,
+        ["shard"],
+        F.floor(F.col("doc_id") / F.lit(4096)),
+        [F.col("doc_id").asc()],
+        F.col("n_tokens"),
+        sum_col="end_off",
+    ).select(
         "shard",
         "n_tokens",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off"),
-        F.sum("n_tokens").over(w).alias("end_off"),
+        (F.col("end_off") - F.col("n_tokens")).alias("start_off"),
+        "end_off",
     ).select(
         "shard",
         "n_tokens",

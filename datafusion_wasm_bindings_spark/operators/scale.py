@@ -274,6 +274,67 @@ def bucketed_rank(
     )
 
 
+def bucketed_prefix_sum(
+    df: DataFrame,
+    partition_cols: list[str],
+    bucket: F.Column,
+    order_cols: list[F.Column],
+    value: F.Column,
+    *,
+    sum_col: str = "run_sum",
+) -> DataFrame:
+    """Per-partition-key INCLUSIVE running sum of ``value`` WITHOUT a
+    per-key fact window — ``bucketed_rank``'s two-pass rewrite applied
+    to cumulative sums (the CUSUM/Pareto recipe, generalized): one
+    map-combinable shuffle sums ``value`` per (key, bucket); the
+    |keys|x|buckets| table takes its per-key EXCLUSIVE prefix in a
+    bounded window and broadcasts back; the in-bucket running sum adds
+    the offset. Row-identical to
+    ``sum(value) OVER (PARTITION BY key ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING)`` when ``bucket`` is monotone non-decreasing
+    in the ``order_cols`` ordering and the order is total (include a
+    tiebreak id). Exactness is the CALLER's contract: pass integer or
+    DECIMAL ``value`` so partial sums commute; NULL buckets coalesce
+    to the first-bucket sentinel and the offset join-back is NULL-SAFE
+    on the partition keys, both exactly as in ``bucketed_rank``.
+    """
+    from pyspark.sql import Window
+
+    b = df.withColumn(
+        "__bkt", F.coalesce(bucket.cast("long"), F.lit(-(1 << 62)))
+    ).withColumn("__v", value)
+    sums = b.groupBy(*partition_cols, "__bkt").agg(F.sum("__v").alias("__s"))
+    w_pref = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col("__bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sums.select(
+        *[F.col(c).alias(f"__pk{i}") for i, c in enumerate(partition_cols)],
+        F.col("__bkt").alias("__bkt_r"),
+        F.sum("__s").over(w_pref).alias("__off"),
+    )
+    cond = F.col("__bkt") == F.col("__bkt_r")
+    for i, c in enumerate(partition_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__pk{i}"))
+    w_b = (
+        Window.partitionBy(*partition_cols, "__bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.join(F.broadcast(offs), cond)
+        .withColumn(
+            sum_col,
+            F.sum("__v").over(w_b) + F.coalesce(F.col("__off"), F.lit(0)),
+        )
+        .drop(
+            "__bkt", "__bkt_r", "__off", "__v",
+            *[f"__pk{i}" for i in range(len(partition_cols))],
+        )
+    )
+
+
 def equidepth_bucket(
     df: DataFrame, value: F.Column, *, n_buckets: int = 256
 ) -> F.Column:

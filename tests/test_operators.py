@@ -1803,3 +1803,61 @@ def test_language_id_map_matches_explode_join_reference(spark):
     assert by_id[3][1:3] == ("fr", 1)
     assert by_id[4][1:3] == ("und", 0)
     assert by_id[5][1:3] == ("en", 5)
+
+
+def test_bucketed_prefix_sum_matches_naive_window(spark):
+    """operators/scale.bucketed_prefix_sum must be row-identical to
+    sum(value) OVER (PARTITION BY key ORDER BY ord ROWS UNBOUNDED
+    PRECEDING) for any monotone bucket — including NULL partition keys
+    (their own group, null-safe join-back) and NULL bucket values
+    (first-bucket sentinel). Integer values, total order via id."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.scale import bucketed_prefix_sum
+
+    rng = random.Random(8157)
+    rows = [
+        (i, rng.choice(["a", "b", None]), rng.randint(-5, 50))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, v long")
+
+    got = sorted(
+        map(
+            tuple,
+            bucketed_prefix_sum(
+                df, ["k"], F.floor(F.col("id") / 37), [F.col("id").asc()],
+                F.col("v"), sum_col="rs",
+            ).collect(),
+        )
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ref = sorted(
+        map(tuple, df.withColumn("rs", F.sum("v").over(w)).collect())
+    )
+    assert got == ref
+
+    # empty-partition-list form: one global running sum, no fact window
+    got_g = sorted(
+        map(
+            tuple,
+            bucketed_prefix_sum(
+                df.select("id", "v"), [], F.floor(F.col("id") / 37),
+                [F.col("id").asc()], F.col("v"), sum_col="rs",
+            ).collect(),
+        )
+    )
+    wg = Window.orderBy(F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ref_g = sorted(
+        map(tuple, df.select("id", "v").withColumn("rs", F.sum("v").over(wg)).collect())
+    )
+    assert got_g == ref_g

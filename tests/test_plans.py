@@ -210,16 +210,23 @@ def test_pipeline_training_mix_plan_shape(spark, sf_dir):
     ), plan
 
 
-def test_pipeline_pack_single_wide_exchange(spark, sf_dir):
-    """Sequence packing must shuffle once: the window's hash partition
-    on shard also satisfies the (shard, seq_id) rollup's clustering, so
-    Catalyst must not insert a second hash exchange between them (the
-    final rangepartitioning belongs to the presentation ORDER BY)."""
+def test_pipeline_pack_no_per_shard_fact_window(spark, sf_dir):
+    """Sequence packing (r5 migration): the per-shard running token
+    offset must come from bucketed_prefix_sum — a shard-only window
+    over the corpus is one sequential task per shard and n_shards sits
+    far below cluster parallelism. No window may partition by shard
+    alone ordered by doc_id; the in-bucket (shard, __bkt) window must
+    be present; the offset join-back broadcasts the bounded
+    |shards|x|buckets| table."""
     import re
 
     df = REGISTRY["q_pipeline_pack"].spark_fn(spark, sf_dir)
     plan = _plan(df)
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert not re.search(
+        r"windowspecdefinition\(shard#\d+L?, doc_id#", plan
+    ), plan
+    assert re.search(r"windowspecdefinition\(shard#\d+L?, __bkt#", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_text_repetition_is_shuffle_free(spark, sf_dir):

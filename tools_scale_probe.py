@@ -1152,6 +1152,73 @@ def probe_langid(spark) -> None:
     assert state["map"] == state["joins"], state
 
 
+def probe_pack(spark) -> None:
+    """pack_sequences' shape at 10M docs / 8 shards (token counts
+    pre-computed — the tokenizer is probed separately in `textmap`):
+    the naive PARTITION BY shard running sum (8 sequential tasks,
+    whatever the cluster) vs the r5 bucketed_prefix_sum migration.
+    Identical per-(shard, seq_id) rollups asserted."""
+    from datafusion_wasm_bindings_spark.operators.scale import bucketed_prefix_sum
+
+    n_shards, budget = 8, 512
+    docs = (
+        spark.range(N)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % n_shards).alias("shard"),
+            (F.expr("pmod(xxhash64(id * 19), 120)") + 1).alias("n_tokens"),
+        )
+        .localCheckpoint()
+    )
+
+    def rollup(placed):
+        out = (
+            placed.select(
+                "shard",
+                "n_tokens",
+                F.floor(F.col("start_off") / budget).cast("long").alias("seq_id"),
+            )
+            .groupBy("shard", "seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("t"))
+            .agg(
+                F.count(F.lit(1)).alias("n_seqs"),
+                F.sum(F.col("seq_id") * F.col("n_docs")).alias("chk"),
+                F.sum("t").alias("tok"),
+            )
+            .collect()[0]
+        )
+        return tuple(out)
+
+    state = {}
+
+    def run_naive():
+        w = (
+            Window.partitionBy("shard")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        placed = docs.select(
+            "shard",
+            "n_tokens",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off"),
+        )
+        state["naive"] = rollup(placed)
+
+    def run_bucketed():
+        placed = bucketed_prefix_sum(
+            docs, ["shard"], F.floor(F.col("doc_id") / 4096),
+            [F.col("doc_id").asc()], F.col("n_tokens"), sum_col="end_off",
+        ).select(
+            "shard", "n_tokens",
+            (F.col("end_off") - F.col("n_tokens")).alias("start_off"),
+        )
+        state["bucketed"] = rollup(placed)
+
+    _time("packing offsets, naive per-shard window (10M docs, 8 shards)", run_naive)
+    _time("packing offsets, bucketed prefix sum (same input)", run_bucketed)
+    assert state["naive"] == state["bucketed"], state
+
+
 def _time(label: str, run) -> None:
     run()  # cold: codegen + checkpoint warmup
     times = []
@@ -1163,7 +1230,7 @@ def _time(label: str, run) -> None:
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain", "kmeans", "multimodal", "pagerank_prepared", "bloom_join", "ks", "rrf", "semdedup", "rfm_chain", "session", "profile", "textmap", "langid"}
+    which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain", "kmeans", "multimodal", "pagerank_prepared", "bloom_join", "ks", "rrf", "semdedup", "rfm_chain", "session", "profile", "textmap", "langid", "pack"}
     spark = get_spark("dfwb-scale-probe")
     if "pagerank_prepared" in which:
         probe_pagerank_prepared(spark)
@@ -1199,6 +1266,8 @@ if __name__ == "__main__":
         probe_textmap(spark)
     if "langid" in which:
         probe_langid(spark)
+    if "pack" in which:
+        probe_pack(spark)
     if "join_100m" in which:
         probe_join_100m(spark)
     if "durable" in which:
