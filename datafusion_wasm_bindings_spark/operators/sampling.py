@@ -276,23 +276,32 @@ def deterministic_shuffle(
     comparable.
 
     shard = first-8-hex-chars of md5(key||salt) mod n_shards (a pure
-    map); pos = rank of the full md5 within the shard. The only wide
-    operation is one hash-partitioned window keyed on shard — there is
-    no global sort and no single-partition bottleneck. At 100 TB you'd
-    set n_shards to the target output-file count (tens of thousands),
-    keeping each window partition at file size.
+    map); pos = rank of the full md5 within the shard. The rank runs
+    through operators/scale.bucketed_rank on 256 md5-prefix buckets
+    (r5 migration, the pack_sequences precedent): a shard-only window
+    is one sequential task per shard, while the bucketed two-pass is
+    parallel WITHIN shards too — row-identical by the bucketed_rank
+    contract (the hex prefix is monotone in the md5 string order).
+    There is no global sort and no single-partition bottleneck even
+    when ``n_shards`` sits below cluster parallelism.
     """
-    from pyspark.sql import Window
+    from datafusion_wasm_bindings_spark.operators.scale import bucketed_rank
 
     h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     shard = F.pmod(
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
     ).cast("int")
-    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(key_col).asc())
+    staged = df.select(F.col(key_col), h.alias("__h"), shard.alias("shard"))
+    ranked = bucketed_rank(
+        staged,
+        ["shard"],
+        F.conv(F.substring(F.col("__h"), 1, 2), 16, 10).cast("long"),
+        [F.col("__h").asc(), F.col(key_col).asc()],
+        rank_col="__rn",
+    )
     return (
-        df.select(F.col(key_col), h.alias("__h"), shard.alias("shard"))
-        .withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
-        .drop("__h")
+        ranked.withColumn("pos", (F.col("__rn") - 1).cast("int"))
+        .drop("__h", "__rn")
     )
 
 

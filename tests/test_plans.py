@@ -229,6 +229,23 @@ def test_pipeline_pack_no_per_shard_fact_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_pipeline_shuffle_no_per_shard_fact_window(spark, sf_dir):
+    """deterministic_shuffle (r5 migration): shard positions come from
+    bucketed_rank on md5-prefix buckets — no window may partition by
+    shard alone ordered by the md5 draw; the (shard, __bkt) window and
+    the broadcast offset join must be present (pack_sequences'
+    sibling)."""
+    import re
+
+    df = REGISTRY["q_pipeline_shuffle"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert not re.search(
+        r"windowspecdefinition\(shard#\d+, __h#", plan
+    ), plan
+    assert re.search(r"windowspecdefinition\(shard#\d+, __bkt#", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_text_repetition_is_shuffle_free(spark, sf_dir):
     """Repetition features are per-document array folds — the plan must
     be a single map stage over the scan: no Exchange, no Generate
@@ -258,9 +275,14 @@ def test_decontaminate_broadcasts_eval_shingles(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
-def test_deterministic_shuffle_single_exchange(spark, sf_dir):
-    """One hash partitioning on shard feeds the rank window — no global
-    sort, no single-partition exchange."""
+def test_deterministic_shuffle_bucketed_no_single_partition(spark, sf_dir):
+    """r5 migration: shard positions come from bucketed_rank, so the
+    fact windows hash-partition on (shard, __bkt) — parallel WITHIN
+    shards — never on shard alone (one sequential task per shard) and
+    never SinglePartition. The extra exchanges vs the old single-window
+    shape all run over the bounded counts/offset tables."""
+    import re
+
     from datafusion_wasm_bindings_spark.operators.sampling import (
         deterministic_shuffle,
     )
@@ -268,7 +290,8 @@ def test_deterministic_shuffle_single_exchange(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     plan = _plan(deterministic_shuffle(docs, "doc_id", n_shards=8))
     assert "SinglePartition" not in plan, plan
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert not re.search(r"windowspecdefinition\(shard#\d+, __h#", plan), plan
+    assert re.search(r"windowspecdefinition\(shard#\d+, __bkt#", plan), plan
 
 
 def test_weighted_percentile_no_global_window_over_rows(spark, sf_dir):
