@@ -40,6 +40,13 @@ def zscore_outliers(
     The join back is NULL-SAFE on ``group_col``: groupBy keeps NULL as
     its own group exactly like the window's PARTITION BY did, and a
     plain equi-join would silently drop those rows (ADVICE r4).
+
+    ``is_outlier`` is TOTAL: a row whose value is NULL has NULL z and
+    is flagged FALSE, never NULL — a nullable boolean surface is both
+    semantically mushy ("unknown outlier") and a cross-engine hashing
+    trap (pandas materializes Spark's NULL bool as None and DuckDB's
+    as NaN; the adversarial NULL-injection replay caught exactly
+    this divergence class).
     """
     v = F.col(value_col).cast(DEC)
     moments = df.groupBy(F.col(group_col).alias("__g")).agg(
@@ -58,5 +65,5 @@ def zscore_outliers(
         *key_cols,
         group_col,
         F.round(z, 6).alias("z"),
-        (F.abs(z) > threshold).alias("is_outlier"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_outlier"),
     )

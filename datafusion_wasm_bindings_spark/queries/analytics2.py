@@ -246,23 +246,34 @@ def _clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types|-row bounds table. No per-type fact window anywhere. The
     oracle is window-only (PARTITION BY keeps a NULL type as its own
     group), so both stat join-backs are NULL-SAFE (_util.nsjoin — the
-    ADVICE-r4 zscore class)."""
+    ADVICE-r4 zscore class).
+
+    NULL hygiene (adversarial-replay finding, r5): the order-statistic
+    rank runs over NON-NULL values only — aggregate semantics, like
+    SUM/percentile skip NULLs — and the event_id tie-break carries an
+    explicit NULLS LAST. Without both, engines diverge the moment a
+    value or id is NULL: Spark sorts ASC NULLS FIRST, DuckDB ASC NULLS
+    LAST, so the k-th "smallest" picks different rows, and a k_hi
+    computed from a NULL-inclusive count can land inside the NULL tail
+    (bound itself NULL). SURVEY §1.1's explicit-null-ordering rule
+    applies to any rank consumed positionally, not just ORDER BY→LIMIT."""
     from datafusion_wasm_bindings_spark.operators.scale import bucketed_rank
     from datafusion_wasm_bindings_spark.queries._util import nsjoin
 
     e = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    ev = e.filter(F.col("value").isNotNull())
     g = (
-        e.groupBy("event_type")
+        ev.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("k_lo", F.ceil(F.col("cnt") * F.lit(_WINS_P)))
         .withColumn("k_hi", F.col("cnt") - F.col("k_lo") + 1)
     )
     r = nsjoin(
         bucketed_rank(
-            e,
+            ev,
             ["event_type"],
             F.floor(F.col("value")),
-            [F.col("value").asc(), F.col("event_id").asc()],
+            [F.col("value").asc(), F.col("event_id").asc_nulls_last()],
         ),
         g,
         "event_type",
@@ -296,9 +307,9 @@ query(
     WITH r AS (
       SELECT event_type, value,
              row_number() OVER (PARTITION BY event_type
-                 ORDER BY value ASC, event_id ASC) AS rn,
+                 ORDER BY value ASC, event_id ASC NULLS LAST) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS cnt
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     k AS (
       SELECT event_type, value, rn, cnt,
@@ -307,15 +318,16 @@ query(
       FROM r
     ),
     b AS (
-      SELECT event_type, value,
-             max(CASE WHEN rn = k_lo THEN value END) OVER (PARTITION BY event_type) AS v_lo,
-             max(CASE WHEN rn = k_hi THEN value END) OVER (PARTITION BY event_type) AS v_hi
-      FROM k
+      SELECT event_type,
+             max(CASE WHEN rn = k_lo THEN value END) AS v_lo,
+             max(CASE WHEN rn = k_hi THEN value END) AS v_hi
+      FROM k GROUP BY event_type
     )
-    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    SELECT e.event_type AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
            MIN(v_lo) AS lo, MIN(v_hi) AS hi,
-           {davg_sql("least(greatest(value, v_lo), v_hi)", "wins_mean")}
-    FROM b GROUP BY event_type
+           {davg_sql("least(greatest(e.value, v_lo), v_hi)", "wins_mean")}
+    FROM events e JOIN b ON e.event_type IS NOT DISTINCT FROM b.event_type
+    GROUP BY e.event_type
     """,
     tags=("extension", "cleaning", "stats"),
 )(_clean_winsorize)

@@ -2008,7 +2008,8 @@ query(
     )
     SELECT event_id, event_type,
            round((vd - s / n) / sqrt((ss - s * s / n) / (n - 1)), 6) AS z,
-           abs((vd - s / n) / sqrt((ss - s * s / n) / (n - 1))) > 3 AS is_outlier
+           COALESCE(abs((vd - s / n) / sqrt((ss - s * s / n) / (n - 1))) > 3,
+                    FALSE) AS is_outlier
     FROM g
     """,
     tags=("extension", "events", "cleaning"),

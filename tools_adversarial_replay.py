@@ -1,0 +1,158 @@
+"""Adversarial differential replay: re-run the WHOLE oracle registry on
+a deliberately hostile mutation of the fixture tables and demand Spark
+and DuckDB still agree bit-for-bit (the tools_driver_sim comparison).
+
+Why this exists: the fixture data is benign — keys are non-null, rows
+are unique, distributions are tame. The r4/r5 NULL-partition-key bugs
+(bucketed_rank's offset join, zscore_outliers' moments join) were found
+by CODE READING, not by any gate, precisely because no fixture ever
+put a NULL in a group key. This tool closes that class: both engines
+read the SAME mutated parquet, so any disagreement is a real
+cross-engine semantics divergence in our query/oracle pair — the exact
+thing the round driver would fail on if production data were hostile.
+
+Mutation modes (deterministic, seeded; written once per mode under
+/tmp/dfwb_adversarial/<mode>/ and reused):
+
+- ``nulls``: every column of every table independently gets ~8% NULLs
+  (type-preserving: concat a one-null tail array and ``take`` — works
+  for nested list columns and nanosecond timestamps alike). Exercises
+  NULL group keys, NULL join keys, NULL order keys, NULL text/arrays
+  through every HOF chain, NULL timestamps through the event-time
+  paths.
+- ``dupes``: ~5% of rows duplicated (full-row copies, one extra copy
+  each) ON TOP of the null injection. Full-row duplicates keep the
+  value multiset deterministic (any tie-break among identical rows
+  yields identical output), while stressing grouping cardinalities,
+  distinct/dedup logic, and LIMIT boundaries that now cut between
+  tied rows.
+
+Usage::
+
+    python tools_adversarial_replay.py            # both modes, all ids
+    python tools_adversarial_replay.py nulls      # one mode
+    python tools_adversarial_replay.py nulls q_a q_b   # subset of ids
+
+Exit 0 iff every query in every requested mode is ok or in the
+documented-exclusion list (`EXCLUDED`, each entry carries its reason).
+Verdicts land in /tmp/adversarial_replay_<mode>.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SRC_DIR = os.environ.get("SPARK_GRAFT_ADV_SRC", "/root/testdata/sf0.001")
+ROOT = "/tmp/dfwb_adversarial"
+NULL_RATE = 0.08
+DUPE_RATE = 0.05
+SEED = 0x5AD1
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Queries whose adversarial verdict is EXPECTED to differ, each with the
+# reason; anything listed here is reported but not counted as a failure.
+# Keep this list SHORT and each entry justified — it is the tool's
+# honesty ledger, reviewed like code.
+EXCLUDED: dict[str, str] = {}
+
+
+def _null_out(col: pa.ChunkedArray, mask: np.ndarray) -> pa.Array:
+    """Return ``col`` with ``mask`` positions nulled, preserving the
+    exact arrow type (lists, nanosecond timestamps, decimals...): append
+    a single-null tail and route masked indices at it via take()."""
+    flat = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    ext = pa.concat_arrays([flat, pa.nulls(1, flat.type)])
+    idx = np.arange(len(flat), dtype=np.int64)
+    idx[mask] = len(flat)
+    return ext.take(pa.array(idx))
+
+
+def build_mode_dir(mode: str, root: str = ROOT, src_dir: str | None = None) -> str:
+    src = src_dir or SRC_DIR
+    out_dir = os.path.join(root, mode)
+    stamp = os.path.join(out_dir, ".complete")
+    if os.path.exists(stamp):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        n = tab.num_rows
+        cols = []
+        for i, name in enumerate(tab.column_names):
+            rng = np.random.default_rng([SEED, hash(mode) & 0xFFFF, hash(t) & 0xFFFF, i])
+            mask = rng.random(n) < NULL_RATE
+            cols.append(_null_out(tab.column(i), mask))
+        mut = pa.table(cols, schema=tab.schema)
+        if mode == "dupes":
+            rng = np.random.default_rng([SEED, 0xD0BE, hash(t) & 0xFFFF])
+            picks = np.flatnonzero(rng.random(n) < DUPE_RATE)
+            if len(picks):
+                mut = pa.concat_tables([mut, mut.take(pa.array(picks))])
+        pq.write_table(mut, os.path.join(out_dir, f"{t}.parquet"))
+    open(stamp, "w").write("ok")
+    return out_dir
+
+
+def replay(mode: str, only: list[str] | None = None) -> int:
+    import duckdb
+
+    from tools_driver_sim import simulate
+    from datafusion_wasm_bindings_spark.queries import load_all
+    from datafusion_wasm_bindings_spark.queries.sources_q import _ensure_text_fixtures
+    from datafusion_wasm_bindings_spark.session import get_spark
+    from datafusion_wasm_bindings_spark.sources.catalog import TABLE_NAMES
+
+    sf_dir = build_mode_dir(mode)
+    _ensure_text_fixtures(sf_dir)
+    spark = get_spark("dfwb-adversarial")
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+
+    registry = load_all()
+    todo = [(k, v) for k, v in registry.items() if only is None or k in only]
+    results = simulate(todo, spark, con, sf_dir)
+    con.close()
+
+    json.dump(results, open(f"/tmp/adversarial_replay_{mode}.json", "w"),
+              indent=1, default=str)
+    bad = {k: v for k, v in results.items() if not v["ok"] and k not in EXCLUDED}
+    waived = {k: v for k, v in results.items() if not v["ok"] and k in EXCLUDED}
+    print(f"[{mode}] {len(results) - len(bad) - len(waived)}/{len(results)} ok, "
+          f"{len(waived)} waived, {len(bad)} FAIL  ({sf_dir})")
+    for k, v in sorted(bad.items()):
+        print("  FAIL", k, {kk: vv for kk, vv in v.items() if kk != "ok"})
+    for k in sorted(waived):
+        print("  waived", k, "--", EXCLUDED[k])
+    return len(bad)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    modes = ["nulls", "dupes"]
+    only: list[str] | None = None
+    if args and args[0] in ("nulls", "dupes"):
+        modes = [args[0]]
+        args = args[1:]
+    if args:
+        only = args
+    n_bad = sum(replay(m, only) for m in modes)
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
