@@ -54,6 +54,13 @@ def asof_join(
     right_nn = right
     for k in keys:
         right_nn = right_nn.filter(F.col(k).isNotNull())
+    # A NULL-ts right row can never satisfy right.ts <= left.ts (the
+    # inequality is NULL), but under Spark's ASC NULLS FIRST it would
+    # sort to the partition head and forward-fill its payload into
+    # every left row — drop it (adversarial NULL replay, r5). NULL-ts
+    # LEFT rows also sort first, see no prior right row, and surface
+    # NULL refs — exactly DuckDB ASOF's no-match result for them.
+    right_nn = right_nn.filter(F.col(ts).isNotNull())
 
     # the right payload travels as ONE struct so the forward fill is
     # atomic per right row: per-column last(ignorenulls) would let a
@@ -80,7 +87,7 @@ def asof_join(
     )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+        .orderBy(F.col("__ts").asc_nulls_first(), F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l2.unionByName(r2).select(

@@ -69,15 +69,32 @@ def extract_features(media: DataFrame) -> DataFrame:
             return width, height, checksum
 
         for pdf in it:
-            dims = [fake_decode(bytes(m)) for m in pdf["media"]]
+            # NULL payloads are routine at scale (failed fetches,
+            # redacted rows): decode skips them and every feature
+            # surfaces NULL — the row itself is kept. Nullable ints go
+            # through pandas' Int64 extension dtype so Arrow hands
+            # Spark real NULLs, not NaN-poisoned floats.
+            medias = [None if m is None else bytes(m) for m in pdf["media"]]
+            dims = [None if m is None else fake_decode(m) for m in medias]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "format": [m["format"] for m in pdf["meta"]],
-                    "n_bytes": [len(bytes(m)) for m in pdf["media"]],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "checksum": [d[2] for d in dims],
+                    "format": [
+                        None if m is None else m["format"] for m in pdf["meta"]
+                    ],
+                    "n_bytes": pd.array(
+                        [None if m is None else len(m) for m in medias],
+                        dtype="Int64",
+                    ),
+                    "width": pd.array(
+                        [None if d is None else d[0] for d in dims], dtype="Int64"
+                    ),
+                    "height": pd.array(
+                        [None if d is None else d[1] for d in dims], dtype="Int64"
+                    ),
+                    "checksum": pd.array(
+                        [None if d is None else d[2] for d in dims], dtype="Int64"
+                    ),
                 }
             )
 
@@ -104,13 +121,22 @@ def resize_media(media: DataFrame, scale_denominator: int = 4) -> DataFrame:
             return payload[::k]
 
         for pdf in it:
-            resized = [fake_resize(bytes(m)) for m in pdf["media"]]
+            # NULL payload -> NULL resized payload + NULL meta (row
+            # kept); see extract_features' NULL note
+            resized = [
+                None if m is None else fake_resize(bytes(m)) for m in pdf["media"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media": resized,
                     "meta": [
-                        {"format": m["format"], "declared_len": len(r)}
+                        None
+                        if m is None
+                        else {
+                            "format": m["format"],
+                            "declared_len": None if r is None else len(r),
+                        }
                         for m, r in zip(pdf["meta"], resized)
                     ],
                 }

@@ -102,8 +102,11 @@ def _qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    # explicit null ordering on BOTH sort keys: Spark DESC defaults to
+    # NULLS LAST but DuckDB DESC to NULLS FIRST — a NULL balance would
+    # make the top-3 diverge (adversarial NULL replay, r5)
     w = Window.partitionBy("c_nationkey").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+        F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey").asc_nulls_last()
     )
     return (
         table(spark, sf_dir, "customer")
@@ -118,7 +121,8 @@ query(
     """
     SELECT c_nationkey, c_custkey, c_acctbal,
            CAST(row_number() OVER (PARTITION BY c_nationkey
-                                   ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+                                   ORDER BY c_acctbal DESC NULLS LAST,
+                                            c_custkey ASC NULLS LAST) AS BIGINT) AS rn
     FROM customer
     QUALIFY rn <= 3
     """,
@@ -738,9 +742,15 @@ def _fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT n_nationkey,
                concat_ws(',', array_sort(array(n_nationkey, n_regionkey, 7))) AS arr_sorted,
-               array_contains(array(n_nationkey, n_regionkey), 3) AS has3,
+               -- COALESCE: Spark array_contains is 3-valued (NULL when
+               -- no match but a NULL element exists); DuckDB
+               -- list_contains is total -> align on the total form
+               COALESCE(array_contains(array(n_nationkey, n_regionkey), 3), FALSE) AS has3,
                CAST(array_position(array(10, 20, 30, n_nationkey), n_nationkey) AS BIGINT) AS pos,
-               CAST(size(array_distinct(array(n_nationkey, n_regionkey, n_regionkey))) AS BIGINT) AS n_uniq,
+               -- count NON-NULL distinct: Spark array_distinct keeps a
+               -- NULL element, DuckDB list_distinct drops it
+               CAST(size(array_distinct(filter(array(n_nationkey, n_regionkey, n_regionkey),
+                                               x -> x IS NOT NULL))) AS BIGINT) AS n_uniq,
                concat_ws(',', slice(array(1, 2, 3, 4, 5), 2, 3)) AS sliced,
                concat_ws(',', array_sort(array_union(array(n_nationkey), array(n_regionkey)))) AS unioned
         FROM nation
@@ -956,7 +966,9 @@ query(
     "q_fn_higher_order",
     """
     SELECT n_nationkey,
-           array_to_string(list_transform(generate_series(1, 4), x -> x * n_nationkey), ',') AS mul,
+           COALESCE(array_to_string(list_transform(generate_series(1, 4),
+                                                   x -> x * n_nationkey), ','),
+                    '') AS mul,
            COALESCE(array_to_string(list_filter(generate_series(1, 10),
                                                 x -> x % (n_nationkey + 2) = 0), ','),
                     '') AS filtered,

@@ -119,7 +119,10 @@ def _sales_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey", "o_year")
         .agg(dsum(F.col("o_totalprice"), "revenue"))
     )
-    w = Window.partitionBy("c_nationkey").orderBy("o_year")
+    # NULLS LAST explicitly: Spark ASC defaults NULLS FIRST (a NULL
+    # year would become 1994's lag-predecessor), DuckDB ASC NULLS LAST
+    # (adversarial NULL replay, r5)
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("o_year").asc_nulls_last())
     prev = F.lag("revenue").over(w)
     return g.select(
         "c_nationkey",
@@ -140,12 +143,13 @@ query(
       GROUP BY 1, 2
     )
     SELECT c_nationkey, o_year, revenue,
-           lag(revenue) OVER (PARTITION BY c_nationkey ORDER BY o_year)
+           lag(revenue) OVER (PARTITION BY c_nationkey ORDER BY o_year NULLS LAST)
              AS prev_revenue,
-           CASE WHEN lag(revenue) OVER (PARTITION BY c_nationkey ORDER BY o_year)
+           CASE WHEN lag(revenue) OVER (PARTITION BY c_nationkey
+                                        ORDER BY o_year NULLS LAST)
                      IS NOT NULL
                 THEN revenue / lag(revenue) OVER (PARTITION BY c_nationkey
-                       ORDER BY o_year) - 1.0 END AS yoy_growth
+                       ORDER BY o_year NULLS LAST) - 1.0 END AS yoy_growth
     FROM g
     """,
     tags=("extension", "behavior", "window", "stats"),

@@ -914,6 +914,9 @@ query(
     "q_text_fingerprint",
     f"""
     SELECT doc_id,
+           -- CASE guard: list_prepend(0, NULL) is [0] in DuckDB, which
+           -- would fingerprint a NULL text to 0 instead of NULL
+           CASE WHEN text IS NULL THEN NULL ELSE
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
                list_transform({_TOK},
@@ -922,7 +925,7 @@ query(
                           list_transform(string_split(t, ''),
                                          c -> CAST(ascii(c) AS BIGINT))),
                         (a, b) -> (a * 131 + b) % 1000000007))),
-             (a, t) -> (a * 31 + t) % 1000000007) AS fingerprint
+             (a, t) -> (a * 31 + t) % 1000000007) END AS fingerprint
     FROM documents
     """,
     tags=("extension", "text"),
@@ -1189,7 +1192,13 @@ query(
     """
     WITH r AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS purchase_value
-      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      FROM events
+      -- DuckDB's ASOF matching misbehaves when the inequality column
+      -- carries NULLs (a NULL-ts purchase can win as "latest"); SQL
+      -- semantics say r.ts <= e.ts is never true for NULL — exclude
+      -- explicitly, mirroring the operator's right-side filter
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+      GROUP BY 1, 2
     )
     SELECT e.event_id,
            e.user_id,
@@ -1197,8 +1206,17 @@ query(
            e.value,
            epoch_us(r.ts) AS ref_ts_us,
            r.purchase_value AS ref_purchase_value
-    FROM events e
+    FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
     ASOF LEFT JOIN r ON e.user_id = r.user_id AND r.ts <= CAST(e.ts AS TIMESTAMP)
+    UNION ALL
+    -- DuckDB's ASOF treats a NULL probe ts as +infinity (matches the
+    -- user's LATEST purchase); SQL 3VL says r.ts <= NULL is never
+    -- true, which is what the Spark rewrite produces — route NULL-ts
+    -- probe rows around the ASOF with explicit NULL refs
+    SELECT event_id, user_id, CAST(NULL AS BIGINT) AS ts_us, value,
+           CAST(NULL AS BIGINT) AS ref_ts_us,
+           CAST(NULL AS DOUBLE) AS ref_purchase_value
+    FROM events WHERE ts IS NULL
     """,
     tags=("extension", "join", "events"),
 )(_join_asof)
@@ -1425,6 +1443,9 @@ query(
            CAST(SUM(CAST(value AS DECIMAL(18,6)) * LENGTH(event_type)) AS DOUBLE)
              AS weighted_value
     FROM events
+    -- ts: window-generator semantics; event_type: the stream-static
+    -- join is an INNER equi-join, and NULL never equals NULL there
+    WHERE ts IS NOT NULL AND event_type IS NOT NULL
     GROUP BY 1, 2
     """,
     tags=("extension", "streaming", "join"),
@@ -1478,10 +1499,13 @@ query(
     SELECT doc_id, format, n_bytes,
            CAST(64 + (n_bytes % 577) AS INT) AS width,
            CAST(64 + ((n_bytes * 31) % 479) AS INT) AS height,
+           -- CASE guard: list_prepend(0, NULL) is [0] in DuckDB, which
+           -- would checksum a NULL payload to 0 instead of NULL
+           CASE WHEN n_bytes IS NULL THEN NULL ELSE
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
                list_transform(string_split(head, ''), c -> CAST(ascii(c) AS BIGINT))),
-             (a, b) -> (a * 131 + b) % 1000000007) AS checksum
+             (a, b) -> (a * 131 + b) % 1000000007) END AS checksum
     FROM m
     """,
     tags=("extension", "multimodal"),
@@ -1522,11 +1546,14 @@ query(
     SELECT doc_id, format, n_bytes,
            CAST(64 + (n_bytes % 577) AS INT) AS width,
            CAST(64 + ((n_bytes * 31) % 479) AS INT) AS height,
+           -- CASE guard: list_prepend(0, NULL) is [0] in DuckDB (see
+           -- q_multimodal_features)
+           CASE WHEN n_bytes IS NULL THEN NULL ELSE
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
                list_transform(string_split(substr(rt, 1, 128), ''),
                               c -> CAST(ascii(c) AS BIGINT))),
-             (a, b) -> (a * 131 + b) % 1000000007) AS checksum
+             (a, b) -> (a * 131 + b) % 1000000007) END AS checksum
     FROM r
     """,
     tags=("extension", "multimodal"),
@@ -1584,6 +1611,7 @@ query(
            count(*) AS n,
            {dsum_sql("value", "total_value")}
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     headline=True,
@@ -1605,10 +1633,11 @@ query(
     "q_events_sliding",
     f"""
     WITH assigned AS (
-      SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS ws, value FROM events
+      SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS ws, value
+      FROM events WHERE ts IS NOT NULL
       UNION ALL
       SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE AS ws, value
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT CAST(epoch(ws) AS BIGINT) AS ws, count(*) AS n, {dsum_sql("value", "total_value")}
     FROM assigned GROUP BY ws
@@ -1636,7 +1665,7 @@ query(
     WITH ordered AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
              lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     flagged AS (
       SELECT user_id, ts, value,

@@ -151,7 +151,9 @@ sql_query(
     """
     WITH w AS (
       SELECT p_size AS v, CAST(p_retailprice AS DECIMAL(18,2)) AS wt
-      FROM part WHERE p_partkey <= 1000
+      FROM part
+      WHERE p_partkey <= 1000
+        AND p_size IS NOT NULL AND p_retailprice IS NOT NULL
     ),
     b AS (SELECT v, wt, CAST(floor(v / 5.0) AS INT) AS bkt FROM w),
     bs AS (SELECT bkt, SUM(wt) AS bsum FROM b GROUP BY bkt),
@@ -172,10 +174,16 @@ sql_query(
            MIN(CASE WHEN cum >= 0.90 * tot THEN v END) AS wp90
     FROM c
     """,
+    # the population is NON-NULL (v, wt) pairs on both sides: a NULL
+    # value has no rank position and a NULL weight no mass — without
+    # the filter the engines also disagree on where NULL v sorts
+    # (adversarial NULL replay, r5)
     oracle="""
     WITH w AS (
       SELECT p_size AS v, CAST(p_retailprice AS DECIMAL(18,2)) AS wt
-      FROM part WHERE p_partkey <= 1000
+      FROM part
+      WHERE p_partkey <= 1000
+        AND p_size IS NOT NULL AND p_retailprice IS NOT NULL
     ), c AS (
       SELECT v,
              SUM(wt) OVER (ORDER BY v ASC) AS cum,
@@ -216,7 +224,10 @@ sql_query(
     tags=("agg_fn",),
 )
 
-# string_agg(x, sep ORDER BY y) → Spark: ordered-struct-sort rewrite
+# string_agg(x, sep ORDER BY y) → Spark: ordered-struct-sort rewrite.
+# Spark's array_sort on structs compares NULL fields FIRST, DuckDB's
+# ORDER BY default is NULLS LAST — explicit NULLS FIRST keeps a NULL
+# sort key deterministic across engines (adversarial NULL replay, r5).
 sql_query(
     "q_fn_string_agg",
     """
@@ -227,7 +238,7 @@ sql_query(
     """,
     oracle="""
     SELECT n_regionkey,
-           string_agg(n_name, ',' ORDER BY n_nationkey ASC) AS names_csv
+           string_agg(n_name, ',' ORDER BY n_nationkey ASC NULLS FIRST) AS names_csv
     FROM nation GROUP BY n_regionkey
     """,
     tags=("agg_fn",),
@@ -366,16 +377,19 @@ sql_query(
     """
     SELECT c_nationkey,
            CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_pos,
-           max_by(c_name, c_custkey) AS name_last,
-           min_by(c_name, c_custkey) AS name_first,
+           max_by(c_name, c_custkey) FILTER (WHERE c_name IS NOT NULL) AS name_last,
+           min_by(c_name, c_custkey) FILTER (WHERE c_name IS NOT NULL) AS name_first,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM customer GROUP BY c_nationkey
     """,
+    # FILTER on both sides: DuckDB's arg_max silently ignores rows
+    # whose ARG is NULL, Spark's max_by returns that NULL — the
+    # explicit filter pins one semantics (adversarial NULL replay, r5)
     oracle="""
     SELECT c_nationkey,
            CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_pos,
-           arg_max(c_name, c_custkey) AS name_last,
-           arg_min(c_name, c_custkey) AS name_first,
+           arg_max(c_name, c_custkey) FILTER (WHERE c_name IS NOT NULL) AS name_last,
+           arg_min(c_name, c_custkey) FILTER (WHERE c_name IS NOT NULL) AS name_first,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM customer GROUP BY c_nationkey
     """,
@@ -404,17 +418,23 @@ def _fn_pandas_udaf(spark, sf_dir):
     def qlogsum(v: pd.Series) -> float:
         import numpy as np
 
-        x = np.log(v.to_numpy(dtype="float64"))
+        # dropna FIRST: SQL aggregates skip NULLs implicitly; a pandas
+        # UDAF receives them as NaN and must skip them itself, or the
+        # int64 cast of NaN poisons the whole group sum (adversarial
+        # NULL replay, r5)
+        x = np.log(v.dropna().to_numpy(dtype="float64"))
         # scaled int64 sum stays exactly representable as a double
         # (≤ ~7e11 ≪ 2^53), so surfacing it as DOUBLE loses nothing
         return float(np.floor(x * 1e6 + 0.5).astype("int64").sum())
 
     # a GROUPED_AGG pandas UDF cannot share an agg with builtin
     # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — the row count is a
-    # second pandas aggregate in the same (single-shuffle) groupBy
+    # second pandas aggregate in the same (single-shuffle) groupBy;
+    # .count() (non-null), not len(): it pairs with qlogsum's dropna
+    # the way COUNT(x) pairs with SUM(x)
     @F.pandas_udf("long", F.PandasUDFType.GROUPED_AGG)
     def ncount(v: pd.Series) -> int:
-        return len(v)
+        return int(v.count())
 
     d = table(spark, sf_dir, "documents")
     g = d.groupBy("source").agg(
@@ -440,9 +460,9 @@ _query(
     "q_fn_pandas_udaf",
     """
     SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(n_chars) AS BIGINT) AS n_docs,
            CAST(CAST(exp(CAST(SUM(CAST(floor(ln(n_chars) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
-               / 1e6 / COUNT(*)) AS DECIMAL(18,6)) AS DOUBLE) AS geo_mean_chars
+               / 1e6 / COUNT(n_chars)) AS DECIMAL(18,6)) AS DOUBLE) AS geo_mean_chars
     FROM documents GROUP BY source
     """,
     tags=("agg_fn", "udf", "python"),

@@ -138,7 +138,9 @@ query(
            gcd(p_size, 24) AS g,
            lcm(p_size, 4) AS l,
            CAST(factorial(p_size % 10) AS BIGINT) AS fac,
-           isnan(p_retailprice / 1.0) AS is_nan,
+           -- Spark's isnan is TOTAL (NULL input -> false); DuckDB's
+           -- null-propagates (adversarial NULL replay, r5)
+           COALESCE(isnan(p_retailprice / 1.0), FALSE) AS is_nan,
            CASE WHEN isnan(p_retailprice) THEN -1.0 ELSE p_retailprice END AS nan_fixed,
            (p_size = 0) AS is_zero
     FROM part WHERE p_partkey <= 200 AND p_size > 0
@@ -193,7 +195,7 @@ sql_query(
            length(c_name) AS len,
            upper(c_mktsegment) AS up,
            lower(c_name) AS lo,
-           concat(c_name, '~', c_mktsegment) AS cat,
+           concat_ws('', c_name, '~', c_mktsegment) AS cat,
            concat_ws('|', c_name, c_mktsegment, 'x') AS catws,
            repeat(left(c_mktsegment, 2), 3) AS rep,
            reverse(c_mktsegment) AS rev,
@@ -204,7 +206,11 @@ sql_query(
            octet_length(c_name) AS octets
     FROM customer WHERE c_custkey <= 200
     """,
-    # DuckDB's octet_length takes BLOB, not VARCHAR
+    # DuckDB's octet_length takes BLOB, not VARCHAR. `cat` demonstrates
+    # the ENGINE's concat — DataFusion/Postgres/DuckDB concat SKIPS
+    # NULL arguments, Spark's propagates them (functions/shims.concat),
+    # so the Spark side spells it concat_ws('') to match the surface
+    # the engine actually exposes (adversarial NULL replay, r5).
     oracle="""
     SELECT c_custkey,
            length(c_name) AS len,
@@ -231,22 +237,25 @@ sql_query(
     SELECT c_custkey,
            lpad(c_mktsegment, 12, '.') AS lp,
            rpad(c_mktsegment, 12, '.') AS rp,
-           ltrim(concat('  ', c_name)) AS lt,
-           rtrim(concat(c_name, '  ')) AS rt,
-           trim(concat(' ', c_name, ' ')) AS tr,
-           btrim(concat('xx', c_mktsegment, 'xx'), 'x') AS bt,
+           ltrim('  ' || c_name) AS lt,
+           rtrim(c_name || '  ') AS rt,
+           trim(' ' || c_name || ' ') AS tr,
+           btrim('xx' || c_mktsegment || 'xx', 'x') AS bt,
            left(c_name, 6) AS l6,
            right(c_name, 4) AS r4
     FROM customer WHERE c_custkey <= 200
     """,
+    # trim-input scaffolding uses || (null-PROPAGATING in both
+    # dialects); bare concat() diverges on NULL rows — DuckDB skips,
+    # Spark propagates (adversarial NULL replay, r5)
     oracle="""
     SELECT c_custkey,
            lpad(c_mktsegment, 12, '.') AS lp,
            rpad(c_mktsegment, 12, '.') AS rp,
-           ltrim(concat('  ', c_name)) AS lt,
-           rtrim(concat(c_name, '  ')) AS rt,
-           trim(concat(' ', c_name, ' ')) AS tr,
-           trim(concat('xx', c_mktsegment, 'xx'), 'x') AS bt,
+           ltrim('  ' || c_name) AS lt,
+           rtrim(c_name || '  ') AS rt,
+           trim(' ' || c_name || ' ') AS tr,
+           trim('xx' || c_mktsegment || 'xx', 'x') AS bt,
            left(c_name, 6) AS l6,
            right(c_name, 4) AS r4
     FROM customer WHERE c_custkey <= 200
@@ -279,13 +288,15 @@ sql_query(
            ends_with(c_name, '7') AS suf,
            instr(c_name, '#') AS pos_hash,
            position('er' IN c_name) AS pos_er,
-           split_part(c_name, '#', 2) AS num_part,
+           -- DuckDB split_part yields '' on NULL input, Spark NULL
+           CASE WHEN c_name IS NULL THEN NULL
+                ELSE split_part(c_name, '#', 2) END AS num_part,
            translate(c_mktsegment, 'AEIOU', 'aeiou') AS transl,
            levenshtein(c_mktsegment, 'BUILDING') AS lev,
-           concat(upper(left(c_mktsegment, 1)), lower(substr(c_mktsegment, 2))) AS cap,
+           upper(left(c_mktsegment, 1)) || lower(substr(c_mktsegment, 2)) AS cap,
            CASE WHEN instr(c_name, '0') = 0 THEN c_name
                 ELSE left(c_name, instr(c_name, '0') - 1) END AS before_zero,
-           concat(left(c_mktsegment, 1), '__', substr(c_mktsegment, 4)) AS ovl
+           left(c_mktsegment, 1) || '__' || substr(c_mktsegment, 4) AS ovl
     FROM customer WHERE c_custkey <= 200
     """,
     tags=("functions", "string"),
@@ -536,11 +547,17 @@ sql_query(
       FROM customer WHERE c_custkey <= 150
     )
     """,
+    # the Spark side's URL is built with null-propagating concat, so a
+    # NULL name or segment nulls the whole URL and every parsed part —
+    # the oracle's independent reconstruction must replicate that
+    # (adversarial NULL replay, r5)
     oracle="""
     SELECT c_custkey,
-           'shop.example.com' AS host,
-           '/' || lower(c_mktsegment) || '/' || c_custkey AS path,
-           c_name AS qname,
+           CASE WHEN c_name IS NULL OR c_mktsegment IS NULL THEN NULL
+                ELSE 'shop.example.com' END AS host,
+           CASE WHEN c_name IS NULL OR c_mktsegment IS NULL THEN NULL
+                ELSE '/' || lower(c_mktsegment) || '/' || c_custkey END AS path,
+           CASE WHEN c_mktsegment IS NULL THEN NULL ELSE c_name END AS qname,
            replace(c_name, '#', '%23') AS enc
     FROM customer WHERE c_custkey <= 150
     """,

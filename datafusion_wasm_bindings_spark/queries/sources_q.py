@@ -61,6 +61,15 @@ def _ensure_text_fixtures(sf_dir: str) -> tuple[str, str]:
             .to_pandas()
             .sort_values("n_nationkey")
         )
+        # nullable integer columns: pandas upcasts int64-with-NULLs to
+        # float64, which serializes 0 as "0.0" and breaks INT casts in
+        # both readers — route through the Int64 extension dtype so
+        # CSV/NDJSON carry "0" and empty cells (adversarial replay, r5)
+        for c in pdf.columns:
+            if pdf[c].dtype.kind == "f":
+                as_int = pdf[c].astype("Int64", errors="ignore")
+                if ((as_int == pdf[c]) | pdf[c].isna()).all():
+                    pdf[c] = as_int
         pdf.to_csv(csv_path + ".tmp", index=False)
         os.replace(csv_path + ".tmp", csv_path)
         pdf.to_json(json_path + ".tmp", orient="records", lines=True)
@@ -547,12 +556,17 @@ def _scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lines.filter(F.col("value") != "n_nationkey,n_name,n_regionkey")
         .select(
+            # try_cast, not cast: a raw-line parser must tolerate
+            # missing/malformed fields (ANSI cast throws on '' — hit
+            # live by the adversarial NULL replay); DuckDB's plain
+            # CAST('' AS INT) errors the same way, hence TRY_CAST on
+            # both sides
             F.split_part(F.col("value"), F.lit(","), F.lit(1))
-            .cast("int")
+            .try_cast("int")
             .alias("n_nationkey"),
             F.split_part(F.col("value"), F.lit(","), F.lit(2)).alias("n_name"),
             F.split_part(F.col("value"), F.lit(","), F.lit(3))
-            .cast("int")
+            .try_cast("int")
             .alias("n_regionkey"),
             F.length("value").alias("line_len"),
         )
@@ -561,9 +575,9 @@ def _scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _scan_text_oracle(sf_dir_tag: str) -> str:
     return f"""
-    SELECT CAST(split_part(line, ',', 1) AS INT) AS n_nationkey,
+    SELECT TRY_CAST(split_part(line, ',', 1) AS INT) AS n_nationkey,
            split_part(line, ',', 2) AS n_name,
-           CAST(split_part(line, ',', 3) AS INT) AS n_regionkey,
+           TRY_CAST(split_part(line, ',', 3) AS INT) AS n_regionkey,
            CAST(length(line) AS INT) AS line_len
     FROM read_csv('{_FIXTURE_ROOT}/{sf_dir_tag}/nation.csv',
                   columns={{'line': 'VARCHAR'}}, delim='', header=false)

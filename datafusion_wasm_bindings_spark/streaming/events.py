@@ -34,9 +34,15 @@ def _scoped(name: str) -> str:
     return f"{name}_{scratch.scope()}"
 
 
+# Event-time operators process rows WITH an event time: Spark's
+# window()/session_window() generators silently drop NULL-ts rows, so
+# the filter below makes that semantics explicit (and every oracle
+# carries the matching WHERE ts IS NOT NULL — DuckDB's time_bucket
+# keeps a NULL bucket instead; adversarial NULL replay, r5).
 def tumbling(events: DataFrame, width: str = "1 hour") -> DataFrame:
     return (
-        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(F.count("*").alias("n"), dsum(F.col("value"), "total_value"))
         .select(F.col("w.start").alias("ws"), "event_type", "n", "total_value")
     )
@@ -44,7 +50,8 @@ def tumbling(events: DataFrame, width: str = "1 hour") -> DataFrame:
 
 def sliding(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
     return (
-        events.groupBy(F.window("ts", width, slide).alias("w"))
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", width, slide).alias("w"))
         .agg(F.count("*").alias("n"), dsum(F.col("value"), "total_value"))
         .select(F.col("w.start").alias("ws"), "n", "total_value")
     )
@@ -55,7 +62,8 @@ def sessionized(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     window.end in Spark's session_window = last event + gap, hence the
     session_last alias arithmetic in the oracle."""
     return (
-        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n"), dsum(F.col("value"), "total_value"))
         .select(
             "user_id",

@@ -105,10 +105,93 @@ def build_mode_dir(mode: str, root: str = ROOT, src_dir: str | None = None) -> s
     return out_dir
 
 
+_NULL_TOKENS = {"None", "NaT", "<NA>"}
+
+
+def _tokens(pdf):
+    """Stringify a frame with every NULL SPELLING unified to 'NULL'.
+
+    pandas materializes the same SQL NULL as None (Spark object cols),
+    NaN (DuckDB nullable bool/int cols), or NaT (datetime cols) — all
+    semantically one NULL, and the two engines routinely pick different
+    spellings for the same cell (a NULL boolean is None from Spark, NaN
+    from DuckDB; a NULL date is None from Spark, NaT from DuckDB). The
+    strict driver comparison never meets this (fixture data surfaces no
+    NULL bool/date cells); the adversarial replay does constantly, and
+    flagging it would bury real divergences in representation noise.
+    Float-column 'nan' is kept DISTINCT from NULL only where the dtype
+    is float on BOTH sides (there NaN-vs-NaN already compares equal);
+    in object columns a true NaN value is unified too — a documented,
+    deliberate loss of resolution."""
+    tok = pdf.copy()
+    for c in tok.columns:
+        col = tok[c]
+        if col.dtype == object:
+            tok[c] = col.where(col.notna(), None)
+    s = tok.astype(str)
+    return s.where(~s.isin(_NULL_TOKENS), "NULL")
+
+
+def compare_frames_relaxed(spark_pd, duck_pd) -> dict:
+    """tools_driver_sim.compare_frames with null-spelling unification
+    applied BEFORE canonical row sorting (a 'None' vs 'NaT' cell would
+    otherwise sort the two frames differently and misalign every
+    subsequent row)."""
+    from tools_driver_sim import _family
+
+    rec: dict = {}
+    s_tok = _tokens(spark_pd)[sorted(spark_pd.columns, key=str.lower)]
+    d_tok = _tokens(duck_pd)[sorted(duck_pd.columns, key=str.lower)]
+    s_src = spark_pd[sorted(spark_pd.columns, key=str.lower)]
+    d_src = duck_pd[sorted(duck_pd.columns, key=str.lower)]
+    rec["rows_match"] = len(s_tok) == len(d_tok)
+    rec["cols_match"] = [c.lower() for c in s_tok.columns] == [
+        c.lower() for c in d_tok.columns
+    ]
+    fam_mismatch = [
+        (sc, str(s_src[sc].dtype), str(d_src[dc].dtype))
+        for sc, dc in zip(s_src.columns, d_src.columns)
+        if _family(str(s_src[sc].dtype), s_src[sc])
+        != _family(str(d_src[dc].dtype), d_src[dc])
+    ]
+    rec["dtype_family_match"] = not fam_mismatch
+    if fam_mismatch:
+        rec["dtype_mismatch"] = fam_mismatch
+    eq = False
+    if rec["rows_match"] and rec["cols_match"]:
+        s_key = s_tok.apply(tuple, axis=1)
+        d_key = d_tok.apply(tuple, axis=1)
+        s_sorted = s_tok.iloc[s_key.argsort(kind="mergesort").to_numpy()]
+        d_sorted = d_tok.iloc[d_key.argsort(kind="mergesort").to_numpy()]
+        eq = s_sorted.reset_index(drop=True).equals(
+            d_sorted.set_axis(list(s_sorted.columns), axis=1).reset_index(drop=True)
+        )
+    rec["values_match"] = bool(eq)
+    rec["ok"] = all(
+        (rec["rows_match"], rec["cols_match"], rec["dtype_family_match"],
+         rec["values_match"])
+    )
+    return rec
+
+
+def simulate_relaxed(todo, spark, con, sf_dir: str) -> dict[str, dict]:
+    from datafusion_wasm_bindings_spark.queries import resolve_oracle
+
+    results: dict[str, dict] = {}
+    for name, spec in todo:
+        try:
+            rec = compare_frames_relaxed(
+                spec.spark_fn(spark, sf_dir).toPandas(),
+                con.sql(resolve_oracle(spec.oracle, sf_dir)).df(),
+            )
+        except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
+            rec = {"ok": False, "err": f"{type(e).__name__}: {e}"[:300]}
+        results[name] = rec
+    return results
+
+
 def replay(mode: str, only: list[str] | None = None) -> int:
     import duckdb
-
-    from tools_driver_sim import simulate
     from datafusion_wasm_bindings_spark.queries import load_all
     from datafusion_wasm_bindings_spark.queries.sources_q import _ensure_text_fixtures
     from datafusion_wasm_bindings_spark.session import get_spark
@@ -125,7 +208,7 @@ def replay(mode: str, only: list[str] | None = None) -> int:
 
     registry = load_all()
     todo = [(k, v) for k, v in registry.items() if only is None or k in only]
-    results = simulate(todo, spark, con, sf_dir)
+    results = simulate_relaxed(todo, spark, con, sf_dir)
     con.close()
 
     json.dump(results, open(f"/tmp/adversarial_replay_{mode}.json", "w"),
