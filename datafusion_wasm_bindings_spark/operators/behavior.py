@@ -181,6 +181,9 @@ def experiment_metrics(
             n.alias("n_users"),
             F.round(s, 6).alias("total_value"),
             F.round(s / n, 6).alias("mean_value"),
-            F.round((sq - s * s / n) / (n - 1), 6).alias("var_value"),
+            # sample variance is undefined for a 1-user variant (the
+            # NULL-user bucket is exactly that) — NULL, not a /0 throw
+            # under ANSI (adversarial NULL replay, r5)
+            F.when(n > 1, F.round((sq - s * s / n) / (n - 1), 6)).alias("var_value"),
         )
     )

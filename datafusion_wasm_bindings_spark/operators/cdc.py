@@ -90,10 +90,13 @@ def scd2_intervals(
 
     part = Window.partitionBy(*key_cols).orderBy(*order_cols)
     first_order = F.col(order_cols[0])
-    changed = (
-        F.lag(F.col(attr_col)).over(part).isNull()
-        | (F.lag(F.col(attr_col)).over(part) != F.col(attr_col))
-    )
+    # run boundary = partition head OR a NULL-SAFE attribute change:
+    # "lag IS NULL" conflated the head with a genuine NULL attribute in
+    # the previous row, and lag != attr is 3-valued when either side is
+    # NULL — a run of NULL attribute would silently never open
+    # (adversarial NULL replay, r5)
+    prev = F.lag(F.col(attr_col)).over(part)
+    changed = (F.row_number().over(part) == 1) | ~prev.eqNullSafe(F.col(attr_col))
     runs = changes.withColumn("__chg", changed).filter(F.col("__chg")).drop("__chg")
     nxt = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return (
@@ -117,12 +120,21 @@ def snapshot_diff(
     packing.dataset_manifest) and only diff shards whose manifest
     checksums moved — this operator is the shard-level drilldown.
     """
+    # each payload column coalesces to a '<NULL>' sentinel BEFORE the
+    # signature: concat_ws would silently SKIP a NULL column, making
+    # (NULL,'x') and ('x',NULL) collide — and a raw || chain would
+    # NULL the whole signature, miscounting matched keys as
+    # added+removed (adversarial NULL replay, r5)
     def sig(df: DataFrame, name: str) -> DataFrame:
         return df.select(
             *[F.col(c) for c in key_cols],
             F.md5(
                 F.concat_ws(
-                    ":", *[F.col(c).cast("string") for c in payload_cols]
+                    ":",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+                        for c in payload_cols
+                    ],
                 )
             ).alias(name),
         )

@@ -215,9 +215,19 @@ def dataset_manifest(
         F.conv(F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 4), 16, 10)
         .cast("long") % n_shards
     ).alias("shard")
+    # '<NULL>' sentinels: concat_ws would skip NULL fields, colliding
+    # (NULL,'x') with ('x',NULL) and desyncing from any ||-built
+    # oracle signature (adversarial NULL replay, r5)
     row_sig = F.conv(
         F.substring(
-            F.md5(F.concat_ws(":", key, *[F.col(c).cast("string") for c in payload_cols])),
+            F.md5(F.concat_ws(
+                ":",
+                F.coalesce(key, F.lit("<NULL>")),
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+                    for c in payload_cols
+                ],
+            )),
             1, 8,
         ),
         16, 10,

@@ -142,7 +142,11 @@ sql_query(
     """,
     oracle="""
     SELECT n_regionkey,
-           string_agg(n_name, ',' ORDER BY n_nationkey ASC) AS nations_by_key
+           -- NULLS FIRST matches Spark's struct array_sort (NULL
+           -- fields smallest); DuckDB defaults NULLS LAST
+           -- (adversarial NULL replay, r5)
+           string_agg(n_name, ',' ORDER BY n_nationkey ASC NULLS FIRST)
+             AS nations_by_key
     FROM nation
     GROUP BY n_regionkey
     """,

@@ -229,9 +229,12 @@ def _pipeline_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datafusion_wasm_bindings_spark.operators.cdc import scd2_intervals
 
+    # a change record needs an effective date (NULL odate rows are
+    # unplaceable in the run order); NULLS LAST on the id tie-break —
+    # adversarial NULL replay, r5
     src = (
         table(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") % 20 == 0)
+        .filter((F.col("o_custkey") % 20 == 0) & F.col("o_orderdate").isNotNull())
         .select(
             "o_custkey",
             F.to_date("o_orderdate").alias("odate"),
@@ -243,7 +246,7 @@ def _pipeline_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         src,
         key_cols=["o_custkey"],
         attr_col="o_orderstatus",
-        order_cols=["odate", "o_orderkey"],
+        order_cols=["odate", F.col("o_orderkey").asc_nulls_last()],
     )
     return iv.select(
         "o_custkey",
@@ -259,20 +262,23 @@ query(
     """
     WITH src AS (
       SELECT o_custkey, CAST(o_orderdate AS DATE) AS odate, o_orderkey, o_orderstatus
-      FROM orders WHERE o_custkey % 20 = 0
+      FROM orders WHERE o_custkey % 20 = 0 AND o_orderdate IS NOT NULL
     ),
     lagged AS (
-      SELECT *, lag(o_orderstatus) OVER (PARTITION BY o_custkey
-                                         ORDER BY odate, o_orderkey) AS prev
+      SELECT *,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY odate, o_orderkey NULLS LAST) AS rn,
+             lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                      ORDER BY odate, o_orderkey NULLS LAST) AS prev
       FROM src
     ),
     runs AS (
-      SELECT * FROM lagged WHERE prev IS NULL OR prev <> o_orderstatus
+      SELECT * FROM lagged WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus
     ),
     iv AS (
       SELECT o_custkey, o_orderstatus AS status, odate AS valid_from,
              lead(odate) OVER (PARTITION BY o_custkey
-                               ORDER BY odate, o_orderkey) AS valid_to
+                               ORDER BY odate, o_orderkey NULLS LAST) AS valid_to
       FROM runs
     )
     SELECT o_custkey, status, valid_from,
@@ -294,8 +300,12 @@ def _scale_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datafusion_wasm_bindings_spark.operators.packing import compaction_plan
 
+    # a NULL key has no file id, and a NULL file_id would sit at the
+    # engine-dependent head/tail of the packer's ORDER BY file_id
+    # (adversarial NULL replay, r5)
     files = (
         table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isNotNull())
         .groupBy((F.col("l_orderkey") % 997).alias("file_id"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .withColumn("bytes", (F.col("n_rows") * 64).cast("long"))
@@ -312,7 +322,7 @@ query(
       SELECT l_orderkey % 997 AS file_id,
              count(*) AS n_rows,
              CAST(count(*) * 64 AS BIGINT) AS bytes
-      FROM lineitem GROUP BY 1
+      FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
     ),
     pre AS (
       SELECT file_id, n_rows, bytes,
@@ -375,8 +385,14 @@ query(
 def _sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.sampling import per_key_sample
 
+    from pyspark.sql import functions as F
+
+    # the md5 draw needs an id: NULL doc_id rows are undrawable (and
+    # their NULL draw sorts FIRST in Spark, LAST in DuckDB) —
+    # adversarial NULL replay, r5
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     return per_key_sample(
-        table(spark, sf_dir, "documents"), key_col="lang", id_col="doc_id", n=5
+        docs, key_col="lang", id_col="doc_id", n=5
     ).select("doc_id", "lang", "rn")
 
 
@@ -389,7 +405,7 @@ query(
                PARTITION BY lang
                ORDER BY md5(CAST(doc_id AS VARCHAR) || 'dfwb-k'), doc_id
              ) AS BIGINT) AS rn
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ) WHERE rn <= 5
     """,
     tags=("extension", "sampling"),
@@ -485,8 +501,10 @@ query(
     WITH routed AS (
       SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'dfwb-manifest'), 1, 4)
                   AS BIGINT) % 8 AS shard,
-             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang || ':'
-                                     || CAST(n_chars AS VARCHAR)), 1, 8)
+             CAST('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '<NULL>')
+                                     || ':' || COALESCE(lang, '<NULL>') || ':'
+                                     || COALESCE(CAST(n_chars AS VARCHAR), '<NULL>')),
+                               1, 8)
                   AS BIGINT) AS sig
       FROM documents
     )
@@ -572,30 +590,34 @@ def _profile_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 query(
     "q_profile_fk",
+    # parent PK subqueries filter NULLs: one NULL in a NOT IN list
+    # makes the predicate never-true (3VL) and silently reports ZERO
+    # orphans — the classic NOT-IN trap, hit live by the adversarial
+    # NULL replay (r5); the Spark side's LEFT ANTI join never had it
     """
     SELECT 'lineitem.l_orderkey->orders' AS fk_rule,
            (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL) AS n_checked,
            (SELECT count(*) FROM lineitem
             WHERE l_orderkey IS NOT NULL
-              AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+              AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)) AS n_orphans
     UNION ALL
     SELECT 'orders.o_custkey->customer',
            (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL),
            (SELECT count(*) FROM orders
             WHERE o_custkey IS NOT NULL
-              AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
     UNION ALL
     SELECT 'lineitem.l_partkey->part',
            (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL),
            (SELECT count(*) FROM lineitem
             WHERE l_partkey IS NOT NULL
-              AND l_partkey NOT IN (SELECT p_partkey FROM part))
+              AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL))
     UNION ALL
     SELECT 'customer.c_nationkey->nation',
            (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL),
            (SELECT count(*) FROM customer
             WHERE c_nationkey IS NOT NULL
-              AND c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+              AND c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL))
     """,
     tags=("extension", "profiling", "quality"),
 )(_profile_fk)
@@ -846,8 +868,10 @@ query(
       SELECT doc_id + 1000000 AS doc_id, lang, n_chars FROM v1
       WHERE doc_id + 1000000 < 1000050
     ),
-    s1 AS (SELECT doc_id, md5(lang || ':' || CAST(n_chars AS VARCHAR)) AS sig_old FROM v1),
-    s2 AS (SELECT doc_id, md5(lang || ':' || CAST(n_chars AS VARCHAR)) AS sig_new FROM v2),
+    s1 AS (SELECT doc_id, md5(COALESCE(lang, '<NULL>') || ':'
+                 || COALESCE(CAST(n_chars AS VARCHAR), '<NULL>')) AS sig_old FROM v1),
+    s2 AS (SELECT doc_id, md5(COALESCE(lang, '<NULL>') || ':'
+                 || COALESCE(CAST(n_chars AS VARCHAR), '<NULL>')) AS sig_new FROM v2),
     j AS (SELECT s1.sig_old, s2.sig_new
           FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id)
     SELECT CAST(sum(CASE WHEN sig_old IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
@@ -897,7 +921,9 @@ query(
     SELECT variant, n_users,
            round(s, 6) AS total_value,
            round(s / n_users, 6) AS mean_value,
-           round((sq - s * s / n_users) / (n_users - 1), 6) AS var_value
+           CASE WHEN n_users > 1
+                THEN round((sq - s * s / n_users) / (n_users - 1), 6)
+           END AS var_value
     FROM sums
     """,
     tags=("extension", "events", "behavior", "stats"),
@@ -1000,7 +1026,13 @@ def _fn_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str):
             from collections import Counter
 
-            for w, n in Counter((text or "").split(" ")).items():
+            # NULL/empty text yields NO words: ''.split(' ') is ['']
+            # — a phantom empty-string word the SQL twin's
+            # string_split(NULL) never produces (adversarial NULL
+            # replay, r5)
+            if not text:
+                return
+            for w, n in Counter(text.split(" ")).items():
                 yield w, n
 
     spark.udtf.register("dfwb_word_counts", WordCounts)
@@ -1019,7 +1051,7 @@ query(
     SELECT doc_id, word, count(*) AS n
     FROM (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word
-      FROM documents WHERE doc_id < 20
+      FROM documents WHERE doc_id < 20 AND text IS NOT NULL
     )
     GROUP BY doc_id, word
     """,

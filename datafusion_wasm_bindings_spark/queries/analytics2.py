@@ -35,7 +35,14 @@ def _pipeline_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARTITIONED by bucket — parallel — and the bucket offset lifts it
     to a global id. Bucket width is fixed so |buckets| grows with the
     key domain (~N/4096), never with one task's memory."""
-    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    # a NULL key has no rank position — and worse, its bucket would be
+    # the NULLS-FIRST head of the offset prefix sum, shifting EVERY
+    # global id (adversarial NULL replay, r5)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull())
+        .select("o_orderkey")
+    )
     b = o.withColumn("bkt", F.floor(F.col("o_orderkey") / F.lit(4096)).cast("long"))
     counts = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
     wpref = Window.orderBy(F.col("bkt").asc()).rowsBetween(
@@ -58,7 +65,7 @@ query(
     SELECT o_orderkey, rn FROM (
       SELECT o_orderkey,
              CAST(row_number() OVER (ORDER BY o_orderkey ASC) AS BIGINT) AS rn
-      FROM orders
+      FROM orders WHERE o_orderkey IS NOT NULL
     ) WHERE o_orderkey % 997 = 0
     """,
     tags=("extension", "pipeline", "scale", "window"),
@@ -79,8 +86,13 @@ def _events_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id clustering (hash(user_id) satisfies the (user_id, span_id)
     clustered distribution — no second exchange). Instants surfaced as
     epoch micros (registry determinism rules)."""
-    e = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("s")
+    # an interval needs an event time: NULL-ts rows are unplaceable
+    # (and sort differently per engine) — excluded on both sides
+    # (adversarial NULL replay, r5)
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", F.unix_micros("ts").alias("s"))
     )
     iv = e.withColumn("e", F.col("s") + F.lit(_IV_US))
     w = Window.partitionBy("user_id").orderBy(
@@ -109,7 +121,7 @@ query(
       SELECT user_id, event_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS s,
              epoch_us(CAST(ts AS TIMESTAMP)) + {_IV_US} AS e
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     f AS (
       SELECT user_id, event_id, s, e,
@@ -142,8 +154,16 @@ def _events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lead() window, then a tiny (|types|²) aggregate; the transition
     probability divides two identical int64 counts as doubles on both
     engines (one correctly-rounded IEEE op — bit-identical)."""
-    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # journey order needs an event time; explicit NULLS LAST on the
+    # tie-break (engine defaults differ) — adversarial NULL replay, r5
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc_nulls_last()
+    )
     pairs = (
         e.withColumn("dst", F.lead("event_type").over(w))
         .filter(F.col("dst").isNotNull())
@@ -162,8 +182,9 @@ query(
     WITH pairs AS (
       SELECT user_id, event_type AS src,
              lead(event_type) OVER (PARTITION BY user_id
-                 ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS dst
-      FROM events
+                 ORDER BY CAST(ts AS TIMESTAMP) ASC,
+                          event_id ASC NULLS LAST) AS dst
+      FROM events WHERE ts IS NOT NULL
     ),
     cnt AS (
       SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
@@ -184,8 +205,16 @@ def _events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-purchase event before it (IGNORE NULLS carry-forward window).
     One shuffle on user_id; both windows share the same sort, then a
     tiny (|types|²) aggregate."""
-    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # journeys order by event time: NULL-ts rows excluded, NULLS LAST
+    # tie-break (adversarial NULL replay, r5)
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc_nulls_last()
+    )
     first_touch = F.first("event_type").over(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -208,13 +237,13 @@ query(
     WITH o AS (
       SELECT user_id, event_type,
              first_value(event_type) OVER (PARTITION BY user_id
-                 ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+                 ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC NULLS LAST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch,
              last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
                OVER (PARTITION BY user_id
-                     ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+                     ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC NULLS LAST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT first_touch, COALESCE(last_touch, 'none') AS last_touch,
            CAST(COUNT(*) AS BIGINT) AS n_purchases
@@ -885,8 +914,14 @@ def _events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     days a user is newly covered (measured 33 s → 7 s at 10M events ×
     1M users, BASELINE.md). The oracle keeps the brute-force
     explode+distinct formulation as independent proof."""
-    e = table(spark, sf_dir, "events").select(
-        F.to_date("ts").alias("d"), "user_id"
+    # activity is attributed to a (day, USER): rows with no event time
+    # or no user are uncountable — excluded on both sides; the duck
+    # formulation's COUNT(DISTINCT user_id) would silently skip NULL
+    # users the span-merge grid counts (adversarial NULL replay, r5)
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("d"), "user_id")
     )
     grid = e.distinct()  # (day, user) activity grid — the only event scan
     dau = grid.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
@@ -922,7 +957,8 @@ def _events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 query(
     "q_events_active_users",
     """
-    WITH grid AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    WITH grid AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+                  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
     dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM grid GROUP BY d),
     wau AS (
       SELECT rd AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
@@ -997,14 +1033,24 @@ def _events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     go through the decimal recipe."""
     from datafusion_wasm_bindings_spark.operators.scale import _idiv, bucketed_rank
 
-    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # recency needs a dated purchase (NULL ts dropped); monetary of
+    # value-less purchases coalesces to 0; the user_id tie-break is
+    # explicit NULLS LAST — all three so the rank inputs are NULL-free
+    # or NULL-positioned identically across engines (adversarial NULL
+    # replay, r5; bucketed_rank itself pins NULL order keys FIRST,
+    # Spark's naive-window default, which duck ntile would not match)
+    e = table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+    )
     mx = e.agg(F.max(F.to_date("ts")).alias("today"))
     per_user = (
         e.groupBy("user_id")
         .agg(
             F.max(F.to_date("ts")).alias("last_d"),
             F.count(F.lit(1)).alias("freq"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("monetary"),
+            F.coalesce(
+                F.sum(F.col("value").cast(DEC)).cast("double"), F.lit(0.0)
+            ).alias("monetary"),
         )
         .crossJoin(F.broadcast(mx))
         .select(
@@ -1040,7 +1086,7 @@ def _events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             seg,
             [],
             F.floor(F.col(c) / 16.0),
-            [F.col(c).asc(), F.col("user_id").asc()],
+            [F.col(c).asc(), F.col("user_id").asc_nulls_last()],
             rank_col=f"__rn_{alias}",
         )
     seg = seg.crossJoin(F.broadcast(n_tot)).select(
@@ -1059,7 +1105,7 @@ query(
     """
     WITH p AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
-      WHERE event_type = 'purchase'
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
     ),
     mx AS (SELECT CAST(max(ts) AS DATE) AS today FROM p),
     per_user AS (
@@ -1067,14 +1113,15 @@ query(
              CAST(date_diff('day', CAST(max(ts) AS DATE),
                             (SELECT today FROM mx)) AS BIGINT) AS recency_d,
              CAST(COUNT(*) AS BIGINT) AS freq,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+             COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 0.0)
+               AS monetary
       FROM p GROUP BY user_id
     ),
     seg AS (
       SELECT user_id,
-             ntile(5) OVER (ORDER BY recency_d ASC, user_id ASC) AS r_q,
-             ntile(5) OVER (ORDER BY freq ASC, user_id ASC) AS f_q,
-             ntile(5) OVER (ORDER BY monetary ASC, user_id ASC) AS m_q
+             ntile(5) OVER (ORDER BY recency_d ASC, user_id ASC NULLS LAST) AS r_q,
+             ntile(5) OVER (ORDER BY freq ASC, user_id ASC NULLS LAST) AS f_q,
+             ntile(5) OVER (ORDER BY monetary ASC, user_id ASC NULLS LAST) AS m_q
       FROM per_user
     )
     SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_users
@@ -1183,7 +1230,12 @@ def _graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two formulations must agree exactly."""
     from datafusion_wasm_bindings_spark.operators.graph import bfs_levels
 
-    li = table(spark, sf_dir, "lineitem")
+    # an edge needs BOTH endpoints: NULL part/supp keys would inject a
+    # NULL node into the node set / frontier (adversarial NULL replay,
+    # r5)
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
     fwd = li.select(
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
@@ -1200,8 +1252,10 @@ query(
     f"""
     WITH RECURSIVE e AS (
       SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
       UNION
       SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
     ),
     walk(node, lvl) AS (
       SELECT CAST({_BFS_SOURCE} AS BIGINT) AS node, CAST(0 AS BIGINT) AS lvl
@@ -1366,7 +1420,13 @@ def _events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # explicit NULLS LAST (engine defaults differ) and a den>0 guard:
+    # a row whose 5-tap window holds only NULL values has den = 0, and
+    # ANSI double division throws on /0 — EWMA is NULL there
+    # (adversarial NULL replay, r5)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     num = F.lit(0.0)
     den = F.lit(0.0)
     for i in range(_EWMA_TAPS):
@@ -1375,7 +1435,7 @@ def _events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = num + F.when(x.isNotNull(), F.lit(wt) * x).otherwise(F.lit(0.0))
         den = den + F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
     return (
-        e.withColumn("ewma", num / den)
+        e.withColumn("ewma", F.when(den > 0, num / den))
         .filter(F.col("event_id") < 2000)
         .select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))
     )
@@ -1388,12 +1448,19 @@ def _ewma_oracle() -> str:
         x = f"lag(value, {i}) OVER w"
         num += f" + CASE WHEN {x} IS NOT NULL THEN {wt} * ({x}) ELSE 0.0 END"
         den += f" + CASE WHEN {x} IS NOT NULL THEN {wt} ELSE 0.0 END"
+    # the id filter sits OUTSIDE the window subquery: SQL's WHERE runs
+    # before window functions, which would drop NULL-id rows from the
+    # lag series the Spark side (filter after withColumn) still sees
     return f"""
-    SELECT user_id, event_id, round(({num}) / ({den}), 6) AS ewma
-    FROM events
-    WHERE event_id < 2000
-    WINDOW w AS (PARTITION BY user_id
-                 ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+    SELECT user_id, event_id, ewma FROM (
+      SELECT user_id, event_id,
+             CASE WHEN ({den}) > 0
+                  THEN round(({num}) / ({den}), 6) END AS ewma
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP) ASC NULLS LAST,
+                            event_id ASC NULLS LAST)
+    ) WHERE event_id < 2000
     """
 
 
@@ -1591,8 +1658,13 @@ def _pipeline_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join would square the hot items. Lift divides exact int64
     counts as doubles (bit-identical); top-k via TakeOrdered, then
     positions from a k-row window (q_graph_pagerank's top-k pattern)."""
+    # a basket needs an id and an item: NULL keys would count as a
+    # phantom basket in distinct().count() (DuckDB's COUNT(DISTINCT)
+    # skips NULL — measured 1-basket lift drift) — adversarial NULL
+    # replay, r5
     items = (
         table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -1635,7 +1707,8 @@ def _pipeline_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 query(
     "q_pipeline_itemsets",
     f"""
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+                   WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
     n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
     marg AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS m FROM items GROUP BY 1),
     pairs AS (
@@ -1744,7 +1817,9 @@ query(
     counts AS (
       SELECT bin,
              CAST(SUM(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
-             CAST(SUM(CASE WHEN first_half THEN 0 ELSE 1 END) AS BIGINT) AS n_q
+             -- NOT first_half, never ELSE-1: a NULL event_id belongs
+             -- to NEITHER half (adversarial NULL replay, r5)
+             CAST(SUM(CASE WHEN NOT first_half THEN 1 ELSE 0 END) AS BIGINT) AS n_q
       FROM b GROUP BY bin
     ),
     tot AS (SELECT CAST(SUM(n_p) AS BIGINT) AS tp, CAST(SUM(n_q) AS BIGINT) AS tq FROM counts),
@@ -1777,8 +1852,12 @@ def _events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combinable), then a lag window over the tiny
     (day × type) table; MAPE terms are rounded to 9 dp before the
     exact decimal mean."""
+    # a day series needs a date: NULL-ts rows would form a NULL "day"
+    # whose lag-window position differs per engine (adversarial NULL
+    # replay, r5)
     daily = (
         table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
         .groupBy(F.to_date("ts").alias("d"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1805,7 +1884,7 @@ query(
     """
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS d, event_type, CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     scored AS (
       SELECT event_type, n,

@@ -519,14 +519,19 @@ def _stats_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass is strictly positive; ties broken by the unique key."""
     from datafusion_wasm_bindings_spark.operators.scale import bucketed_rank
 
-    c = table(spark, sf_dir, "customer").select(
-        "c_nationkey", "c_custkey", (F.col("c_acctbal") + 1000.0).alias("xs")
+    # the mass is NON-NULL balances: a NULL xs has no rank position
+    # (and its engine-dependent placement shifts every other rank) —
+    # adversarial NULL replay, r5
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal").isNotNull())
+        .select("c_nationkey", "c_custkey", (F.col("c_acctbal") + 1000.0).alias("xs"))
     )
     r = bucketed_rank(
         c,
         ["c_nationkey"],
         F.floor(F.col("xs") / 100.0),
-        [F.col("xs").asc(), F.col("c_custkey").asc()],
+        [F.col("xs").asc(), F.col("c_custkey").asc_nulls_last()],
         rank_col="r",
     )
     g = r.groupBy("c_nationkey").agg(
@@ -548,8 +553,9 @@ query(
     WITH r AS (
       SELECT c_nationkey, c_acctbal + 1000.0 AS xs,
              CAST(row_number() OVER (PARTITION BY c_nationkey
-                    ORDER BY c_acctbal + 1000.0 ASC, c_custkey ASC) AS BIGINT) AS r
-      FROM customer
+                    ORDER BY c_acctbal + 1000.0 ASC,
+                             c_custkey ASC NULLS LAST) AS BIGINT) AS r
+      FROM customer WHERE c_acctbal IS NOT NULL
     ),
     g AS (
       SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
@@ -741,11 +747,16 @@ def _stats_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one combinable shuffle to the |labels|^2 agreement
     matrix; marginals, p_o, p_e all run on the category-sized table."""
+    # F.get (0-based), NOT element_at: Spark 4.1.2's codegen feeds a
+    # NULL index's value slot (-1) into element_at, which silently
+    # returns the LAST element instead of NULL (and getItem throws
+    # INVALID_ARRAY_INDEX -1) — found by the adversarial NULL replay,
+    # pinned in tests/test_operators.py::test_null_index_array_pick
     o = table(spark, sf_dir, "orders").select(
         F.col("o_orderstatus").alias("a"),
-        F.element_at(
+        F.get(
             F.array(F.lit("F"), F.lit("O"), F.lit("P")),
-            ((F.col("o_custkey") + F.col("o_orderkey")) % 3 + 1).cast("int"),
+            ((F.col("o_custkey") + F.col("o_orderkey")) % 3).cast("int"),
         ).alias("b"),
     )
     m = (
@@ -1072,18 +1083,27 @@ def _events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("x") * F.col("y"), "sxy"),
         dsum(F.col("y") * F.col("y"), "syy"),
     )
+    # pooled sums go through DECIMAL: with a NULL arm the per-arm
+    # relation is 3 rows, and a 3-operand double window sum is
+    # association-order-dependent across engines (2 rows never was) —
+    # adversarial NULL replay, r5. The inputs are exact 1e-6 multiples
+    # (dsum outputs), so the decimal detour is lossless.
     w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    def dwin(c: str, a: str):
+        return F.sum(F.col(c).cast(DEC)).over(w).cast("double").alias(a)
+
     tot = g.select(
         "arm",
         "n",
         "sx",
         "sy",
         F.sum("n").over(w).alias("nt"),
-        F.sum("sx").over(w).alias("sxt"),
-        F.sum("sy").over(w).alias("syt"),
-        F.sum("sxx").over(w).alias("sxxt"),
-        F.sum("sxy").over(w).alias("sxyt"),
-        F.sum("syy").over(w).alias("syyt"),
+        dwin("sx", "sxt"),
+        dwin("sy", "syt"),
+        dwin("sxx", "sxxt"),
+        dwin("sxy", "sxyt"),
+        dwin("syy", "syyt"),
     )
     cov = F.col("sxyt") - F.col("sxt") * F.col("syt") / F.col("nt")
     varx = F.col("sxxt") - F.col("sxt") * F.col("sxt") / F.col("nt")
@@ -1125,9 +1145,12 @@ query(
     ),
     tot AS (
       SELECT arm, n, sx, sy,
-             SUM(n) OVER () AS nt, SUM(sx) OVER () AS sxt, SUM(sy) OVER () AS syt,
-             SUM(sxx) OVER () AS sxxt, SUM(sxy) OVER () AS sxyt,
-             SUM(syy) OVER () AS syyt
+             SUM(n) OVER () AS nt,
+             CAST(SUM(CAST(sx AS DECIMAL(18,6))) OVER () AS DOUBLE) AS sxt,
+             CAST(SUM(CAST(sy AS DECIMAL(18,6))) OVER () AS DOUBLE) AS syt,
+             CAST(SUM(CAST(sxx AS DECIMAL(18,6))) OVER () AS DOUBLE) AS sxxt,
+             CAST(SUM(CAST(sxy AS DECIMAL(18,6))) OVER () AS DOUBLE) AS sxyt,
+             CAST(SUM(CAST(syy AS DECIMAL(18,6))) OVER () AS DOUBLE) AS syyt
       FROM g
     )
     SELECT arm, CAST(n AS BIGINT) AS n,

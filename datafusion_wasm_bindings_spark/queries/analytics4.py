@@ -295,9 +295,12 @@ def _events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value"), "rev"),
         )
     )
-    w_cum = Window.partitionBy("cohort_m").orderBy("age").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    # explicit NULLS LAST: a NULL age (unplaceable revenue) cumulates
+    # at the END of the curve on both engines, not at Spark's default
+    # NULLS-FIRST head (adversarial NULL replay, r5)
+    w_cum = Window.partitionBy("cohort_m").orderBy(
+        F.col("age").asc_nulls_last()
+    ).rowsBetween(Window.unboundedPreceding, 0)
     return g.select(
         F.concat_ws(
             "-",
@@ -333,7 +336,8 @@ query(
              lpad(CAST(cohort_m % 12 + 1 AS VARCHAR), 2, '0') AS cohort,
            CAST(age AS BIGINT) AS age, n_events, rev,
            CAST(SUM(CAST(rev AS DECIMAL(18,6))) OVER (PARTITION BY cohort_m
-                  ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  ORDER BY age NULLS LAST
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS DOUBLE) AS cum_rev
     FROM g
     """,
@@ -362,7 +366,12 @@ def _sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-identical to the naive window but parallel within strata."""
     from datafusion_wasm_bindings_spark.operators.scale import bucketed_rank
 
-    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # the md5 draw needs an id (adversarial NULL replay, r5)
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
     g = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_h"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("s"),
@@ -407,7 +416,7 @@ query(
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_h,
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
              CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS ss
-      FROM events GROUP BY event_type
+      FROM events WHERE event_id IS NOT NULL GROUP BY event_type
     ),
     alloc AS (
       SELECT event_type, n_h,
@@ -423,7 +432,8 @@ query(
              CAST(row_number() OVER (PARTITION BY e.event_type
                ORDER BY md5(CAST(e.event_id AS VARCHAR) || 'dfwb-ney') ASC,
                         e.event_id ASC) AS BIGINT) AS rk
-      FROM events e JOIN alloc a USING (event_type)
+      FROM (SELECT * FROM events WHERE event_id IS NOT NULL) e
+      JOIN alloc a USING (event_type)
     )
     SELECT event_type, event_id, rk, n_h, sigma, a_h
     FROM ranked WHERE rk <= a_h
@@ -454,7 +464,15 @@ def _events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIT-identically. The argmax row then comes from two lean combinable
     aggregates (max c per type, then min pos among exact-double ties) —
     no per-type fact window anywhere."""
-    e = table(spark, sf_dir, "events").select("event_type", "event_id", "ts", "value")
+    # a CUSUM observation needs BOTH a time (series position) and a
+    # value (deviation); NULL-ts/NULL-value rows are excluded on both
+    # sides, and the tie-break id carries explicit NULLS LAST
+    # (adversarial NULL replay, r5)
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("event_type", "event_id", "ts", "value")
+    )
     g = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("s"),
@@ -485,7 +503,7 @@ def _events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("bsum").over(w_pref), F.lit(0).cast(DEC)).alias("sum_off"),
     )
     w_b = Window.partitionBy("event_type", "bkt").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
+        F.col("ts").asc(), F.col("event_id").asc_nulls_last()
     )
     w_bcum = w_b.rowsBetween(Window.unboundedPreceding, 0)
     staged = (
@@ -523,7 +541,8 @@ query(
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
              CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS ss
-      FROM events GROUP BY event_type
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY event_type
     ),
     stats AS (
       SELECT event_type, n, s / n AS mu,
@@ -534,11 +553,14 @@ query(
       SELECT e.event_type, st.n, st.sigma,
              CAST(row_number() OVER w AS BIGINT) AS pos,
              abs(CAST(SUM(CAST(e.value - st.mu AS DECIMAL(18,6)))
-                   OVER (PARTITION BY e.event_type ORDER BY e.ts ASC, e.event_id ASC
+                   OVER (PARTITION BY e.event_type
+                         ORDER BY e.ts ASC, e.event_id ASC NULLS LAST
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))
                / (st.sigma * sqrt(st.n)) AS c
-      FROM events e JOIN stats st USING (event_type)
-      WINDOW w AS (PARTITION BY e.event_type ORDER BY e.ts ASC, e.event_id ASC)
+      FROM (SELECT * FROM events WHERE ts IS NOT NULL AND value IS NOT NULL) e
+      JOIN stats st USING (event_type)
+      WINDOW w AS (PARTITION BY e.event_type
+                   ORDER BY e.ts ASC, e.event_id ASC NULLS LAST)
     )
     SELECT event_type, n,
            CAST(CAST(c AS DECIMAL(18,6)) AS DOUBLE) AS cusum_stat,
@@ -633,15 +655,23 @@ def _win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the tiny bucket table broadcast back, in-bucket cumsum in
     parallel. Integer sums make the lift trivially exact. Output
     sampled to bound the compare."""
-    e = table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "user_id", "ts"
+    # the running axis is event time (NULL-ts rows excluded on both
+    # sides); a NULL user is NOT a distinct user — COUNT(DISTINCT)
+    # skips NULLs, so the first-occurrence flag must too (adversarial
+    # NULL replay, r5)
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "event_type", "user_id", "ts")
     )
     w_first = Window.partitionBy("event_type", "user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
+        F.col("ts").asc(), F.col("event_id").asc_nulls_last()
     )
     bkt_us = 6 * 3_600_000_000
     flagged = e.withColumn(
-        "first_seen", (F.row_number().over(w_first) == 1).cast("long")
+        "first_seen",
+        ((F.row_number().over(w_first) == 1) & F.col("user_id").isNotNull())
+        .cast("long"),
     ).withColumn("bkt", F.floor(F.unix_micros("ts") / F.lit(bkt_us)).cast("long"))
     bs = flagged.groupBy("event_type", "bkt").agg(
         F.sum("first_seen").alias("bsum")
@@ -658,11 +688,16 @@ def _win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_bcum = (
         Window.partitionBy("event_type", "bkt")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    from datafusion_wasm_bindings_spark.queries._util import nsjoin
+
+    # nsjoin: PARTITION BY keeps NULL event_type as its own group, a
+    # plain offset equi-join would drop those rows (the r5 (a)/(f)
+    # window→join-back class, caught live here by the NULL replay)
     return (
-        flagged.join(F.broadcast(offs), ["event_type", "bkt"])
+        nsjoin(flagged, offs, ["event_type", "bkt"])
         .withColumn(
             "distinct_users",
             (F.sum("first_seen").over(w_bcum) + F.col("off")).cast("long"),
@@ -678,10 +713,10 @@ query(
     SELECT event_id, event_type, distinct_users FROM (
       SELECT event_id, event_type,
              CAST(count(DISTINCT user_id) OVER (PARTITION BY event_type
-               ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+               ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC NULLS LAST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS distinct_users
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ) WHERE event_id % 97 = 0
     """,
     tags=("extension", "window", "events", "compat"),

@@ -608,6 +608,11 @@ def _rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot(F.col("x"), F.col("q1x")).alias("s1"),
             _dot(F.col("x"), F.col("q2x")).alias("s2"),
         )
+        # a vector only participates if BOTH retriever scores are
+        # defined: a NULL embedding (query or corpus side) yields NULL
+        # dots, which the oracle's join-on-components formulation drops
+        # implicitly (adversarial NULL replay, r5)
+        .filter(F.col("s1").isNotNull() & F.col("s2").isNotNull())
         .localCheckpoint(eager=True)
     )
     r1 = bucketed_rank(
@@ -687,8 +692,12 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extensions._kmeans_chain) and then the representative scoring."""
     from datafusion_wasm_bindings_spark.operators.clustering import semantic_dedup
 
+    from datafusion_wasm_bindings_spark.queries.extensions import _vecs
+
+    # id+payload population — see extensions._vecs (adversarial NULL
+    # replay, r5)
     return semantic_dedup(
-        table(spark, sf_dir, "embeddings"),
+        _vecs(spark, sf_dir),
         k=_SEM_K,
         iters=_SEM_ITERS,
         threshold=_SEM_TAU,
@@ -703,7 +712,7 @@ def _semantic_oracle(k: int, iters: int, tau: float) -> str:
 
     chain = _kmeans_chain(k, iters)
     return f"""
-    WITH {_COMP.format(where="")},{chain},
+    WITH {_COMP.format(where="WHERE vec_id IS NOT NULL AND embedding IS NOT NULL")},{chain},
     rep AS (
       SELECT cid, CAST(min(vec_id) AS BIGINT) AS rep_vec
       FROM asg{iters} GROUP BY 1

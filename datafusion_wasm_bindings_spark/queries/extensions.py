@@ -20,6 +20,7 @@ check):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from datafusion_wasm_bindings_spark.queries import QUERIES, query, sql_query
 from datafusion_wasm_bindings_spark.queries._util import dsum_sql
@@ -68,7 +69,7 @@ query(
     """
     WITH t AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     sh AS (
       SELECT doc_id,
@@ -144,7 +145,11 @@ query(
 def _dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.dedup import paragraph_dedup
 
-    return paragraph_dedup(table(spark, sf_dir, "documents"))
+    # doc-keyed: the oracle's GROUP BY doc_id would interleave every
+    # NULL-id doc's paragraphs into one reassembled pseudo-doc
+    # (adversarial NULL replay, r5 — q_text_langid convention)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    return paragraph_dedup(docs)
 
 
 # fully relational (split → first-occurrence window → reassemble), so
@@ -156,7 +161,7 @@ query(
       SELECT doc_id,
              generate_subscripts(regexp_split_to_array(text, '\.\s+'), 1) - 1 AS pos,
              unnest(regexp_split_to_array(text, '\.\s+')) AS para
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ),
     nz AS (SELECT * FROM paras WHERE length(para) > 0),
     flagged AS (
@@ -324,18 +329,24 @@ query(
 _QUERY_IDS = [1, 2, 3, 4, 5]
 
 
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-family population: rows with an id AND a payload
+    (adversarial NULL replay, r5 — see _cluster_kmeans's note)."""
+    return table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+
+
 def _sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.similarity import cosine_topk_bruteforce
 
-    return cosine_topk_bruteforce(
-        table(spark, sf_dir, "embeddings"), query_ids=_QUERY_IDS, k=3
-    )
+    return cosine_topk_bruteforce(_vecs(spark, sf_dir), query_ids=_QUERY_IDS, k=3)
 
 
 query(
     "q_sim_topk",
     f"""
-    WITH {_COMP.format(where="")},
+    WITH {_COMP.format(where="WHERE vec_id IS NOT NULL AND embedding IS NOT NULL")},
     dots AS (
       SELECT qq.vec_id AS query_id, c.vec_id AS cand_id, sum(qq2.val * c.val) AS dot
       FROM (SELECT vec_id FROM q WHERE vec_id IN (1,2,3,4,5)) qq
@@ -382,7 +393,8 @@ def _recall_vs_exact(approx: DataFrame, exact: DataFrame, min_hits: int) -> Data
 
 _RECALL_ORACLE = (
     "SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok FROM embeddings "
-    f"WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})"
+    f"WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))}) "
+    "AND embedding IS NOT NULL"
 )
 
 
@@ -392,7 +404,7 @@ def _sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_bucketed_topk,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _vecs(spark, sf_dir)
     approx = lsh_bucketed_topk(emb, query_ids=_QUERY_IDS, k=3, planes=4, tables=8)
     exact = cosine_topk_bruteforce(emb, query_ids=_QUERY_IDS, k=3)
     # 8-table LSH measured recall@3 ≥ 1/3 per query on every fixture SF
@@ -408,7 +420,7 @@ def _sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _vecs(spark, sf_dir)
     approx = ivf_topk(
         emb,
         query_ids=_QUERY_IDS,
@@ -432,7 +444,7 @@ def _sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_topk,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _vecs(spark, sf_dir)
     approx = pq_topk(
         emb,
         query_ids=_QUERY_IDS,
@@ -708,7 +720,13 @@ query(
 def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.text import language_id
 
-    return language_id(table(spark, sf_dir, "documents"), spark)
+    # doc-keyed corpus ops filter NULL doc_ids: the oracle's GROUP BY
+    # doc_id would merge every NULL-id doc into one pseudo-document
+    # and its USING join would then drop them (adversarial NULL
+    # replay, r5 — same convention as q_text_repetition /
+    # q_text_decontaminate)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    return language_id(docs, spark)
 
 
 def _lex_values() -> str:
@@ -723,7 +741,8 @@ query(
     "q_text_langid",
     f"""
     WITH lex(lang_cand, tok) AS (VALUES {_lex_values()}),
-    toks AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+    toks AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+             WHERE doc_id IS NOT NULL),
     hits AS (
       SELECT doc_id, lang_cand, count(*) AS hits
       FROM toks JOIN lex USING (tok) GROUP BY 1, 2
@@ -738,7 +757,7 @@ query(
            coalesce(b.lang_pred, 'und') AS lang_pred,
            coalesce(b.best_hits, 0) AS best_hits,
            d.lang
-    FROM documents d
+    FROM (SELECT * FROM documents WHERE doc_id IS NOT NULL) d
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
     """,
     tags=("extension", "text"),
@@ -763,7 +782,10 @@ def _text_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datafusion_wasm_bindings_spark.operators.text import language_id
 
-    pred = language_id(table(spark, sf_dir, "documents"), spark)
+    # doc-keyed: see _text_langid's NULL doc_id note
+    pred = language_id(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull()), spark
+    )
     cm = (
         pred.groupBy(F.col("lang"), F.col("lang_pred"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -810,7 +832,8 @@ query(
     "q_text_confusion",
     f"""
     WITH lex(lang_cand, tok) AS (VALUES {_lex_values()}),
-    toks AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+    toks AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+             WHERE doc_id IS NOT NULL),
     hits AS (
       SELECT doc_id, lang_cand, count(*) AS hits
       FROM toks JOIN lex USING (tok) GROUP BY 1, 2
@@ -823,7 +846,7 @@ query(
     ),
     pred AS (
       SELECT d.doc_id, coalesce(b.lang_pred, 'und') AS lang_pred, d.lang
-      FROM documents d
+      FROM (SELECT * FROM documents WHERE doc_id IS NOT NULL) d
       LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
     ),
     cm AS (
@@ -874,14 +897,16 @@ query(
 def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.text import repetition_scores
 
-    return repetition_scores(table(spark, sf_dir, "documents"))
+    # doc-keyed: see _text_langid's NULL doc_id note
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    return repetition_scores(docs)
 
 
 query(
     "q_text_repetition",
     f"""
     WITH t AS (
-      SELECT doc_id, {_TOK} AS toks FROM documents
+      SELECT doc_id, {_TOK} AS toks FROM documents WHERE doc_id IS NOT NULL
     ),
     b AS (
       SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
@@ -1784,9 +1809,17 @@ query(
 
 
 def _pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from datafusion_wasm_bindings_spark.operators.packing import pack_sequences
 
-    return pack_sequences(table(spark, sf_dir, "documents"), budget=512, n_shards=8)
+    # packing needs an id (shard/order key) and content (token count):
+    # NULL-id/NULL-text docs are excluded on both sides (adversarial
+    # NULL replay, r5)
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    return pack_sequences(docs, budget=512, n_shards=8)
 
 
 query(
@@ -1794,7 +1827,7 @@ query(
     f"""
     WITH d AS (
       SELECT doc_id, doc_id % 8 AS shard, len({_TOK}) AS n_tokens
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
     ),
     placed AS (
       SELECT shard, n_tokens,
@@ -1824,7 +1857,10 @@ query(
 def _text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.text import decontaminate
 
-    docs = table(spark, sf_dir, "documents")
+    # NULL-text docs have no shingles: the Spark shingle explode drops
+    # them while the oracle would carry a NULL n_shingles row —
+    # excluded explicitly on both sides (adversarial NULL replay, r5)
+    docs = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     evals = docs.filter("doc_id % 41 = 0")
     train = docs.filter("doc_id % 41 <> 0")
     return decontaminate(train, evals, n=3)
@@ -1838,7 +1874,7 @@ query(
     """
     WITH t AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     sh AS (
       SELECT doc_id,
@@ -2252,8 +2288,12 @@ query(
     "q_scale_incremental_agg",
     """
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
-           CAST(COUNT(DISTINCT EXTRACT(year FROM o_orderdate) * 100
-                      + EXTRACT(month FROM o_orderdate)) AS BIGINT) AS n_partials,
+           -- COALESCE sentinel: the NULL-date month is still ONE
+           -- persisted partial; bare COUNT(DISTINCT) would skip it
+           -- (adversarial NULL replay, r5)
+           CAST(COUNT(DISTINCT COALESCE(EXTRACT(year FROM o_orderdate) * 100
+                      + EXTRACT(month FROM o_orderdate), -1)) AS BIGINT)
+             AS n_partials,
            COUNT(*) AS n_rows,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
     FROM orders GROUP BY 1
@@ -2316,7 +2356,12 @@ def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.graph import pagerank_topk
     from pyspark.sql import functions as F
 
-    li = table(spark, sf_dir, "lineitem")
+    # an edge needs BOTH endpoints: NULL part/supp keys would inject a
+    # NULL node into the node set / frontier (adversarial NULL replay,
+    # r5)
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
     fwd = li.select(
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
@@ -2337,8 +2382,10 @@ def _pagerank_oracle(iters: int, k: int, damping: float) -> str:
     base, damp = repr(1.0 - damping), repr(damping)
     cte = """
     e AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+          WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
           UNION
-          SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem),
+          SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem
+          WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
     nd AS (SELECT DISTINCT src AS node FROM e),
     deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
     c AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nd),
@@ -2437,8 +2484,12 @@ def _scale_hll_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         sharded_hll_distinct,
     )
 
+    # a NULL key hashes to no shard (the oracle's COUNT(DISTINCT ...)
+    # skips NULL implicitly) — adversarial NULL replay, r5
     return sharded_hll_distinct(
-        table(spark, sf_dir, "orders"), "o_custkey", n_shards=8
+        table(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull()),
+        "o_custkey",
+        n_shards=8,
     )
 
 
@@ -2510,8 +2561,13 @@ _KMEANS_K, _KMEANS_ITERS = 4, 2
 def _cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.clustering import kmeans_clusters
 
+    # a vector participates iff it has an id AND a payload: DuckDB's
+    # unnest CTE silently MERGES all NULL-vec_id rows into one
+    # pseudo-vector and drops NULL embeddings — pin the same population
+    # explicitly on both sides (adversarial NULL replay, r5); applies
+    # to every embedding-family query
     return kmeans_clusters(
-        table(spark, sf_dir, "embeddings"), k=_KMEANS_K, iters=_KMEANS_ITERS
+        _vecs(spark, sf_dir), k=_KMEANS_K, iters=_KMEANS_ITERS
     )
 
 
@@ -2556,7 +2612,7 @@ def _kmeans_oracle(k: int, iters: int) -> str:
     after the replayed fit)."""
     chain = _kmeans_chain(k, iters)
     return f"""
-    WITH {_COMP.format(where="")},{chain}
+    WITH {_COMP.format(where="WHERE vec_id IS NOT NULL AND embedding IS NOT NULL")},{chain}
     SELECT a.cid AS cluster_id,
            CAST(count(*) AS BIGINT) AS n_vecs,
            min(a.vec_id) AS min_vec,
@@ -2583,7 +2639,7 @@ def _kmeans_db_oracle(k: int, iters: int) -> str:
     chain = _kmeans_chain(k, iters)
     it = iters
     return f"""
-    WITH {_COMP.format(where="")},{chain},
+    WITH {_COMP.format(where="WHERE vec_id IS NOT NULL AND embedding IS NOT NULL")},{chain},
     si AS (
       SELECT a.cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
              CAST(SUM(CAST(sqrt(CAST(n.n2 AS DOUBLE) + a.d) AS DECIMAL(18,6)))
@@ -2620,7 +2676,7 @@ def _cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.clustering import kmeans_quality
 
     return kmeans_quality(
-        table(spark, sf_dir, "embeddings"), k=_KMEANS_K, iters=_KMEANS_ITERS
+        _vecs(spark, sf_dir), k=_KMEANS_K, iters=_KMEANS_ITERS
     )
 
 

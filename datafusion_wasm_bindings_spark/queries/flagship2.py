@@ -345,8 +345,11 @@ query(
     SELECT l_linestatus,
            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+           -- NOT IN, not ELSE-1: a NULL priority is neither high nor
+           -- low (TPC-H's own <> chain semantics) — the ELSE branch
+           -- was counting NULLs as low (adversarial NULL replay, r5)
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'

@@ -90,7 +90,7 @@ sql_query(
     """
     SELECT l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
-                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC
+                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC NULLS LAST
                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS qty_3row
     FROM lineitem
     WHERE l_orderkey <= 500

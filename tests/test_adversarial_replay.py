@@ -1,0 +1,68 @@
+"""Adversarial NULL-replay regression (tools_adversarial_replay.py).
+
+The full registry replay runs out-of-band (`python
+tools_adversarial_replay.py`); this test keeps a SENTINEL subset in the
+suite — one id per divergence class the r5 campaign fixed — so a
+regression in any class fails CI without paying the full-registry cost.
+
+Both engines read the SAME seeded NULL-mutated parquet, so any
+disagreement is a genuine cross-engine semantics divergence in the
+query/oracle pair, not a data difference.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from tools_adversarial_replay import build_mode_dir, simulate_relaxed
+
+# one id per fixed divergence class (see the r5 NULL-hardening commits)
+SENTINELS = [
+    "q_clean_winsorize",        # k-th order statistic over NULLs
+    "q_fn_string_basic",        # concat NULL semantics (skip vs propagate)
+    "q_fn_argminmax",           # arg_max NULL-arg skip asymmetry
+    "q_events_tumbling",        # event-time window drops NULL ts
+    "q_join_asof",              # ASOF NULL-ts forward-fill / +inf probe
+    "q_profile_fk",             # NOT IN + nullable subquery trap
+    "q_tpch_q12",               # CASE ELSE bucket counting NULLs
+    "q_events_ewma",            # window-before-WHERE vs filter-after
+    "q_pipeline_manifest",      # '<NULL>' sentinel signatures
+    "q_stats_kappa",            # Spark element_at NULL-index bug (F.get)
+    "q_win_distinct_running",   # NULL-group offset join-back (nsjoin)
+    "q_cluster_kmeans",         # NULL-vec_id pseudo-vector merge
+]
+
+
+@pytest.fixture(scope="module")
+def adv_dir():
+    return build_mode_dir("nulls")
+
+
+@pytest.fixture(scope="module")
+def adv_duck(adv_dir):
+    from datafusion_wasm_bindings_spark.sources.catalog import TABLE_NAMES
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(adv_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+            )
+    yield con
+    con.close()
+
+
+def test_sentinel_queries_survive_null_injection(spark, adv_dir, adv_duck):
+    from datafusion_wasm_bindings_spark.queries import load_all
+    from datafusion_wasm_bindings_spark.queries.sources_q import _ensure_text_fixtures
+
+    _ensure_text_fixtures(adv_dir)
+    registry = load_all()
+    todo = [(n, registry[n]) for n in SENTINELS]
+    results = simulate_relaxed(todo, spark, adv_duck, adv_dir)
+    bad = {k: v for k, v in results.items() if not v["ok"]}
+    assert not bad, f"adversarial NULL replay regressions: {bad}"

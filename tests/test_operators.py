@@ -1861,3 +1861,30 @@ def test_bucketed_prefix_sum_matches_naive_window(spark):
         map(tuple, df.select("id", "v").withColumn("rs", F.sum("v").over(wg)).collect())
     )
     assert got_g == ref_g
+
+
+def test_null_index_array_pick(spark):
+    """Spark 4.1.2 quirk (adversarial NULL replay, r5): when a NULLABLE
+    computed index reaches ``element_at(array_literal, idx)`` through
+    the codegen path, the NULL row's index VALUE SLOT (-1) is consumed
+    instead of its null flag — element_at returns the LAST element
+    (negative indexing) rather than NULL, and ``arr[idx]`` throws
+    INVALID_ARRAY_INDEX -1. ``F.get`` (0-based) handles the NULL
+    correctly and is the registry idiom (q_stats_kappa). This test
+    pins the SAFE idiom only; if a future Spark fixes element_at, it
+    keeps passing."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(4).select(
+        F.when(F.col("id") % 2 == 0, F.col("id") % 3 + 1).alias("idx1")
+    )
+    arr = F.array(F.lit("F"), F.lit("O"), F.lit("P"))
+    got = df.select(
+        "idx1",
+        F.get(arr, F.col("idx1").cast("int") - 1).alias("picked"),
+    ).collect()
+    for row in got:
+        if row.idx1 is None:
+            assert row.picked is None  # the whole point
+        else:
+            assert row.picked == ["F", "O", "P"][int(row.idx1) - 1]
