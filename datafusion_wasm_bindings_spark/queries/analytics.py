@@ -789,7 +789,9 @@ query(
            CAST(list_position([10, 20, 30, n_nationkey], n_nationkey) AS BIGINT) AS pos,
            CAST(len(list_distinct([n_nationkey, n_regionkey, n_regionkey])) AS BIGINT) AS n_uniq,
            array_to_string(list_slice([1, 2, 3, 4, 5], 2, 4), ',') AS sliced,
-           array_to_string(list_sort(list_distinct(list_concat([n_nationkey], [n_regionkey]))), ',') AS unioned
+           COALESCE(array_to_string(list_sort(list_distinct(
+                      list_concat([n_nationkey], [n_regionkey]))), ','), '')
+             AS unioned
     FROM nation
     """,
     tags=("functions", "core"),

@@ -217,8 +217,12 @@ sql_query(
     """,
     oracle="""
     SELECT n_regionkey,
-           array_to_string(list_sort(array_agg(n_nationkey)), ',') AS keys_sorted,
-           array_to_string(list_sort(list_distinct(array_agg(n_name))), ',') AS names_distinct
+           -- COALESCE: DuckDB stringifies the all-NULL/empty list to
+           -- NULL where Spark's concat_ws yields '' (r3 pitfall (b))
+           COALESCE(array_to_string(list_sort(array_agg(n_nationkey)), ','), '')
+             AS keys_sorted,
+           COALESCE(array_to_string(list_sort(list_distinct(array_agg(n_name))), ','),
+                    '') AS names_distinct
     FROM nation GROUP BY n_regionkey
     """,
     tags=("agg_fn",),
@@ -244,13 +248,38 @@ sql_query(
     tags=("agg_fn",),
 )
 
-# first_value(x ORDER BY y) / last_value → min_by / max_by (both engines)
+# first_value(x ORDER BY y) / last_value → min_by / max_by (both
+# engines). Hardened by the adversarial replay (r5): the FILTER pins
+# DuckDB arg_max's NULL-arg skip (and excludes NULL prices, whose
+# position inside a composite ordering differs per engine), and the
+# COMPOSITE ordering value (price, key) makes the pick deterministic
+# under price ties — Spark compares the struct, DuckDB the same pair
+# as a list (key cast to DOUBLE; keys ≪ 2^53 so the cast is exact).
 sql_query(
     "q_fn_first_last_value",
     """
     SELECT o_orderstatus,
-           min_by(o_orderkey, o_totalprice) AS cheapest_order,
-           max_by(o_orderkey, o_totalprice) AS priciest_order
+           min_by(o_orderkey, struct(o_totalprice, o_orderkey))
+             FILTER (WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL)
+             AS cheapest_order,
+           max_by(o_orderkey, struct(o_totalprice, o_orderkey))
+             FILTER (WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL)
+             AS priciest_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+    # arg_min/arg_max don't bind LIST ordering values in DuckDB —
+    # min/max over the lexicographically-compared [price, key] list
+    # carry the key in slot 2 instead
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(min([o_totalprice, CAST(o_orderkey AS DOUBLE)])
+                  FILTER (WHERE o_orderkey IS NOT NULL
+                          AND o_totalprice IS NOT NULL)[2] AS BIGINT)
+             AS cheapest_order,
+           CAST(max([o_totalprice, CAST(o_orderkey AS DOUBLE)])
+                  FILTER (WHERE o_orderkey IS NOT NULL
+                          AND o_totalprice IS NOT NULL)[2] AS BIGINT)
+             AS priciest_order
     FROM orders GROUP BY o_orderstatus
     """,
     tags=("agg_fn",),

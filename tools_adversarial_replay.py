@@ -20,12 +20,17 @@ Mutation modes (deterministic, seeded; written once per mode under
   NULL group keys, NULL join keys, NULL order keys, NULL text/arrays
   through every HOF chain, NULL timestamps through the event-time
   paths.
-- ``dupes``: ~5% of rows duplicated (full-row copies, one extra copy
-  each) ON TOP of the null injection. Full-row duplicates keep the
-  value multiset deterministic (any tie-break among identical rows
-  yields identical output), while stressing grouping cardinalities,
-  distinct/dedup logic, and LIMIT boundaries that now cut between
-  tied rows.
+- ``dupes``: ~5% of rows duplicated ON TOP of (independently seeded)
+  null injection, with each copy RE-KEYED — the table's id column is
+  offset by 10M so the copy is a new row with identical CONTENT.
+  Exact full-row duplication is deliberately NOT used: it violates
+  the primary-key identity both engines' formulations legitimately
+  assume (DuckDB's unnest/GROUP BY CTEs would merge the copies into
+  one doubled pseudo-record, Spark operators would process each row
+  — neither is "right" about corrupt input). Re-keyed copies instead
+  stress what a pipeline actually meets: duplicate CONTENT under
+  distinct ids — dedup recall, grouping cardinalities, tie-breaking,
+  and FK orphans (a re-keyed parent copy matches no children).
 
 Usage::
 
@@ -60,6 +65,18 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+# id column offset for re-keyed duplicate copies (lineitem's key is
+# composite — offsetting l_linenumber keeps the order join intact
+# while making the line unique)
+KEY_COL = {
+    "region": "r_regionkey", "nation": "n_nationkey",
+    "customer": "c_custkey", "supplier": "s_suppkey",
+    "part": "p_partkey", "orders": "o_orderkey",
+    "lineitem": "l_linenumber", "events": "event_id",
+    "documents": "doc_id", "embeddings": "vec_id",
+}
+KEY_OFFSET = 10_000_000
 
 # Queries whose adversarial verdict is EXPECTED to differ, each with the
 # reason; anything listed here is reported but not counted as a failure.
@@ -99,7 +116,15 @@ def build_mode_dir(mode: str, root: str = ROOT, src_dir: str | None = None) -> s
             rng = np.random.default_rng([SEED, 0xD0BE, hash(t) & 0xFFFF])
             picks = np.flatnonzero(rng.random(n) < DUPE_RATE)
             if len(picks):
-                mut = pa.concat_tables([mut, mut.take(pa.array(picks))])
+                copies = mut.take(pa.array(picks))
+                kc = KEY_COL[t]
+                ki = copies.column_names.index(kc)
+                col = copies.column(ki).combine_chunks()
+                import pyarrow.compute as pc
+
+                rekeyed = pc.add(col, pa.scalar(KEY_OFFSET, type=col.type))
+                copies = copies.set_column(ki, copies.schema.field(ki), rekeyed)
+                mut = pa.concat_tables([mut, copies])
         pq.write_table(mut, os.path.join(out_dir, f"{t}.parquet"))
     open(stamp, "w").write("ok")
     return out_dir
