@@ -67,67 +67,66 @@ _MODULES = (
     "analytics5",
 )
 
-# Round-5 driver window (exactly 50 names, VERDICT r4 next-round #1):
-# zero fail-closures exist (a first), so the window is pure
-# never-checked drain. TPC-H wave first (the reference's canonical
-# workload, SURVEY §7.6: the displaced q_tpch_q12/q13 plus
-# q14-q22/q2/q9/q11/q16/q20/q21), then the 5 verdict-named relational
-# extensions (pivot/unpivot/qualify/groupby-all/lateral), then
-# never-checked ids in registration order (events/pipeline/profile
-# wave). 39 never-checked ids remain for round 6. Names listed here
-# move to the FRONT of the registry in this order; everything else
-# follows in registration order.
+# Round-6 driver window (exactly 50 names, VERDICT r5 next-round #1):
+# ALL 46 remaining never-checked ids in registration order (the
+# stats/ML/events analytics waves plus the 7 wave-12/13 additions),
+# then 4 re-verify slots for the oldest r1-stamped SURVEY greens
+# (q_agg_groupby, q_join_inner, q_win_ranking, q_sort — never
+# re-verified since r1). A green CORRECTNESS_r06 makes the ENTIRE
+# registry driver-verified with zero backlog. Names listed here move
+# to the FRONT of the registry in this order; everything else follows
+# in registration order.
 _WINDOW = (
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_tpch_q2",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q16",
-    "q_tpch_q21",
-    "q_tpch_q20",
-    "q_pivot",
-    "q_unpivot",
-    "q_qualify",
-    "q_agg_groupby_all",
-    "q_join_lateral",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_pipeline_scd2",
-    "q_scale_compaction",
-    "q_text_editdist_join",
-    "q_sample_per_key",
-    "q_graph_triangles",
-    "q_pipeline_manifest",
-    "q_text_bm25",
-    "q_profile_fk",
-    "q_profile_expectations",
-    "q_events_rolling",
-    "q_pipeline_folds",
-    "q_pipeline_diff",
-    "q_events_experiment",
-    "q_profile_histogram",
-    "q_fn_udtf",
-    "q_stream_upsert",
-    "q_pipeline_rownum",
-    "q_events_interval_merge",
-    "q_events_markov",
-    "q_events_attribution",
-    "q_clean_winsorize",
-    "q_text_normalize",
-    "q_union_by_name",
-    "q_scale_balanced_write",
-    "q_events_gapfill",
-    "q_text_pr_curve",
-    "q_pipeline_incremental_dedup",
-    "q_events_windowed_funnel",
-    "q_text_perplexity",
+    "q_events_active_users",
+    "q_events_rfm",
+    "q_pipeline_negatives",
+    "q_graph_bfs",
+    "q_join_spatial",
+    "q_multimodal_dedup",
+    "q_events_ewma",
+    "q_pipeline_curation",
+    "q_profile_kanon",
+    "q_pipeline_forget",
+    "q_pipeline_itemsets",
+    "q_profile_drift",
+    "q_events_forecast_backtest",
+    "q_join_interval_overlap",
+    "q_sample_balanced",
+    "q_stats_entropy_mi",
+    "q_stats_chi2",
+    "q_stats_ols2",
+    "q_stats_benford",
+    "q_ml_target_encode",
+    "q_ml_feature_hash",
+    "q_stats_gini",
+    "q_events_anomaly_mad",
+    "q_rank_ndcg",
+    "q_stats_kappa",
+    "q_ml_calibration",
+    "q_stats_survival",
+    "q_events_cuped",
+    "q_ml_woe_encode",
+    "q_text_bpe_merges",
+    "q_profile_dp_counts",
+    "q_profile_boxplot",
+    "q_sales_yoy",
+    "q_sales_pareto",
+    "q_events_ltv_cohort",
+    "q_sample_neyman",
+    "q_events_changepoint",
+    "q_stats_power",
+    "q_win_distinct_running",
+    "q_join_bloom",
+    "q_pipeline_preference_pairs",
+    "q_ml_auc",
+    "q_ml_ks_drift",
+    "q_ml_psi",
+    "q_rank_rrf",
+    "q_dedup_semantic",
+    "q_agg_groupby",
+    "q_join_inner",
+    "q_win_ranking",
+    "q_sort",
 )
 
 

@@ -1423,9 +1423,16 @@ def _events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit NULLS LAST (engine defaults differ) and a den>0 guard:
     # a row whose 5-tap window holds only NULL values has den = 0, and
     # ANSI double division throws on /0 — EWMA is NULL there
-    # (adversarial NULL replay, r5)
+    # (adversarial NULL replay, r5). The final `value` key makes the
+    # ordering TOTAL for lag-feed purposes: rows NULL in both ts and
+    # event_id would otherwise sit in engine-unspecified relative order
+    # among their NULL peers yet still feed later rows' 5-tap windows
+    # (ADVICE r5); rows identical in all three keys are interchangeable
+    # lag(value) feeds, so any residual tie is output-invariant.
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+        F.col("ts").asc_nulls_last(),
+        F.col("event_id").asc_nulls_last(),
+        F.col("value").asc_nulls_last(),
     )
     num = F.lit(0.0)
     den = F.lit(0.0)
@@ -1459,7 +1466,8 @@ def _ewma_oracle() -> str:
       FROM events
       WINDOW w AS (PARTITION BY user_id
                    ORDER BY CAST(ts AS TIMESTAMP) ASC NULLS LAST,
-                            event_id ASC NULLS LAST)
+                            event_id ASC NULLS LAST,
+                            value ASC NULLS LAST)
     ) WHERE event_id < 2000
     """
 

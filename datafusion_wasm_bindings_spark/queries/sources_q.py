@@ -65,11 +65,15 @@ def _ensure_text_fixtures(sf_dir: str) -> tuple[str, str]:
         # float64, which serializes 0 as "0.0" and breaks INT casts in
         # both readers — route through the Int64 extension dtype so
         # CSV/NDJSON carry "0" and empty cells (adversarial replay, r5)
+        # (integrality + int64-range mask computed FIRST — the
+        # astype(errors='ignore') fallback was deprecated and removed
+        # in pandas 3.x, ADVICE r5)
         for c in pdf.columns:
             if pdf[c].dtype.kind == "f":
-                as_int = pdf[c].astype("Int64", errors="ignore")
-                if ((as_int == pdf[c]) | pdf[c].isna()).all():
-                    pdf[c] = as_int
+                col = pdf[c]
+                ok = ((col == col.round()) & (col.abs() < 2**63)) | col.isna()
+                if ok.all():
+                    pdf[c] = col.astype("Int64")
         pdf.to_csv(csv_path + ".tmp", index=False)
         os.replace(csv_path + ".tmp", csv_path)
         pdf.to_json(json_path + ".tmp", orient="records", lines=True)

@@ -66,11 +66,16 @@ def test_window_rotation_priorities():
     left_out = nongreen - w
     assert not left_out, f"non-green ids not in window: {sorted(left_out)}"
     # 2. no green id occupies a slot while never-checked ids remain
-    if never:
+    # OUTSIDE the window — when every never-checked id already has a
+    # slot, the spare slots legitimately re-verify the oldest greens
+    # (VERDICT r5 #1: 46 never-checked + 4 re-verify slots).
+    never_left_out = [q for q in never if q not in w]
+    if never_left_out:
         greens_in_window = sorted(
             q for q in _WINDOW if last.get(q) is True
         )
         assert not greens_in_window, (
             f"window re-verifies green ids {greens_in_window} while "
-            f"{len(never)} ids have never been checked"
+            f"{len(never_left_out)} ids have never been checked and "
+            f"are not in the window"
         )

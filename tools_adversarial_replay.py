@@ -48,6 +48,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -96,24 +97,42 @@ def _null_out(col: pa.ChunkedArray, mask: np.ndarray) -> pa.Array:
     return ext.take(pa.array(idx))
 
 
+def _stable(s: str) -> int:
+    """Process-independent 16-bit hash (Python's hash() is salted per
+    process via PYTHONHASHSEED — it would give every machine a
+    different mutation sample, ADVICE r5)."""
+    return zlib.crc32(s.encode()) & 0xFFFF
+
+
+def _config_fingerprint() -> str:
+    """Everything that changes the generated mutations — a stale cached
+    dir from an older (SEED, rates, tables) config must rebuild."""
+    return f"seed={SEED:x};null={NULL_RATE};dupe={DUPE_RATE};tables={','.join(TABLES)};v=2"
+
+
 def build_mode_dir(mode: str, root: str = ROOT, src_dir: str | None = None) -> str:
     src = src_dir or SRC_DIR
     out_dir = os.path.join(root, mode)
     stamp = os.path.join(out_dir, ".complete")
-    if os.path.exists(stamp):
+    want = _config_fingerprint()
+    if os.path.exists(stamp) and open(stamp).read() == want:
         return out_dir
-    os.makedirs(out_dir, exist_ok=True)
+    # build into a temp sibling and os.replace() atomically: concurrent
+    # builders each produce a complete dir and the rename is last-wins,
+    # so no reader ever sees half-written parquet (ADVICE r5).
+    tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
     for t in TABLES:
         tab = pq.read_table(os.path.join(src, f"{t}.parquet"))
         n = tab.num_rows
         cols = []
         for i, name in enumerate(tab.column_names):
-            rng = np.random.default_rng([SEED, hash(mode) & 0xFFFF, hash(t) & 0xFFFF, i])
+            rng = np.random.default_rng([SEED, _stable(mode), _stable(t), i])
             mask = rng.random(n) < NULL_RATE
             cols.append(_null_out(tab.column(i), mask))
         mut = pa.table(cols, schema=tab.schema)
         if mode == "dupes":
-            rng = np.random.default_rng([SEED, 0xD0BE, hash(t) & 0xFFFF])
+            rng = np.random.default_rng([SEED, 0xD0BE, _stable(t)])
             picks = np.flatnonzero(rng.random(n) < DUPE_RATE)
             if len(picks):
                 copies = mut.take(pa.array(picks))
@@ -125,8 +144,15 @@ def build_mode_dir(mode: str, root: str = ROOT, src_dir: str | None = None) -> s
                 rekeyed = pc.add(col, pa.scalar(KEY_OFFSET, type=col.type))
                 copies = copies.set_column(ki, copies.schema.field(ki), rekeyed)
                 mut = pa.concat_tables([mut, copies])
-        pq.write_table(mut, os.path.join(out_dir, f"{t}.parquet"))
-    open(stamp, "w").write("ok")
+        pq.write_table(mut, os.path.join(tmp_dir, f"{t}.parquet"))
+    open(os.path.join(tmp_dir, ".complete"), "w").write(want)
+    if os.path.exists(out_dir):
+        import shutil
+
+        old = f"{out_dir}.old.{os.getpid()}"
+        os.replace(out_dir, old)
+        shutil.rmtree(old, ignore_errors=True)
+    os.replace(tmp_dir, out_dir)
     return out_dir
 
 
