@@ -182,9 +182,14 @@ def semantic_dedup(
     from datafusion_wasm_bindings_spark.operators.similarity import _dot
 
     assigned, _ = fit_kmeans(embeddings, k=k, iters=iters)
+    # SINGLE-SCAN RULE (CLAUDE.md wave-13): the assignment feeds THREE
+    # consumers (rep election, the representative-vector lookup, and
+    # the member scoring join) — without a lineage cut each one re-runs
+    # the whole k-means fit assignment pass (BASELINE probe: the
+    # re-derived fit was ~half of the 11.4 s at 500k×32; VERDICT r5 #6)
     a = assigned.select("vec_id", "x", "cid").withColumn(
         "ssx", _norm2(F.col("x"))
-    )
+    ).localCheckpoint()
     reps = a.groupBy("cid").agg(F.min("vec_id").alias("rep_vec"))
     repv = reps.join(
         a.select(

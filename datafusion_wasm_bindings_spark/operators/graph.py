@@ -209,13 +209,17 @@ def pagerank_topk(
     iters: int = 3,
     k: int = 20,
     checkpoint_dir: str | None = None,
+    prepared: bool = False,
 ) -> DataFrame:
     """Top-``k`` PageRank nodes: (node, pos, rank) with rank rounded to
     6 places and ties broken by node id ascending. ``checkpoint_dir``
-    forwards to ``pagerank`` (durable lineage cuts)."""
+    and ``prepared`` forward to ``pagerank`` (durable lineage cuts /
+    bucketed pre-built edge table)."""
     from pyspark.sql import Window
 
-    r = pagerank(edges, iters=iters, checkpoint_dir=checkpoint_dir)
+    r = pagerank(
+        edges, iters=iters, checkpoint_dir=checkpoint_dir, prepared=prepared
+    )
     # TakeOrdered top-k first (distributed per-partition heaps), THEN
     # number positions with a window over only k rows — never a global
     # single-partition window over all |nodes|

@@ -70,12 +70,19 @@ _MODULES = (
 # Round-6 driver window (exactly 50 names, VERDICT r5 next-round #1):
 # ALL 46 remaining never-checked ids in registration order (the
 # stats/ML/events analytics waves plus the 7 wave-12/13 additions),
-# then 4 re-verify slots for the oldest r1-stamped SURVEY greens
-# (q_agg_groupby, q_join_inner, q_win_ranking, q_sort — never
-# re-verified since r1). A green CORRECTNESS_r06 makes the ENTIRE
-# registry driver-verified with zero backlog. Names listed here move
-# to the FRONT of the registry in this order; everything else follows
-# in registration order.
+# then 4 re-verify slots. Three go to the oldest r1-stamped SURVEY
+# greens (q_agg_groupby, q_join_inner, q_win_ranking — never
+# re-verified since r1); the fourth goes to q_graph_pagerank instead
+# of the originally-slated q_sort (also r1-green, unchanged) because
+# q_graph_pagerank MATERIALLY CHANGED this round — it now runs the
+# prepared bucketed-edge path (VERDICT r5 #5 wants that exchange-free
+# iterative plan oracle-checked by the DRIVER, not only by plan
+# tests), and a changed query outranks an unchanged stale green for a
+# re-verify slot. A green CORRECTNESS_r06 leaves exactly one id
+# (q_sort, r1-green, untouched since) beyond driver recency — zero
+# never-checked backlog. Names listed here move to the FRONT of the
+# registry in this order; everything else follows in registration
+# order.
 _WINDOW = (
     "q_events_active_users",
     "q_events_rfm",
@@ -126,7 +133,7 @@ _WINDOW = (
     "q_agg_groupby",
     "q_join_inner",
     "q_win_ranking",
-    "q_sort",
+    "q_graph_pagerank",
 )
 
 

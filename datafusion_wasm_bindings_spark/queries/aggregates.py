@@ -128,7 +128,10 @@ sql_query(
 # --- q_agg_order_within: ORDER BY inside an aggregate ------------------
 # DataFusion/DuckDB: array_agg(x ORDER BY y). Spark has no ordered
 # array_agg → SURVEY §7.4 rewrite: sort_array(collect_list(struct))
-# then extract; exact because the order key is unique per group.
+# then extract. The struct sort is TOTAL (key, then name), so the
+# oracle must spell the same name tie-break explicitly: with duplicate
+# or NULL-injected keys, `ORDER BY n_nationkey` alone leaves peers in
+# engine-unspecified order (adversarial dupes replay, r6).
 # Surfaced as a joined STRING, not array<string>: the driver's row
 # canonicalizer can't hash list cells (CORRECTNESS_r01 driver err).
 sql_query(
@@ -145,7 +148,11 @@ sql_query(
            -- NULLS FIRST matches Spark's struct array_sort (NULL
            -- fields smallest); DuckDB defaults NULLS LAST
            -- (adversarial NULL replay, r5)
-           string_agg(n_name, ',' ORDER BY n_nationkey ASC NULLS FIRST)
+           -- a group whose every name is NULL: Spark concat_ws → '',
+           -- DuckDB string_agg → NULL (r3 pitfall b; surfaced live by
+           -- the r6 dupes replay)
+           COALESCE(string_agg(n_name, ',' ORDER BY n_nationkey ASC NULLS FIRST,
+                                              n_name ASC NULLS FIRST), '')
              AS nations_by_key
     FROM nation
     GROUP BY n_regionkey

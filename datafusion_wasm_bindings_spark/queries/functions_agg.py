@@ -231,7 +231,10 @@ sql_query(
 # string_agg(x, sep ORDER BY y) → Spark: ordered-struct-sort rewrite.
 # Spark's array_sort on structs compares NULL fields FIRST, DuckDB's
 # ORDER BY default is NULLS LAST — explicit NULLS FIRST keeps a NULL
-# sort key deterministic across engines (adversarial NULL replay, r5).
+# sort key deterministic across engines (adversarial NULL replay, r5);
+# and the struct sort tie-breaks by name, so the oracle carries the
+# same second key — duplicate/NULL keys otherwise leave peers in
+# engine-unspecified order (adversarial dupes replay, r6).
 sql_query(
     "q_fn_string_agg",
     """
@@ -242,7 +245,10 @@ sql_query(
     """,
     oracle="""
     SELECT n_regionkey,
-           string_agg(n_name, ',' ORDER BY n_nationkey ASC NULLS FIRST) AS names_csv
+           -- all-NULL-name group: concat_ws '' vs string_agg NULL
+           -- (r3 pitfall b; r6 dupes replay)
+           COALESCE(string_agg(n_name, ',' ORDER BY n_nationkey ASC NULLS FIRST,
+                                              n_name ASC NULLS FIRST), '') AS names_csv
     FROM nation GROUP BY n_regionkey
     """,
     tags=("agg_fn",),

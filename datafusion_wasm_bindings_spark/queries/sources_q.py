@@ -35,6 +35,24 @@ def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir)) or "sf"
 
 
+def _src_current(sf_dir: str, stamp_path: str) -> bool:
+    """True iff ``stamp_path`` records the CURRENT nation.parquet
+    (size + mtime_ns). Tag-keyed fixture caches went stale when the
+    adversarial replay regenerated a mutation dir under the same tag
+    with different content — the derived arrow/CSV/NDJSON copies then
+    silently disagreed with the parquet the oracle reads (r6 replay,
+    q_scan_arrow both modes)."""
+    try:
+        return open(stamp_path).read() == _src_stamp(sf_dir)
+    except OSError:
+        return False
+
+
+def _src_stamp(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "nation.parquet"))
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
 def _scope() -> str:
     """pid_tid suffix for sink scratch paths/table names: the bench
     harness runs the registry from several threads of one process
@@ -54,7 +72,12 @@ def _ensure_text_fixtures(sf_dir: str) -> tuple[str, str]:
     d = os.path.join(_FIXTURE_ROOT, tag)
     csv_path = os.path.join(d, "nation.csv")
     json_path = os.path.join(d, "nation.ndjson")
-    if not (os.path.exists(csv_path) and os.path.exists(json_path)):
+    stamp = os.path.join(d, ".nation_src_text")
+    if not (
+        os.path.exists(csv_path)
+        and os.path.exists(json_path)
+        and _src_current(sf_dir, stamp)
+    ):
         os.makedirs(d, exist_ok=True)
         pdf = (
             pq.read_table(os.path.join(sf_dir, "nation.parquet"))
@@ -78,6 +101,7 @@ def _ensure_text_fixtures(sf_dir: str) -> tuple[str, str]:
         os.replace(csv_path + ".tmp", csv_path)
         pdf.to_json(json_path + ".tmp", orient="records", lines=True)
         os.replace(json_path + ".tmp", json_path)
+        open(stamp, "w").write(_src_stamp(sf_dir))
     return csv_path, json_path
 
 
@@ -136,12 +160,14 @@ def _scan_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _sf_tag(sf_dir)
     d = os.path.join(_FIXTURE_ROOT, tag)
     arrow_path = os.path.join(d, "nation.arrow")
-    if not os.path.exists(arrow_path):
+    stamp = os.path.join(d, ".nation_src_arrow")
+    if not (os.path.exists(arrow_path) and _src_current(sf_dir, stamp)):
         os.makedirs(d, exist_ok=True)
         t = pq.read_table(os.path.join(sf_dir, "nation.parquet")).sort_by("n_nationkey")
         with ipc.new_file(arrow_path + ".tmp", t.schema) as w:
             w.write_table(t)
         os.replace(arrow_path + ".tmp", arrow_path)
+        open(stamp, "w").write(_src_stamp(sf_dir))
     # footer-only metadata read; no table materialization on the driver
     with ipc.open_file(arrow_path) as r:
         spark_schema = from_arrow_schema(r.schema)

@@ -35,6 +35,14 @@ SENTINELS = [
     "q_cluster_kmeans",         # NULL-vec_id pseudo-vector merge
 ]
 
+# one id per divergence class the r6 DUPES campaign fixed (re-keyed
+# duplicate content stresses tie-breaks and fixture-cache identity)
+DUPE_SENTINELS = [
+    "q_agg_order_within",       # ordered-agg peers under dup/NULL keys
+    "q_fn_string_agg",          # same class, all-NULL-name group '' vs NULL
+    "q_scan_arrow",             # content-stamped fixture cache (stale copy)
+]
+
 
 @pytest.fixture(scope="module")
 def adv_dir():
@@ -66,3 +74,27 @@ def test_sentinel_queries_survive_null_injection(spark, adv_dir, adv_duck):
     results = simulate_relaxed(todo, spark, adv_duck, adv_dir)
     bad = {k: v for k, v in results.items() if not v["ok"]}
     assert not bad, f"adversarial NULL replay regressions: {bad}"
+
+
+def test_sentinel_queries_survive_dupe_injection(spark):
+    from datafusion_wasm_bindings_spark.queries import load_all
+    from datafusion_wasm_bindings_spark.queries.sources_q import _ensure_text_fixtures
+    from datafusion_wasm_bindings_spark.sources.catalog import TABLE_NAMES
+
+    dupe_dir = build_mode_dir("dupes")
+    _ensure_text_fixtures(dupe_dir)
+    con = duckdb.connect()
+    try:
+        for name in TABLE_NAMES:
+            path = os.path.join(dupe_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                con.execute(
+                    f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+                )
+        registry = load_all()
+        todo = [(n, registry[n]) for n in DUPE_SENTINELS]
+        results = simulate_relaxed(todo, spark, con, dupe_dir)
+        bad = {k: v for k, v in results.items() if not v["ok"]}
+        assert not bad, f"adversarial dupes replay regressions: {bad}"
+    finally:
+        con.close()

@@ -957,12 +957,16 @@ def test_r4_window_extension_plan_shapes(spark, sf_dir):
     # broadcast — corpus codes never move at query time
     p = _plan(REGISTRY["q_sim_pq_topk"].spark_fn(spark, sf_dir))
     assert "Scan ExistingRDD" in p and "BroadcastExchange" in p, p
-    # PageRank: per-round localCheckpoint means the FINAL plan reads
-    # only checkpointed state — zero parquet re-scans (the r3
-    # O(iters^2) lineage fix would regress as parquet scans here) —
-    # and top-k fuses to TakeOrdered
+    # PageRank (prepared path, VERDICT r5 #5): the final iteration
+    # joins the BUCKETED edge scan (planned exchange-free on the edge
+    # side — the only parquet scans are the bucketed table) against
+    # checkpointed rank state (ExistingRDD: per-round localCheckpoint,
+    # the r3 O(iters^2) lineage fix, would regress as source-table
+    # parquet re-scans here); top-k fuses to TakeOrdered
     p = _plan(REGISTRY["q_graph_pagerank"].spark_fn(spark, sf_dir))
-    assert p.count("Scan parquet") == 0 and "Scan ExistingRDD" in p, p
+    assert "Scan ExistingRDD" in p, p
+    assert p.count("Scan parquet") > 0 and "Bucketed: true" in p, p
+    assert "lineitem" not in p, p  # source scan happened at prepare time only
     assert "TakeOrderedAndProject" in p, p
     # CMS heavy hitters: sketch broadcasts, top-k fuses to TakeOrdered
     # (never a global sort of the token counts)
