@@ -57,8 +57,13 @@ def zscore_outliers(
     vd = v.cast("double")
     n, s, ss = F.col("__n"), F.col("__s"), F.col("__ss")
     mean = s / n
-    var = (ss - s * s / n) / (n - F.lit(1))
-    z = (vd - mean) / F.sqrt(var)
+    # try_divide + greatest clamp (adversarial extremes replay, r6): a
+    # singleton group's n−1 division and a zero-variance group's σ = 0
+    # both yield z NULL (→ is_outlier FALSE), never an ANSI abort —
+    # DuckDB's native x/0 → NULL matches; the clamp keeps an exact-
+    # zero-variance group's −ε double out of sqrt (DuckDB ERRORS)
+    var = F.try_divide(ss - s * s / n, n - F.lit(1))
+    z = F.try_divide(vd - mean, F.sqrt(F.greatest(var, F.lit(0.0))))
     return df.join(
         F.broadcast(moments), F.col(group_col).eqNullSafe(F.col("__g"))
     ).select(

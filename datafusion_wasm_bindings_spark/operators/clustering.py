@@ -200,7 +200,13 @@ def semantic_dedup(
         "rep_vec",
     )
     j = a.join(F.broadcast(repv), "cid")
-    cos = _dot(F.col("x"), F.col("rx")) / F.sqrt(F.col("ssx") * F.col("rss"))
+    # try_divide: a zero-quantized member (or representative) has no
+    # cosine — NULL, never an ANSI DIVIDE_BY_ZERO abort. NULL makes
+    # `dup` NULL, which every aggregate below skips, so the zero
+    # vector stays a counted cluster MEMBER that is never pruned —
+    # DuckDB's native x/0 → NULL division matches bit-for-bit
+    # (adversarial extremes replay, r6).
+    cos = F.try_divide(_dot(F.col("x"), F.col("rx")), F.sqrt(F.col("ssx") * F.col("rss")))
     dup = (F.col("vec_id") != F.col("rep_vec")) & (cos >= F.lit(threshold))
     return (
         j.groupBy(F.col("cid").alias("cluster_id"))

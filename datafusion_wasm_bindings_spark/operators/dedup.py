@@ -31,12 +31,22 @@ def tokens(text_col: str = "text") -> F.Column:
 
 
 def word_shingles(col: F.Column, k: int = 3) -> F.Column:
-    """k-word shingles of a token array (array<string>)."""
+    """k-word shingles of a token array (array<string>): short docs
+    (1..k-1 tokens) keep one whole-doc shingle, but ZERO tokens means
+    ZERO shingles — the old `[concat_ws(col)]` fallback gave every
+    empty/whitespace-only hostile doc the same `['']` shingle, pairing
+    them all at Jaccard 1.0 where the exploded-shingle oracles (and any
+    sane dedup contract) see no content to attest (adversarial
+    extremes replay, r6)."""
     n = F.size(col)
-    return F.when(n < k, F.array(F.concat_ws(" ", col))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(col, i, k)),
+    return (
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(n < k, F.array(F.concat_ws(" ", col)))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(col, i, k)),
+            )
         )
     )
 
@@ -117,9 +127,16 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 16, shingle_k: in
     # regexp_extract_all would re-run the regex per shingle —
     # O(tokens²) per doc (measured 4× on the decontamination probe)
     toksd = documents.select("doc_id", tokens().alias("__toks"))
+    # size > 0: a zero-shingle doc (empty/whitespace text — r6
+    # word_shingles contract) has NOTHING to sign; array_min over its
+    # empty hash list would be NULL, and F.hash(NULL, seed) is a
+    # CONSTANT, so every such doc would land in the same LSH bucket
+    # and pair at union = 0 (an ANSI divide-by-zero in the exact-
+    # Jaccard verify). NULL token arrays (NULL text) are excluded by
+    # the same predicate (adversarial extremes replay, r6).
     shingled = toksd.select(
         "doc_id", word_shingles(F.col("__toks"), shingle_k).alias("__sh")
-    )
+    ).filter(F.size("__sh") > 0)
     # hash each shingle STRING once (xxhash64), then derive the
     # num_hashes functions by integer murmur mixing of that long —
     # string bytes are traversed once instead of num_hashes times

@@ -32,10 +32,24 @@ FEATURE_SCHEMA = "doc_id long, format string, n_bytes long, width int, height in
 
 def synthesize_media(documents: DataFrame) -> DataFrame:
     """Build a multimodal table from the documents fixture: the UTF-8
-    text bytes stand in for an encoded media payload."""
+    text bytes stand in for an encoded media payload.
+
+    The SYNTHESIZER (not the pipeline) maps non-ASCII codepoints to
+    '?': the byte-offset operations downstream (head-128 checksum,
+    stride decimation, 100-byte frame slices) are real media-byte
+    plumbing, and on multi-byte text they'd slice mid-codepoint — an
+    Arrow UTF-8 error when a frame is re-read as text, and a CHAR≠BYTE
+    break for the SQL oracles (adversarial extremes replay, r6). Real
+    payload bytes come from files, never from text, so the stub
+    generating clean single-byte payloads loses nothing. Java regex
+    and RE2 both match character classes per CODEPOINT (an emoji is
+    one '?', not two surrogate '??'), so both engines sanitize
+    identically."""
     return documents.select(
         "doc_id",
-        F.encode(F.col("text"), "UTF-8").alias("media"),
+        F.encode(
+            F.regexp_replace(F.col("text"), "[^\\x00-\\x7F]", "?"), "UTF-8"
+        ).alias("media"),
         F.struct(
             F.when(F.col("doc_id") % 2 == 0, F.lit("png")).otherwise(F.lit("jpeg")).alias("format"),
             F.col("n_chars").alias("declared_len"),

@@ -44,6 +44,17 @@ def _norm2(a: F.Column) -> F.Column:
     return F.aggregate(F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def nonzero_vectors(embeddings: DataFrame) -> DataFrame:
+    """Cosine-population contract: the zero(-quantized) vector has no
+    direction — it cannot rank in cosine space, its norm divides to an
+    ANSI DIVIDE_BY_ZERO, and it is excluded from every cosine-scored
+    population exactly like a NULL embedding (adversarial extremes
+    replay, r6). The check runs on the QUANTIZED grid so it matches
+    the oracles' integer-norm CTEs bit-for-bit."""
+    v = embeddings.withColumn("__n2", _norm2(quantized(F.col("embedding"))))
+    return v.filter(F.col("__n2") > 0).drop("__n2")
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     *,
@@ -57,6 +68,7 @@ def cosine_topk_bruteforce(
     row (no shuffle), then one shuffle on query_id for the top-k
     window. Scales linearly in corpus size.
     """
+    embeddings = nonzero_vectors(embeddings)
     q = (
         embeddings.filter(F.col("vec_id").isin(query_ids))
         .select(
@@ -88,7 +100,7 @@ def cosine_pairs_threshold(embeddings: DataFrame, *, threshold: float = 0.8, max
     """Embedding-cosine near-duplicate pairs above a threshold
     (quantized — exact cross-engine). Used by the dedup suite."""
     e = embeddings if max_id is None else embeddings.filter(F.col("vec_id") <= max_id)
-    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    v = nonzero_vectors(e).select("vec_id", quantized(F.col("embedding")).alias("qv"))
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
@@ -169,7 +181,7 @@ def cosine_pairs_lsh(
     src/lib.rs exposes DataFusion SQL only; this extension adds the
     pipeline capability Spark-first)."""
     e = embeddings if max_id is None else embeddings.filter(F.col("vec_id") <= max_id)
-    v = e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    v = nonzero_vectors(e).select("vec_id", quantized(F.col("embedding")).alias("qv"))
     # materialize: bucket projection is an interpreted HOF referenced by
     # both join sides (repo convention — see operators/dedup.py); the
     # bucketed table is what a persisted near-dup index looks like
@@ -298,7 +310,7 @@ def ivf_topk(
     tests/test_operators.py.
     """
     assignments, centroids = ivf_index(
-        embeddings, n_centroids=n_centroids, lloyd_iters=lloyd_iters
+        nonzero_vectors(embeddings), n_centroids=n_centroids, lloyd_iters=lloyd_iters
     )
     q = assignments.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -356,7 +368,8 @@ def lsh_bucketed_topk(
     """
 
     base = (
-        embeddings.select(
+        nonzero_vectors(embeddings)
+        .select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("v"),
         )

@@ -316,14 +316,21 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, *, n: int = 3) -> DataFr
     # regexp_extract_all would re-run per shingle — O(tokens²) regex
     # work per doc. Binding it to a column first makes each reference
     # an array lookup.
-    # word_shingles never yields an empty array (docs with < n tokens
-    # get their whole text as one shingle), so the inner explode keeps
-    # every training doc.
+    # explode_OUTER + count("s"): a zero-token doc has ZERO shingles
+    # (word_shingles r6 contract) but must still be REPORTED with
+    # n_shingles = 0 / contaminated FALSE — a plain explode drops it
+    # from the audit (adversarial extremes replay, r6). NULL-text docs
+    # stay excluded (NULL token array filtered before the explode),
+    # matching the oracle's population.
     def shingle_rows(df: DataFrame) -> DataFrame:
-        toks = df.select("doc_id", tokens().alias("__toks"))
+        toks = df.select("doc_id", tokens().alias("__toks")).filter(
+            F.col("__toks").isNotNull()
+        )
         return toks.select(
             "doc_id",
-            F.explode(F.array_distinct(word_shingles(F.col("__toks"), n))).alias("s"),
+            F.explode_outer(
+                F.array_distinct(word_shingles(F.col("__toks"), n))
+            ).alias("s"),
         )
 
     ex = shingle_rows(train)
@@ -332,7 +339,9 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, *, n: int = 3) -> DataFr
         ex.join(F.broadcast(ev), "s", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_shingles"),
+            # count("s"), not count(*): the explode_outer placeholder
+            # row of a zero-shingle doc must count 0 shingles
+            F.count("s").alias("n_shingles"),
             F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
         )
     )

@@ -1389,8 +1389,13 @@ def _multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 query(
     "q_multimodal_dedup",
     """
+    -- md5 over the '?'-sanitized payload text (see synthesize_media;
+    -- adversarial extremes replay, r6)
     WITH per_key AS (
-      SELECT md5(text) AS key, COUNT(*) AS n FROM documents GROUP BY md5(text)
+      SELECT md5(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g')) AS key,
+             COUNT(*) AS n
+      FROM documents
+      GROUP BY 1
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_payloads,
            CAST(SUM(n) AS BIGINT) AS n_media,

@@ -700,7 +700,13 @@ def _rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "dcg",
             "idcg",
-            (F.col("dcg") / F.col("idcg")).cast(DEC).cast("double").alias("ndcg"),
+            # try_divide: an all-rel-0 hostile group has idcg = 0 —
+            # NDCG undefined → NULL, matching DuckDB's x/0 → NULL
+            # (adversarial extremes replay, r6)
+            F.try_divide(F.col("dcg"), F.col("idcg"))
+            .cast(DEC)
+            .cast("double")
+            .alias("ndcg"),
         )
     )
 

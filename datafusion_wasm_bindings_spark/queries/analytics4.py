@@ -377,8 +377,20 @@ def _sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(DEC)).cast("double").alias("s"),
         F.sum((F.col("value") * F.col("value")).cast(DEC)).cast("double").alias("ss"),
     )
+    # try_divide + greatest clamp (adversarial extremes replay, r6):
+    # a singleton hostile stratum (n_h = 1) must never ANSI-abort the
+    # n−1 division; clamped to sigma 0 it allocates nothing (a_h = 0 /
+    # NULL on the oracle side — either way rk <= a_h surfaces no row),
+    # and the clamp also keeps an exact-zero-variance stratum's −ε
+    # double out of sqrt (DuckDB ERRORS on sqrt(−ε))
     sigma = F.sqrt(
-        (F.col("ss") - F.col("s") * F.col("s") / F.col("n_h")) / (F.col("n_h") - 1)
+        F.greatest(
+            F.try_divide(
+                F.col("ss") - F.col("s") * F.col("s") / F.col("n_h"),
+                F.col("n_h") - 1,
+            ),
+            F.lit(0.0),
+        )
     )
     w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     alloc = g.select(
@@ -386,9 +398,10 @@ def _sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_h",
         sigma.cast(DEC).cast("double").alias("sigma"),
         F.floor(
-            F.lit(_NEYMAN_N)
-            * (F.col("n_h") * sigma)
-            / F.sum((F.col("n_h") * sigma).cast(DEC)).over(w_all).cast("double")
+            F.try_divide(
+                F.lit(_NEYMAN_N) * (F.col("n_h") * sigma),
+                F.sum((F.col("n_h") * sigma).cast(DEC)).over(w_all).cast("double"),
+            )
         )
         .cast("long")
         .alias("a_h"),
@@ -418,14 +431,21 @@ query(
              CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS ss
       FROM events WHERE event_id IS NOT NULL GROUP BY event_type
     ),
+    -- greatest clamp + NULL sigma for singleton strata: mirrors the
+    -- Spark try_divide path; DuckDB's x/0 -> NULL and NULL-skipping
+    -- SUM do the rest (adversarial extremes replay, r6)
+    alloc0 AS (
+      SELECT event_type, n_h,
+             sqrt(greatest((ss - s * s / n_h) / (n_h - 1), 0)) AS sg
+      FROM g
+    ),
     alloc AS (
       SELECT event_type, n_h,
-             CAST(CAST(sqrt((ss - s * s / n_h) / (n_h - 1)) AS DECIMAL(18,6))
-                  AS DOUBLE) AS sigma,
-             CAST(floor({_NEYMAN_N} * (n_h * sqrt((ss - s * s / n_h) / (n_h - 1)))
-               / CAST(SUM(CAST(n_h * sqrt((ss - s * s / n_h) / (n_h - 1))
-                    AS DECIMAL(18,6))) OVER () AS DOUBLE)) AS BIGINT) AS a_h
-      FROM g
+             CAST(CAST(sg AS DECIMAL(18,6)) AS DOUBLE) AS sigma,
+             CAST(floor({_NEYMAN_N} * (n_h * sg)
+               / CAST(SUM(CAST(n_h * sg AS DECIMAL(18,6)))
+                    OVER () AS DOUBLE)) AS BIGINT) AS a_h
+      FROM alloc0
     ),
     ranked AS (
       SELECT e.event_type, e.event_id, a.n_h, a.sigma, a.a_h,
@@ -479,8 +499,25 @@ def _events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("value") * F.col("value")).cast(DEC)).cast("double").alias("ss"),
     )
     mu = F.col("s") / F.col("n")
-    sigma = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
-    stats = g.select("event_type", "n", mu.alias("mu"), sigma.alias("sigma"))
+    # try_divide + sigma > 0 contract: CUSUM is undefined for n = 1
+    # (the n−1 division is an ANSI abort on a singleton group — hostile
+    # event_type values create those) and for zero-variance groups;
+    # both engines exclude them EXPLICITLY (NULL sigma > 0 is false in
+    # Spark, NULL in DuckDB — both drop; adversarial extremes replay, r6)
+    # greatest(·, 0): an exact-zero-variance group can float to −ε in
+    # the ss − s²/n double — Spark sqrt(−ε) is NaN but DuckDB ERRORS;
+    # clamping yields sigma = 0 on both, which the filter drops anyway
+    sigma = F.sqrt(
+        F.greatest(
+            F.try_divide(
+                F.col("ss") - F.col("s") * F.col("s") / F.col("n"), F.col("n") - 1
+            ),
+            F.lit(0.0),
+        )
+    )
+    stats = g.select("event_type", "n", mu.alias("mu"), sigma.alias("sigma")).filter(
+        F.col("sigma") > 0
+    )
     bkt_us = 6 * 3_600_000_000  # 6-hour buckets: |buckets| ∝ time span
     rows = (
         e.join(F.broadcast(stats), "event_type")
@@ -544,11 +581,18 @@ query(
       FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
       GROUP BY event_type
     ),
-    stats AS (
+    stats0 AS (
       SELECT event_type, n, s / n AS mu,
-             sqrt((ss - s * s / n) / (n - 1)) AS sigma
+             -- greatest clamp: zero-variance groups can float to -eps
+             -- (DuckDB sqrt(-eps) ERRORS); NULL (n=1) stays NULL and
+             -- the sigma > 0 filter drops both
+             sqrt(greatest((ss - s * s / n) / (n - 1), 0)) AS sigma
       FROM g
     ),
+    -- sigma > 0 population contract: singleton (sigma NULL via the
+    -- n-1 division -> NULL) and zero-variance groups have no CUSUM
+    -- statistic (adversarial extremes replay, r6)
+    stats AS (SELECT * FROM stats0 WHERE sigma > 0),
     staged AS (
       SELECT e.event_type, st.n, st.sigma,
              CAST(row_number() OVER w AS BIGINT) AS pos,
@@ -598,7 +642,10 @@ def _stats_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(za) * F.sqrt(2 * pbar * (1 - pbar))
         + F.lit(zb) * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
     )
-    n_req = F.ceil(num * num / ((p2 - p1) * (p2 - p1))).cast("long")
+    # try_divide: p2 == p1 (a zero-conversion hostile group: p1 = 0 →
+    # p2 = 0) has no detectable effect size — n_per_arm NULL, matching
+    # DuckDB's native x/0 → NULL (adversarial extremes replay, r6)
+    n_req = F.ceil(F.try_divide(num * num, (p2 - p1) * (p2 - p1))).cast("long")
     return g.select(
         "event_type",
         "n_obs",

@@ -306,9 +306,13 @@ def _src_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         table(spark, sf_dir, "documents")
         .select(
-            (F.substring(F.col("source"), 4, 8).cast("long") % 2 == 0).alias(
-                "is_a"
-            ),
+            # try_cast: a hostile non-numeric source suffix must slice
+            # to NULL (→ filtered), not ANSI-abort the scan — Spark
+            # CAST throws, DuckDB CAST errors; TRY_CAST is NULL on
+            # both (adversarial extremes replay, r6)
+            (
+                F.expr("try_cast(substring(source, 4, 8) AS BIGINT)") % 2 == 0
+            ).alias("is_a"),
             F.lower(F.col("text")).alias("lt"),
             "n_chars",
         )
@@ -330,7 +334,7 @@ def _src_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SRC_SCORE_SQL = """
     d0 AS (
-      SELECT CAST(substr(source, 4) AS BIGINT) % 2 = 0 AS is_a,
+      SELECT TRY_CAST(substr(source, 4) AS BIGINT) % 2 = 0 AS is_a,
              lower(text) AS lt, n_chars
       FROM documents
     ),

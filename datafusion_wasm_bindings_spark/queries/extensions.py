@@ -319,7 +319,11 @@ query(
     )
     SELECT id_a, id_b, round(dot / sqrt(na.n2 * nb.n2), 6) AS cos
     FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
-    WHERE dot / sqrt(na.n2 * nb.n2) >= 0.35
+    -- n2 > 0: zero-quantized vectors are outside the cosine population
+    -- (operators/similarity.nonzero_vectors; adversarial extremes
+    -- replay, r6)
+    WHERE na.n2 > 0 AND nb.n2 > 0
+      AND dot / sqrt(na.n2 * nb.n2) >= 0.35
     """,
     tags=("extension", "dedup", "similarity"),
 )(_dedup_embedding)
@@ -362,6 +366,10 @@ query(
       FROM dots
       JOIN norms nq ON nq.vec_id = query_id
       JOIN norms nc ON nc.vec_id = cand_id
+      -- n2 > 0: zero-quantized vectors are outside the cosine
+      -- population (operators/similarity.nonzero_vectors; adversarial
+      -- extremes replay, r6)
+      WHERE nq.n2 > 0 AND nc.n2 > 0
     )
     SELECT query_id, cand_id, rank, round(cos_raw, 6) AS cos
     FROM scored WHERE rank <= 3
@@ -397,6 +405,16 @@ _RECALL_ORACLE = (
     "AND embedding IS NOT NULL"
 )
 
+# cosine-family recall twin: a zero-quantized-norm query vector is
+# excluded from the cosine population (nonzero_vectors, adversarial
+# extremes replay r6) — the L2/PQ path keeps _RECALL_ORACLE because the
+# zero vector is a perfectly valid Euclidean point
+_RECALL_ORACLE_COS = (
+    _RECALL_ORACLE
+    + " AND list_sum(list_transform(embedding,"
+    "   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) ** 2)) > 0"
+)
+
 
 def _sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.similarity import (
@@ -411,7 +429,7 @@ def _sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(approx, exact, min_hits=1)
 
 
-query("q_sim_lsh_topk", _RECALL_ORACLE, tags=("extension", "similarity"))(_sim_lsh)
+query("q_sim_lsh_topk", _RECALL_ORACLE_COS, tags=("extension", "similarity"))(_sim_lsh)
 
 
 def _sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,7 +453,7 @@ def _sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(approx, exact, min_hits=2)
 
 
-query("q_sim_ivf_topk", _RECALL_ORACLE, tags=("extension", "similarity"))(_sim_ivf)
+query("q_sim_ivf_topk", _RECALL_ORACLE_COS, tags=("extension", "similarity"))(_sim_ivf)
 
 
 def _sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,7 +507,21 @@ def _sim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantized,
     )
 
-    emb = table(spark, sf_dir, "embeddings")
+    # population contract: a vector must be cosine-rankable at BOTH
+    # resolutions — zero-quantized norm at either the full or the
+    # truncated grid is excluded like a NULL embedding (adversarial
+    # extremes replay, r6: the injected zero vector divides to ANSI
+    # DIVIDE_BY_ZERO)
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        .withColumn("__nf", _norm2(quantized(F.col("embedding"))))
+        .withColumn(
+            "__nt", _norm2(quantized(F.slice(F.col("embedding"), 1, _TRUNC_DIMS)))
+        )
+        .filter((F.col("__nf") > 0) & (F.col("__nt") > 0))
+        .drop("__nf", "__nt")
+    )
 
     def topk(vec_expr, alias):
         q = (
@@ -533,12 +565,19 @@ def _sim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
 query(
     "q_sim_truncation",
     f"""
-    WITH q AS (SELECT vec_id FROM embeddings
-               WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})),
-    qv AS (SELECT vec_id,
+    WITH qv0 AS (SELECT vec_id,
                   list_transform(embedding,
                     x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-           FROM embeddings),
+           FROM embeddings
+           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+    -- cosine-rankable at BOTH grids: zero quantized norm at full OR
+    -- truncated resolution is excluded like a NULL embedding
+    -- (adversarial extremes replay, r6)
+    qv AS (SELECT vec_id, v FROM qv0
+           WHERE list_sum(list_transform(v, x -> x * x)) > 0
+             AND list_sum(list_transform(v[1:{_TRUNC_DIMS}], x -> x * x)) > 0),
+    q AS (SELECT vec_id FROM qv
+          WHERE vec_id IN ({', '.join(map(str, _QUERY_IDS))})),
     full_s AS (
       SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
              list_sum(list_transform(list_zip(a.v, b.v),
@@ -1370,12 +1409,21 @@ sql_query(
     ORDER BY event_type ASC NULLS LAST
     """,
     oracle="""
+    -- json_valid guard: DuckDB json_extract_string ERRORS on malformed
+    -- JSON where Spark get_json_object returns NULL (adversarial
+    -- extremes replay, r6)
+    WITH j AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS k
+      FROM events
+    )
     SELECT event_type,
            COUNT(1) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-    FROM events
+           CAST(SUM(CAST(k AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(k AS BIGINT)) AS min_k,
+           MAX(CAST(k AS BIGINT)) AS max_k
+    FROM j
     GROUP BY event_type
     ORDER BY event_type ASC NULLS LAST
     """,
@@ -1514,12 +1562,18 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 query(
     "q_multimodal_features",
     """
-    WITH m AS (
+    -- the '?'-sanitized payload (see synthesize_media): CHAR = BYTE by
+    -- construction on ANY input (adversarial extremes replay, r6)
+    WITH s AS (
+      SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS p
+      FROM documents
+    ),
+    m AS (
       SELECT doc_id,
              CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
-             octet_length(encode(text)) AS n_bytes,
-             substr(text, 1, 128) AS head
-      FROM documents
+             octet_length(encode(p)) AS n_bytes,
+             substr(p, 1, 128) AS head
+      FROM s
     )
     SELECT doc_id, format, n_bytes,
            CAST(64 + (n_bytes % 577) AS INT) AS width,
@@ -1557,15 +1611,25 @@ def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 query(
     "q_multimodal_resize",
     """
-    WITH m AS (
+    -- '?'-sanitized payload: CHAR = BYTE (see q_multimodal_features)
+    WITH s AS (
+      SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS p
+      FROM documents
+    ),
+    m AS (
       SELECT doc_id,
              CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
-             array_to_string(
+             -- guarded COALESCE: an EMPTY payload decimates to '' in
+             -- Spark but array_to_string of the empty slice list is
+             -- NULL in DuckDB (r3 pitfall b); a NULL payload must stay
+             -- NULL, not become '' (adversarial extremes replay, r6)
+             CASE WHEN p IS NULL THEN NULL ELSE
+             COALESCE(array_to_string(
                list_transform(
-                 range(0, CAST(ceil(length(text) / 4.0) AS BIGINT)),
-                 i -> substr(text, CAST(1 + i * 4 AS INT), 1)),
-               '') AS rt
-      FROM documents
+                 range(0, CAST(ceil(length(p) / 4.0) AS BIGINT)),
+                 i -> substr(p, CAST(1 + i * 4 AS INT), 1)),
+               ''), '') END AS rt
+      FROM s
     ),
     r AS (SELECT doc_id, format, rt, octet_length(encode(rt)) AS n_bytes FROM m)
     SELECT doc_id, format, n_bytes,
@@ -1601,12 +1665,16 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 query(
     "q_multimodal_frames",
     """
-    WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+    -- '?'-sanitized payload: CHAR = BYTE (see q_multimodal_features)
+    WITH m AS (SELECT doc_id,
+                      regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g') AS p,
+                      octet_length(encode(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'))) AS n
+               FROM documents),
     idx AS (
-      SELECT doc_id, text, unnest(range(0, greatest(n // 100, 1))) AS frame_no FROM m
+      SELECT doc_id, p, unnest(range(0, greatest(n // 100, 1))) AS frame_no FROM m
     )
     SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
-           substr(text, CAST(frame_no AS INT) * 100 + 1, 16) AS frame_text
+           substr(p, CAST(frame_no AS INT) * 100 + 1, 16) AS frame_text
     FROM idx
     """,
     tags=("extension", "multimodal"),
@@ -2071,9 +2139,14 @@ query(
              CAST(SUM(v * v) OVER w AS DOUBLE) AS ss
       FROM b WINDOW w AS (PARTITION BY event_type)
     )
+    -- greatest clamp + NULL-division parity with the operator's
+    -- try_divide path: singleton (n-1 -> /0 -> NULL) and zero-variance
+    -- (sigma 0, incl. the -eps float case DuckDB's sqrt ERRORS on)
+    -- groups give z NULL / is_outlier FALSE on both engines
+    -- (adversarial extremes replay, r6)
     SELECT event_id, event_type,
-           round((vd - s / n) / sqrt((ss - s * s / n) / (n - 1)), 6) AS z,
-           COALESCE(abs((vd - s / n) / sqrt((ss - s * s / n) / (n - 1))) > 3,
+           round((vd - s / n) / sqrt(greatest((ss - s * s / n) / (n - 1), 0)), 6) AS z,
+           COALESCE(abs((vd - s / n) / sqrt(greatest((ss - s * s / n) / (n - 1), 0))) > 3,
                     FALSE) AS is_outlier
     FROM g
     """,
@@ -2109,7 +2182,11 @@ query(
     SELECT doc_id, n_tokens, i AS chunk_id,
            i * 48 AS start_tok,
            greatest(least(64, n_tokens - i * 48), 0) AS n_chunk_tokens,
-           array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+           -- COALESCE: a zero-token doc (empty/whitespace-only hostile
+           -- text) chunks to '' from Spark's concat_ws but NULL from
+           -- DuckDB's array_to_string on the empty slice (r3 pitfall
+           -- b; adversarial extremes replay, r6)
+           COALESCE(array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' '), '') AS chunk_text
     FROM c, unnest(generate_series(0, nc - 1)) AS u(i)
     """,
     tags=("extension", "pipeline", "packing"),

@@ -86,14 +86,32 @@ sql_query(
     tags=("agg_fn", "approx"),
 )
 
+# RANK-error contract, not value error (adversarial extremes replay,
+# r6): a 2%-of-value band collapses to an always-false NEGATIVE
+# tolerance once hostile values drive the exact quantile negative, and
+# no value-space band is honest anyway — GK/KLL-family sketches
+# guarantee rank epsilon only. The assertion is the textbook
+# ε-approximate-quantile definition: rank(approx) ∈ [q−ε, q+ε] via
+# count(x < a) ≤ (q+ε)·n AND count(x ≤ a) ≥ (q−ε)·n — robust to point
+# masses and any sign. The join-back is NULL-SAFE (<=>) so the NULL
+# group key survives (CLAUDE.md r5 window-only-oracle rule: the oracle
+# GROUP BY keeps its NULL group).
 sql_query(
     "q_fn_approx_median",
     """
-    SELECT l_returnflag,
-           round(percentile(l_extendedprice, 0.5), 3) AS exact_med,
-           abs(percentile_approx(l_extendedprice, 0.5) - percentile(l_extendedprice, 0.5))
-             <= 0.02 * percentile(l_extendedprice, 0.5) AS sketch_within_2pct
-    FROM lineitem GROUP BY l_returnflag
+    WITH a AS (
+      SELECT l_returnflag,
+             percentile_approx(l_extendedprice, 0.5) AS amed,
+             round(percentile(l_extendedprice, 0.5), 3) AS exact_med
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT a.l_returnflag, a.exact_med,
+           SUM(CASE WHEN l.l_extendedprice < a.amed THEN 1 ELSE 0 END)
+             <= 0.52 * COUNT(l.l_extendedprice)
+           AND SUM(CASE WHEN l.l_extendedprice <= a.amed THEN 1 ELSE 0 END)
+             >= 0.48 * COUNT(l.l_extendedprice) AS sketch_within_2pct
+    FROM lineitem l JOIN a ON l.l_returnflag <=> a.l_returnflag
+    GROUP BY a.l_returnflag, a.exact_med
     """,
     oracle="""
     SELECT l_returnflag,
@@ -104,17 +122,29 @@ sql_query(
     tags=("agg_fn", "approx"),
 )
 
+# same rank-epsilon contract as q_fn_approx_median (see its header)
 sql_query(
     "q_fn_approx_percentile",
     """
-    SELECT l_returnflag,
-           round(percentile(l_extendedprice, 0.1), 3) AS p10_exact,
-           round(percentile(l_extendedprice, 0.9), 3) AS p90_exact,
-           abs(percentile_approx(l_extendedprice, 0.1) - percentile(l_extendedprice, 0.1))
-             <= 0.02 * percentile(l_extendedprice, 0.1) AS p10_within_2pct,
-           abs(percentile_approx(l_extendedprice, 0.9) - percentile(l_extendedprice, 0.9))
-             <= 0.02 * percentile(l_extendedprice, 0.9) AS p90_within_2pct
-    FROM lineitem GROUP BY l_returnflag
+    WITH a AS (
+      SELECT l_returnflag,
+             percentile_approx(l_extendedprice, 0.1) AS a10,
+             percentile_approx(l_extendedprice, 0.9) AS a90,
+             round(percentile(l_extendedprice, 0.1), 3) AS p10_exact,
+             round(percentile(l_extendedprice, 0.9), 3) AS p90_exact
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT a.l_returnflag, a.p10_exact, a.p90_exact,
+           SUM(CASE WHEN l.l_extendedprice < a.a10 THEN 1 ELSE 0 END)
+             <= 0.12 * COUNT(l.l_extendedprice)
+           AND SUM(CASE WHEN l.l_extendedprice <= a.a10 THEN 1 ELSE 0 END)
+             >= 0.08 * COUNT(l.l_extendedprice) AS p10_within_2pct,
+           SUM(CASE WHEN l.l_extendedprice < a.a90 THEN 1 ELSE 0 END)
+             <= 0.92 * COUNT(l.l_extendedprice)
+           AND SUM(CASE WHEN l.l_extendedprice <= a.a90 THEN 1 ELSE 0 END)
+             >= 0.88 * COUNT(l.l_extendedprice) AS p90_within_2pct
+    FROM lineitem l JOIN a ON l.l_returnflag <=> a.l_returnflag
+    GROUP BY a.l_returnflag, a.p10_exact, a.p90_exact
     """,
     oracle="""
     SELECT l_returnflag,
@@ -471,7 +501,15 @@ def _fn_pandas_udaf(spark, sf_dir):
     def ncount(v: pd.Series) -> int:
         return int(v.count())
 
-    d = table(spark, sf_dir, "documents")
+    # domain contract: the geometric mean is defined over POSITIVE
+    # lengths only — ln(0) is -inf in numpy but an ERROR in DuckDB,
+    # and a hostile n_chars <= 0 must not poison the group sum; the
+    # when() maps them to NULL, which qlogsum's dropna and ncount's
+    # .count() both skip, mirroring the oracle's CASE-guarded SUM /
+    # COUNT (adversarial extremes replay, r6)
+    d = table(spark, sf_dir, "documents").select(
+        "source", F.when(F.col("n_chars") > 0, F.col("n_chars")).alias("n_chars")
+    )
     g = d.groupBy("source").agg(
         qlogsum(F.col("n_chars")).alias("qsum"),
         ncount(F.col("n_chars")).alias("n_docs"),
@@ -482,7 +520,9 @@ def _fn_pandas_udaf(spark, sf_dir):
         # Java Math.exp and libm exp can differ in the last ulp —
         # quantize the surfaced double through DECIMAL(18,6) (dsum
         # recipe, step 2) so both engines emit identical bits
-        F.exp(F.col("qsum") / F.lit(1e6) / F.col("n_docs"))
+        # try_divide: a group with NO positive lengths has n_docs = 0
+        # (oracle: NULL sum / 0 count → NULL) — NULL, never ANSI abort
+        F.exp(F.try_divide(F.col("qsum") / F.lit(1e6), F.col("n_docs")))
         .cast("decimal(18,6)")
         .cast("double")
         .alias("geo_mean_chars"),
@@ -494,10 +534,15 @@ from datafusion_wasm_bindings_spark.queries import query as _query  # noqa: E402
 _query(
     "q_fn_pandas_udaf",
     """
+    -- CASE n_chars > 0: geometric-mean domain — ln(0)/ln(neg) ERROR in
+    -- DuckDB, -inf/NaN in numpy; both sides skip non-positive lengths
+    -- (adversarial extremes replay, r6)
     SELECT source,
-           CAST(COUNT(n_chars) AS BIGINT) AS n_docs,
-           CAST(CAST(exp(CAST(SUM(CAST(floor(ln(n_chars) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
-               / 1e6 / COUNT(n_chars)) AS DECIMAL(18,6)) AS DOUBLE) AS geo_mean_chars
+           CAST(COUNT(CASE WHEN n_chars > 0 THEN n_chars END) AS BIGINT) AS n_docs,
+           CAST(CAST(exp(CAST(SUM(CASE WHEN n_chars > 0 THEN
+                     CAST(floor(ln(n_chars) * 1000000 + 0.5) AS BIGINT) END) AS DOUBLE)
+               / 1e6 / COUNT(CASE WHEN n_chars > 0 THEN n_chars END))
+             AS DECIMAL(18,6)) AS DOUBLE) AS geo_mean_chars
     FROM documents GROUP BY source
     """,
     tags=("agg_fn", "udf", "python"),

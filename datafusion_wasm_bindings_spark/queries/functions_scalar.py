@@ -81,9 +81,15 @@ sql_query(
            abs(p_size - 25) AS a,
            CAST(ceil(p_retailprice / 100) AS BIGINT) AS c,
            CAST(floor(p_retailprice / 100) AS BIGINT) AS f,
-           round(p_retailprice, 1) AS r1,
+           -- + 0.0 normalizes the SIGNED ZERO: round(-1e-6, 1) is 0.0
+           -- in Spark but -0.0 in DuckDB; IEEE -0.0 + 0.0 = +0.0 on
+           -- both (adversarial extremes replay, r6)
+           round(p_retailprice, 1) + CAST(0 AS DOUBLE) AS r1,
            CAST(sign(p_size - 25) AS DOUBLE) AS sg,
-           round(sqrt(p_size), 6) AS sq,
+           -- domain-guarded: Spark sqrt(neg) is NaN but DuckDB ERRORS
+           -- (OutOfRange) — NULL for out-of-domain on both engines
+           -- (adversarial extremes replay, r6)
+           round(sqrt(CASE WHEN p_size >= 0 THEN p_size END), 6) AS sq,
            round(cbrt(p_size), 6) AS cb
     FROM part WHERE p_partkey <= 300
     """,
@@ -98,7 +104,9 @@ sql_query(
            round(ln(p_retailprice), 6) AS l_n,
            round(log10(p_retailprice), 6) AS l10,
            round(log2(p_retailprice), 6) AS l2,
-           round(log(2, p_size), 6) AS l2s,
+           -- domain-guarded: DuckDB ERRORS on log of zero/negative
+           -- where Spark returns NULL (adversarial extremes replay, r6)
+           round(log(2, CASE WHEN p_size > 0 THEN p_size END), 6) AS l2s,
            round(exp(p_size / 25.0), 6) AS e,
            round(power(p_size, 1.5), 6) AS pw,
            round(sin(p_size / 10.0), 6) AS sn,
@@ -390,7 +398,13 @@ sql_query(
            CAST(date_trunc('MONTH', ts) AS DATE) AS mon,
            CAST(date_trunc('DAY', ts) AS DATE) AS day,
            unix_seconds(CAST(date_trunc('HOUR', ts) AS TIMESTAMP)) AS hr_epoch,
-           (unix_micros(ts) div 900000000) * 900 AS bin15m_epoch
+           -- FLOOR division (pmod is non-negative): a bin is a floor,
+           -- but `div` truncates toward zero, so a pre-1970 instant
+           -- binned to 0 where DuckDB's time_bucket floors to -900
+           -- (adversarial extremes replay, r6); exact BIGINT
+           -- arithmetic throughout
+           ((unix_micros(ts) - pmod(unix_micros(ts), 900000000))
+              div 900000000) * 900 AS bin15m_epoch
     FROM events WHERE event_id <= 400
     """,
     oracle="""
@@ -409,7 +423,12 @@ sql_query(
     "q_fn_datetime_convert",
     """
     SELECT o_orderkey,
-           unix_timestamp(o_orderdate) AS epoch_s,
+           -- exact integer micros, then TRUNCATING division on both
+           -- engines (Spark div / DuckDB // both truncate toward 0):
+           -- unix_timestamp truncates where DuckDB's epoch()->BIGINT
+           -- cast ROUNDS, so a .999999 fraction (or a pre-1970
+           -- instant) diverged (adversarial extremes replay, r6)
+           unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000 AS epoch_s,
            from_unixtime(o_orderkey * 86400) AS from_epoch,
            make_date(2024, 1 + CAST(o_orderkey % 12 AS INT), 1 + CAST(o_orderkey % 28 AS INT)) AS made,
            to_date('2021-03-05') AS fixed_date,
@@ -418,7 +437,7 @@ sql_query(
     """,
     oracle="""
     SELECT o_orderkey,
-           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           epoch_us(o_orderdate) // 1000000 AS epoch_s,
            strftime(CAST(to_timestamp(o_orderkey * 86400) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS from_epoch,
            make_date(2024, 1 + CAST(o_orderkey % 12 AS INT), 1 + CAST(o_orderkey % 28 AS INT)) AS made,
            CAST('2021-03-05' AS DATE) AS fixed_date,
@@ -435,20 +454,23 @@ sql_query(
     """
     SELECT o_orderkey,
            CAST(o_orderdate + INTERVAL 3 DAY AS DATE) AS plus_days,
-           unix_seconds(CAST(o_orderdate - INTERVAL 2 HOUR AS TIMESTAMP)) AS minus_hours_epoch,
+           -- micros div: unix_seconds truncates, DuckDB epoch() cast
+           -- rounds — truncating integer division matches exactly
+           -- (adversarial extremes replay, r6)
+           unix_micros(CAST(o_orderdate - INTERVAL 2 HOUR AS TIMESTAMP)) div 1000000 AS minus_hours_epoch,
            CAST(add_months(CAST(o_orderdate AS DATE), 2) AS DATE) AS plus_months,
            CAST(add_months(CAST(o_orderdate AS DATE), -14) AS DATE) AS minus_months,
-           unix_seconds(CAST(o_orderdate + make_interval(0, 1, 0, 2, 0, 0, 0) AS TIMESTAMP)) AS plus_mixed_epoch,
+           unix_micros(CAST(o_orderdate + make_interval(0, 1, 0, 2, 0, 0, 0) AS TIMESTAMP)) div 1000000 AS plus_mixed_epoch,
            months_between(DATE '2001-06-15', CAST(o_orderdate AS DATE)) >= 0 AS before_mid_2001
     FROM orders WHERE o_orderkey <= 300
     """,
     oracle="""
     SELECT o_orderkey,
            CAST(o_orderdate + INTERVAL 3 DAY AS DATE) AS plus_days,
-           CAST(epoch(o_orderdate - INTERVAL 2 HOUR) AS BIGINT) AS minus_hours_epoch,
+           epoch_us(o_orderdate - INTERVAL 2 HOUR) // 1000000 AS minus_hours_epoch,
            CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_months,
            CAST(CAST(o_orderdate AS DATE) - INTERVAL 14 MONTH AS DATE) AS minus_months,
-           CAST(epoch(o_orderdate + INTERVAL '1 month 2 days') AS BIGINT) AS plus_mixed_epoch,
+           epoch_us(o_orderdate + INTERVAL '1 month 2 days') // 1000000 AS plus_mixed_epoch,
            CAST(o_orderdate AS DATE) <= DATE '2001-06-15' AS before_mid_2001
     FROM orders WHERE o_orderkey <= 300
     """,
@@ -539,7 +561,13 @@ sql_query(
            parse_url(url, 'HOST') AS host,
            parse_url(url, 'PATH') AS path,
            url_decode(parse_url(url, 'QUERY', 'name')) AS qname,
-           url_encode(c_name) AS enc
+           -- roundtrip identity, not the raw encoding: Java's
+           -- URLEncoder dialect (space->+, UTF-8 percent bytes) has no
+           -- faithful SQL twin for arbitrary hostile input, but
+           -- decode(encode(x)) = x holds for EVERY string — the
+           -- functional contract a pipeline actually relies on
+           -- (adversarial extremes replay, r6)
+           COALESCE(url_decode(url_encode(c_name)) = c_name, FALSE) AS enc_roundtrip
     FROM (
       SELECT c_custkey, c_name,
              concat('https://shop.example.com/', lower(c_mktsegment), '/', c_custkey,
@@ -558,7 +586,7 @@ sql_query(
            CASE WHEN c_name IS NULL OR c_mktsegment IS NULL THEN NULL
                 ELSE '/' || lower(c_mktsegment) || '/' || c_custkey END AS path,
            CASE WHEN c_mktsegment IS NULL THEN NULL ELSE c_name END AS qname,
-           replace(c_name, '#', '%23') AS enc
+           c_name IS NOT NULL AS enc_roundtrip
     FROM customer WHERE c_custkey <= 150
     """,
     tags=("functions", "string", "compat"),
@@ -606,16 +634,21 @@ sql_query(
     "q_fn_variant",
     """
     SELECT event_id,
-           variant_get(parse_json(props), '$.k', 'int') AS k,
-           try_variant_get(parse_json(props), '$.missing', 'int') AS missing_k,
-           to_json(parse_json(props)) AS roundtrip
+           variant_get(try_parse_json(props), '$.k', 'int') AS k,
+           try_variant_get(try_parse_json(props), '$.missing', 'int') AS missing_k,
+           to_json(try_parse_json(props)) AS roundtrip
     FROM events WHERE event_id < 300
     """,
     oracle="""
+    -- try_parse_json / json_valid guards: Spark parse_json THROWS on
+    -- malformed input and DuckDB json() ERRORS — NULL on both engines
+    -- (adversarial extremes replay, r6)
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k,
            CAST(NULL AS INT) AS missing_k,
-           CAST(json(props) AS VARCHAR) AS roundtrip
+           CASE WHEN json_valid(props)
+                THEN CAST(json(props) AS VARCHAR) END AS roundtrip
     FROM events WHERE event_id < 300
     """,
     tags=("functions", "json", "compat"),

@@ -43,6 +43,21 @@ DUPE_SENTINELS = [
     "q_scan_arrow",             # content-stamped fixture cache (stale copy)
 ]
 
+# one id per divergence class the r6 EXTREMES campaign fixed (boundary
+# values in non-key columns: zeros, signs, unicode, epoch edges, zero
+# vectors — CLAUDE.md r6 extremes conventions a-g)
+EXTREME_SENTINELS = [
+    "q_events_outliers",        # try_divide + greatest(var, 0) clamp (a)
+    "q_fn_math_basic",          # sqrt domain guard + signed-zero round (b, e)
+    "q_events_props_json",      # json_valid oracle guard (c)
+    "q_ml_ks_drift",            # TRY_CAST of hostile numeric strings (b)
+    "q_sim_topk",               # nonzero-quantized-norm cosine population (d)
+    "q_dedup_minhash",          # zero-token docs have zero shingles (d)
+    "q_fn_datetime_convert",    # truncating epoch-micros division (e)
+    "q_fn_approx_median",       # rank-epsilon sketch contract (f)
+    "q_multimodal_features",    # '?'-sanitized stub payload, CHAR = BYTE (g)
+]
+
 
 @pytest.fixture(scope="module")
 def adv_dir():
@@ -76,25 +91,33 @@ def test_sentinel_queries_survive_null_injection(spark, adv_dir, adv_duck):
     assert not bad, f"adversarial NULL replay regressions: {bad}"
 
 
-def test_sentinel_queries_survive_dupe_injection(spark):
+def _mode_sentinel_check(spark, mode: str, ids: list[str]) -> None:
     from datafusion_wasm_bindings_spark.queries import load_all
     from datafusion_wasm_bindings_spark.queries.sources_q import _ensure_text_fixtures
     from datafusion_wasm_bindings_spark.sources.catalog import TABLE_NAMES
 
-    dupe_dir = build_mode_dir("dupes")
-    _ensure_text_fixtures(dupe_dir)
+    mode_dir = build_mode_dir(mode)
+    _ensure_text_fixtures(mode_dir)
     con = duckdb.connect()
     try:
         for name in TABLE_NAMES:
-            path = os.path.join(dupe_dir, f"{name}.parquet")
+            path = os.path.join(mode_dir, f"{name}.parquet")
             if os.path.exists(path):
                 con.execute(
                     f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
                 )
         registry = load_all()
-        todo = [(n, registry[n]) for n in DUPE_SENTINELS]
-        results = simulate_relaxed(todo, spark, con, dupe_dir)
+        todo = [(n, registry[n]) for n in ids]
+        results = simulate_relaxed(todo, spark, con, mode_dir)
         bad = {k: v for k, v in results.items() if not v["ok"]}
-        assert not bad, f"adversarial dupes replay regressions: {bad}"
+        assert not bad, f"adversarial {mode} replay regressions: {bad}"
     finally:
         con.close()
+
+
+def test_sentinel_queries_survive_dupe_injection(spark):
+    _mode_sentinel_check(spark, "dupes", DUPE_SENTINELS)
+
+
+def test_sentinel_queries_survive_extreme_injection(spark):
+    _mode_sentinel_check(spark, "extremes", EXTREME_SENTINELS)
