@@ -105,7 +105,9 @@ sql_query(
              round(percentile(l_extendedprice, 0.5), 3) AS exact_med
       FROM lineitem GROUP BY l_returnflag
     )
-    SELECT a.l_returnflag, a.exact_med,
+    -- BROADCAST(a): see q_fn_approx_percentile — the bounded
+    -- |groups|-row sketch frame is the build side by contract
+    SELECT /*+ BROADCAST(a) */ a.l_returnflag, a.exact_med,
            SUM(CASE WHEN l.l_extendedprice < a.amed THEN 1 ELSE 0 END)
              <= 0.52 * COUNT(l.l_extendedprice)
            AND SUM(CASE WHEN l.l_extendedprice <= a.amed THEN 1 ELSE 0 END)
@@ -134,7 +136,11 @@ sql_query(
              round(percentile(l_extendedprice, 0.9), 3) AS p90_exact
       FROM lineitem GROUP BY l_returnflag
     )
-    SELECT a.l_returnflag, a.p10_exact, a.p90_exact,
+    -- BROADCAST(a): the |groups|-row sketch frame is the build side by
+    -- CONTRACT — the static planner otherwise picks whichever side's
+    -- size estimate is smaller, which at fixture scale is the raw FACT
+    -- scan (broadcasting the fact is exactly wrong at 100 TB)
+    SELECT /*+ BROADCAST(a) */ a.l_returnflag, a.p10_exact, a.p90_exact,
            SUM(CASE WHEN l.l_extendedprice < a.a10 THEN 1 ELSE 0 END)
              <= 0.12 * COUNT(l.l_extendedprice)
            AND SUM(CASE WHEN l.l_extendedprice <= a.a10 THEN 1 ELSE 0 END)

@@ -1296,3 +1296,18 @@ def test_semantic_dedup_broadcast_rep(spark, sf_dir):
     df = REGISTRY["q_dedup_semantic"].spark_fn(spark, sf_dir)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_approx_rank_contract_broadcasts_sketch_frame(spark, sf_dir):
+    """q_fn_approx_median / q_fn_approx_percentile (r6 rank-epsilon
+    rewrite): the join-back must build on the BOUNDED |groups|-row
+    sketch frame (BROADCAST(a) hint), never on the fact scan — the
+    static planner's size estimates would otherwise broadcast raw
+    lineitem at fixture scale, which inverts at 100 TB."""
+    for qid in ("q_fn_approx_median", "q_fn_approx_percentile"):
+        plan = _plan(REGISTRY[qid].spark_fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, (qid, plan)
+        # the broadcast subtree must contain the percentile aggregate,
+        # i.e. the build side is the sketch frame, not the bare scan
+        bx = plan.index("BroadcastExchange")
+        assert "percentile" in plan[bx:], (qid, plan[bx : bx + 2000])
