@@ -68,21 +68,31 @@ def cosine_topk_bruteforce(
     row (no shuffle), then one shuffle on query_id for the top-k
     window. Scales linearly in corpus size.
     """
-    embeddings = nonzero_vectors(embeddings)
-    q = (
-        embeddings.filter(F.col("vec_id").isin(query_ids))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            quantized(F.col("embedding")).alias("qv"),
-        )
+    # quantize + norm ONCE per row (expensive-HOF materialization
+    # rule), then filter the zero-quantized vectors out of the cosine
+    # population (nonzero_vectors contract, r6). Precomputing the
+    # norms here also moves them out of the scoring join — the old
+    # inline _norm2 re-folded both arrays PER PAIR, O(pairs × dims)
+    # instead of O(rows × dims).
+    base = (
+        embeddings.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+        .withColumn("n2", _norm2(F.col("qv")))
+        .filter(F.col("n2") > 0)
     )
-    c = embeddings.select(
-        F.col("vec_id").alias("cand_id"), quantized(F.col("embedding")).alias("cv")
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv"),
+        F.col("n2").alias("qn2"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qv").alias("cv"),
+        F.col("n2").alias("cn2"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
         .withColumn("dot", _dot(F.col("qv"), F.col("cv")))
-        .withColumn("cos", F.col("dot") / F.sqrt(_norm2(F.col("qv")) * _norm2(F.col("cv"))))
+        .withColumn("cos", F.col("dot") / F.sqrt(F.col("qn2") * F.col("cn2")))
     )
     from pyspark.sql import Window
 
@@ -100,13 +110,19 @@ def cosine_pairs_threshold(embeddings: DataFrame, *, threshold: float = 0.8, max
     """Embedding-cosine near-duplicate pairs above a threshold
     (quantized — exact cross-engine). Used by the dedup suite."""
     e = embeddings if max_id is None else embeddings.filter(F.col("vec_id") <= max_id)
-    v = nonzero_vectors(e).select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    # quantize + norm once per row, filter zero-norm (nonzero_vectors
+    # contract) — norms precomputed out of the pair join (r6)
+    v = (
+        e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+        .withColumn("n2", _norm2(F.col("qv")))
+        .filter(F.col("n2") > 0)
+    )
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn("dot", _dot(F.col("a.qv"), F.col("b.qv")))
         .withColumn(
-            "cos", F.col("dot") / F.sqrt(_norm2(F.col("a.qv")) * _norm2(F.col("b.qv")))
+            "cos", F.col("dot") / F.sqrt(F.col("a.n2") * F.col("b.n2"))
         )
         .filter(F.col("cos") >= threshold)
         .select(
@@ -181,7 +197,14 @@ def cosine_pairs_lsh(
     src/lib.rs exposes DataFusion SQL only; this extension adds the
     pipeline capability Spark-first)."""
     e = embeddings if max_id is None else embeddings.filter(F.col("vec_id") <= max_id)
-    v = nonzero_vectors(e).select("vec_id", quantized(F.col("embedding")).alias("qv"))
+    # quantize + norm once per row, filter zero-norm (nonzero_vectors
+    # contract) — the norm rides along so the candidate verify below
+    # never re-folds arrays per pair (r6)
+    v = (
+        e.select("vec_id", quantized(F.col("embedding")).alias("qv"))
+        .withColumn("n2", _norm2(F.col("qv")))
+        .filter(F.col("n2") > 0)
+    )
     # materialize: bucket projection is an interpreted HOF referenced by
     # both join sides (repo convention — see operators/dedup.py); the
     # bucketed table is what a persisted near-dup index looks like
@@ -207,13 +230,17 @@ def cosine_pairs_lsh(
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
-    va = v.select(F.col("vec_id").alias("id_a"), F.col("qv").alias("va"))
-    vb = v.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("vb"))
+    va = v.select(
+        F.col("vec_id").alias("id_a"), F.col("qv").alias("va"), F.col("n2").alias("na")
+    )
+    vb = v.select(
+        F.col("vec_id").alias("id_b"), F.col("qv").alias("vb"), F.col("n2").alias("nb")
+    )
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("dot", _dot(F.col("va"), F.col("vb")))
-        .withColumn("cos", F.col("dot") / F.sqrt(_norm2(F.col("va")) * _norm2(F.col("vb"))))
+        .withColumn("cos", F.col("dot") / F.sqrt(F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )

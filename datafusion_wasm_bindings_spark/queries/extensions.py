@@ -511,31 +511,38 @@ def _sim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # resolutions — zero-quantized norm at either the full or the
     # truncated grid is excluded like a NULL embedding (adversarial
     # extremes replay, r6: the injected zero vector divides to ANSI
-    # DIVIDE_BY_ZERO)
+    # DIVIDE_BY_ZERO). Both quantized arrays and both norms are
+    # materialized ONCE per row (expensive-HOF rule); the scoring
+    # joins below reuse the precomputed norms instead of re-folding
+    # arrays per pair.
     emb = (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
-        .withColumn("__nf", _norm2(quantized(F.col("embedding"))))
-        .withColumn(
-            "__nt", _norm2(quantized(F.slice(F.col("embedding"), 1, _TRUNC_DIMS)))
+        .select(
+            "vec_id",
+            quantized(F.col("embedding")).alias("vf"),
+            quantized(F.slice(F.col("embedding"), 1, _TRUNC_DIMS)).alias("vt"),
         )
-        .filter((F.col("__nf") > 0) & (F.col("__nt") > 0))
-        .drop("__nf", "__nt")
+        .withColumn("nf", _norm2(F.col("vf")))
+        .withColumn("nt", _norm2(F.col("vt")))
+        .filter((F.col("nf") > 0) & (F.col("nt") > 0))
     )
 
-    def topk(vec_expr, alias):
-        q = (
-            emb.filter(F.col("vec_id").isin(_QUERY_IDS))
-            .select(F.col("vec_id").alias("query_id"), vec_expr.alias("qv"))
+    def topk(vcol, ncol):
+        q = emb.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vcol).alias("qv"),
+            F.col(ncol).alias("qn2"),
         )
-        c = emb.select(F.col("vec_id").alias("cand_id"), vec_expr.alias("cv"))
+        c = emb.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col(vcol).alias("cv"),
+            F.col(ncol).alias("cn2"),
+        )
         scored = (
             c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
             .withColumn("dot", _dot(F.col("qv"), F.col("cv")))
-            .withColumn(
-                "cos",
-                F.col("dot") / F.sqrt(_norm2(F.col("qv")) * _norm2(F.col("cv"))),
-            )
+            .withColumn("cos", F.col("dot") / F.sqrt(F.col("qn2") * F.col("cn2")))
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cos").desc(), F.col("cand_id").asc()
@@ -546,10 +553,8 @@ def _sim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "cand_id")
         )
 
-    full = topk(quantized(F.col("embedding")), "full")
-    trunc = topk(
-        quantized(F.slice(F.col("embedding"), 1, _TRUNC_DIMS)), "trunc"
-    )
+    full = topk("vf", "nf")
+    trunc = topk("vt", "nt")
     hits = (
         full.join(trunc, ["query_id", "cand_id"])
         .groupBy("query_id")
