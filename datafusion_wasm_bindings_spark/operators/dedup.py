@@ -127,16 +127,9 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 16, shingle_k: in
     # regexp_extract_all would re-run the regex per shingle —
     # O(tokens²) per doc (measured 4× on the decontamination probe)
     toksd = documents.select("doc_id", tokens().alias("__toks"))
-    # size > 0: a zero-shingle doc (empty/whitespace text — r6
-    # word_shingles contract) has NOTHING to sign; array_min over its
-    # empty hash list would be NULL, and F.hash(NULL, seed) is a
-    # CONSTANT, so every such doc would land in the same LSH bucket
-    # and pair at union = 0 (an ANSI divide-by-zero in the exact-
-    # Jaccard verify). NULL token arrays (NULL text) are excluded by
-    # the same predicate (adversarial extremes replay, r6).
     shingled = toksd.select(
         "doc_id", word_shingles(F.col("__toks"), shingle_k).alias("__sh")
-    ).filter(F.size("__sh") > 0)
+    )
     # hash each shingle STRING once (xxhash64), then derive the
     # num_hashes functions by integer murmur mixing of that long —
     # string bytes are traversed once instead of num_hashes times
@@ -149,6 +142,13 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 16, shingle_k: in
         F.array_min(F.transform(F.col("__hs"), lambda h: F.hash(h, F.lit(i)))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
+    # a zero-shingle doc (empty/whitespace text — r6 word_shingles
+    # contract) or a NULL token array yields all-NULL signatures
+    # (array_min over an empty/NULL list); callers that BUCKET on
+    # signatures must exclude those rows AFTER materializing — a
+    # filter placed between the projection steps here gets substituted
+    # through them by predicate pushdown and re-runs the whole
+    # tokenize→shingle→hash pipeline per row (measured 3.8× at sf0.1)
     return based.select("doc_id", *sig_cols)
 
 
@@ -180,6 +180,13 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(documents, num_hashes=n_h, shingle_k=shingle_k).localCheckpoint(
         eager=True
     )
+    # AFTER the checkpoint (see minhash_signatures): zero-shingle docs
+    # carry all-NULL signatures, and F.hash(NULL, seed) is a CONSTANT —
+    # unfiltered they'd all share one LSH bucket and pair at union = 0,
+    # an ANSI divide-by-zero in the exact-Jaccard verify (adversarial
+    # extremes replay, r6). Filtering the materialized table costs one
+    # column null-check, not a pipeline re-run.
+    sigs = sigs.filter(F.col("mh_0").isNotNull())
     band_rows = sigs.select(
         "doc_id",
         F.explode(
