@@ -255,6 +255,13 @@ def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+def _norm2d(a: F.Column) -> F.Column:
+    """Double squared norm of an array<double> column."""
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
 def ivf_index(
     embeddings: DataFrame,
     *,
@@ -339,8 +346,14 @@ def ivf_topk(
     assignments, centroids = ivf_index(
         nonzero_vectors(embeddings), n_centroids=n_centroids, lloyd_iters=lloyd_iters
     )
+    # per-row norms computed once on the (checkpointed) assignment
+    # table — the old inline folds re-ran both norms PER SCORED PAIR
+    # (r6, same fix as cosine_topk_bruteforce)
+    assignments = assignments.withColumn("n2v", _norm2d(F.col("v")))
     q = assignments.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2v").alias("qn2"),
     )
     probe_w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
     probes = (
@@ -348,7 +361,7 @@ def ivf_topk(
         .withColumn("d2", _sq_dist("qv", "cv"))
         .withColumn("pr", F.row_number().over(probe_w))
         .filter(F.col("pr") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "qn2", "cell")
     )
     cands = assignments.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
@@ -356,10 +369,7 @@ def ivf_topk(
     scored = cands.withColumn(
         "cos",
         F.aggregate(F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
-        / (
-            F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
-            * F.sqrt(F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
-        ),
+        / (F.sqrt(F.col("n2v")) * F.sqrt(F.col("qn2"))),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -400,9 +410,14 @@ def lsh_bucketed_topk(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("v"),
         )
+        # per-row norm computed once, BEFORE the bucket explode and
+        # the checkpoint — the old inline folds re-ran both norms per
+        # scored candidate pair (r6)
+        .withColumn("n2v", _norm2d(F.col("v")))
         .select(
             "vec_id",
             "v",
+            "n2v",
             F.posexplode(
                 _hyperplane_buckets(F.col("v"), planes=planes, tables=tables, seed=seed)
             ).alias("t", "bucket"),
@@ -417,6 +432,7 @@ def lsh_bucketed_topk(
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("n2v").alias("qn2"),
         F.col("t").alias("qt"),
         F.col("bucket").alias("qb"),
     )
@@ -429,15 +445,17 @@ def lsh_bucketed_topk(
         )
         # union over tables: score each (query, candidate) pair once
         .groupBy("query_id", "vec_id")
-        .agg(F.first("v").alias("v"), F.first("qv").alias("qv"))
+        .agg(
+            F.first("v").alias("v"),
+            F.first("n2v").alias("n2v"),
+            F.first("qv").alias("qv"),
+            F.first("qn2").alias("qn2"),
+        )
     )
     scored = cands.withColumn(
         "cos",
         F.aggregate(F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
-        / (
-            F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
-            * F.sqrt(F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0.0), lambda a, b: a + b))
-        ),
+        / (F.sqrt(F.col("n2v")) * F.sqrt(F.col("qn2"))),
     )
     from pyspark.sql import Window
 
