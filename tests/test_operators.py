@@ -1888,3 +1888,45 @@ def test_null_index_array_pick(spark):
             assert row.picked is None  # the whole point
         else:
             assert row.picked == ["F", "O", "P"][int(row.idx1) - 1]
+
+
+def test_word_shingles_zero_token_contract(spark):
+    """r6 contract: 0 tokens -> ZERO shingles (never one '' whole-doc
+    shingle that pairs every empty doc at Jaccard 1.0); 1..k-1 tokens
+    -> one whole-doc shingle; n >= k -> n-k+1 shingles; NULL token
+    array -> NULL."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(0, []), (1, ["a"]), (2, ["a", "b"]), (3, ["a", "b", "c", "d"]), (4, None)],
+        "id int, toks array<string>",
+    )
+    rows = {
+        r["id"]: r["sh"]
+        for r in df.select("id", word_shingles(F.col("toks"), 3).alias("sh")).collect()
+    }
+    assert rows[0] == []
+    assert rows[1] == ["a"]
+    assert rows[2] == ["a b"]
+    assert rows[3] == ["a b c", "b c d"]
+    assert rows[4] is None
+
+
+def test_nonzero_vectors_population(spark):
+    """r6 cosine-population contract: the zero(-quantized) vector and
+    NULL embeddings are excluded; ordinary vectors survive."""
+    from datafusion_wasm_bindings_spark.operators.similarity import nonzero_vectors
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),          # zero vector
+            (3, None),                # NULL embedding
+            (4, [0.0001, 0.0001]),    # nonzero but quantizes to zero
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    kept = {r["vec_id"] for r in nonzero_vectors(df).collect()}
+    assert kept == {1}
