@@ -242,15 +242,19 @@ def _stable(s: str) -> int:
     return zlib.crc32(s.encode()) & 0xFFFF
 
 
-def _config_fingerprint() -> str:
+def _config_fingerprint(src: str) -> str:
     """Everything that changes the generated mutations — a stale cached
-    dir from an older (SEED, rates, tables) config must rebuild."""
+    dir from an older (SEED, rates, tables, SOURCE dir) config must
+    rebuild. The source dir is part of the identity: running the
+    replay against sf0.01 mutations (SPARK_GRAFT_ADV_SRC) must not
+    silently reuse cached sf0.001 ones."""
     pools = zlib.crc32(
         repr((_EXTREME_INTS, _EXTREME_FLOATS, _EXTREME_STRINGS, _EXTREME_TS)).encode()
     )
     return (
-        f"seed={SEED:x};null={NULL_RATE};dupe={DUPE_RATE};"
-        f"extreme={EXTREME_RATE};pools={pools:x};tables={','.join(TABLES)};v=3"
+        f"src={os.path.normpath(src)};seed={SEED:x};null={NULL_RATE};"
+        f"dupe={DUPE_RATE};extreme={EXTREME_RATE};pools={pools:x};"
+        f"tables={','.join(TABLES)};v=3"
     )
 
 
@@ -258,7 +262,7 @@ def build_mode_dir(mode: str, root: str = ROOT, src_dir: str | None = None) -> s
     src = src_dir or SRC_DIR
     out_dir = os.path.join(root, mode)
     stamp = os.path.join(out_dir, ".complete")
-    want = _config_fingerprint()
+    want = _config_fingerprint(src)
     if os.path.exists(stamp) and open(stamp).read() == want:
         return out_dir
     # build into a temp sibling and os.replace() atomically: concurrent
