@@ -667,17 +667,26 @@ def _rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     immediately, so the aggregate sees k rows per query. Per-rank gain
     terms are quantized to DECIMAL(18,6) before the exact sum; the
     final ratio divides two quantized sums."""
-    e = table(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.col("value").alias("score"),
-        (F.col("user_id") % 4).cast("long").alias("rel"),
+    # event_id IS NOT NULL: the rank tie-break key must be non-null
+    # (CLAUDE.md replay convention b) — two NULL-id rows with equal
+    # scores but different rel otherwise rank in engine-unspecified
+    # order and shift the whole DCG sum (r6 sf0.01 replay); explicit
+    # NULLS LAST pins the injected NULL scores/rels identically too
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").alias("score"),
+            (F.col("user_id") % 4).cast("long").alias("rel"),
+        )
     )
     wm = Window.partitionBy("event_type").orderBy(
-        F.col("score").desc(), F.col("event_id").asc()
+        F.col("score").desc_nulls_last(), F.col("event_id").asc()
     )
     wi = Window.partitionBy("event_type").orderBy(
-        F.col("rel").desc(), F.col("event_id").asc()
+        F.col("rel").desc_nulls_last(), F.col("event_id").asc()
     )
     gain = lambda r: (F.pow(F.lit(2.0), F.col("rel")) - 1) / (  # noqa: E731
         F.log(2.0, r + 1)
@@ -714,17 +723,19 @@ def _rank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 query(
     "q_rank_ndcg",
     f"""
+    -- event_id IS NOT NULL + explicit NULLS LAST: see the Spark side
+    -- (r6 sf0.01 replay)
     WITH e AS (
       SELECT event_id, event_type, value AS score,
              CAST(user_id % 4 AS BIGINT) AS rel
-      FROM events
+      FROM events WHERE event_id IS NOT NULL
     ),
     dcg AS (
       SELECT event_type, CAST(SUM(CAST((pow(2.0, rel) - 1) / (ln(r + 1) / ln(2.0))
                AS DECIMAL(18,6))) AS DOUBLE) AS dcg
       FROM (SELECT event_type, rel,
                    row_number() OVER (PARTITION BY event_type
-                     ORDER BY score DESC, event_id ASC) AS r FROM e)
+                     ORDER BY score DESC NULLS LAST, event_id ASC) AS r FROM e)
       WHERE r <= {_NDCG_K} GROUP BY event_type
     ),
     idcg AS (
@@ -732,7 +743,7 @@ query(
                AS DECIMAL(18,6))) AS DOUBLE) AS idcg
       FROM (SELECT event_type, rel,
                    row_number() OVER (PARTITION BY event_type
-                     ORDER BY rel DESC, event_id ASC) AS r FROM e)
+                     ORDER BY rel DESC NULLS LAST, event_id ASC) AS r FROM e)
       WHERE r <= {_NDCG_K} GROUP BY event_type
     )
     SELECT event_type, dcg, idcg,

@@ -192,9 +192,15 @@ def _sales_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     bs = b.groupBy("c_nationkey", "bkt").agg(
         F.sum(F.col("rev").cast(DEC)).alias("bsum")
     )
+    # asc_nulls_LAST: a NULL-rev customer (all prices NULL under the
+    # adversarial mutations) lands in the NULL bucket, which must sit
+    # at the END of the bucket order exactly where the oracle's
+    # `rev DESC` (NULLS LAST in DuckDB) places the row — Spark's ASC
+    # default is NULLS FIRST, which would rank it as the LARGEST
+    # revenue (r6 sf0.01 replay)
     w_pref = (
         Window.partitionBy("c_nationkey")
-        .orderBy(F.col("bkt").asc())
+        .orderBy(F.col("bkt").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = bs.select(
@@ -210,7 +216,11 @@ def _sales_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rev").desc(), F.col("c_custkey").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cond = F.col("bkt") == F.col("__bkt_r")
+    # eqNullSafe on the BUCKET key too: the NULL bucket is a real group
+    # (NULL-rev rows) and a plain == silently drops its customers from
+    # the class counts (r5 join-back rule, caught live by the r6
+    # sf0.01 replay: n_customers 37 vs 38)
+    cond = F.col("bkt").eqNullSafe(F.col("__bkt_r"))
     offs_r = offs.select(
         F.col("c_nationkey").alias("__nk0"), F.col("bkt").alias("__bkt_r"), "sum_off"
     )

@@ -301,7 +301,14 @@ sql_query(
                 ELSE split_part(c_name, '#', 2) END AS num_part,
            translate(c_mktsegment, 'AEIOU', 'aeiou') AS transl,
            levenshtein(c_mktsegment, 'BUILDING') AS lev,
-           upper(left(c_mktsegment, 1)) || lower(substr(c_mktsegment, 2)) AS cap,
+           -- true per-WORD initcap twin (space-delimited, like Spark's):
+           -- the old first-char-only fake agreed on one-word segments
+           -- but not on hostile multi-word strings (r6 sf0.01 replay);
+           -- probe-verified to match Spark's initcap on every pool
+           -- string incl. tabs/newlines/emoji/consecutive spaces
+           array_to_string(list_transform(string_split(lower(c_mktsegment), ' '),
+                                          w -> upper(left(w, 1)) || substr(w, 2)),
+                           ' ') AS cap,
            CASE WHEN instr(c_name, '0') = 0 THEN c_name
                 ELSE left(c_name, instr(c_name, '0') - 1) END AS before_zero,
            left(c_mktsegment, 1) || '__' || substr(c_mktsegment, 4) AS ovl

@@ -34,7 +34,12 @@ sql_query(
            CAST(CAST(PERCENT_RANK() OVER w AS DECIMAL(18,6)) AS DOUBLE) AS pct_rank,
            CAST(CAST(CUME_DIST() OVER w AS DECIMAL(18,6)) AS DOUBLE) AS cume
     FROM supplier
-    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+    -- explicit NULLS LAST on EVERY key: Spark ASC defaults NULLS
+    -- FIRST, DuckDB NULLS LAST — invisible at sf0.001 (the 10-row
+    -- supplier table drew no NULL keys) and divergent at sf0.01
+    -- mutations (adversarial replay at SPARK_GRAFT_ADV_SRC=sf0.01, r6)
+    WINDOW w AS (PARTITION BY s_nationkey
+                 ORDER BY s_acctbal ASC NULLS LAST, s_suppkey ASC NULLS LAST)
     """,
     tags=("window",),
 )
@@ -63,7 +68,11 @@ sql_query(
            LAST_VALUE(s_name) OVER w AS last_name,
            NTH_VALUE(s_name, 2) OVER w AS second_name
     FROM supplier
-    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_suppkey ASC
+    -- explicit NULLS LAST + s_name tie-break: NULL-injected suppkeys
+    -- otherwise sort engine-differently AND leave first/last/nth
+    -- unspecified between two NULL-key peers (r6 sf0.01 replay)
+    WINDOW w AS (PARTITION BY s_nationkey
+                 ORDER BY s_suppkey ASC NULLS LAST, s_name ASC NULLS LAST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     tags=("window",),
@@ -119,7 +128,8 @@ sql_query(
     """
     WITH ranked AS (
       SELECT s_suppkey, s_nationkey, s_acctbal,
-             DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal ASC) AS dr
+             DENSE_RANK() OVER (PARTITION BY s_nationkey
+                                ORDER BY s_acctbal ASC NULLS LAST) AS dr
       FROM supplier
     )
     SELECT s_suppkey,
@@ -134,7 +144,8 @@ sql_query(
     oracle="""
     WITH ranked AS (
       SELECT s_suppkey, s_nationkey, s_acctbal,
-             DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal ASC) AS dr
+             DENSE_RANK() OVER (PARTITION BY s_nationkey
+                                ORDER BY s_acctbal ASC NULLS LAST) AS dr
       FROM supplier
     )
     SELECT s_suppkey,

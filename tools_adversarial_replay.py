@@ -34,10 +34,11 @@ Mutation modes (deterministic, seeded; written once per mode under
 - ``extremes``: ~4% of every NON-KEY column replaced with hostile
   boundary values (type-routed), on top of independently-seeded null
   injection. Ints: {0, -1, 1_000_000} (zero denominators, sign flips,
-  FK orphans); doubles: {±0.0, ±999.999999, ±1e-6} (sign/rounding
-  edges whose TRIPLE products still fit DECIMAL(18,6) per-row casts
-  and whose shortest repr is NOT a decimal midpoint — midpoint doubles
-  and out-of-range terms are DOCUMENTED engine-divergent/ANSI-overflow
+  FK orphans); doubles: {±0.0, ±249.99, ±0.01} (2-decimal,
+  magnitude-capped so TRIPLE products with fixture columns stay under
+  2^53·1e-6 ≈ 9.0e9 where a double's ulp is finer than the
+  DECIMAL(18,6) grid — see _EXTREME_FLOATS; midpoint doubles and
+  out-of-range terms are DOCUMENTED engine-divergent/ANSI-overflow
   classes, CLAUDE.md pitfall h, and injecting them would only re-flag
   known limitations); strings:
   empty/whitespace/4096-char/unicode/emoji/embedded comma + newline +
@@ -120,6 +121,19 @@ EXCLUDED: dict[str, str] = {
         "far-future injected instant — streaming eviction semantics, "
         "the batch oracle keeps the pair"
     ),
+    # Same watermark class as q_stream_stream_join, dedup flavor:
+    # dropDuplicatesWithinWatermark only dedups keys seen INSIDE the
+    # watermark horizon — after the injected far-future instant
+    # advances the watermark, a duplicate (user, event_type) pair at an
+    # evicted event time is legitimately kept twice (bounded state is
+    # the 100 TB feature), while the batch DISTINCT oracle dedups
+    # globally. Surfaced by the sf0.01-source replay (multi-batch
+    # processing makes the eviction observable).
+    "q_stream_dedup": (
+        "extremes: dropDuplicatesWithinWatermark keeps re-occurrences "
+        "of keys whose state the far-future injected instant evicted — "
+        "bounded-state streaming semantics vs the global batch DISTINCT"
+    ),
     # Hive-layout physics, not engine semantics: partition VALUES are
     # directory names, and the injected 4096-char o_orderstatus exceeds
     # the filesystem's 255-byte path-segment limit, so the COPY …
@@ -164,16 +178,19 @@ def _null_out(col: pa.ChunkedArray, mask: np.ndarray) -> pa.Array:
 
 
 _EXTREME_INTS = [0, -1, 1_000_000]
-# TWO-decimal values, magnitude ≤ 1e3: like the real TPC-H columns,
-# any TRIPLE product (price·(1−disc)·(1+tax)) then has ≤ 6 decimals —
-# exactly representable at DECIMAL(18,6), so the per-row casts agree
-# across engines. Six-decimal inputs were tried first and produced
-# midpoint PRODUCTS (Spark shortest-repr HALF_UP vs DuckDB
-# binary-nearest rounded 2 ulps apart on q_flagship_pricing_summary)
-# — that is CLAUDE.md pitfall h's documented measure-zero limitation,
-# not a fixable divergence, so the pool stays out of it; overflow
-# (|term| ≥ 1e12) is likewise an ANSI abort by DESIGN and excluded.
-_EXTREME_FLOATS = [0.0, -0.0, 999.99, -999.99, 0.01, -0.01]
+# TWO-decimal values, magnitude ≤ 250: like the real TPC-H columns,
+# any TRIPLE product (price·(1−disc)·(1+tax)) then has ≤ 6 decimals
+# AND stays under 2^53·1e-6 ≈ 9.0e9 — the zone where a double's ulp is
+# finer than the DECIMAL(18,6) grid, so the per-row casts agree across
+# engines bit-for-bit. Two earlier pools were walked back from live
+# divergences: 6-decimal inputs made midpoint PRODUCTS (pitfall h),
+# and ±999.99 put fixture_price·(1−disc)·(1+tax) ≈ 7e10 past the
+# ulp>grid threshold where Spark's shortest-repr HALF_UP and DuckDB's
+# binary-nearest legitimately land on different 6-decimal neighbors
+# (q_flagship_pricing_summary, sf0.01-source replay). Worst case now:
+# 105k fixture price × 250.99² ≈ 6.6e9 < 9.0e9. Overflow (≥1e12) is
+# an ANSI abort by DESIGN and stays excluded.
+_EXTREME_FLOATS = [0.0, -0.0, 249.99, -249.99, 0.01, -0.01]
 _EXTREME_STRINGS = [
     "",                      # empty — split/substr/length edges
     "   ",                   # whitespace-only — trim/token edges
