@@ -67,73 +67,73 @@ _MODULES = (
     "analytics5",
 )
 
-# Round-6 driver window (exactly 50 names, VERDICT r5 next-round #1):
-# ALL 46 remaining never-checked ids in registration order (the
-# stats/ML/events analytics waves plus the 7 wave-12/13 additions),
-# then 4 re-verify slots. Three go to the oldest r1-stamped SURVEY
-# greens (q_agg_groupby, q_join_inner, q_win_ranking — never
-# re-verified since r1); the fourth goes to q_graph_pagerank instead
-# of the originally-slated q_sort (also r1-green, unchanged) because
-# q_graph_pagerank MATERIALLY CHANGED this round — it now runs the
-# prepared bucketed-edge path (VERDICT r5 #5 wants that exchange-free
-# iterative plan oracle-checked by the DRIVER, not only by plan
-# tests), and a changed query outranks an unchanged stale green for a
-# re-verify slot. A green CORRECTNESS_r06 leaves exactly one id
-# (q_sort, r1-green, untouched since) beyond driver recency — zero
-# never-checked backlog. Names listed here move to the FRONT of the
-# registry in this order; everything else follows in registration
-# order.
+# Round-7 driver window (exactly 50 names, VERDICT r6 next-round #1):
+# the backlog is ZERO (287/287 driver-green after r6), so every slot
+# is a staleness re-verify — the 50 ids whose LATEST driver verdict is
+# oldest, in (last-verified round, registration order): all 46
+# r1-stamped greens (flagship trio, relational/join/agg/window/setops/
+# sorts blocks — q_sort finally gets its first re-check since r1) plus
+# the first 4 r2-stamped ids in registration order (the dedup quartet
+# q_dedup_exact/minhash/simhash/ngram_jaccard, whose shared operators/
+# dedup.py internals changed materially in r5-r6). Shared infra under
+# all of these (catalog normalization, scan-split sizing, compat
+# rewrites, _util decimal recipes) has churned over five rounds;
+# re-verification through the actual driver is the only guard. The
+# oldest-first choice is enforced by tests/test_window_rotation.py's
+# staleness rule (rule 3, added this round). Names listed here move to
+# the FRONT of the registry in this order; everything else follows in
+# registration order.
 _WINDOW = (
-    "q_events_active_users",
-    "q_events_rfm",
-    "q_pipeline_negatives",
-    "q_graph_bfs",
-    "q_join_spatial",
-    "q_multimodal_dedup",
-    "q_events_ewma",
-    "q_pipeline_curation",
-    "q_profile_kanon",
-    "q_pipeline_forget",
-    "q_pipeline_itemsets",
-    "q_profile_drift",
-    "q_events_forecast_backtest",
-    "q_join_interval_overlap",
-    "q_sample_balanced",
-    "q_stats_entropy_mi",
-    "q_stats_chi2",
-    "q_stats_ols2",
-    "q_stats_benford",
-    "q_ml_target_encode",
-    "q_ml_feature_hash",
-    "q_stats_gini",
-    "q_events_anomaly_mad",
-    "q_rank_ndcg",
-    "q_stats_kappa",
-    "q_ml_calibration",
-    "q_stats_survival",
-    "q_events_cuped",
-    "q_ml_woe_encode",
-    "q_text_bpe_merges",
-    "q_profile_dp_counts",
-    "q_profile_boxplot",
-    "q_sales_yoy",
-    "q_sales_pareto",
-    "q_events_ltv_cohort",
-    "q_sample_neyman",
-    "q_events_changepoint",
-    "q_stats_power",
-    "q_win_distinct_running",
-    "q_join_bloom",
-    "q_pipeline_preference_pairs",
-    "q_ml_auc",
-    "q_ml_ks_drift",
-    "q_ml_psi",
-    "q_rank_rrf",
-    "q_dedup_semantic",
-    "q_agg_groupby",
-    "q_join_inner",
-    "q_win_ranking",
-    "q_graph_pagerank",
+    "q_fn_null_handling",
+    "q_flagship_pricing_summary",
+    "q_flagship_shipping_priority",
+    "q_flagship_local_supplier",
+    "q_project",
+    "q_filter",
+    "q_predicates",
+    "q_like_ilike",
+    "q_case",
+    "q_cast",
+    "q_scalar_subquery",
+    "q_exists_in",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_theta",
+    "q_join_residual",
+    "q_join_using",
+    "q_agg_global",
+    "q_agg_having",
+    "q_agg_distinct",
+    "q_agg_grouping_sets",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_filter_clause",
+    "q_win_lag_lead",
+    "q_win_value_fns",
+    "q_win_agg_over",
+    "q_win_rows_frame",
+    "q_win_range_frame",
+    "q_win_groups_frame",
+    "q_win_named",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_intersect_all",
+    "q_except_all",
+    "q_distinct",
+    "q_distinct_on",
+    "q_sort",
+    "q_limit_offset",
+    "q_topk",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
 )
 
 

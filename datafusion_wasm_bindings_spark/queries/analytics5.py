@@ -334,7 +334,7 @@ def _src_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SRC_SCORE_SQL = """
     d0 AS (
-      SELECT TRY_CAST(substr(source, 4) AS BIGINT) % 2 = 0 AS is_a,
+      SELECT TRY_CAST(substr(source, 4, 8) AS BIGINT) % 2 = 0 AS is_a,
              lower(text) AS lt, n_chars
       FROM documents
     ),

@@ -13,12 +13,19 @@ against the recorded CORRECTNESS files:
 3. the window holds exactly 50 distinct registered ids and load_all()
    puts them first.
 
+4. (zero-backlog era, VERDICT r6 #2) staleness: once every id has a
+   verdict, rule 2 is vacuously satisfiable forever — so a third rule
+   forces oldest-first re-verification: no FRESH green id (verified
+   within the last 2 recorded rounds) may occupy a slot while a STALE
+   id (last verified ≥3 recorded rounds ago) sits outside the window.
+
 INTENTIONAL side effect: the moment a new CORRECTNESS_r{N}.json lands
-recording the current window green, rule 2 starts failing — that is
-the next round's builder being forced to rotate `_WINDOW` (and run
-`python tools_ledger.py`) BEFORE any other work, exactly the
-always-first action every verdict has demanded. Rotate, driver-sim the
-chosen 50, and this test goes green again.
+recording the current window green, rule 2 (backlog era) or rule 4
+(zero-backlog era) starts failing — that is the next round's builder
+being forced to rotate `_WINDOW` (and run `python tools_ledger.py`)
+BEFORE any other work, exactly the always-first action every verdict
+has demanded. Rotate, driver-sim the chosen 50, and this test goes
+green again.
 """
 
 from __future__ import annotations
@@ -33,9 +40,18 @@ from datafusion_wasm_bindings_spark.queries import _WINDOW, load_all
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _correctness_files():
+    out = []
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+        if m:
+            out.append((int(m.group(1)), path))
+    return sorted(out)
+
+
 def _latest_verdicts():
     last: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for _rnd, path in _correctness_files():
         data = json.load(open(path))
         for qid, v in data.items():
             last[qid] = bool(
@@ -45,6 +61,15 @@ def _latest_verdicts():
                 and not v.get("err")
             )
     return last
+
+
+def _latest_rounds():
+    """Round number of each id's most recent driver verdict."""
+    rounds: dict[str, int] = {}
+    for rnd, path in _correctness_files():
+        for qid in json.load(open(path)):
+            rounds[qid] = rnd
+    return rounds
 
 
 def test_window_is_50_distinct_registered_ids_and_leads_registry():
@@ -78,4 +103,43 @@ def test_window_rotation_priorities():
             f"window re-verifies green ids {greens_in_window} while "
             f"{len(never_left_out)} ids have never been checked and "
             f"are not in the window"
+        )
+
+
+def test_window_staleness_oldest_first():
+    """Zero-backlog rotation forcing function (VERDICT r6 #2).
+
+    Once every registered id has a driver verdict, the window must
+    spend its slots on the STALEST greens: it may not hold an id whose
+    latest verdict is from the last 2 recorded rounds (fresh) while an
+    id last verified >=3 recorded rounds ago (stale) sits outside the
+    window. Non-green and never-checked ids are exempt (rules 1/2 own
+    them). The moment CORRECTNESS_r{N}.json lands recording this
+    window green, every window id becomes fresh and the r1/r2-era ids
+    outside go stale — this test fails until `_WINDOW` rotates
+    oldest-first again.
+    """
+    registry = load_all()
+    last = _latest_verdicts()
+    rounds = _latest_rounds()
+    never = [q for q in registry if q not in rounds]
+    if never:
+        return  # backlog era: rule 2 governs
+    latest = max(rounds[q] for q in registry)
+    w = set(_WINDOW)
+    stale_outside = sorted(
+        q for q in registry if q not in w and rounds[q] <= latest - 3
+    )
+    fresh_green_inside = sorted(
+        q
+        for q in _WINDOW
+        if rounds.get(q, 0) >= latest - 1 and last.get(q) is True
+    )
+    if stale_outside and fresh_green_inside:
+        raise AssertionError(
+            f"window holds fresh greens {fresh_green_inside[:8]}... "
+            f"while {len(stale_outside)} stale ids (last verified "
+            f"round <= {latest - 3}) wait outside, e.g. "
+            f"{stale_outside[:8]} — rotate _WINDOW oldest-first "
+            f"(python tools_ledger.py, then COVERAGE.md's plan)"
         )

@@ -317,13 +317,27 @@ def build_mode_dir(mode: str, root: str = ROOT, src_dir: str | None = None) -> s
                 mut = pa.concat_tables([mut, copies])
         pq.write_table(mut, os.path.join(tmp_dir, f"{t}.parquet"))
     open(os.path.join(tmp_dir, ".complete"), "w").write(want)
-    if os.path.exists(out_dir):
-        import shutil
+    # Swap in atomically. Two builders that both saw a stale stamp can
+    # race here: the loser's os.replace raises FileNotFoundError (the
+    # winner moved out_dir away first) or ENOTEMPTY/EEXIST (the winner
+    # already claimed the slot). On any such failure, accept the OTHER
+    # builder's completed dir if its stamp matches (true
+    # last-writer-wins either way the race lands); the temp dir is
+    # always cleaned up (ADVICE r6).
+    import shutil
 
-        old = f"{out_dir}.old.{os.getpid()}"
-        os.replace(out_dir, old)
-        shutil.rmtree(old, ignore_errors=True)
-    os.replace(tmp_dir, out_dir)
+    try:
+        try:
+            if os.path.exists(out_dir):
+                old = f"{out_dir}.old.{os.getpid()}"
+                os.replace(out_dir, old)
+                shutil.rmtree(old, ignore_errors=True)
+            os.replace(tmp_dir, out_dir)
+        except OSError:
+            if not (os.path.exists(stamp) and open(stamp).read() == want):
+                raise
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return out_dir
 
 
