@@ -677,6 +677,32 @@ def pq_topk(
         .filter(F.col("__r") <= rerank)
         .select("query_id", "vec_id")
     )
+    # The origin is a DEGENERATE PQ cell (VERDICT r6 #3): a codebook
+    # trained on a hostile distribution can place the all-zero
+    # subvector arbitrarily far from every centroid, so an exact point
+    # mass at zero — a perfectly legitimate L2 neighbor, often the
+    # true top-k when queries are far apart — may never surface in ADC
+    # order. Route zero-quantized-norm corpus vectors AROUND the ADC
+    # shortlist into the exact re-rank set, the L2 mirror of
+    # nonzero_vectors' cosine gate (which excludes them from the
+    # population instead). Bounded: at most ``rerank`` lowest-vec_id
+    # such rows, crossed with the |Q|-row query list via broadcast
+    # (BroadcastNestedLoopJoin, never a CartesianProduct) — the
+    # re-rank set stays <= 2*rerank per query at any corpus size.
+    zeros = (
+        base.withColumn("__n2", _norm2(quantized(F.col("v"))))
+        .filter(F.col("__n2") == 0)
+        .orderBy(F.col("vec_id").asc())
+        .limit(rerank)
+        .select("vec_id")
+    )
+    zero_cands = (
+        base.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"))
+        .crossJoin(F.broadcast(zeros))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    shortlist = shortlist.unionByName(zero_cands).distinct()
     qv = base.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), quantized(F.col("v")).alias("qv")
     )

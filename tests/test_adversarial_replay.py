@@ -56,6 +56,8 @@ EXTREME_SENTINELS = [
     "q_fn_datetime_convert",    # truncating epoch-micros division (e)
     "q_fn_approx_median",       # rank-epsilon sketch contract (f)
     "q_multimodal_features",    # '?'-sanitized stub payload, CHAR = BYTE (g)
+    "q_sim_pq_topk",            # zero-norm rows routed around ADC shortlist
+                                # (r7 fix of the r6 waiver, VERDICT r6 #3)
 ]
 
 

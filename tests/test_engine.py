@@ -502,3 +502,89 @@ def test_size_scan_splits_clamps_and_sets_confs(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", before_split)
         spark.conf.set("spark.sql.files.openCostInBytes", before_open)
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §1.1 type-gap policies, executable (VERDICT r6 #6). Each gap row
+# declares a policy in prose; these tests pin the actual behavior so a
+# Spark upgrade or reader change that silently shifts it fails loudly.
+# ---------------------------------------------------------------------------
+
+
+def _write_arrow(tmp_path, name, table):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / name)
+    pq.write_table(table, path)
+    return path
+
+
+def test_unsigned_parquet_widens_to_next_signed(engine, spark, tmp_path):
+    """SURVEY §1.1 UInt8/16/32/64 row: 'widen to next signed type
+    (UInt64 -> Decimal(20,0))'. Spark's parquet reader implements
+    exactly this policy natively — pin it, full-range values intact
+    (the reference reads them as native unsigned Arrow types;
+    Cargo.lock:86-291)."""
+    import pyarrow as pa
+
+    path = _write_arrow(
+        tmp_path,
+        "unsigned.parquet",
+        pa.table(
+            {
+                "u8": pa.array([0, 255], pa.uint8()),
+                "u16": pa.array([0, 65535], pa.uint16()),
+                "u32": pa.array([0, 4294967295], pa.uint32()),
+                "u64": pa.array([0, 18446744073709551615], pa.uint64()),
+            }
+        ),
+    )
+    engine.execute_sql(
+        f"CREATE EXTERNAL TABLE t_unsigned STORED AS PARQUET LOCATION '{path}'"
+    )
+    df = spark.table("t_unsigned")
+    assert dict(df.dtypes) == {
+        "u8": "smallint",
+        "u16": "int",
+        "u32": "bigint",
+        "u64": "decimal(20,0)",
+    }
+    top = df.agg({"u8": "max", "u16": "max", "u32": "max", "u64": "max"}).first()
+    assert top["max(u8)"] == 255 and top["max(u16)"] == 65535
+    assert top["max(u32)"] == 4294967295
+    assert int(top["max(u64)"]) == 18446744073709551615  # UInt64 max survives
+
+
+def test_decimal_precision_over_38_rejected_clearly(engine):
+    """SURVEY §1.1 Decimal256 row: 'reject >38 with clear error'. The
+    engine must surface Spark's max-precision rejection as a typed
+    EngineError whose message names the limit, not a bare JVM trace."""
+    with pytest.raises(EngineError) as exc:
+        engine.execute_sql("SELECT CAST(1 AS DECIMAL(50, 0)) AS x")
+    msg = str(exc.value)
+    assert "50" in msg and "38" in msg  # offending and max precision named
+
+
+def test_time_parquet_rejected_clearly(engine, spark, tmp_path):
+    """SURVEY §1.1 Time32/Time64 row: Spark has no TIME type; the
+    declared policy is 'represent as LongType nanos-of-day or reject'.
+    The shipped behavior is the REJECT arm — a clear PARQUET_TYPE_ILLEGAL
+    plan error naming the offending type, never silent corruption."""
+    import datetime
+
+    import pyarrow as pa
+
+    path = _write_arrow(
+        tmp_path,
+        "time.parquet",
+        pa.table(
+            {"t": pa.array([datetime.time(1, 2, 3)], pa.time64("us"))}
+        ),
+    )
+    # schema inference rejects at REGISTRATION time — before any query
+    # can silently read corrupted values
+    with pytest.raises(EngineError) as exc:
+        engine.execute_sql(
+            f"CREATE EXTERNAL TABLE t_time STORED AS PARQUET LOCATION '{path}'"
+        )
+    assert "TIME" in str(exc.value)  # names the illegal parquet type

@@ -147,22 +147,11 @@ EXCLUDED: dict[str, str] = {
         "255-byte dirname limit — the partitioned sink aborts loudly "
         "by design"
     ),
-    # ANN index QUALITY under adversarial geometry, not engine
-    # semantics: the 16 injected zero vectors are an exact point mass
-    # that becomes EVERY query's L2 top-k (verified r6: exact top-3 =
-    # zero vectors at d2 = |q|^2 for all queries), and a 16-code-per-
-    # subspace PQ codebook trained on the hostile distribution cannot
-    # place them in a 64-deep ADC shortlist for every query (2 of 5
-    # missed). The recall CONTRACT (>=1 of top-3 at rerank=64) is
-    # calibrated on the fixture distribution — the cosine-family
-    # queries exclude zero vectors as out-of-population, but for L2
-    # they are legitimate points, so the contract is waived rather
-    # than the population narrowed.
-    "q_sim_pq_topk": (
-        "extremes: injected zero-vector point mass is every query's "
-        "exact L2 top-k; PQ-ADC shortlist recall under that geometry "
-        "is index quality, not cross-engine semantics"
-    ),
+    # (r6's q_sim_pq_topk waiver — zero-vector point mass missing the
+    # ADC shortlist — was FIXED in r7: pq_topk now routes
+    # zero-quantized-norm corpus vectors around the shortlist into the
+    # exact re-rank set, bounded at ``rerank`` rows. See
+    # operators/similarity.py pq_topk and the EXTREME_SENTINELS entry.)
 }
 
 
