@@ -51,11 +51,17 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     matched by ``CAST(ts AS TIMESTAMP)`` on the DuckDB oracle side.
 
     Spark surfaces parquet nanos differently by version: as a long
-    under ``spark.sql.legacy.parquet.nanosAsLong`` (3.x), or natively
-    as ``TIMESTAMP_NTZ`` truncated to µs (4.x). Both land on the same
-    µs instants here; functions that require TIMESTAMP proper
-    (``unix_micros``, ``withWatermark``) then work uniformly. The NTZ→
-    TZ cast is value-preserving because the session timezone is UTC.
+    under ``spark.sql.legacy.parquet.nanosAsLong`` (measured on the
+    shipped 4.1.2: the conf is honored, and WITHOUT it a NANOS column
+    is rejected outright with PARQUET_TYPE_ILLEGAL — the conf-setting
+    in ``table()`` is load-bearing), or natively as ``TIMESTAMP_NTZ``
+    on versions that read ns directly. Both branches land on the same
+    µs instants here (`div 1000` truncates toward zero — pinned with
+    pre-1970 boundary values in tests/test_engine.py
+    test_ns_timestamp_truncates_to_micros_policy); functions that
+    require TIMESTAMP proper (``unix_micros``, ``withWatermark``) then
+    work uniformly. The NTZ→TZ cast is value-preserving because the
+    session timezone is UTC.
     """
     dt = dict(df.dtypes).get(col)
     if dt == "bigint":

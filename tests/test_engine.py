@@ -613,3 +613,66 @@ def test_s3a_scheme_dispatch_reaches_hadoop_fs_registry(engine):
             "LOCATION 's3a://bkt/d/x.parquet'"
         )
     assert "S3AFileSystem" in str(exc.value)  # reached the FS registry
+
+
+def test_ns_timestamp_truncates_to_micros_policy(spark, tmp_path):
+    """SURVEY §1.1 Timestamp(ns) row: 'ns precision truncates to µs'.
+    Pins the whole documented policy (sources/catalog.py
+    normalize_event_ts) on explicit boundary instants:
+    - under the legacy conf the catalog sets, parquet TIMESTAMP(NANOS)
+      reads as BIGINT epoch-nanos and normalizes to TimestampType µs
+      via integer `div 1000` — truncation TOWARD ZERO, so
+      .123456789 -> .123456 and the pre-1970 -1.000000001 s lands on
+      -1.000000 s (not floored to -1.000001);
+    - WITHOUT the legacy conf, Spark 4.1.2 rejects NANOS parquet
+      outright (PARQUET_TYPE_ILLEGAL) — a clear error, not silent
+      corruption; the conf-setting inside catalog.table() is therefore
+      load-bearing, not vestigial."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.sources.catalog import (
+        normalize_event_ts,
+    )
+
+    path = str(tmp_path / "ns_events.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(
+                    [1700000000_123456789, -1_000_000_001, 999_999_999],
+                    pa.timestamp("ns", tz="UTC"),
+                ),
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+            }
+        ),
+        path,
+    )
+    before = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        assert dict(df.dtypes)["ts"] == "bigint"  # nanos surface as long
+        out = normalize_event_ts(df)
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        got = {
+            r.event_id: r.us
+            for r in out.select(
+                "event_id", F.unix_micros("ts").alias("us")
+            ).collect()
+        }
+        assert got == {
+            1: 1700000000_123456,  # sub-µs fraction dropped
+            2: -1_000_000,         # toward-zero, not floor
+            3: 999_999,
+        }
+        # the reject arm: no legacy conf -> loud PARQUET_TYPE_ILLEGAL
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        with pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL|Illegal Parquet type"):
+            spark.read.parquet(path).collect()
+    finally:
+        if before is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", before)
