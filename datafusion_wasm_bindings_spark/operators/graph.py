@@ -276,11 +276,13 @@ def bfs_levels(
 
     Distributed shape: per round, ONE frontier⋈edges equi-join on src
     + a LEFT ANTI against the visited set — bytes ∝ edges touched by
-    the frontier, the textbook frontier-expansion BFS. Rounds are
-    UNROLLED to a fixed depth (no per-round driver count — an empty
-    frontier makes later rounds no-op joins), and per-round state is
-    localCheckpointed like pagerank/connected-components so lineage
-    stays O(1) per round instead of O(round²); ``checkpoint_dir``
+    the frontier, the textbook frontier-expansion BFS. Each round
+    checkpoints BOTH the visited set and the frontier (a lazy frontier
+    chain re-derives every earlier round inside the next one —
+    O(rounds²)), releases the previous round's blocks once the new
+    ones materialize (r7 release convention, storage O(1) in rounds),
+    and exits early on the cheap ``isEmpty`` of the just-materialized
+    frontier; ``checkpoint_dir``
     switches the cut to fault-tolerant storage checkpoints
     (operators/checkpoint.py). ``prepared=True`` takes ``edges`` from
     ``prepare_bfs_edges`` (already deduped, bucketed by src): the

@@ -274,8 +274,16 @@ def build_mode_dir(mode: str, root: str = ROOT, src_dir: str | None = None) -> s
     # build into a temp sibling and os.replace() atomically: concurrent
     # builders each produce a complete dir and the rename is last-wins,
     # so no reader ever sees half-written parquet (ADVICE r5).
-    tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
-    os.makedirs(tmp_dir, exist_ok=True)
+    # pid+thread+uuid suffix: two THREADS of one process (the bench
+    # harness's documented mode) must never share a build dir, or their
+    # interleaved parquet writes publish a torn dir under a valid stamp
+    import threading
+    import uuid
+
+    tmp_dir = (
+        f"{out_dir}.tmp.{os.getpid()}.{threading.get_ident()}.{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(tmp_dir)
     for t in TABLES:
         tab = pq.read_table(os.path.join(src, f"{t}.parquet"))
         n = tab.num_rows

@@ -296,7 +296,12 @@ def probe_minhash(spark) -> None:
         n = minhash_lsh_pairs(
             corpus, bands=8, rows_per_band=2, jaccard_threshold=0.5
         ).count()
-        assert n == 20 * base_pairs, (n, base_pairs)
+        # exact only while verified fixture pairs are J=1 duplicates;
+        # tolerate per-replica LSH hash-draw variance (see probe_minhash_xl)
+        assert abs(n - 20 * base_pairs) <= max(2, 0.02 * 20 * base_pairs), (
+            n,
+            base_pairs,
+        )
 
     print(f"minhash corpus: {n_docs} docs x 20 replicas, {base_pairs} pairs/replica")
     _time(f"minhash-LSH dedup (100k docs, {20 * base_pairs} verified pairs)", run)
@@ -796,7 +801,10 @@ def probe_pagerank_prepared(spark) -> None:
         assert [tuple(r) for r in a] == [tuple(r) for r in b], "rank mismatch"
         print("  prepared ranks bit-identical to plain: yes")
     finally:
+        import shutil
+
         spark.sql("DROP TABLE IF EXISTS probe_pr_edges")
+        shutil.rmtree(d, ignore_errors=True)  # path-backed: files outlive DROP
 
 
 def probe_bloom_join(spark) -> None:
@@ -1256,7 +1264,12 @@ def probe_pagerank_xl(spark) -> None:
                 repeats=2 if scale == "100M" else 3,
             )
         finally:
+            # DROP TABLE on a path-backed table is external — it leaves
+            # the multi-GB bucketed parquet behind; remove it explicitly
+            import shutil
+
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(d, ignore_errors=True)
     import math
 
     exp = math.log(times["100M"] / times["10M"]) / math.log(10)
@@ -1345,7 +1358,15 @@ def probe_minhash_xl(spark) -> None:
             n = minhash_lsh_pairs(
                 corpus, bands=8, rows_per_band=2, jaccard_threshold=0.5
             ).count()
-            assert n == n_reps * base_pairs, (n, base_pairs)
+            # per-replica token suffixes re-draw every shingle hash, so
+            # banded-LSH CANDIDATE capture of any verified pair with
+            # J < 1 is an independent coin per replica (catch prob
+            # 1-(1-J^2)^bands) — exact equality holds only while the
+            # fixture's verified pairs are exact duplicates (J = 1,
+            # always caught). Allow the hash-draw variance so a future
+            # near-dup fixture doesn't fake a scaling regression.
+            expect = n_reps * base_pairs
+            assert abs(n - expect) <= max(2, 0.02 * expect), (n, expect)
 
         times[scale] = _time(
             f"minhash-LSH dedup ({scale} docs, {n_reps * base_pairs} pairs)",
