@@ -10,8 +10,20 @@ for path in sorted(glob.glob("CORRECTNESS_r*.json")):
     r = int(re.search(r"r(\d+)", path).group(1))
     rounds[r] = json.load(open(path))
 
-from datafusion_wasm_bindings_spark.queries import load_all, _WINDOW
+import importlib
 
+from datafusion_wasm_bindings_spark import queries as _q
+from datafusion_wasm_bindings_spark.queries import _WINDOW, load_all
+
+# snapshot REGISTRATION order before load_all's window reorder (fresh
+# process: decorators fire in module import order) — the staleness plan
+# below tie-breaks equal-round ids by it
+for _mod in _q._MODULES:
+    try:
+        importlib.import_module(f"datafusion_wasm_bindings_spark.queries.{_mod}")
+    except ModuleNotFoundError:
+        pass
+REG_ORDER = list(_q.QUERIES)
 names = list(load_all())
 
 
@@ -139,7 +151,26 @@ else:
 lines.append(f"2. never-checked ids in REGISTRATION order until the 50 slots")
 lines.append(f"   fill (pool: {len(never)} ids; SURVEY-inventory rows, if any, jump")
 lines.append("   the queue so catalog coverage never starves);")
-lines.append("3. run the conftest ORACLE_UNSAFE_TYPES + dtype-parity audit")
+free = 50 - len(nongreen) - len(never)
+if free > 0:
+    # zero-backlog era: spare slots re-verify the STALEST greens,
+    # (last-verified round, registration order) — the exact order
+    # tests/test_window_rotation.py's staleness rule enforces
+    def _last_round(n):
+        rs = [r for r in rounds if n in rounds[r]]
+        return max(rs) if rs else 0
+
+    reg_idx = {n: i for i, n in enumerate(REG_ORDER)}
+    stale = sorted(
+        (n for n in names if _last_status(n) == "green"),
+        key=lambda n: (_last_round(n), reg_idx.get(n, 1 << 30)),
+    )[:free]
+    lines.append(f"3. the remaining {free} slots re-verify the stalest greens,")
+    lines.append("   oldest (last-verified round, registration order) first —")
+    lines.append("   the staleness rule in tests/test_window_rotation.py fails")
+    lines.append("   any window that skips them:")
+    lines.append("   " + ", ".join(f"`{n}`" for n in stale) + ";")
+lines.append("4. run the conftest ORACLE_UNSAFE_TYPES + dtype-parity audit")
 lines.append("   (tools_driver_sim.py over the chosen ids) BEFORE committing")
 lines.append("   the rotation — tests/test_driver_sim_gate.py enforces the sim")
 lines.append("   on any uncommitted query-module edit. Never re-verify a green")
