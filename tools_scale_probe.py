@@ -1276,6 +1276,48 @@ def probe_pagerank_xl(spark) -> None:
     print(f"  pagerank prepared scaling exponent (10M -> 100M edges): {exp:.2f}")
 
 
+def probe_pagerank_deep(spark) -> None:
+    """Iteration-depth headroom at 100M edges (r7 release convention):
+    3 vs 10 damped iterations on the prepared bucketed-edge path. Two
+    claims measured: (a) the marginal cost per extra iteration is a
+    constant (each round is ONE O(|V|) exchange against the exchange-
+    free edge scan), and (b) ten rounds of rank state fit the same 8 g
+    heap because each round's checkpoint blocks are released when the
+    next materializes — before the r7 fix this accumulated
+    O(iters x |V|) deserialized blocks."""
+    import tempfile
+
+    from datafusion_wasm_bindings_spark.operators.graph import (
+        pagerank,
+        prepare_pagerank_edges,
+    )
+
+    n_edges, n_nodes = 100_000_000, 5_000_000
+    edges = spark.range(n_edges).select(
+        (F.col("id") % n_nodes).alias("src"),
+        ((F.col("id") * 2654435761 + 7) % n_nodes).alias("dst"),
+    )
+    d = tempfile.mkdtemp(prefix="pr_deep_")
+    prep = prepare_pagerank_edges(spark, edges, "probe_pr_deep", buckets=32, path=d)
+    times = {}
+    try:
+        for iters in (3, 10):
+
+            def run():
+                assert pagerank(prep, iters=iters, prepared=True).count() == n_nodes
+
+            times[iters] = _time(
+                f"pagerank {iters} iters, prepared (100M edges)", run, repeats=2
+            )
+        marginal = (times[10] - times[3]) / 7
+        print(f"  marginal cost per extra iteration: {marginal:.2f} s")
+    finally:
+        import shutil
+
+        spark.sql("DROP TABLE IF EXISTS probe_pr_deep")
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def probe_cc_chain_xl(spark) -> None:
     """VERDICT r6 #4: star CC at 10x the standing adversarial chain —
     1M-node vs 10M-node single chain (diameter = n, the worst case for
@@ -1398,6 +1440,8 @@ if __name__ == "__main__":
     spark = get_spark("dfwb-scale-probe")
     if "pagerank_xl" in which:
         probe_pagerank_xl(spark)
+    if "pagerank_deep" in which:
+        probe_pagerank_deep(spark)
     if "cc_chain_xl" in which:
         probe_cc_chain_xl(spark)
     if "minhash_xl" in which:
