@@ -93,6 +93,15 @@ def fit_kmeans(
     centroids: list[Centroid] = [
         (cid, [int(c) for c in row["x"]], 1) for cid, row in enumerate(seeds)
     ]
+    if not centroids:
+        # EMPTY corpus: no seeds, nothing to assign — return a typed
+        # empty assignment instead of building array_min(array()) over
+        # zero centroid choices, which Spark rejects as VOID
+        # (empty-mode replay r7)
+        empty = embeddings.sparkSession.createDataFrame(
+            [], "vec_id bigint, x array<bigint>, cid bigint, inertia double"
+        )
+        return empty, []
 
     assigned = _assign(v, centroids)
     for _ in range(iters):

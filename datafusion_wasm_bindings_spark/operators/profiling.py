@@ -132,12 +132,16 @@ def sharded_hll_distinct(
         F.sum("shard_exact").alias("n_distinct"),
         F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias("est"),
     )
+    # COALESCEs: an EMPTY input has zero shard groups, so the outer SUM
+    # and the union-estimate are NULL — zero keys means n_distinct = 0
+    # and the tolerance contract holds vacuously (empty-mode replay r7)
     return merged.select(
         "n_shards",
-        F.col("n_distinct").cast("long").alias("n_distinct"),
-        (
+        F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long").alias("n_distinct"),
+        F.coalesce(
             F.abs(F.col("est") - F.col("n_distinct"))
-            <= F.lit(tol) * F.col("n_distinct")
+            <= F.lit(tol) * F.col("n_distinct"),
+            F.lit(True),
         ).alias("hll_within_5pct"),
     )
 
@@ -202,7 +206,11 @@ def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
             F.col("max_cnt").cast("double") / F.col("p50_cnt"), 6
         ).alias("skew_ratio"),
         "hot_key",
-    )
+        # a skew profile of an EMPTY table is undefined: the global agg
+        # over the empty histogram emits one all-NULL row where the
+        # oracle's grouped form emits none — drop it (inert whenever
+        # the input has rows; empty-mode replay r7)
+    ).filter(F.col("n_keys").isNotNull())
 
 
 def fk_orphan_audit(
@@ -253,8 +261,12 @@ def expectation_report(
         aggs = [F.count(F.lit(1)).alias("n_rows")]
         for rule_id, pred in rules:
             aggs.append(
-                F.sum(
-                    F.when(pred, F.lit(0)).otherwise(F.lit(1))
+                # COALESCE: SUM over an EMPTY table is NULL, but zero
+                # rows have zero violations (the oracle's count(*)
+                # formulation is 0 there — empty-mode replay r7)
+                F.coalesce(
+                    F.sum(F.when(pred, F.lit(0)).otherwise(F.lit(1))),
+                    F.lit(0),
                 ).cast("long").alias(f"__v_{rule_id}")
             )
         wide = df.agg(*aggs)

@@ -565,7 +565,20 @@ def pq_index(
     one broadcast-codebook assignment (map) + a (sub, code, dim)-keyed
     combinable mean update — bytes ∝ m × n_codes × dims, independent
     of corpus size."""
-    dim = embeddings.select(F.size("embedding").alias("d")).first()["d"]
+    head = embeddings.select(F.size("embedding").alias("d")).first()
+    if head is None:
+        # EMPTY corpus: no dimensionality to probe, no codebook to
+        # train — return typed empty frames so callers compose to an
+        # empty result instead of crashing (empty-mode replay r7)
+        spark = embeddings.sparkSession
+        codes = spark.createDataFrame(
+            [], "vec_id bigint, sub_id int, code int"
+        )
+        cb = spark.createDataFrame(
+            [], "sub_id int, code int, cv array<double>"
+        )
+        return codes, cb, 0
+    dim = head["d"]
     sub_len = dim // m_subspaces
     base = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")

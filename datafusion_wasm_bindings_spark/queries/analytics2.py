@@ -469,17 +469,22 @@ def _scale_balanced_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.col("_metadata.file_path").alias("f")
     )
     per_file = back.groupBy("f").agg(F.count(F.lit(1)).alias("n"))
+    # COALESCEs: an EMPTY input writes zero data files, so the file
+    # rollup aggregates over nothing — zero rows written, balance
+    # vacuously holds (empty-mode replay r7; oracle mirrors with the
+    # CASE on COUNT(*))
     return per_file.agg(
         F.count(F.lit(1)).alias("n_files"),
-        F.sum("n").alias("rows_total"),
-        (F.max("n") <= 3 * F.min("n")).alias("balanced"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("rows_total"),
+        F.coalesce(F.max("n") <= 3 * F.min("n"), F.lit(True)).alias("balanced"),
     )
 
 
 query(
     "q_scale_balanced_write",
     f"""
-    SELECT CAST({_N_RANGE_FILES} AS BIGINT) AS n_files,
+    SELECT CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE {_N_RANGE_FILES} END
+                AS BIGINT) AS n_files,
            CAST(COUNT(*) AS BIGINT) AS rows_total,
            TRUE AS balanced
     FROM orders

@@ -795,15 +795,23 @@ def _stats_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .agg(dsum(F.col("na") * F.col("nb") / (F.col("n") * F.col("n")), "pe"))
     )
-    return po.crossJoin(pe).select(
-        "n",
-        "agree",
-        F.col("po").cast(DEC).cast("double").alias("p_o"),
-        "pe",
-        ((F.col("po") - F.col("pe")) / (1 - F.col("pe")))
-        .cast(DEC)
-        .cast("double")
-        .alias("kappa"),
+    return (
+        po.crossJoin(pe)
+        .select(
+            "n",
+            "agree",
+            F.col("po").cast(DEC).cast("double").alias("p_o"),
+            "pe",
+            ((F.col("po") - F.col("pe")) / (1 - F.col("pe")))
+            .cast(DEC)
+            .cast("double")
+            .alias("kappa"),
+        )
+        # kappa is UNDEFINED on an empty label set: Spark's global agg
+        # still emits one all-NULL row where the oracle's GROUP BY n
+        # emits none — drop it (inert on any non-empty input, where
+        # n >= 1; empty-mode replay r7)
+        .filter(F.col("n").isNotNull())
     )
 
 

@@ -422,13 +422,16 @@ sql_query(
 sql_query(
     "q_fn_bitmap_distinct",
     """
-    SELECT CAST(SUM(cnt) AS BIGINT) AS n_distinct_parts,
-           CAST(SUM(nb) AS BIGINT) AS n_rows
+    SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_distinct_parts,
+           CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS n_rows
     FROM (
       SELECT bitmap_count(bitmap_construct_agg(bitmap_bit_position(l_partkey))) AS cnt,
              COUNT(*) AS nb
       FROM lineitem GROUP BY bitmap_bucket_number(l_partkey)
     )
+    -- COALESCE: the bucket subquery has ZERO groups on an empty table,
+    -- so the outer SUMs are NULL where the oracle's COUNTs are 0
+    -- (empty-mode replay r7)
     """,
     oracle="""
     SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts,

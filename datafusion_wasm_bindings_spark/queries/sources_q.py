@@ -130,10 +130,14 @@ def _scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scan_csv_oracle(sf_dir_tag: str) -> str:
+    # TRY_CAST in the predicate: a header-only CSV (empty-input mode)
+    # infers every column as VARCHAR, and DuckDB refuses VARCHAR <= INT
+    # where Spark coerces — the cast is inert once rows give the
+    # sampler real integers (empty-mode replay r7)
     return f"""
     SELECT n_nationkey, n_name, n_regionkey
     FROM read_csv_auto('{_FIXTURE_ROOT}/{sf_dir_tag}/nation.csv', header=true)
-    WHERE n_regionkey <= 3
+    WHERE TRY_CAST(n_regionkey AS BIGINT) <= 3
     """
 
 
@@ -205,8 +209,15 @@ query(
 
 # --- q_scan_json (newline-delimited) --------------------------------------
 def _scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit schema-on-read — the production JSON contract: inference
+    # over an EMPTY (or late-arriving) file yields zero columns and
+    # breaks every downstream reference, and a 100 TB NDJSON scan
+    # should never pay the inference sampling pass anyway (empty-mode
+    # replay r7; inference stays demonstrated by q_scan_csv)
     _, json_path = _ensure_text_fixtures(sf_dir)
-    df = spark.read.json(json_path)
+    df = spark.read.schema(
+        "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, n_comment STRING"
+    ).json(json_path)
     df.createOrReplaceTempView("nation_json")
     return spark.sql(
         "SELECT n_nationkey, n_name FROM nation_json WHERE n_nationkey < 20"
@@ -217,7 +228,9 @@ query(
     "q_scan_json",
     f"""
     SELECT n_nationkey, n_name
-    FROM read_json_auto('{_FIXTURE_ROOT}/{{TAG}}/nation.ndjson')
+    FROM read_json('{_FIXTURE_ROOT}/{{TAG}}/nation.ndjson',
+                   columns={{'n_nationkey': 'BIGINT', 'n_name': 'VARCHAR',
+                             'n_regionkey': 'BIGINT', 'n_comment': 'VARCHAR'}})
     WHERE n_nationkey < 20
     """,
     tags=("scan",),
@@ -354,13 +367,13 @@ def _copy_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"COPY (SELECT n_nationkey, n_name, n_regionkey FROM nation "
         f"WHERE n_regionkey >= 3) TO '{out}' STORED AS JSON"
     )
-    # spark.read.json orders columns alphabetically → select explicitly
-    df = spark.read.json(out)
-    return df.selectExpr(
-        "CAST(n_nationkey AS BIGINT) AS n_nationkey",
-        "n_name",
-        "CAST(n_regionkey AS BIGINT) AS n_regionkey",
-    )
+    # explicit schema-on-read (not inference): an EMPTY COPY output has
+    # no rows to sample, so inference yields zero columns and the
+    # projection cannot resolve (empty-mode replay r7)
+    df = spark.read.schema(
+        "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    ).json(out)
+    return df.select("n_nationkey", "n_name", "n_regionkey")
 
 
 query(
@@ -390,8 +403,17 @@ def _scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"COPY (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders) "
         f"TO '{out}' STORED AS PARQUET PARTITIONED BY (o_orderstatus)"
     )
+    # explicit schema on the read-back: an EMPTY input writes no
+    # partition directories, and schema inference over a dir holding
+    # only _SUCCESS aborts (UNABLE_TO_INFER_SCHEMA) — a production
+    # reader of a possibly-empty partitioned sink always passes the
+    # schema (empty-mode replay r7); partition pruning is unaffected
+    # (PartitionFilters still asserted in tests/test_plans.py)
     return (
-        spark.read.parquet(out)
+        spark.read.schema(
+            "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING"
+        )
+        .parquet(out)
         .filter("o_orderstatus = 'F'")
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     )

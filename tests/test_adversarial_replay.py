@@ -60,6 +60,20 @@ EXTREME_SENTINELS = [
                                 # (r7 fix of the r6 waiver, VERDICT r6 #3)
 ]
 
+# one id per divergence class the r7 EMPTY campaign fixed (zero-row
+# tables: the filter-pruned-partition / empty-ingest-batch shape —
+# 28 divergences found, 25 fixed + 3 grouping-sets engine waivers)
+EMPTY_SENTINELS = [
+    "q_profile_expectations",   # SUM over empty table: NULL vs the oracle's 0
+    "q_scale_hll_shards",       # zero shard groups: coalesced count + vacuous tolerance
+    "q_stats_kappa",            # undefined stat: 1 all-NULL global-agg row dropped
+    "q_sim_pq_topk",            # pq_index dim probe on empty corpus (first() is None)
+    "q_cluster_kmeans",         # zero seeds: typed empty assignment, no array_min(array())
+    "q_scan_partitioned",       # schema-on-read of a zero-partition sink
+    "q_scan_json",              # explicit NDJSON schema (inference has no rows to sample)
+    "q_scan_csv",               # oracle TRY_CAST vs header-only all-VARCHAR inference
+]
+
 
 @pytest.fixture(scope="module")
 def adv_dir():
@@ -123,3 +137,7 @@ def test_sentinel_queries_survive_dupe_injection(spark):
 
 def test_sentinel_queries_survive_extreme_injection(spark):
     _mode_sentinel_check(spark, "extremes", EXTREME_SENTINELS)
+
+
+def test_sentinel_queries_survive_empty_tables(spark):
+    _mode_sentinel_check(spark, "empty", EMPTY_SENTINELS)

@@ -84,7 +84,7 @@ DUPE_RATE = 0.05
 EXTREME_RATE = 0.04
 SEED = 0x5AD1
 
-MODES = ("nulls", "dupes", "extremes")
+MODES = ("nulls", "dupes", "extremes", "empty")
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -105,8 +105,10 @@ KEY_OFFSET = 10_000_000
 
 # Queries whose adversarial verdict is EXPECTED to differ, each with the
 # reason; anything listed here is reported but not counted as a failure.
-# Keep this list SHORT and each entry justified — it is the tool's
-# honesty ledger, reviewed like code.
+# Keys are MODE-SCOPED ("extremes:q_x") — a waiver earned under one
+# hostile axis must not silently cover another — or, rarely, global
+# ("q_x"). Keep this list SHORT and each entry justified — it is the
+# tool's honesty ledger, reviewed like code.
 EXCLUDED: dict[str, str] = {
     # Watermark semantics BY DESIGN, not a bug: the injected far-future
     # instant (2200-01-01) advances the stream's event-time watermark,
@@ -116,8 +118,8 @@ EXCLUDED: dict[str, str] = {
     # instead of O(history) at 100 TB/day). The batch oracle has no
     # watermark and keeps the pair. Verified r6: the one lost pair is
     # the purchase/click self-pair at 1969-12-31T23:59:59.123456.
-    "q_stream_stream_join": (
-        "extremes: watermark late-drop of pre-1970 rows after a "
+    "extremes:q_stream_stream_join": (
+        "watermark late-drop of pre-1970 rows after a "
         "far-future injected instant — streaming eviction semantics, "
         "the batch oracle keeps the pair"
     ),
@@ -129,8 +131,8 @@ EXCLUDED: dict[str, str] = {
     # the 100 TB feature), while the batch DISTINCT oracle dedups
     # globally. Surfaced by the sf0.01-source replay (multi-batch
     # processing makes the eviction observable).
-    "q_stream_dedup": (
-        "extremes: dropDuplicatesWithinWatermark keeps re-occurrences "
+    "extremes:q_stream_dedup": (
+        "dropDuplicatesWithinWatermark keeps re-occurrences "
         "of keys whose state the far-future injected instant evicted — "
         "bounded-state streaming semantics vs the global batch DISTINCT"
     ),
@@ -142,8 +144,8 @@ EXCLUDED: dict[str, str] = {
     # value that would corrupt the read-back column). The batch oracle
     # has no filesystem to hit. Free-text columns are not valid hive
     # partition keys; that contract is the fix, not code.
-    "q_scan_partitioned": (
-        "extremes: 4096-char injected partition value exceeds the "
+    "extremes:q_scan_partitioned": (
+        "4096-char injected partition value exceeds the "
         "255-byte dirname limit — the partitioned sink aborts loudly "
         "by design"
     ),
@@ -152,6 +154,27 @@ EXCLUDED: dict[str, str] = {
     # zero-quantized-norm corpus vectors around the shortlist into the
     # exact re-rank set, bounded at ``rerank`` rows. See
     # operators/similarity.py pq_topk and the EXTREME_SENTINELS entry.)
+    #
+    # Spark engine divergence from the SQL standard, measured r7
+    # (empty-mode campaign): GROUP BY CUBE/ROLLUP/GROUPING SETS over an
+    # EMPTY relation returns NO rows in Spark 4.1.2, while the standard
+    # (and DuckDB/Postgres/DataFusion) emits the () grand-total
+    # grouping-set row — Spark is even internally inconsistent here (a
+    # plain global aggregate over the same empty relation DOES return
+    # its one row). Not fixable in the query without abandoning the
+    # single-Expand plan for a union-of-groupings rewrite that would
+    # scan the fact once per grouping set at 100 TB.
+    "empty:q_agg_cube": (
+        "Spark grouping-sets over an empty relation omits the () "
+        "grand-total row the standard requires — engine semantics, "
+        "plan-preserving"
+    ),
+    "empty:q_agg_rollup": (
+        "same grouping-sets-over-empty engine divergence as q_agg_cube"
+    ),
+    "empty:q_agg_grouping_sets": (
+        "same grouping-sets-over-empty engine divergence as q_agg_cube"
+    ),
 }
 
 
@@ -286,6 +309,12 @@ def build_mode_dir(mode: str, root: str = ROOT, src_dir: str | None = None) -> s
     os.makedirs(tmp_dir)
     for t in TABLES:
         tab = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        if mode == "empty":
+            # schema-preserving ZERO rows: the filter-pruned-partition /
+            # empty-ingest-batch shape every 100 TB pipeline hits — no
+            # injection, the emptiness IS the mutation
+            pq.write_table(tab.slice(0, 0), os.path.join(tmp_dir, f"{t}.parquet"))
+            continue
         n = tab.num_rows
         cols = []
         for i, name in enumerate(tab.column_names):
@@ -381,7 +410,12 @@ def compare_frames_relaxed(spark_pd, duck_pd) -> dict:
     rec["cols_match"] = [c.lower() for c in s_tok.columns] == [
         c.lower() for c in d_tok.columns
     ]
-    fam_mismatch = [
+    # on a ZERO-ROW result the pandas dtype of an object column is
+    # unknowable (Spark DATE arrives as object-of-date, provable only by
+    # sampling values) — the family check is meaningless there, and the
+    # real driver never compares empty frames (fixture data is
+    # non-empty), so skip it for empty results (empty-mode replays)
+    fam_mismatch = [] if len(s_src) == 0 and len(d_src) == 0 else [
         (sc, str(s_src[sc].dtype), str(d_src[dc].dtype))
         for sc, dc in zip(s_src.columns, d_src.columns)
         if _family(str(s_src[sc].dtype), s_src[sc])
@@ -446,14 +480,18 @@ def replay(mode: str, only: list[str] | None = None) -> int:
 
     json.dump(results, open(f"/tmp/adversarial_replay_{mode}.json", "w"),
               indent=1, default=str)
-    bad = {k: v for k, v in results.items() if not v["ok"] and k not in EXCLUDED}
-    waived = {k: v for k, v in results.items() if not v["ok"] and k in EXCLUDED}
+    def _waiver(k: str) -> str | None:
+        # waivers are mode-scoped ("extremes:q_x") or, rarely, global ("q_x")
+        return EXCLUDED.get(f"{mode}:{k}", EXCLUDED.get(k))
+
+    bad = {k: v for k, v in results.items() if not v["ok"] and _waiver(k) is None}
+    waived = {k: v for k, v in results.items() if not v["ok"] and _waiver(k) is not None}
     print(f"[{mode}] {len(results) - len(bad) - len(waived)}/{len(results)} ok, "
           f"{len(waived)} waived, {len(bad)} FAIL  ({sf_dir})")
     for k, v in sorted(bad.items()):
         print("  FAIL", k, {kk: vv for kk, vv in v.items() if kk != "ok"})
     for k in sorted(waived):
-        print("  waived", k, "--", EXCLUDED[k])
+        print("  waived", k, "--", _waiver(k))
     return len(bad)
 
 
