@@ -505,7 +505,13 @@ _int_shaped = st.tuples(
 ).map(lambda t: "".join(t))
 
 # no digits => unparseable as a number in both engines (BIGINT target)
-_garbage = st.text(alphabet="abcxyz_ .-+", min_size=1, max_size=8)
+# — EXCEPT the sign-then-whitespace class (divergence pinned below)
+import re as _re
+
+_SIGN_WS = _re.compile(r"^\s*[-+]\s+$")
+_garbage = st.text(alphabet="abcxyz_ .-+", min_size=1, max_size=8).filter(
+    lambda s: not _SIGN_WS.match(s)
+)
 
 
 @settings(max_examples=30, deadline=None)
@@ -513,6 +519,31 @@ _garbage = st.text(alphabet="abcxyz_ .-+", min_size=1, max_size=8)
 def test_try_cast_string_to_bigint_agree(spark, duck, s):
     lit = s.replace("'", "''")
     _run_both(spark, duck, f"TRY_CAST('{lit}' AS BIGINT)", relation=_ONE_ROW)
+
+
+def test_try_cast_sign_whitespace_divergence_documented(spark, duck):
+    """DOCUMENTED divergence (hypothesis find, r7): DuckDB's integer
+    parser accepts a bare sign followed by only whitespace and yields
+    **0** (TRY_CAST('- ' AS BIGINT) = 0 — the sign is consumed, the
+    empty digit run defaults to zero), while a lone '-' without
+    trailing whitespace is NULL; Spark returns NULL for the whole
+    class. Consequence for oracle authors: a TRY_CAST over an
+    arbitrary STRING column (numeric-suffix slices, hostile text) must
+    not let a sign-then-whitespace value reach DuckDB's cast bare —
+    strip/guard if the column can contain it. Pinned so an engine
+    upgrade that changes either behavior surfaces loudly."""
+    for s, spark_want, duck_want in (
+        ("- ", None, 0),
+        (" - ", None, 0),
+        ("+ ", None, 0),
+        ("-", None, None),  # no trailing whitespace: both NULL
+    ):
+        got_s = spark.sql(
+            f"SELECT TRY_CAST('{s}' AS BIGINT) AS r"
+        ).collect()[0].r
+        got_d = duck.sql(f"SELECT TRY_CAST('{s}' AS BIGINT) AS r").fetchone()[0]
+        assert got_s == spark_want, (s, got_s)
+        assert got_d == duck_want, (s, got_d)
 
 
 _float_shaped = st.tuples(
