@@ -469,23 +469,34 @@ def _scale_balanced_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.col("_metadata.file_path").alias("f")
     )
     per_file = back.groupBy("f").agg(F.count(F.lit(1)).alias("n"))
-    # COALESCEs: an EMPTY input writes zero data files, so the file
-    # rollup aggregates over nothing — zero rows written, balance
-    # vacuously holds (empty-mode replay r7; oracle mirrors with the
-    # CASE on COUNT(*))
+    # Surface the CONTRACT, not the raw file count: the exact count is
+    # only predictable by the oracle in the >=|shards|-distinct-keys
+    # regime (a 1..7-row or duplicate-key input populates fewer range
+    # partitions — review find r7), so the hash-checked columns are
+    # rows_total (exact) plus two assertion booleans in the
+    # hll_within_5pct style: files_bounded (0 files iff 0 rows, never
+    # more than min(shards, rows)) and balanced (max <= 3x min across
+    # non-empty files; vacuous on empty). The exact 8-file fixture
+    # behavior stays pinned by tests/test_operators.py
+    # test_balanced_write_populates_all_range_partitions.
     return per_file.agg(
-        F.count(F.lit(1)).alias("n_files"),
         F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("rows_total"),
+        (
+            F.count(F.lit(1))
+            <= F.least(
+                F.lit(_N_RANGE_FILES).cast("long"),
+                F.coalesce(F.sum("n"), F.lit(0)).cast("long"),
+            )
+        ).alias("files_bounded"),
         F.coalesce(F.max("n") <= 3 * F.min("n"), F.lit(True)).alias("balanced"),
     )
 
 
 query(
     "q_scale_balanced_write",
-    f"""
-    SELECT CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE {_N_RANGE_FILES} END
-                AS BIGINT) AS n_files,
-           CAST(COUNT(*) AS BIGINT) AS rows_total,
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+           TRUE AS files_bounded,
            TRUE AS balanced
     FROM orders
     """,

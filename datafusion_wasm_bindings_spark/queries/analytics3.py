@@ -786,7 +786,10 @@ def _stats_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = m.agg(F.sum("cnt").cast("long").alias("n"))
     po = (
         m.filter(F.col("a") == F.col("b"))
-        .agg(F.sum("cnt").cast("long").alias("agree"))
+        # COALESCE: a population with ZERO agreeing cells sums over an
+        # empty relation (NULL) where the oracle's FILTER form is 0
+        # (review find r7, the q_profile_expectations class)
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("agree"))
         .crossJoin(F.broadcast(tot))
         .select("n", "agree", (F.col("agree") / F.col("n")).alias("po"))
     )
@@ -802,7 +805,12 @@ def _stats_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "agree",
             F.col("po").cast(DEC).cast("double").alias("p_o"),
             "pe",
-            ((F.col("po") - F.col("pe")) / (1 - F.col("pe")))
+            # try_divide: perfect chance agreement (pe quantizing to
+            # exactly 1.0 — one label dominating both raters) zeroes
+            # the denominator; Spark ANSI would abort where DuckDB's
+            # native x/0 yields NULL (r6 extremes convention a,
+            # review find r7)
+            F.try_divide(F.col("po") - F.col("pe"), 1 - F.col("pe"))
             .cast(DEC)
             .cast("double")
             .alias("kappa"),

@@ -1975,3 +1975,27 @@ def test_iterative_checkpoints_release_previous_rounds(spark):
     assert lv.agg(F.max("lvl")).first()[0] == 8
     # retained: final visited + final frontier
     assert n_persistent() - before <= 3, (before, n_persistent())
+
+
+def test_balanced_write_populates_all_range_partitions(spark, sf_dir, tmp_path):
+    """q_scale_balanced_write's registry surface moved to assertion
+    columns (files_bounded/balanced — the raw file count is not
+    oracle-predictable below |shards| distinct keys, r7 review find);
+    this test keeps the STRONG fixture-scale claim pinned: with >= 8
+    distinct o_orderkey values, repartitionByRange(8) populates all 8
+    range partitions, one file each, covering every row."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.sources.catalog import table
+
+    out = str(tmp_path / "balanced")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n_rows = o.count()
+    o.repartitionByRange(8, F.col("o_orderkey")).write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).select(
+        "o_orderkey", F.col("_metadata.file_path").alias("f")
+    )
+    per_file = back.groupBy("f").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert len(per_file) == 8, [r.n for r in per_file]
+    assert sum(r.n for r in per_file) == n_rows
+    assert max(r.n for r in per_file) <= 3 * min(r.n for r in per_file)

@@ -152,7 +152,9 @@ lines.append(f"2. never-checked ids in REGISTRATION order until the 50 slots")
 lines.append(f"   fill (pool: {len(never)} ids; SURVEY-inventory rows, if any, jump")
 lines.append("   the queue so catalog coverage never starves);")
 free = 50 - len(nongreen) - len(never)
+final_step = "3"
 if free > 0:
+    final_step = "4"
     # zero-backlog era: spare slots re-verify the STALEST greens,
     # (last-verified round, registration order) — the exact order
     # tests/test_window_rotation.py's staleness rule enforces
@@ -170,7 +172,7 @@ if free > 0:
     lines.append("   the staleness rule in tests/test_window_rotation.py fails")
     lines.append("   any window that skips them:")
     lines.append("   " + ", ".join(f"`{n}`" for n in stale) + ";")
-lines.append("4. run the conftest ORACLE_UNSAFE_TYPES + dtype-parity audit")
+lines.append(f"{final_step}. run the conftest ORACLE_UNSAFE_TYPES + dtype-parity audit")
 lines.append("   (tools_driver_sim.py over the chosen ids) BEFORE committing")
 lines.append("   the rotation — tests/test_driver_sim_gate.py enforces the sim")
 lines.append("   on any uncommitted query-module edit. Never re-verify a green")
