@@ -67,73 +67,71 @@ _MODULES = (
     "analytics5",
 )
 
-# Round-7 driver window (exactly 50 names, VERDICT r6 next-round #1):
-# the backlog is ZERO (287/287 driver-green after r6), so every slot
+# Round-8 driver window (exactly 50 names, COVERAGE.md round-8 plan):
+# the backlog is ZERO (287/287 driver-green after r7), so every slot
 # is a staleness re-verify — the 50 ids whose LATEST driver verdict is
-# oldest, in (last-verified round, registration order): all 46
-# r1-stamped greens (flagship trio, relational/join/agg/window/setops/
-# sorts blocks — q_sort finally gets its first re-check since r1) plus
-# the first 4 r2-stamped ids in registration order (the dedup quartet
-# q_dedup_exact/minhash/simhash/ngram_jaccard, whose shared operators/
-# dedup.py internals changed materially in r5-r6). Shared infra under
-# all of these (catalog normalization, scan-split sizing, compat
-# rewrites, _util decimal recipes) has churned over five rounds;
-# re-verification through the actual driver is the only guard. The
+# oldest, in (last-verified round, registration order): the 39
+# r2-stamped greens (dedup cluster pair + embedding, the sim/text/
+# sample/stream/multimodal/events extensions block, and the
+# functions_agg head q_fn_count..q_fn_struct) plus the 11 stalest
+# r3-stamped ids in registration order. Shared infra under all of
+# these (catalog normalization, scan-split sizing, compat rewrites,
+# _util decimal recipes, operators/dedup.py + similarity.py churn in
+# r5-r7) makes actual-driver re-verification the only guard. The
 # oldest-first choice is enforced by tests/test_window_rotation.py's
-# staleness rule (rule 3, added this round). Names listed here move to
-# the FRONT of the registry in this order; everything else follows in
-# registration order.
+# staleness rule. Names listed here move to the FRONT of the registry
+# in this order; everything else follows in registration order.
 _WINDOW = (
-    "q_fn_null_handling",
-    "q_flagship_pricing_summary",
-    "q_flagship_shipping_priority",
-    "q_flagship_local_supplier",
-    "q_project",
-    "q_filter",
-    "q_predicates",
-    "q_like_ilike",
-    "q_case",
-    "q_cast",
-    "q_scalar_subquery",
-    "q_exists_in",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_theta",
-    "q_join_residual",
-    "q_join_using",
-    "q_agg_global",
-    "q_agg_having",
-    "q_agg_distinct",
-    "q_agg_grouping_sets",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_filter_clause",
-    "q_win_lag_lead",
-    "q_win_value_fns",
-    "q_win_agg_over",
-    "q_win_rows_frame",
-    "q_win_range_frame",
-    "q_win_groups_frame",
-    "q_win_named",
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_intersect_all",
-    "q_except_all",
-    "q_distinct",
-    "q_distinct_on",
-    "q_sort",
-    "q_limit_offset",
-    "q_topk",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",
+    "q_dedup_clusters_star",
+    "q_dedup_embedding",
+    "q_sim_topk",
+    "q_sim_lsh_topk",
+    "q_sim_ivf_topk",
+    "q_text_tokens",
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_repetition",
+    "q_text_fingerprint",
+    "q_sample_stratified",
+    "q_sample_hash",
+    "q_sample_weighted",
+    "q_sample_temperature",
+    "q_join_asof",
+    "q_feature_binning",
+    "q_join_range",
+    "q_stream_stateful_totals",
+    "q_stream_dedup",
+    "q_stream_stream_join",
+    "q_stream_static_join",
+    "q_join_salted",
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    "q_multimodal_frames",
+    "q_events_tumbling",
+    "q_events_sliding",
+    "q_events_session",
+    "q_text_decontaminate",
+    "q_text_pii",
+    "q_pipeline_shuffle",
+    "q_join_bucketed",
+    "q_events_outliers",
+    "q_pipeline_chunk",
+    "q_fn_count",
+    "q_fn_median",
+    "q_fn_approx_distinct",
+    "q_fn_approx_median",
+    "q_fn_approx_percentile",
+    "q_fn_array_agg",
+    "q_fn_string_agg",
+    "q_fn_first_last_value",
+    "q_fn_bool_and_or",
+    "q_fn_bit_agg",
+    "q_fn_stddev_var",
+    "q_fn_corr_covar",
+    "q_fn_regr",
+    "q_fn_greatest_least",
+    "q_fn_struct",
 )
 
 

@@ -334,7 +334,16 @@ def _src_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SRC_SCORE_SQL = """
     d0 AS (
-      SELECT TRY_CAST(substr(source, 4, 8) AS BIGINT) % 2 = 0 AS is_a,
+      -- sign-then-whitespace guard (ADVICE r7): DuckDB TRY_CAST('- ')
+      -- = 0 where Spark try_cast = NULL
+      -- (test_try_cast_sign_whitespace_divergence_documented) — NULL
+      -- the exact divergent class before the cast so a hostile source
+      -- like 'xyz-   ' is filtered on BOTH sides.
+      SELECT TRY_CAST(
+               CASE WHEN regexp_matches(substr(source, 4, 8),
+                                        '^\\s*[-+]\\s+$')
+                    THEN NULL ELSE substr(source, 4, 8) END
+               AS BIGINT) % 2 = 0 AS is_a,
              lower(text) AS lt, n_chars
       FROM documents
     ),

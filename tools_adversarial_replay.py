@@ -214,6 +214,9 @@ _EXTREME_STRINGS = [
     "NULL",                  # the literal token vs a real NULL
     "12345",                 # numeric-looking text
     ".*+[",                  # regex metacharacters
+    "src-   ",               # substr(·,4,·) slices to sign+whitespace:
+                             # DuckDB TRY_CAST('-   ')=0, Spark NULL
+                             # (ADVICE r7; divergence test pins it)
 ]
 _EXTREME_TS = [  # all ns-representable (1677..2262)
     "1970-01-01T00:00:00",          # epoch zero
@@ -360,8 +363,22 @@ def build_mode_dir(mode: str, root: str = ROOT, src_dir: str | None = None) -> s
                 shutil.rmtree(old, ignore_errors=True)
             os.replace(tmp_dir, out_dir)
         except OSError:
-            if not (os.path.exists(stamp) and open(stamp).read() == want):
-                raise
+            # The loser can land here in the winner's window between
+            # "moved out_dir aside" and "installed its tmp dir": the
+            # stamp does not exist YET. Retry the stamp check briefly,
+            # then re-attempt the install once with our own complete
+            # tmp dir before raising — never discard a finished build
+            # both threads paid for (ADVICE r7).
+            import time as _time
+
+            ok = False
+            for _ in range(50):  # up to ~5 s for the winner to finish
+                if os.path.exists(stamp) and open(stamp).read() == want:
+                    ok = True
+                    break
+                _time.sleep(0.1)
+            if not ok:
+                os.replace(tmp_dir, out_dir)  # second attempt; raises if truly stuck
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
     return out_dir
