@@ -49,7 +49,20 @@ def _assign(v: DataFrame, centroids: list[Centroid]) -> DataFrame:
     """Map-side nearest-centroid assignment against literal centroids.
 
     Adds ``cid`` and per-row ``inertia`` (= exact ‖x−c‖², evaluated as
-    ssx + ss_c/n² − 2·dot/n on exact integer sums)."""
+    ssx + ss_c/n² − 2·dot/n on exact integer sums).
+
+    ``ss`` and ``n²`` ship as DOUBLE literals: the exact Python ints
+    exceed int64 once a cluster's per-dim sums pass ~3e9 (measured
+    live — the r8 semdedup_xl probe at 2M vectors hit ss = 1.22e19 and
+    py4j refused the long literal). ``float(exact_int)`` is the
+    nearest double of the exact integer — bit-identical to both the
+    old ``F.lit(int).cast("double")`` path and the oracle's
+    ``CAST(sum(s*s) AS DOUBLE)`` (DuckDB sums in HUGEINT, casts once
+    at the end), so values are unchanged wherever the int path worked.
+    The per-row dot stays an exact int64 fold (matches the oracle's
+    exact HUGEINT dot bit-for-bit after the single final cast);
+    x·s products stay under 2^63 up to ~1000× the probe scale and
+    overflow LOUDLY (ANSI) past it."""
     choices = []
     for cid, s, n in centroids:
         ss = sum(si * si for si in s)
@@ -63,7 +76,7 @@ def _assign(v: DataFrame, centroids: list[Centroid]) -> DataFrame:
             lambda acc, val: acc + val,
         )
         d = (
-            F.lit(ss).cast("double") / F.lit(n * n)
+            F.lit(float(ss)) / F.lit(float(n * n))
             - F.lit(2) * dot.cast("double") / F.lit(n)
         )
         choices.append(F.struct(d.alias("d"), F.lit(cid).cast("long").alias("cid")))
@@ -269,31 +282,37 @@ def kmeans_quality(
             / F.count(F.lit(1))
         ).alias("s_mean"),
     )
-    crows = [
-        (cid, [int(x) for x in s], int(n), int(sum(x * x for x in s)))
-        for cid, s, n in centroids
-    ]
-    cdf = spark.createDataFrame(
-        crows, "cid long, s array<long>, n long, ss long"
-    )
-    a, b = cdf.alias("a"), cdf.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.s"), F.col("b.s"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    m2 = (
-        F.col("a.ss").cast("double") / (F.col("a.n") * F.col("a.n"))
-        + F.col("b.ss").cast("double") / (F.col("b.n") * F.col("b.n"))
-        - 2 * dot.cast("double") / (F.col("a.n") * F.col("b.n"))
-    )
-    pairs = (
-        a.join(F.broadcast(b), F.col("a.cid") != F.col("b.cid"))
-        .select(
-            F.col("a.cid").alias("ca"), F.col("b.cid").alias("cb"),
-            F.sqrt(m2).alias("mdist"),
-        )
-    )
+    # The k×k centroid-pair distance matrix is computed DRIVER-SIDE in
+    # exact Python ints + one nearest-double conversion per term: the
+    # pair dot Σ s_i·s_j squares per-dim SUMS, which overflows an int64
+    # zip-fold once sums pass ~3e9 (the r8 semdedup_xl probe measured
+    # 1.2e19 products at 2M vectors — an ANSI abort in the old
+    # DataFrame fold). Expression order replicates the oracle's
+    # ``sqrt(CAST(ss AS DOUBLE)/(n*n) + … − 2*CAST(dot AS DOUBLE)/
+    # (na*nb))`` term-for-term — each float() is the same single
+    # rounding DuckDB's HUGEINT→DOUBLE cast performs, so the doubles
+    # are bit-identical. Driver work is k² pairs over k×dims ints —
+    # the same bounded centroid state the fit already holds.
+    import math
+
+    stats = {int(cid): ([int(x) for x in s], int(n)) for cid, s, n in centroids}
+    prow = []
+    for ca, (s_a, n_a) in stats.items():
+        ss_a = sum(x * x for x in s_a)
+        for cb, (s_b, n_b) in stats.items():
+            if ca == cb:
+                continue
+            ss_b = sum(x * x for x in s_b)
+            dot = sum(x * y for x, y in zip(s_a, s_b))
+            m2 = (
+                float(ss_a) / float(n_a * n_a)
+                + float(ss_b) / float(n_b * n_b)
+                - 2.0 * float(dot) / float(n_a * n_b)
+            )
+            # F.sqrt semantics: NaN below zero (exact-coincident
+            # centroids after rounding), never an error
+            prow.append((ca, cb, math.sqrt(m2) if m2 >= 0 else float("nan")))
+    pairs = spark.createDataFrame(prow, "ca long, cb long, mdist double")
     sa = si.select(F.col("cluster_id").alias("ca"), F.col("s_mean").alias("s_a"))
     sb = si.select(F.col("cluster_id").alias("cb"), F.col("s_mean").alias("s_b"))
     r = (

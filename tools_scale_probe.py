@@ -1421,6 +1421,169 @@ def probe_minhash_xl(spark) -> None:
     print(f"  minhash-LSH scaling exponent (100k -> 1M docs): {exp:.2f}")
 
 
+def probe_embedding_xl(spark) -> None:
+    """VERDICT r7 #3: hyperplane-LSH embedding near-dup ONE ORDER OF
+    MAGNITUDE past the standing 40k probe — 40k vs 400k x 64-dim
+    vectors, half of each corpus PLANTED cosine~0.97 near-copies
+    (recall >=99% asserted at both scales). `planes` is the occupancy
+    knob a 100 TB deployment sizes to its data (2^planes buckets per
+    table): 10 planes at 40k (~39 vectors/bucket) vs 14 at 400k (~24)
+    hold per-bucket occupancy ~constant, exactly how the operator is
+    meant to be driven — with FIXED planes the within-bucket self-join
+    is quadratic in occupancy by construction, which is a sizing
+    error, not an operator cost. Recall stays high by design: a 0.97
+    pair agrees per bit with p~0.92, so 14 planes x 16 tables catch
+    1-(1-0.92^14)^16 ~ 0.998. Prints the measured exponent
+    log(t2/t1)/log(10)."""
+    from datafusion_wasm_bindings_spark.operators.similarity import cosine_pairs_lsh
+
+    times = {}
+    for scale, (half, planes) in {
+        "40k": (20_000, 10),
+        "400k": (200_000, 14),
+    }.items():
+        base = spark.range(half).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63), d ->"
+                " CAST(pmod(xxhash64(id * 64 + d), 2001) - 1000 AS DOUBLE) / 1000.0)"
+            ).alias("embedding"),
+        )
+        noisy = spark.range(half).select(
+            (F.col("id") + half).alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63), d ->"
+                " CAST(pmod(xxhash64(id * 64 + d), 2001) - 1000 AS DOUBLE) / 1000.0"
+                " + CAST(pmod(xxhash64(id * 64 + d + 99991), 2001) - 1000 AS DOUBLE) / 4000.0)"
+            ).alias("embedding"),
+        )
+        corpus = base.unionByName(noisy).localCheckpoint()
+
+        def run():
+            pairs = cosine_pairs_lsh(
+                corpus, threshold=0.8, planes=planes, tables=16
+            ).collect()
+            planted = sum(1 for r in pairs if r.id_b - r.id_a == half)
+            extras = len(pairs) - planted
+            assert planted >= 0.99 * half, (planted, half)
+            # random 64-dim cosines >=0.8 are ~6-sigma events; extras
+            # stay O(1) even at 77M candidate pairs
+            assert extras <= 100, extras
+            run.stats = (planted, extras)
+
+        times[scale] = _time(
+            f"hyperplane-LSH near-dup ({scale} x 64-dim, planes={planes})",
+            run,
+            repeats=2 if scale == "400k" else 3,
+        )
+        print(f"  planted found / extras @ {scale}:", run.stats)
+    import math
+
+    exp = math.log(times["400k"] / times["40k"]) / math.log(10)
+    print(f"  embedding-LSH scaling exponent (40k -> 400k vectors): {exp:.2f}")
+
+
+def probe_tokenizer_ab(spark) -> None:
+    """VERDICT r7 #5: A/B the tokenizer hot path — the largest per-row
+    map cost in quality_scores/repetition (~16 µs/doc/core at 2M docs).
+    A = the standing `regexp_extract_all(lower(text), '[a-z0-9]+', 0)`;
+    B = `filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')` —
+    identical token arrays by construction (split on the complement
+    class yields exactly the maximal [a-z0-9] runs plus empty edge
+    fragments the filter drops). Identity is asserted EXACTLY (count
+    of rows where the two arrays differ must be 0) on both the 2M-doc
+    synthetic corpus and the real sf0.1 documents (unicode, emoji,
+    newlines). Timed over the full quality_scores-shaped consumer
+    (tokens -> size/filter/aggregate) so the measurement includes the
+    downstream HOF work that dominates alongside the tokenize.
+    Adoption bar (VERDICT r7): >=1.3x with identical output."""
+    from datafusion_wasm_bindings_spark.operators.text import LANG_LEXICON
+    from datafusion_wasm_bindings_spark.sources.catalog import table
+
+    tok_a = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+    tok_b = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+    # exact identity on real data first (unicode/emoji/newline edges)
+    real = table(spark, "/root/testdata/sf0.1", "documents").select("text")
+    n_diff = real.filter(F.expr(f"NOT ({tok_a} <=> {tok_b})")).count()
+    assert n_diff == 0, f"{n_diff} real docs tokenize differently"
+
+    docs = _gen_docs(spark, 2_000_000)
+    n_diff = docs.filter(F.expr(f"NOT ({tok_a} <=> {tok_b})")).count()
+    assert n_diff == 0, f"{n_diff} synthetic docs tokenize differently"
+
+    en_stop = F.array([F.lit(w) for w in LANG_LEXICON["en"]])
+
+    def consumer(tok_expr: str):
+        staged = docs.select(
+            "doc_id",
+            F.length("text").alias("__n_chars"),
+            F.expr(tok_expr).alias("__toks"),
+        ).select(
+            "doc_id",
+            "__n_chars",
+            F.size("__toks").alias("__n_tok"),
+            F.size(
+                F.filter(F.col("__toks"), lambda t: F.array_contains(en_stop, t))
+            ).alias("__n_stop"),
+        )
+        return staged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__n_tok").alias("toks"),
+            F.sum("__n_stop").alias("stops"),
+        ).collect()[0]
+
+    base = consumer(tok_a)
+
+    def run_a():
+        assert consumer(tok_a) == base
+
+    def run_b():
+        assert consumer(tok_b) == base
+
+    ta = _time("tokenize A: regexp_extract_all (2M docs)", run_a)
+    tb = _time("tokenize B: split+filter (2M docs)", run_b)
+    print(f"  tokenizer A/B speedup: {ta / tb:.2f}x (adopt bar 1.3x)")
+
+
+def probe_semdedup_xl(spark) -> None:
+    """VERDICT r7 #3: SemDeDup at 4x the standing 500k probe — 500k vs
+    2,000,000 x 32-dim vectors, k=8 clusters, 2 k-means rounds,
+    tau=0.9. Every stage is corpus-linear by construction (quantized
+    fit scans, k-row representative election, broadcast rep scoring as
+    a pure map, one final aggregate); the exponent log(t2/t1)/log(4)
+    measures whether any hidden superlinear constant (checkpoint
+    re-derivation, rep-join skew) creeps in. Membership identity
+    asserted at both scales."""
+    from datafusion_wasm_bindings_spark.operators.clustering import semantic_dedup
+
+    times = {}
+    for scale, n in {"500k": 500_000, "2M": 2_000_000}.items():
+        corpus = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 31), d ->"
+                " CAST(pmod(xxhash64(id * 37 + d), 2001) - 1000 AS DOUBLE) / 1000.0"
+                " + CAST(pmod(id, 8) AS DOUBLE) * CASE WHEN d = pmod(id, 8) THEN 2.0 ELSE 0.0 END)"
+            ).alias("embedding"),
+        ).localCheckpoint()
+
+        def run():
+            out = semantic_dedup(corpus, k=8, iters=2, threshold=0.9).collect()
+            assert sum(r["n_members"] for r in out) == n
+            assert all(r["n_kept"] + r["n_dups"] == r["n_members"] for r in out)
+
+        times[scale] = _time(
+            f"SemDeDup prune ({scale} x 32-dim, k=8, tau=0.9)",
+            run,
+            repeats=2 if scale == "2M" else 3,
+        )
+    import math
+
+    exp = math.log(times["2M"] / times["500k"]) / math.log(4)
+    print(f"  SemDeDup scaling exponent (500k -> 2M vectors): {exp:.2f}")
+
+
 def _time(label: str, run, repeats: int = 3) -> float:
     run()  # cold: codegen + checkpoint warmup
     times = []
@@ -1446,6 +1609,12 @@ if __name__ == "__main__":
         probe_cc_chain_xl(spark)
     if "minhash_xl" in which:
         probe_minhash_xl(spark)
+    if "embedding_xl" in which:
+        probe_embedding_xl(spark)
+    if "semdedup_xl" in which:
+        probe_semdedup_xl(spark)
+    if "tokenizer_ab" in which:
+        probe_tokenizer_ab(spark)
     if "pagerank_prepared" in which:
         probe_pagerank_prepared(spark)
     if "bloom_join" in which:
