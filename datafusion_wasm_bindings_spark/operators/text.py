@@ -145,19 +145,34 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     the standard cheap pre-filters before model-based scoring.
 
     Staged in two selects per the materialization rule (CLAUDE.md):
-    the token regexp and the alpha regexp_replace are each evaluated
+    the token regexp and the alpha counter are each evaluated
     ONCE into their own columns, then every feature reads the staged
     integers. Inlined, the regexps re-ran per referencing column and
     inside the HOF filter (outside codegen subexpression elimination)
     — measured 73.8 s → much less at 2M docs (probe textmap). The
     surfaced doubles are bit-identical: same integer inputs, same
     expression order.
+
+    The alpha count is ``length(lt) − length(translate(lt, a..z, ''))``
+    — a per-codepoint table lookup, NOT the former
+    ``length(regexp_replace(lt, '[^a-z]', ''))`` which rebuilt every
+    document through the regex engine: identical counts on every input
+    (both count exactly the [a-z] codepoints after lower()), measured
+    **7.36× on the whole operator** at 2M docs (29.2 → 4.0 s,
+    BASELINE.md r8 `alpha_ab`; per-doc cost was the regex, not the
+    tokenizer — the r8 tokenizer A/B measured split+filter at 0.91× of
+    regexp_extract_all, so the token path stays).
     """
     en_stop = F.array([F.lit(w) for w in LANG_LEXICON["en"]])
     staged = documents.select(
         "doc_id",
         F.length("text").alias("__n_chars"),
-        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).alias("__alpha"),
+        (
+            F.length(F.lower("text"))
+            - F.length(
+                F.translate(F.lower("text"), "abcdefghijklmnopqrstuvwxyz", "")
+            )
+        ).alias("__alpha"),
         tokens_col().alias("__toks"),
     ).select(
         "doc_id",

@@ -652,7 +652,7 @@ def _text_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (
                 F.length(F.lower(F.col("text")))
-                - F.length(F.regexp_replace(F.lower(F.col("text")), "the", ""))
+                - F.length(F.replace(F.lower(F.col("text")), F.lit("the"), F.lit("")))
             )
             / F.lit(3.0)
             / F.greatest(F.col("n_chars"), F.lit(1))

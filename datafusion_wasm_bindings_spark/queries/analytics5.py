@@ -96,7 +96,7 @@ def _pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (
                     F.length(F.col("text"))
-                    - F.length(F.regexp_replace(F.col("text"), " ", ""))
+                    - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
                 )
                 / F.greatest(F.col("n_chars"), F.lit(1))
             ).alias("score"),
@@ -191,7 +191,7 @@ def _score_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     F.length(F.lower(F.col("text")))
                     - F.length(
-                        F.regexp_replace(F.lower(F.col("text")), "the", "")
+                        F.replace(F.lower(F.col("text")), F.lit("the"), F.lit(""))
                     )
                 )
                 / F.lit(3.0)
@@ -321,7 +321,7 @@ def _src_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (
                     F.length(F.col("lt"))
-                    - F.length(F.regexp_replace(F.col("lt"), "the", ""))
+                    - F.length(F.replace(F.col("lt"), F.lit("the"), F.lit("")))
                 )
                 / F.lit(3.0)
                 / F.greatest(F.col("n_chars"), F.lit(1))
