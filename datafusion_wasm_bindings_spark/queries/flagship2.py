@@ -890,17 +890,31 @@ def _q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     the excluded-supplier NOT IN set is suppliers with negative
     balances (no s_comment) — the distinct-supplier count per
     (brand, type, size), the <> / IN-list predicates, and the NOT IN
-    anti join are canonical."""
+    anti join are canonical.
+
+    NULL population pinned EXPLICITLY on both sides (r5 replay
+    convention (b)/(c), caught live by the r8 skew campaign at the
+    sf0.01 source): the NOT IN subquery filters s_suppkey IS NOT NULL
+    (one NULL key makes SQL NOT IN never-true while Spark's left_anti
+    matches nothing on it), and the probe side filters l_suppkey IS
+    NOT NULL (SQL's NULL NOT IN (...) is NULL → row dropped, while an
+    anti join KEEPS the unmatched NULL probe row — a group of only
+    NULL-suppkey lines would surface as supplier_cnt = 0 on one side
+    only)."""
     bad = (
         table(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
+        .filter((F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull())
         .select("s_suppkey")
     )
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
     )
-    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .filter(F.col("l_suppkey").isNotNull())
+    )
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
@@ -923,7 +937,9 @@ query(
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_brand <> 'Brand#1'
       AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      AND l_suppkey IS NOT NULL
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL)
     GROUP BY p_brand, p_type, p_size
     ORDER BY supplier_cnt DESC NULLS LAST, p_brand ASC NULLS LAST,
              p_type ASC NULLS LAST, p_size ASC NULLS LAST

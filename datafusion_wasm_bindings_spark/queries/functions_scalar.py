@@ -576,8 +576,18 @@ sql_query(
            -- (adversarial extremes replay, r6)
            COALESCE(url_decode(url_encode(c_name)) = c_name, FALSE) AS enc_roundtrip
     FROM (
+      -- the PATH segment is slug-sanitized before it enters the URL
+      -- (what a real pipeline does): a raw hostile segment (space,
+      -- '[', control chars — r8 extremes re-cycle) makes the URL
+      -- invalid and parse_url ABORTS. Sanitizing at construction
+      -- keeps the parse demonstration on always-valid URLs without
+      -- mirroring Java's URI validity grammar in the oracle; both
+      -- engines apply the char class per codepoint identically
+      -- (convention r6(g)).
       SELECT c_custkey, c_name,
-             concat('https://shop.example.com/', lower(c_mktsegment), '/', c_custkey,
+             concat('https://shop.example.com/',
+                    regexp_replace(lower(c_mktsegment), '[^a-z0-9]+', '-'),
+                    '/', c_custkey,
                     '?name=', url_encode(c_name), '&x=1') AS url
       FROM customer WHERE c_custkey <= 150
     )
@@ -591,7 +601,8 @@ sql_query(
            CASE WHEN c_name IS NULL OR c_mktsegment IS NULL THEN NULL
                 ELSE 'shop.example.com' END AS host,
            CASE WHEN c_name IS NULL OR c_mktsegment IS NULL THEN NULL
-                ELSE '/' || lower(c_mktsegment) || '/' || c_custkey END AS path,
+                ELSE '/' || regexp_replace(lower(c_mktsegment), '[^a-z0-9]+', '-', 'g')
+                     || '/' || c_custkey END AS path,
            CASE WHEN c_mktsegment IS NULL THEN NULL ELSE c_name END AS qname,
            c_name IS NOT NULL AS enc_roundtrip
     FROM customer WHERE c_custkey <= 150

@@ -94,12 +94,22 @@ sql_query(
 )
 
 # --- ROWS frame ---------------------------------------------------------
+# A ROWS frame consumes peers POSITIONALLY, so the ordering must be
+# total over every column the frame READS (r5 replay convention (a),
+# extended by the r8 skew campaign): under a hot-key point mass half
+# of lineitem shares one l_orderkey and l_linenumber tie groups are
+# huge — ordering by l_linenumber alone left qty_3row
+# engine-unspecified. Adding l_quantity (the one consumed value) with
+# explicit null ordering makes tied rows interchangeable: peers equal
+# in (linenumber, quantity) contribute identically in any order.
 sql_query(
     "q_win_rows_frame",
     """
     SELECT l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
-                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC NULLS LAST
+                OVER (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber ASC NULLS LAST,
+                               l_quantity ASC NULLS LAST
                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS qty_3row
     FROM lineitem
     WHERE l_orderkey <= 500

@@ -58,6 +58,9 @@ EXTREME_SENTINELS = [
     "q_multimodal_features",    # '?'-sanitized stub payload, CHAR = BYTE (g)
     "q_sim_pq_topk",            # zero-norm rows routed around ADC shortlist
                                 # (r7 fix of the r6 waiver, VERDICT r6 #3)
+    "q_fn_url_parse",           # slug-sanitized URL path segment: raw
+                                # hostile chars made parse_url abort
+                                # (r8 pool re-cycle finding)
 ]
 
 # one id per divergence class the r7 EMPTY campaign fixed (zero-row
@@ -72,6 +75,26 @@ EMPTY_SENTINELS = [
     "q_scan_partitioned",       # schema-on-read of a zero-partition sink
     "q_scan_json",              # explicit NDJSON schema (inference has no rows to sample)
     "q_scan_csv",               # oracle TRY_CAST vs header-only all-VARCHAR inference
+]
+
+
+# the r8 SKEW campaign (hot-key point mass on join/group keys +
+# categoricals, ~50% of rows on one existing value): 287 ids ran at
+# both source scales, ONE divergence — five rounds of total-ordering
+# conventions held. The fixed class plus two ids whose 100 TB regime
+# is exactly what skew stresses (AQE skew-split salted join, the
+# bucketed-rank chain under unbalanced buckets).
+SKEW_SENTINELS = [
+    "q_win_rows_frame",         # ROWS frame peers under a 50% tie mass:
+                                # ordering now total over the consumed
+                                # value (l_quantity), r5 conv (a)
+    "q_tpch_q16",               # NOT IN + nullable subquery key AND
+                                # NULL probe keys (r5 conv (b)/(c)) —
+                                # only observable at the sf0.01 source
+    "q_join_salted",            # salting is the skew remedy — keep its
+                                # value identity pinned under real skew
+    "q_events_rfm",             # 3-rank bucketed chain: bucket balance
+                                # shifts under a dominant user_id
 ]
 
 
@@ -141,3 +164,7 @@ def test_sentinel_queries_survive_extreme_injection(spark):
 
 def test_sentinel_queries_survive_empty_tables(spark):
     _mode_sentinel_check(spark, "empty", EMPTY_SENTINELS)
+
+
+def test_sentinel_queries_survive_skew_point_mass(spark):
+    _mode_sentinel_check(spark, "skew", SKEW_SENTINELS)
