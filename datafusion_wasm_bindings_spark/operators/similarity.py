@@ -262,15 +262,65 @@ def _norm2d(a: F.Column) -> F.Column:
     )
 
 
+def _assign_cells(base: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Nearest-centroid assignment as a PURE MAP: the centroid matrix
+    (cells × dims doubles + per-cell ‖c‖²) rides in as a ONE-ROW
+    broadcast (the allowed scalar-attachment shape) and the nearest
+    cell is an argmin over a |cells|-sized (score, cell) struct array,
+    score = ‖c‖² − 2·v·c (‖v‖² is row-constant and drops out of the
+    argmin). Ties break to the LOWEST cell id (struct compare),
+    deterministic where a min_by would be unspecified.
+
+    Shipping the matrix as broadcast DATA instead of inlined literals
+    matters: a cells×dims literal tree (96×64 F.lit at the xl probe)
+    bloated every task binary past a megabyte and re-initialized per
+    task — measured seconds of fixed cost per pass. ZERO shuffle, zero
+    row expansion either way; cell ids are matrix positions 0..m−1."""
+    spark = base.sparkSession
+    ss = [float(sum(x * x for x in cv)) for cv in cents]
+    cmat = F.broadcast(
+        spark.createDataFrame(
+            [(cents, ss)], "cm array<array<double>>, css array<double>"
+        )
+    )
+    best = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda i: F.struct(
+                (
+                    F.get(F.col("css"), i)
+                    - 2.0
+                    * F.aggregate(
+                        F.zip_with(F.col("v"), F.get(F.col("cm"), i), lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("d"),
+                i.cast("long").alias("cell"),
+            ),
+        )
+    )
+    return (
+        base.crossJoin(cmat)
+        .withColumn("cell", best["cell"])
+        .drop("cm", "css")
+    )
+
+
 def ivf_index(
     embeddings: DataFrame,
     *,
     n_centroids: int = 8,
     lloyd_iters: int = 2,
+    train_sample: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF (inverted-file) coarse quantizer: mini k-means with
     deterministic init (the ``n_centroids`` lowest vec_ids seed the
-    centroids), Lloyd iterations expressed as DataFrame ops.
+    centroids), Lloyd iterations over a bounded deterministic TRAINING
+    SAMPLE (the ``train_sample`` lowest vec_ids, default
+    max(10_000, 50·cells) — standard IVF practice: the quantizer needs
+    a distribution sketch, not the corpus), then ONE full-corpus
+    assignment pass.
 
     Returns ``(assignments, centroids)``:
     ``assignments``: vec_id, cell, v (array<double>) — materialized,
@@ -278,49 +328,60 @@ def ivf_index(
     ``centroids``: cell, cv (array<double>) — tiny, broadcast at probe
     time.
 
-    Scale: assignment is a map over the corpus against broadcast
-    centroids (no corpus shuffle); the centroid update shuffles
-    (cell, dim) partial sums — bytes ∝ n_centroids × dims × partitions,
-    independent of corpus size. Lloyd iterations are index-build cost,
-    amortized across every query served.
-    """
+    Scale (r8 rewrite, measured by probe_ann_xl): assignment is a PURE
+    MAP — the centroid state (cells × dims doubles, the same bounded
+    driver state operators/clustering.py holds) ships as literals and
+    the nearest cell is an argmin projection (_argmin_cell). The old
+    shape crossJoined the corpus against the centroid table and
+    groupBy(vec_id)-reduced it back: a full-corpus SHUFFLE of the
+    vector payload per Lloyd pass ((iters+1)× at any scale) that made
+    the 40k→400k exponent 1.14 at 68.7 s; the rewrite removes every
+    corpus shuffle from the build (update sums are cells×dims partial
+    aggregates; the train sample bounds iteration cost corpus-
+    independently). Lloyd iterations are index-build cost, amortized
+    across every query served."""
     base = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    w_init = Window.orderBy("vec_id")
-    centroids = (
-        base.withColumn("__rk", F.row_number().over(w_init))
-        .filter(F.col("__rk") <= n_centroids)
-        .select((F.col("__rk") - 1).alias("cell"), F.col("v").alias("cv"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(lloyd_iters):
-        assigned = (
-            base.crossJoin(F.broadcast(centroids))
-            .withColumn("d2", _sq_dist("v", "cv"))
-            .groupBy("vec_id")
-            .agg(F.min_by("cell", "d2").alias("cell"), F.first("v").alias("v"))
+    n_train = train_sample or max(10_000, 50 * n_centroids)
+    train = base.orderBy("vec_id").limit(n_train)  # TakeOrdered, no window
+    # explicit re-sort: a bare limit-of-limit does not guarantee which
+    # rows survive; seeds must be THE n_centroids lowest vec_ids
+    seeds = train.orderBy("vec_id").limit(n_centroids).collect()
+    cents: list[list[float]] = [[float(x) for x in r["v"]] for r in seeds]
+    spark = embeddings.sparkSession
+    if not cents:
+        # EMPTY corpus: typed empty index (empty-mode replay r7 — never
+        # build an argmin over zero choices)
+        empty_a = spark.createDataFrame(
+            [], "vec_id bigint, v array<double>, cell bigint"
         )
-        # element-wise mean per cell: explode to (cell, dim, x), average,
-        # reassemble ordered by dim
-        centroids = (
+        empty_c = spark.createDataFrame([], "cell bigint, cv array<double>")
+        return empty_a, empty_c
+    train = train.localCheckpoint(eager=True)
+    for _ in range(lloyd_iters):
+        assigned = _assign_cells(train, cents)
+        # element-wise mean per cell: (cell, dim) partial sums — shuffle
+        # bytes ∝ cells × dims × partitions; collected driver-side into
+        # the next round's broadcast state (cells × dims doubles);
+        # cells that drop empty are re-indexed positionally
+        rows = (
             assigned.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
             .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
-                ).alias("cv")
-            )
-            .localCheckpoint(eager=True)
+            .collect()
         )
-    assignments = (
-        base.crossJoin(F.broadcast(centroids))
-        .withColumn("d2", _sq_dist("v", "cv"))
-        .groupBy("vec_id")
-        .agg(F.min_by("cell", "d2").alias("cell"), F.first("v").alias("v"))
-        .localCheckpoint(eager=True)
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(r["m"])
+        cents = [
+            [dims[i] for i in sorted(dims)]
+            for _, dims in sorted(by_cell.items())
+        ]
+    assignments = _assign_cells(base, cents).localCheckpoint(eager=True)
+    centroids = spark.createDataFrame(
+        [(cell, cv) for cell, cv in enumerate(cents)],
+        "cell long, cv array<double>",
     )
     return assignments, centroids
 

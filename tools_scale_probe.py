@@ -1483,6 +1483,114 @@ def probe_embedding_xl(spark) -> None:
     print(f"  embedding-LSH scaling exponent (40k -> 400k vectors): {exp:.2f}")
 
 
+def probe_triangles_xl(spark) -> None:
+    """Triangle counting ONE ORDER OF MAGNITUDE past the standing
+    probe — 2M vs 20M edges (200k vs 2M nodes), same planted ring +
+    chords + degree-1 pad construction so the exact count is known at
+    both scales. Degree-oriented wedge generation bounds per-node work
+    by the lower-degree endpoint; the exponent checks no superlinear
+    constant hides in the degree-rank join or the wedge-close join as
+    AQE re-picks strategies at the bigger size."""
+    from datafusion_wasm_bindings_spark.operators.graph import triangle_count
+
+    times = {}
+    for scale, n_nodes in {"2M": 200_000, "20M": 2_000_000}.items():
+        base = spark.range(n_nodes)
+        e1 = base.select(
+            F.col("id").alias("u"), ((F.col("id") + 1) % n_nodes).alias("v")
+        )
+        e2 = base.select(
+            F.col("id").alias("u"), ((F.col("id") + 2) % n_nodes).alias("v")
+        )
+        pad = spark.range(8 * n_nodes).select(
+            F.expr(f"pmod(xxhash64(id), {n_nodes})").alias("u"),
+            (F.col("id") + n_nodes).alias("v"),
+        )
+        edges = e1.unionByName(e2).unionByName(pad).localCheckpoint()
+
+        def run():
+            n = triangle_count(edges).collect()[0]["n_triangles"]
+            assert n == n_nodes, n
+
+        times[scale] = _time(
+            f"triangle count ({scale} edges, {n_nodes // 1000}k nodes)",
+            run,
+            repeats=2 if scale == "20M" else 3,
+        )
+    import math
+
+    exp = math.log(times["20M"] / times["2M"]) / math.log(10)
+    print(f"  triangle-count scaling exponent (2M -> 20M edges): {exp:.2f}")
+
+
+def probe_ann_xl(spark) -> None:
+    """The ANN scale paths (IVF and PQ-ADC) ONE ORDER OF MAGNITUDE past
+    the standing 40k probe — 40k vs 400k x 64-dim vectors, same planted
+    cosine~0.97 partner construction, 8 probe queries, top-1-partner
+    recall asserted at both scales. Centroid/codebook counts follow the
+    deployment sizing rule (cells ~ sqrt(n): 32 -> 96; PQ codes fixed
+    at 16 per 8 subspaces — code capacity is dimension-, not
+    corpus-bound). Brute force is deliberately excluded: it IS the
+    O(n·q) oracle, not the scale path."""
+    from datafusion_wasm_bindings_spark.operators.similarity import (
+        ivf_topk,
+        pq_topk,
+    )
+
+    qids = list(range(8))
+
+    def check(rows, half):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.cand_id)
+        for q in qids:
+            assert q + half in got.get(q, set()), (q, sorted(got.get(q, set())))
+
+    times_ivf, times_pq = {}, {}
+    for scale, (half, cells) in {"40k": (20_000, 32), "400k": (200_000, 96)}.items():
+        base = spark.range(half).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63), d ->"
+                " CAST(pmod(xxhash64(id * 64 + d), 2001) - 1000 AS DOUBLE) / 1000.0)"
+            ).alias("embedding"),
+        )
+        noisy = spark.range(half).select(
+            (F.col("id") + half).alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63), d ->"
+                " CAST(pmod(xxhash64(id * 64 + d), 2001) - 1000 AS DOUBLE) / 1000.0"
+                " + CAST(pmod(xxhash64(id * 64 + d + 99991), 2001) - 1000 AS DOUBLE) / 4000.0)"
+            ).alias("embedding"),
+        )
+        corpus = base.unionByName(noisy).localCheckpoint()
+
+        def run_ivf():
+            check(
+                ivf_topk(
+                    corpus, query_ids=qids, k=3, n_centroids=cells, n_probe=4
+                ).collect(),
+                half,
+            )
+
+        def run_pq():
+            check(
+                pq_topk(
+                    corpus, query_ids=qids, k=3, m_subspaces=8, n_codes=16, rerank=64
+                ).collect(),
+                half,
+            )
+
+        reps = 2 if scale == "400k" else 3
+        times_ivf[scale] = _time(f"IVF top-3 ({scale}, {cells} cells)", run_ivf, repeats=reps)
+        times_pq[scale] = _time(f"PQ-ADC top-3 ({scale})", run_pq, repeats=reps)
+    import math
+
+    for name, t in (("IVF", times_ivf), ("PQ-ADC", times_pq)):
+        exp = math.log(t["400k"] / t["40k"]) / math.log(10)
+        print(f"  {name} scaling exponent (40k -> 400k vectors): {exp:.2f}")
+
+
 def probe_tokenizer_ab(spark) -> None:
     """VERDICT r7 #5: A/B the tokenizer hot path — the largest per-row
     map cost in quality_scores/repetition (~16 µs/doc/core at 2M docs).
@@ -1615,6 +1723,10 @@ if __name__ == "__main__":
         probe_semdedup_xl(spark)
     if "tokenizer_ab" in which:
         probe_tokenizer_ab(spark)
+    if "triangles_xl" in which:
+        probe_triangles_xl(spark)
+    if "ann_xl" in which:
+        probe_ann_xl(spark)
     if "pagerank_prepared" in which:
         probe_pagerank_prepared(spark)
     if "bloom_join" in which:
