@@ -603,29 +603,107 @@ def l2_topk_bruteforce(
     )
 
 
+def _encode_codes(
+    base: DataFrame,
+    books: list[list[list[float]]],
+    sub_len: int,
+) -> DataFrame:
+    """PQ-encode as a PURE MAP: the full codebook state (m × n_codes ×
+    sub_len doubles + per-(sub, code) ‖c‖²) rides in as a ONE-ROW
+    broadcast and each vector's m codes are an argmin projection per
+    subspace (score = ‖c‖² − 2·sv·c; ‖sv‖² is row-constant). The old
+    shape exploded the corpus into m sub-rows, broadcast-joined the
+    codebook TABLE (m × n_codes fan-out), and groupBy(vec_id,
+    sub_id)-reduced it back — a corpus×m shuffle of subvector payloads
+    per Lloyd pass plus one more for the final encode, and its seeding
+    window (PARTITION BY sub_id = m partitions) was a low-cardinality
+    fact window. Zero shuffles now; dead codes keep their slot so code
+    ids never renumber. Ties break to the LOWEST code id."""
+    spark = base.sparkSession
+    m = len(books)
+    css = [[float(sum(x * x for x in cv)) for cv in book] for book in books]
+    cbm = F.broadcast(
+        spark.createDataFrame(
+            [(books, css)],
+            "cbm array<array<array<double>>>, css array<array<double>>",
+        )
+    )
+    n_codes = len(books[0])
+
+    def best_code(i):  # i: subspace index Column; reads pre-sliced svs
+        sv = F.get(F.col("svs"), i)
+        return F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                lambda c: F.struct(
+                    (
+                        F.get(F.get(F.col("css"), i), c)
+                        - 2.0
+                        * F.aggregate(
+                            F.zip_with(
+                                sv,
+                                F.get(F.get(F.col("cbm"), i), c),
+                                lambda a, b: a * b,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    ).alias("d"),
+                    c.cast("int").alias("code"),
+                ),
+            )
+        )["code"]
+
+    # subvector slices materialize ONCE per row before the argmin: an
+    # HOF lambda sits outside codegen subexpression elimination, so an
+    # inlined slice would re-run per code candidate (n_codes× per
+    # subspace — the CLAUDE.md materialization rule, measured on this
+    # exact operator: 21.2 → ~15 s at 400k)
+    sliced = base.crossJoin(cbm).select(
+        "vec_id",
+        "cbm",
+        "css",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda i: F.slice(F.col("v"), i * sub_len + 1, sub_len),
+        ).alias("svs"),
+    )
+    return sliced.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)), lambda i: best_code(i)
+            )
+        ).alias("sub_id", "code"),
+    )
+
+
 def pq_index(
     embeddings: DataFrame,
     *,
     m_subspaces: int = 4,
     n_codes: int = 8,
     lloyd_iters: int = 1,
+    train_sample: int | None = None,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Product-quantization index (Jégou et al. 2011): split each
     vector into ``m_subspaces`` contiguous subvectors, learn a small
-    per-subspace codebook (deterministic mini k-means, lowest-vec_id
-    seeds — same recipe as ``ivf_index``), and encode the corpus as m
-    small codes. The m×n_codes codebook replaces dims×8 bytes per
-    vector with m bytes — the memory trick that makes billion-vector
-    ANN fit.
+    per-subspace codebook (deterministic mini k-means over the
+    ``train_sample`` lowest vec_ids, default max(10_000, 50·codes) —
+    the same sample-training rationale as ``ivf_index``), and encode
+    the corpus as m small codes. The m×n_codes codebook replaces
+    dims×8 bytes per vector with m bytes — the memory trick that makes
+    billion-vector ANN fit.
 
     Returns ``(codes, codebooks, sub_len)``: codes = (vec_id, sub_id,
     code) — the persisted index, m rows per vector; codebooks =
     (sub_id, code, cv) — tiny, broadcast at query time.
 
-    Scale: subvector explode is a map (fan-out m); each Lloyd step is
-    one broadcast-codebook assignment (map) + a (sub, code, dim)-keyed
-    combinable mean update — bytes ∝ m × n_codes × dims, independent
-    of corpus size."""
+    Scale (r8 rewrite, see _encode_codes): codebook training touches
+    only the bounded sample; the corpus is read ONCE for the final
+    encode, a pure map with zero shuffles (the posexplode of the
+    m-length code array is the only fan-out, and it carries ints, not
+    subvectors)."""
     head = embeddings.select(F.size("embedding").alias("d")).first()
     if head is None:
         # EMPTY corpus: no dimensionality to probe, no codebook to
@@ -644,47 +722,56 @@ def pq_index(
     base = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    subs = base.select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {m_subspaces - 1}),"
-                f" i -> slice(v, i * {sub_len} + 1, {sub_len}))"
-            )
-        ).alias("sub_id", "sv"),
-    )
-    w_init = Window.partitionBy("sub_id").orderBy("vec_id")
-    cb = (
-        subs.withColumn("__rk", F.row_number().over(w_init))
-        .filter(F.col("__rk") <= n_codes)
-        .select("sub_id", (F.col("__rk") - 1).alias("code"), F.col("sv").alias("cv"))
-        .localCheckpoint(eager=True)
-    )
+    spark = embeddings.sparkSession
+    n_train = train_sample or max(10_000, 50 * n_codes)
+    train = base.orderBy("vec_id").limit(n_train)
+    seeds = train.orderBy("vec_id").limit(n_codes).collect()
+    # books[sub][code] = sub_len doubles; seeded from the n_codes
+    # lowest vec_ids' subvectors (the old per-sub window picked the
+    # same rows)
+    books: list[list[list[float]]] = [
+        [
+            [float(x) for x in r["v"][i * sub_len : (i + 1) * sub_len]]
+            for r in seeds
+        ]
+        for i in range(m_subspaces)
+    ]
+    train = train.localCheckpoint(eager=True)
     for _ in range(lloyd_iters):
-        assigned = (
-            subs.join(F.broadcast(cb), "sub_id")
-            .withColumn("d2", _sq_dist("sv", "cv"))
-            .groupBy("vec_id", "sub_id")
-            .agg(F.min_by("code", "d2").alias("code"), F.first("sv").alias("sv"))
+        assigned = _encode_codes(train, books, sub_len).join(
+            train.select("vec_id", "v"), "vec_id"
         )
-        cb = (
-            assigned.select("sub_id", "code", F.posexplode("sv").alias("dim", "x"))
+        rows = (
+            assigned.select(
+                "sub_id",
+                "code",
+                F.posexplode(
+                    F.slice(
+                        F.col("v"), F.col("sub_id") * sub_len + 1, F.lit(sub_len)
+                    )
+                ).alias("dim", "x"),
+            )
             .groupBy("sub_id", "code", "dim")
             .agg(F.avg("x").alias("m"))
-            .groupBy("sub_id", "code")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
-                ).alias("cv")
-            )
-            .localCheckpoint(eager=True)
+            .collect()
         )
-    codes = (
-        subs.join(F.broadcast(cb), "sub_id")
-        .withColumn("d2", _sq_dist("sv", "cv"))
-        .groupBy("vec_id", "sub_id")
-        .agg(F.min_by("code", "d2").alias("code"))
-        .localCheckpoint(eager=True)
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            upd.setdefault((int(r["sub_id"]), int(r["code"])), {})[
+                int(r["dim"])
+            ] = float(r["m"])
+        for (si, ci), dims in upd.items():
+            books[si][ci] = [dims[d] for d in sorted(dims)]
+        # (sub, code) cells with no members keep their previous
+        # centroid — dead codes stay addressable, ids never renumber
+    codes = _encode_codes(base, books, sub_len).localCheckpoint(eager=True)
+    cb = spark.createDataFrame(
+        [
+            (si, ci, cv)
+            for si, book in enumerate(books)
+            for ci, cv in enumerate(book)
+        ],
+        "sub_id int, code int, cv array<double>",
     )
     return codes, cb, sub_len
 
