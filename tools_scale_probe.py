@@ -1591,6 +1591,62 @@ def probe_ann_xl(spark) -> None:
         print(f"  {name} scaling exponent (40k -> 400k vectors): {exp:.2f}")
 
 
+def probe_asof_xl(spark) -> None:
+    """As-of join (operators/asof.asof_join — the union-merge rewrite,
+    one shuffle + in-partition sweep) at 5M vs 50M left rows against a
+    10-rows-per-key reference table, KNOWN-ANSWER construction: right
+    rows sit at ts = j·1000 per key with payload user·1000003 + j, so
+    every left row's expected match is floor(ts/1000) — the assert
+    checks ref_ts AND ref payload exactly for every row. Exponent
+    log(t2/t1)/log(10): the rewrite's claim is one corpus shuffle and
+    linear within-partition work, no range-probe blowup."""
+    from datafusion_wasm_bindings_spark.operators.asof import asof_join
+
+    times = {}
+    for scale, (n_left, n_keys) in {
+        "5M": (5_000_000, 100_000),
+        "50M": (50_000_000, 1_000_000),
+    }.items():
+        per_key = 10
+        right = spark.range(n_keys * per_key).select(
+            (F.col("id") % n_keys).alias("user_id"),
+            ((F.col("id") / n_keys).cast("long") * 1000).alias("ts"),
+            (
+                (F.col("id") % n_keys) * 1000003
+                + (F.col("id") / n_keys).cast("long")
+            ).alias("val"),
+        )
+        left = spark.range(n_left).select(
+            (F.col("id") % n_keys).alias("user_id"),
+            F.expr(f"pmod(xxhash64(id), {per_key * 1000})").alias("ts"),
+            F.col("id").alias("row_id"),
+        )
+        left = left.localCheckpoint()
+        right = right.localCheckpoint()
+
+        def run():
+            j = asof_join(left, right, on=["user_id"], ts="ts")
+            bad = j.filter(
+                (F.col("ref_ts") != (F.col("ts") / 1000).cast("long") * 1000)
+                | (
+                    F.col("ref_val")
+                    != F.col("user_id") * 1000003
+                    + (F.col("ts") / 1000).cast("long")
+                )
+            ).count()
+            assert bad == 0, bad
+
+        times[scale] = _time(
+            f"as-of join ({scale} left rows, {n_keys // 1000}k keys x {per_key} refs)",
+            run,
+            repeats=2 if scale == "50M" else 3,
+        )
+    import math
+
+    exp = math.log(times["50M"] / times["5M"]) / math.log(10)
+    print(f"  as-of join scaling exponent (5M -> 50M rows): {exp:.2f}")
+
+
 def probe_tokenizer_ab(spark) -> None:
     """VERDICT r7 #5: A/B the tokenizer hot path — the largest per-row
     map cost in quality_scores/repetition (~16 µs/doc/core at 2M docs).
@@ -1727,6 +1783,8 @@ if __name__ == "__main__":
         probe_triangles_xl(spark)
     if "ann_xl" in which:
         probe_ann_xl(spark)
+    if "asof_xl" in which:
+        probe_asof_xl(spark)
     if "pagerank_prepared" in which:
         probe_pagerank_prepared(spark)
     if "bloom_join" in which:
