@@ -1349,3 +1349,37 @@ def test_approx_rank_contract_broadcasts_sketch_frame(spark, sf_dir):
             )
             build_ok.append("percentile" in build.toString())
         assert any(build_ok), (qid, jplan.toString())
+
+
+def test_ann_index_builds_are_shuffle_free(spark):
+    """r8 IVF/PQ rewrite invariant: the index-build data path never
+    shuffles the corpus. `_assign_cells` (IVF nearest-cell) and
+    `_encode_codes` (PQ encode) are pure maps against a ONE-ROW
+    broadcast centroid/codebook matrix — the plan must contain no
+    hash-partitioning Exchange and no corpus-side SortExec (the old
+    shapes shuffled the full vector payload per Lloyd pass; the PQ
+    seeding additionally ran a PARTITION BY sub_id window = m
+    sequential partitions over the whole corpus)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.similarity import (
+        _assign_cells,
+        _encode_codes,
+    )
+
+    base = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), d ->"
+            " CAST(pmod(xxhash64(id * 8 + d), 101) AS DOUBLE))"
+        ).alias("v"),
+    )
+    cents = [[float(j * 8 + d) for d in range(8)] for j in range(4)]
+    p = _plan(_assign_cells(base, cents))
+    assert "Exchange hashpartitioning" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+    books = [[[float(c) for _ in range(4)] for c in range(4)] for _ in range(2)]
+    p = _plan(_encode_codes(base, books, 4))
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Window" not in p, p  # the old per-sub seeding window is gone
