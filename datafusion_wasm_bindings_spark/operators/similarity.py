@@ -262,20 +262,40 @@ def _norm2d(a: F.Column) -> F.Column:
     )
 
 
+def _nearest_idx(sv, cb_arr, ss_arr, n: int):
+    """Shared argmin core of the r8 map-side index builds: the index
+    i < n minimizing ss_arr[i] − 2·sv·cb_arr[i] (= ‖c_i‖² − 2·sv·c_i;
+    ‖sv‖² is row-constant and drops out of the argmin), as an
+    array_min over (score, i) structs. Ties break to the LOWEST index
+    (struct compare), deterministic where a min_by would be
+    unspecified. All three args are Columns reading broadcast DATA —
+    inlined literal matrices bloated task binaries past a megabyte and
+    re-initialized per task (measured seconds of fixed cost/pass)."""
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda i: F.struct(
+                (
+                    F.get(ss_arr, i)
+                    - 2.0
+                    * F.aggregate(
+                        F.zip_with(sv, F.get(cb_arr, i), lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("d"),
+                i.cast("long").alias("i"),
+            ),
+        )
+    )["i"]
+
+
 def _assign_cells(base: DataFrame, cents: list[list[float]]) -> DataFrame:
     """Nearest-centroid assignment as a PURE MAP: the centroid matrix
     (cells × dims doubles + per-cell ‖c‖²) rides in as a ONE-ROW
     broadcast (the allowed scalar-attachment shape) and the nearest
-    cell is an argmin over a |cells|-sized (score, cell) struct array,
-    score = ‖c‖² − 2·v·c (‖v‖² is row-constant and drops out of the
-    argmin). Ties break to the LOWEST cell id (struct compare),
-    deterministic where a min_by would be unspecified.
-
-    Shipping the matrix as broadcast DATA instead of inlined literals
-    matters: a cells×dims literal tree (96×64 F.lit at the xl probe)
-    bloated every task binary past a megabyte and re-initialized per
-    task — measured seconds of fixed cost per pass. ZERO shuffle, zero
-    row expansion either way; cell ids are matrix positions 0..m−1."""
+    cell is the _nearest_idx argmin projection. ZERO shuffle, zero row
+    expansion; cell ids are matrix positions 0..m−1."""
     spark = base.sparkSession
     ss = [float(sum(x * x for x in cv)) for cv in cents]
     cmat = F.broadcast(
@@ -283,26 +303,12 @@ def _assign_cells(base: DataFrame, cents: list[list[float]]) -> DataFrame:
             [(cents, ss)], "cm array<array<double>>, css array<double>"
         )
     )
-    best = F.array_min(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-            lambda i: F.struct(
-                (
-                    F.get(F.col("css"), i)
-                    - 2.0
-                    * F.aggregate(
-                        F.zip_with(F.col("v"), F.get(F.col("cm"), i), lambda a, b: a * b),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                ).alias("d"),
-                i.cast("long").alias("cell"),
-            ),
-        )
-    )
     return (
         base.crossJoin(cmat)
-        .withColumn("cell", best["cell"])
+        .withColumn(
+            "cell",
+            _nearest_idx(F.col("v"), F.col("cm"), F.col("css"), len(cents)),
+        )
         .drop("cm", "css")
     )
 
@@ -330,8 +336,9 @@ def ivf_index(
 
     Scale (r8 rewrite, measured by probe_ann_xl): assignment is a PURE
     MAP — the centroid state (cells × dims doubles, the same bounded
-    driver state operators/clustering.py holds) ships as literals and
-    the nearest cell is an argmin projection (_argmin_cell). The old
+    driver state operators/clustering.py holds) ships as a one-row
+    broadcast and the nearest cell is an argmin projection
+    (_assign_cells / _nearest_idx). The old
     shape crossJoined the corpus against the centroid table and
     groupBy(vec_id)-reduced it back: a full-corpus SHUFFLE of the
     vector payload per Lloyd pass ((iters+1)× at any scale) that made
@@ -342,9 +349,17 @@ def ivf_index(
     across every query served."""
     base = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).filter(F.col("v").isNotNull())
+    # NULL embeddings are OUT of the index population (the old
+    # explode-based build skipped them implicitly; unfiltered they
+    # would seed a driver TypeError or rank FIRST downstream via NULL
+    # scores under ASC NULLS FIRST — r8 review finding)
     n_train = train_sample or max(10_000, 50 * n_centroids)
-    train = base.orderBy("vec_id").limit(n_train)  # TakeOrdered, no window
+    # checkpoint the sample BEFORE collecting seeds: the TakeOrdered
+    # over the corpus runs ONCE, and the seed collect reads the
+    # materialized 10k-row sample (r8 review finding — collect-then-
+    # checkpoint ran the corpus scan twice)
+    train = base.orderBy("vec_id").limit(n_train).localCheckpoint(eager=True)
     # explicit re-sort: a bare limit-of-limit does not guarantee which
     # rows survive; seeds must be THE n_centroids lowest vec_ids
     seeds = train.orderBy("vec_id").limit(n_centroids).collect()
@@ -358,7 +373,6 @@ def ivf_index(
         )
         empty_c = spark.createDataFrame([], "cell bigint, cv array<double>")
         return empty_a, empty_c
-    train = train.localCheckpoint(eager=True)
     for _ in range(lloyd_iters):
         assigned = _assign_cells(train, cents)
         # element-wise mean per cell: (cell, dim) partial sums — shuffle
@@ -631,28 +645,12 @@ def _encode_codes(
     n_codes = len(books[0])
 
     def best_code(i):  # i: subspace index Column; reads pre-sliced svs
-        sv = F.get(F.col("svs"), i)
-        return F.array_min(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_codes - 1)),
-                lambda c: F.struct(
-                    (
-                        F.get(F.get(F.col("css"), i), c)
-                        - 2.0
-                        * F.aggregate(
-                            F.zip_with(
-                                sv,
-                                F.get(F.get(F.col("cbm"), i), c),
-                                lambda a, b: a * b,
-                            ),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        )
-                    ).alias("d"),
-                    c.cast("int").alias("code"),
-                ),
-            )
-        )["code"]
+        return _nearest_idx(
+            F.get(F.col("svs"), i),
+            F.get(F.col("cbm"), i),
+            F.get(F.col("css"), i),
+            n_codes,
+        ).cast("int")
 
     # subvector slices materialize ONCE per row before the argmin: an
     # HOF lambda sits outside codegen subexpression elimination, so an
@@ -704,7 +702,15 @@ def pq_index(
     encode, a pure map with zero shuffles (the posexplode of the
     m-length code array is the only fan-out, and it carries ints, not
     subvectors)."""
-    head = embeddings.select(F.size("embedding").alias("d")).first()
+    base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).filter(F.col("v").isNotNull())
+    # NULL embeddings are OUT of the index population (the old
+    # explode-based build skipped them via posexplode(NULL) emitting
+    # nothing; unfiltered they would seed a driver TypeError or rank
+    # FIRST in the ADC window via NULL scores — r8 review finding).
+    # The dim probe reads the filtered population for the same reason.
+    head = base.select(F.size("v").alias("d")).first()
     if head is None:
         # EMPTY corpus: no dimensionality to probe, no codebook to
         # train — return typed empty frames so callers compose to an
@@ -719,12 +725,11 @@ def pq_index(
         return codes, cb, 0
     dim = head["d"]
     sub_len = dim // m_subspaces
-    base = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
     spark = embeddings.sparkSession
     n_train = train_sample or max(10_000, 50 * n_codes)
-    train = base.orderBy("vec_id").limit(n_train)
+    # checkpoint the sample BEFORE collecting seeds (one corpus
+    # TakeOrdered, not two — r8 review finding)
+    train = base.orderBy("vec_id").limit(n_train).localCheckpoint(eager=True)
     seeds = train.orderBy("vec_id").limit(n_codes).collect()
     # books[sub][code] = sub_len doubles; seeded from the n_codes
     # lowest vec_ids' subvectors (the old per-sub window picked the
@@ -736,7 +741,6 @@ def pq_index(
         ]
         for i in range(m_subspaces)
     ]
-    train = train.localCheckpoint(eager=True)
     for _ in range(lloyd_iters):
         assigned = _encode_codes(train, books, sub_len).join(
             train.select("vec_id", "v"), "vec_id"

@@ -80,10 +80,12 @@ EMPTY_SENTINELS = [
 
 # the r8 SKEW campaign (hot-key point mass on join/group keys +
 # categoricals, ~50% of rows on one existing value): 287 ids ran at
-# both source scales, ONE divergence — five rounds of total-ordering
-# conventions held. The fixed class plus two ids whose 100 TB regime
-# is exactly what skew stresses (AQE skew-split salted join, the
-# bucketed-rank chain under unbalanced buckets).
+# both source scales, TWO divergences total (q_win_rows_frame at
+# sf0.001; q_tpch_q16 only at the sf0.01 source, where the NULL
+# subquery-key draw becomes likely) — five rounds of total-ordering
+# conventions held everywhere else. The fixed classes plus two ids
+# whose 100 TB regime is exactly what skew stresses (AQE skew-split
+# salted join, the bucketed-rank chain under unbalanced buckets).
 SKEW_SENTINELS = [
     "q_win_rows_frame",         # ROWS frame peers under a 50% tie mass:
                                 # ordering now total over the consumed

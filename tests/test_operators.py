@@ -709,6 +709,48 @@ def test_kmeans_clusters_known_values(spark):
     assert got[0].mean_inertia >= 0 and got[1].mean_inertia >= 0
 
 
+def test_ann_index_builds_tolerate_null_embeddings(spark):
+    """Regression (r8 review): the rewritten sample-trained ivf_index /
+    pq_index must keep the old builds' NULL-embedding tolerance — a
+    NULL-v row among the lowest vec_ids previously seeded a driver
+    TypeError, and an encoded NULL row ranked FIRST downstream via
+    NULL scores under ASC NULLS FIRST. NULL embeddings are out of the
+    index population (same contract the explode-based shapes enforced
+    implicitly)."""
+    from datafusion_wasm_bindings_spark.operators.similarity import (
+        ivf_index,
+        pq_index,
+    )
+
+    rows = [
+        (0, None),  # NULL among the seed ids — the TypeError shape
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, None),
+        (4, [0.9, 0.1, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    assignments, centroids = ivf_index(emb, n_centroids=2, lloyd_iters=1)
+    got = {r.vec_id for r in assignments.collect()}
+    assert got == {1, 2, 4}  # NULL-v rows are not indexed
+    assert centroids.count() >= 1
+
+    codes, cb, sub_len = pq_index(emb, m_subspaces=2, n_codes=2, lloyd_iters=1)
+    coded = {r.vec_id for r in codes.collect()}
+    assert coded == {1, 2, 4}
+    assert sub_len == 2
+
+    # all-NULL corpus behaves like the empty corpus (typed empties)
+    all_null = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<float>"
+    )
+    codes, cb, sub_len = pq_index(all_null, m_subspaces=2, n_codes=2)
+    assert codes.count() == 0 and cb.count() == 0 and sub_len == 0
+    assignments, centroids = ivf_index(all_null, n_centroids=2)
+    assert assignments.count() == 0 and centroids.count() == 0
+
+
 def test_kmeans_centroid_ss_past_int64(spark):
     """Regression (r8 semdedup_xl probe, measured live): a cluster's
     Σsi² exceeded int64 at 2M vectors (ss = 1.22e19 > 2^63−1) and

@@ -441,7 +441,16 @@ def build_mode_dir(mode: str, root: str = ROOT, src_dir: str | None = None) -> s
                     break
                 _time.sleep(0.1)
             if not ok:
-                os.replace(tmp_dir, out_dir)  # second attempt; raises if truly stuck
+                # the winner installed a DIFFERENT fingerprint (the
+                # cross-source concurrent case): a bare replace onto a
+                # non-empty dir is ENOTEMPTY, so the second attempt
+                # must mirror the primary path — move the other build
+                # aside, then install ours (r8 review finding)
+                if os.path.exists(out_dir):
+                    old = f"{out_dir}.old.{os.getpid()}.retry"
+                    os.replace(out_dir, old)
+                    shutil.rmtree(old, ignore_errors=True)
+                os.replace(tmp_dir, out_dir)  # raises if truly stuck
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
     return out_dir
