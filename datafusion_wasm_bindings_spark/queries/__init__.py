@@ -67,71 +67,69 @@ _MODULES = (
     "analytics5",
 )
 
-# Round-8 driver window (exactly 50 names, COVERAGE.md round-8 plan):
-# the backlog is ZERO (287/287 driver-green after r7), so every slot
-# is a staleness re-verify — the 50 ids whose LATEST driver verdict is
-# oldest, in (last-verified round, registration order): the 39
-# r2-stamped greens (dedup cluster pair + embedding, the sim/text/
-# sample/stream/multimodal/events extensions block, and the
-# functions_agg head q_fn_count..q_fn_struct) plus the 11 stalest
-# r3-stamped ids in registration order. Shared infra under all of
-# these (catalog normalization, scan-split sizing, compat rewrites,
-# _util decimal recipes, operators/dedup.py + similarity.py churn in
-# r5-r7) makes actual-driver re-verification the only guard. The
-# oldest-first choice is enforced by tests/test_window_rotation.py's
-# staleness rule. Names listed here move to the FRONT of the registry
-# in this order; everything else follows in registration order.
+# Round-9 driver window (exactly 50 names, COVERAGE.md round-9 plan):
+# zero backlog again (287/287 green on the cumulative ledger), so every
+# slot is a staleness re-verify — the 38 r3-stamped ids (the scalar-fn
+# math/string/datetime/encoding block, the scan/copy/values/statements
+# source family, q_agg_order_within, q_dedup_paragraph) plus the 12
+# stalest r4-stamped ids in registration order, per the mechanical
+# oldest-first rule enforced by tests/test_window_rotation.py. The r3
+# oracles predate the HUGEINT/ceil-floor/sign dtype-parity rules, so the
+# rotation was preceded by the conftest ORACLE_UNSAFE_TYPES + dtype
+# audit (tools_driver_sim.py over all 50). Names listed here move to the
+# FRONT of the registry in this order; everything else follows in
+# registration order.
 _WINDOW = (
-    "q_dedup_clusters",
-    "q_dedup_clusters_star",
-    "q_dedup_embedding",
-    "q_sim_topk",
-    "q_sim_lsh_topk",
-    "q_sim_ivf_topk",
-    "q_text_tokens",
-    "q_text_quality",
-    "q_text_langid",
-    "q_text_repetition",
-    "q_text_fingerprint",
-    "q_sample_stratified",
-    "q_sample_hash",
-    "q_sample_weighted",
-    "q_sample_temperature",
-    "q_join_asof",
-    "q_feature_binning",
-    "q_join_range",
-    "q_stream_stateful_totals",
-    "q_stream_dedup",
-    "q_stream_stream_join",
-    "q_stream_static_join",
-    "q_join_salted",
-    "q_multimodal_features",
-    "q_multimodal_resize",
-    "q_multimodal_frames",
-    "q_events_tumbling",
-    "q_events_sliding",
-    "q_events_session",
-    "q_text_decontaminate",
-    "q_text_pii",
-    "q_pipeline_shuffle",
-    "q_join_bucketed",
-    "q_events_outliers",
-    "q_pipeline_chunk",
-    "q_fn_count",
-    "q_fn_median",
-    "q_fn_approx_distinct",
-    "q_fn_approx_median",
-    "q_fn_approx_percentile",
-    "q_fn_array_agg",
-    "q_fn_string_agg",
-    "q_fn_first_last_value",
-    "q_fn_bool_and_or",
-    "q_fn_bit_agg",
-    "q_fn_stddev_var",
-    "q_fn_corr_covar",
-    "q_fn_regr",
-    "q_fn_greatest_least",
-    "q_fn_struct",
+    "q_fn_math_basic",
+    "q_fn_math_log_trig",
+    "q_fn_math_gaps",
+    "q_fn_typeof_version",
+    "q_fn_string_basic",
+    "q_fn_string_pad_trim",
+    "q_fn_string_search",
+    "q_fn_unicode",
+    "q_fn_regex",
+    "q_fn_datetime_extract",
+    "q_fn_datetime_trunc_bin",
+    "q_fn_datetime_convert",
+    "q_fn_interval_arith",
+    "q_fn_to_char",
+    "q_fn_encoding",
+    "q_scan_parquet",
+    "q_scan_csv",
+    "q_scan_arrow",
+    "q_scan_json",
+    "q_values_inline",
+    "q_values_ctas",
+    "q_generate_series",
+    "q_info_schema",
+    "q_copy_parquet",
+    "q_copy_csv",
+    "q_copy_json",
+    "q_scan_partitioned",
+    "q_insert_into",
+    "q_result_table",
+    "q_result_json",
+    "q_unnest",
+    "q_multi_statement",
+    "q_cte",
+    "q_recursive_cte",
+    "q_recursive_cte_loop",
+    "q_prepared",
+    "q_ddl_view",
+    "q_agg_order_within",
+    "q_dedup_paragraph",
+    "q_sim_pq_topk",
+    "q_sim_truncation",
+    "q_text_tokens_bpe",
+    "q_text_tfidf",
+    "q_text_confusion",
+    "q_text_stats",
+    "q_pipeline_split",
+    "q_pipeline_epochs",
+    "q_events_props_json",
+    "q_stream_session",
+    "q_pipeline_training_mix",
 )
 
 
