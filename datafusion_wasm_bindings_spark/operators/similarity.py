@@ -321,12 +321,13 @@ def ivf_index(
     train_sample: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF (inverted-file) coarse quantizer: mini k-means with
-    deterministic init (the ``n_centroids`` lowest vec_ids seed the
-    centroids), Lloyd iterations over a bounded deterministic TRAINING
-    SAMPLE (the ``train_sample`` lowest vec_ids, default
-    max(10_000, 50·cells) — standard IVF practice: the quantizer needs
-    a distribution sketch, not the corpus), then ONE full-corpus
-    assignment pass.
+    deterministic init (the ``n_centroids`` lowest vec_ids WITHIN the
+    training sample seed the centroids), Lloyd iterations over a
+    bounded deterministic TRAINING SAMPLE (the ``train_sample``
+    xxhash64-lowest vec_ids — hash order decorrelates the sample from
+    ingest-ordered ids, ADVICE r8; default max(10_000, 50·cells) —
+    standard IVF practice: the quantizer needs a distribution sketch,
+    not the corpus), then ONE full-corpus assignment pass.
 
     Returns ``(assignments, centroids)``:
     ``assignments``: vec_id, cell, v (array<double>) — materialized,
@@ -349,19 +350,37 @@ def ivf_index(
     across every query served."""
     base = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).filter(F.col("v").isNotNull())
-    # NULL embeddings are OUT of the index population (the old
-    # explode-based build skipped them implicitly; unfiltered they
-    # would seed a driver TypeError or rank FIRST downstream via NULL
-    # scores under ASC NULLS FIRST — r8 review finding)
+    ).filter(
+        F.col("v").isNotNull() & ~F.exists("v", lambda x: x.isNull())
+    )
+    # NULL embeddings — and vectors carrying a NULL ELEMENT — are OUT
+    # of the index population (the old explode-based build skipped
+    # whole-NULL implicitly; unfiltered either class would seed a
+    # driver TypeError (float(None)) or rank FIRST downstream via NULL
+    # scores under ASC NULLS FIRST — r8/r9 review findings)
     n_train = train_sample or max(10_000, 50 * n_centroids)
     # checkpoint the sample BEFORE collecting seeds: the TakeOrdered
     # over the corpus runs ONCE, and the seed collect reads the
     # materialized 10k-row sample (r8 review finding — collect-then-
     # checkpoint ran the corpus scan twice)
-    train = base.orderBy("vec_id").limit(n_train).localCheckpoint(eager=True)
-    # explicit re-sort: a bare limit-of-limit does not guarantee which
-    # rows survive; seeds must be THE n_centroids lowest vec_ids
+    train = (
+        base.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(n_train)
+        .localCheckpoint(eager=True)
+    )
+    # deterministic but ID-DECORRELATED sample: ordering by a stable
+    # hash of the key (tie-broken by the key itself, a total order)
+    # keeps the build reproducible while sampling uniformly across id
+    # ranges — a raw lowest-vec_id prefix covers the tail poorly when
+    # vector content correlates with id (time-ordered ingest,
+    # per-source id blocks; ADVICE r8). SEEDS stay the n_centroids
+    # lowest vec_ids WITHIN the sample: on any corpus <= n_train the
+    # sample is the whole population and the build is bit-identical to
+    # the verified baseline, while at real scale the seeds inherit the
+    # sample's decorrelation. (An r9 farthest-point seeding experiment
+    # measured WORSE fixture recall — max-distance seeding chases
+    # outliers; a hash-prefix-seed variant also dropped recall@3 below
+    # the 2/3 contract — both reverted on measurement.)
     seeds = train.orderBy("vec_id").limit(n_centroids).collect()
     cents: list[list[float]] = [[float(x) for x in r["v"]] for r in seeds]
     spark = embeddings.sparkSession
@@ -687,8 +706,9 @@ def pq_index(
     """Product-quantization index (Jégou et al. 2011): split each
     vector into ``m_subspaces`` contiguous subvectors, learn a small
     per-subspace codebook (deterministic mini k-means over the
-    ``train_sample`` lowest vec_ids, default max(10_000, 50·codes) —
-    the same sample-training rationale as ``ivf_index``), and encode
+    ``train_sample`` xxhash64-lowest vec_ids, default
+    max(10_000, 50·codes) — the same sample-training and
+    seed-from-sample rationale as ``ivf_index``), and encode
     the corpus as m small codes. The m×n_codes codebook replaces
     dims×8 bytes per vector with m bytes — the memory trick that makes
     billion-vector ANN fit.
@@ -704,11 +724,14 @@ def pq_index(
     subvectors)."""
     base = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).filter(F.col("v").isNotNull())
-    # NULL embeddings are OUT of the index population (the old
-    # explode-based build skipped them via posexplode(NULL) emitting
-    # nothing; unfiltered they would seed a driver TypeError or rank
-    # FIRST in the ADC window via NULL scores — r8 review finding).
+    ).filter(
+        F.col("v").isNotNull() & ~F.exists("v", lambda x: x.isNull())
+    )
+    # NULL embeddings — and vectors carrying a NULL ELEMENT — are OUT
+    # of the index population (the old explode-based build skipped
+    # whole-NULL via posexplode(NULL) emitting nothing; unfiltered
+    # either class would seed a driver TypeError (float(None)) or rank
+    # FIRST in the ADC window via NULL scores — r8/r9 review findings).
     # The dim probe reads the filtered population for the same reason.
     head = base.select(F.size("v").alias("d")).first()
     if head is None:
@@ -728,12 +751,18 @@ def pq_index(
     spark = embeddings.sparkSession
     n_train = train_sample or max(10_000, 50 * n_codes)
     # checkpoint the sample BEFORE collecting seeds (one corpus
-    # TakeOrdered, not two — r8 review finding)
-    train = base.orderBy("vec_id").limit(n_train).localCheckpoint(eager=True)
+    # TakeOrdered, not two — r8 review finding); hash-ordered sample
+    # for id-decorrelation, tie-broken by vec_id (ADVICE r8, same
+    # rationale as ivf_index)
+    train = (
+        base.orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(n_train)
+        .localCheckpoint(eager=True)
+    )
     seeds = train.orderBy("vec_id").limit(n_codes).collect()
     # books[sub][code] = sub_len doubles; seeded from the n_codes
-    # lowest vec_ids' subvectors (the old per-sub window picked the
-    # same rows)
+    # lowest vec_ids WITHIN the hash-decorrelated sample (same
+    # fixture-identity / scale-decorrelation rationale as ivf_index)
     books: list[list[list[float]]] = [
         [
             [float(x) for x in r["v"][i * sub_len : (i + 1) * sub_len]]

@@ -311,7 +311,13 @@ def _src_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             # CAST throws, DuckDB CAST errors; TRY_CAST is NULL on
             # both (adversarial extremes replay, r6)
             (
-                F.expr("try_cast(substring(source, 4, 8) AS BIGINT)") % 2 == 0
+                F.expr(
+                    "try_cast(CASE WHEN substring(source, 4, 8)"
+                    " RLIKE '^\\\\s*[-+]?[0-9]+\\\\s*$'"
+                    " THEN substring(source, 4, 8) END AS BIGINT)"
+                )
+                % 2
+                == 0
             ).alias("is_a"),
             F.lower(F.col("text")).alias("lt"),
             "n_chars",
@@ -334,15 +340,19 @@ def _src_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SRC_SCORE_SQL = """
     d0 AS (
-      -- sign-then-whitespace guard (ADVICE r7): DuckDB TRY_CAST('- ')
+      -- strict-grammar WHITELIST (ADVICE r7→r8): DuckDB TRY_CAST('- ')
       -- = 0 where Spark try_cast = NULL
-      -- (test_try_cast_sign_whitespace_divergence_documented) — NULL
-      -- the exact divergent class before the cast so a hostile source
-      -- like 'xyz-   ' is filtered on BOTH sides.
+      -- (test_try_cast_sign_whitespace_divergence_documented), and
+      -- other sign/whitespace permutations ('  -', '+-', '- 5') are
+      -- engine-unpinned — so instead of blacklisting known-divergent
+      -- shapes, ONLY slices matching Spark's integer grammar
+      -- '^\\s*[-+]?[0-9]+\\s*$' reach the cast (identical parse in
+      -- both engines by construction); everything else is NULLed on
+      -- BOTH sides (the Spark twin carries the same RLIKE).
       SELECT TRY_CAST(
                CASE WHEN regexp_matches(substr(source, 4, 8),
-                                        '^\\s*[-+]\\s+$')
-                    THEN NULL ELSE substr(source, 4, 8) END
+                                        '^\\s*[-+]?[0-9]+\\s*$')
+                    THEN substr(source, 4, 8) ELSE NULL END
                AS BIGINT) % 2 = 0 AS is_a,
              lower(text) AS lt, n_chars
       FROM documents

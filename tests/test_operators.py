@@ -751,6 +751,35 @@ def test_ann_index_builds_tolerate_null_embeddings(spark):
     assert assignments.count() == 0 and centroids.count() == 0
 
 
+def test_ann_index_builds_tolerate_null_elements(spark):
+    """Regression (ADVICE r8): a NULL ELEMENT inside a non-NULL
+    embedding array passed the old whole-NULL population filter and
+    raised a driver TypeError (float(None)) when the row landed in the
+    collected seed set. Element-null vectors are now out of the index
+    population alongside whole-NULL embeddings — they have no defined
+    distance to anything."""
+    from datafusion_wasm_bindings_spark.operators.similarity import (
+        ivf_index,
+        pq_index,
+    )
+
+    rows = [
+        (0, [1.0, None, 0.0, 0.0]),  # seed-position element-NULL
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.9, None, 0.0, None]),
+        (4, [0.9, 0.1, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    assignments, _ = ivf_index(emb, n_centroids=2, lloyd_iters=1)
+    assert {r.vec_id for r in assignments.collect()} == {1, 2, 4}
+
+    codes, _, sub_len = pq_index(emb, m_subspaces=2, n_codes=2, lloyd_iters=1)
+    assert {r.vec_id for r in codes.collect()} == {1, 2, 4}
+    assert sub_len == 2
+
+
 def test_kmeans_centroid_ss_past_int64(spark):
     """Regression (r8 semdedup_xl probe, measured live): a cluster's
     Σsi² exceeded int64 at 2M vectors (ss = 1.22e19 > 2^63−1) and
