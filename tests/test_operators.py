@@ -1123,6 +1123,49 @@ def test_editdist_join_known_pairs(spark):
     assert not any("zzz" in p for p in out)
 
 
+def test_editdist_join_matches_naive_all_pairs(spark):
+    """Property test for the r9 FastSS deletion-signature rewrite: the
+    blocked join must be ROW-IDENTICAL to the naive all-pairs
+    definition at d=1 and d=2, on a vocabulary dense enough (5-letter
+    alphabet, lengths 1-9) that short words, hot signatures, and the
+    L<2 sequence guard all fire."""
+    import itertools
+    import random
+
+    from datafusion_wasm_bindings_spark.operators.similarity import editdist_join
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[n]
+
+    rng = random.Random(7)
+    vocab = set()
+    while len(vocab) < 250:
+        vocab.add(
+            "".join(rng.choice("abcdz") for _ in range(rng.randint(1, 9)))
+        )
+    vocab = sorted(vocab)
+    df = spark.createDataFrame([(w,) for w in vocab], "w string")
+    for d in (1, 2):
+        naive = sorted(
+            (a, b, lev(a, b))
+            for a, b in itertools.combinations(vocab, 2)
+            if lev(a, b) <= d
+        )
+        got = sorted(
+            (r.wa, r.wb, r.dist)
+            for r in editdist_join(df, max_dist=d).collect()
+        )
+        assert got == naive, (d, len(got), len(naive))
+
+
 def test_dataset_manifest_partition_invariant_and_complete(documents):
     from datafusion_wasm_bindings_spark.operators.packing import dataset_manifest
 

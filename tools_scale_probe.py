@@ -303,7 +303,7 @@ def probe_minhash(spark) -> None:
             base_pairs,
         )
 
-    print(f"minhash corpus: {n_docs} docs x 20 replicas, {base_pairs} pairs/replica")
+    _emit(f"minhash corpus: {n_docs} docs x 20 replicas, {base_pairs} pairs/replica")
     _time(f"minhash-LSH dedup (100k docs, {20 * base_pairs} verified pairs)", run)
 
 
@@ -348,7 +348,7 @@ def probe_embedding(spark) -> None:
         run.stats = (planted, extras)
 
     _time("hyperplane-LSH embedding dedup (40k x 64-dim, 20k planted pairs)", run)
-    print("planted found / extras:", run.stats)
+    _emit(f"planted found / extras: {run.stats}")
 
 
 
@@ -799,7 +799,7 @@ def probe_pagerank_prepared(spark) -> None:
         a = pagerank(edges, iters=3).orderBy("node").collect()
         b = pagerank(prep, iters=3, prepared=True).orderBy("node").collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b], "rank mismatch"
-        print("  prepared ranks bit-identical to plain: yes")
+        _emit("  prepared ranks bit-identical to plain: yes")
     finally:
         import shutil
 
@@ -871,7 +871,7 @@ def probe_bloom_join(spark) -> None:
             F.pmod(F.xxhash64(fact["k"]), F.lit(1 << 20)) == F.col("__pfb"),
             "left_semi",
         ).count()
-        print(
+        _emit(
             f"  rows entering join exchange: plain {n_fact:,} vs prefiltered {surv:,}"
         )
     finally:
@@ -1273,7 +1273,7 @@ def probe_pagerank_xl(spark) -> None:
     import math
 
     exp = math.log(times["100M"] / times["10M"]) / math.log(10)
-    print(f"  pagerank prepared scaling exponent (10M -> 100M edges): {exp:.2f}")
+    _emit(f"  pagerank prepared scaling exponent (10M -> 100M edges): {exp:.2f}")
 
 
 def probe_pagerank_deep(spark) -> None:
@@ -1310,7 +1310,7 @@ def probe_pagerank_deep(spark) -> None:
                 f"pagerank {iters} iters, prepared (100M edges)", run, repeats=2
             )
         marginal = (times[10] - times[3]) / 7
-        print(f"  marginal cost per extra iteration: {marginal:.2f} s")
+        _emit(f"  marginal cost per extra iteration: {marginal:.2f} s")
     finally:
         import shutil
 
@@ -1360,7 +1360,7 @@ def probe_cc_chain_xl(spark) -> None:
     # O(log n) extra alternations at 10x is expected: report both the
     # raw exponent and the log-round-adjusted one
     exp = math.log(times["10M"] / times["1M"]) / math.log(10)
-    print(f"  star CC scaling exponent (1M -> 10M chain): {exp:.2f}")
+    _emit(f"  star CC scaling exponent (1M -> 10M chain): {exp:.2f}")
 
 
 def probe_minhash_xl(spark) -> None:
@@ -1418,7 +1418,7 @@ def probe_minhash_xl(spark) -> None:
     import math
 
     exp = math.log(times["1M"] / times["100k"]) / math.log(10)
-    print(f"  minhash-LSH scaling exponent (100k -> 1M docs): {exp:.2f}")
+    _emit(f"  minhash-LSH scaling exponent (100k -> 1M docs): {exp:.2f}")
 
 
 def probe_embedding_xl(spark) -> None:
@@ -1476,11 +1476,11 @@ def probe_embedding_xl(spark) -> None:
             run,
             repeats=2 if scale == "400k" else 3,
         )
-        print(f"  planted found / extras @ {scale}:", run.stats)
+        _emit(f"  planted found / extras @ {scale}: {run.stats}")
     import math
 
     exp = math.log(times["400k"] / times["40k"]) / math.log(10)
-    print(f"  embedding-LSH scaling exponent (40k -> 400k vectors): {exp:.2f}")
+    _emit(f"  embedding-LSH scaling exponent (40k -> 400k vectors): {exp:.2f}")
 
 
 def probe_triangles_xl(spark) -> None:
@@ -1520,7 +1520,7 @@ def probe_triangles_xl(spark) -> None:
     import math
 
     exp = math.log(times["20M"] / times["2M"]) / math.log(10)
-    print(f"  triangle-count scaling exponent (2M -> 20M edges): {exp:.2f}")
+    _emit(f"  triangle-count scaling exponent (2M -> 20M edges): {exp:.2f}")
 
 
 def probe_ann_xl(spark) -> None:
@@ -1588,7 +1588,7 @@ def probe_ann_xl(spark) -> None:
 
     for name, t in (("IVF", times_ivf), ("PQ-ADC", times_pq)):
         exp = math.log(t["400k"] / t["40k"]) / math.log(10)
-        print(f"  {name} scaling exponent (40k -> 400k vectors): {exp:.2f}")
+        _emit(f"  {name} scaling exponent (40k -> 400k vectors): {exp:.2f}")
 
 
 def probe_asof_xl(spark) -> None:
@@ -1644,7 +1644,7 @@ def probe_asof_xl(spark) -> None:
     import math
 
     exp = math.log(times["50M"] / times["5M"]) / math.log(10)
-    print(f"  as-of join scaling exponent (5M -> 50M rows): {exp:.2f}")
+    _emit(f"  as-of join scaling exponent (5M -> 50M rows): {exp:.2f}")
 
 
 def probe_tokenizer_ab(spark) -> None:
@@ -1707,7 +1707,7 @@ def probe_tokenizer_ab(spark) -> None:
 
     ta = _time("tokenize A: regexp_extract_all (2M docs)", run_a)
     tb = _time("tokenize B: split+filter (2M docs)", run_b)
-    print(f"  tokenizer A/B speedup: {ta / tb:.2f}x (adopt bar 1.3x)")
+    _emit(f"  tokenizer A/B speedup: {ta / tb:.2f}x (adopt bar 1.3x)")
 
 
 def probe_semdedup_xl(spark) -> None:
@@ -1745,7 +1745,202 @@ def probe_semdedup_xl(spark) -> None:
     import math
 
     exp = math.log(times["2M"] / times["500k"]) / math.log(4)
-    print(f"  SemDeDup scaling exponent (500k -> 2M vectors): {exp:.2f}")
+    _emit(f"  SemDeDup scaling exponent (500k -> 2M vectors): {exp:.2f}")
+
+
+def probe_editdist_xl(spark) -> None:
+    """VERDICT r9 #3 (pair-fan-out family): editdist_join at 30k vs
+    300k distinct words (lengths 5-12 over a 12-letter alphabet, plus
+    one PLANTED 1-edit partner per 10 base words so the true-pair
+    count is known and checked exactly at both scales). The r9 FastSS
+    deletion-signature rewrite exists because this probe measured the
+    length-band blocking QUADRATIC: bands hold |V|/8 words each, so
+    candidate volume is TH(|V|^2) — measured 194.8 s warm at 30k words
+    (139x FastSS's 1.4 s, identical 21,913 pairs) and KILLED at the
+    10-min timeout at 300k (quadratic extrapolation ~5.4 h; FastSS:
+    6.7 s). Prints the signature-path exponent log(t2/t1)/log(10)
+    (measured 0.69)."""
+    from datafusion_wasm_bindings_spark.operators.similarity import editdist_join
+
+    times = {}
+    for scale, n in {"30k": 30_000, "300k": 300_000}.items():
+        # deterministic base words: 5-12 chars over 12 letters, id-keyed
+        base = spark.range(n).select(
+            F.col("id"),
+            F.concat(
+                F.lit("w"),
+                F.expr(
+                    "array_join(transform(sequence(1, CAST(pmod(xxhash64(id), 8) + 4 AS INT)),"
+                    " i -> chr(97 + CAST(pmod(xxhash64(id * 131 + i), 12) AS INT))), '')"
+                ),
+            ).alias("w"),
+        )
+        planted = base.filter(F.col("id") % 10 == 0).select(
+            "id",
+            # substitute the LAST char with a letter outside the base
+            # alphabet: a guaranteed distance-1 partner that cannot
+            # collide with any other base word
+            F.concat(
+                F.expr("substr(w, 1, length(w) - 1)"), F.lit("z")
+            ).alias("w"),
+        )
+        vocab = (
+            base.select("w").unionByName(planted.select("w")).distinct().localCheckpoint()
+        )
+        n_planted = planted.select("w").distinct().join(
+            base.select("w").distinct(), "w", "left_anti"
+        ).count()
+
+        def run():
+            pairs = editdist_join(vocab, max_dist=1)
+            got = pairs.count()
+            # every planted partner is a true distance-1 pair; base-base
+            # accidental pairs add on top, so >= is the exact floor
+            assert got >= n_planted, (got, n_planted)
+            run.n_pairs = got
+
+        times[scale] = _time(
+            f"editdist FastSS join ({scale} words, d=1)",
+            run,
+            repeats=2 if scale == "300k" else 3,
+        )
+        _emit(f"  pairs found @ {scale}: {run.n_pairs} (planted floor {n_planted})")
+    import math
+
+    exp = math.log(times["300k"] / times["30k"]) / math.log(10)
+    _emit(f"  editdist FastSS scaling exponent (30k -> 300k words): {exp:.2f}")
+
+
+def probe_interval_xl(spark) -> None:
+    """VERDICT r9 #3 (pair-fan-out family): the dual-bucket-explode
+    interval join (operators/rangejoin.interval_join — q_join_range /
+    q_join_interval_overlap's engine) at 5M vs 50M events against
+    events/10 intervals over 1,000 keys. Intervals sit on a REGULAR
+    GRID (per key: one [k*3600, k*3600+1800] interval per hour), so
+    the exact expected match count is computable by a separate
+    aggregate: an event matches exactly 1 interval iff its in-hour
+    offset is <= 1800 s AND its key's grid covers that hour. The
+    exponent log(t2/t1)/log(10) checks the equi-join on (key, bucket)
+    stays linear — per-bucket work is bounded by bucket population x
+    interval fan-in by construction."""
+    from datafusion_wasm_bindings_spark.operators.rangejoin import interval_join
+
+    n_keys = 1_000
+    span_s = 14 * 86_400  # 14 days of hourly intervals per key
+    times = {}
+    for scale, n_ev in {"5M": 5_000_000, "50M": 50_000_000}.items():
+        ev = (
+            spark.range(n_ev)
+            .select(
+                (F.col("id") % n_keys).alias("k"),
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000) + F.expr(f"pmod(xxhash64(id), {span_s})")
+                ).alias("ts"),
+            )
+            .localCheckpoint()
+        )
+        iv = (
+            spark.range(n_keys * (span_s // 3600))
+            .select(
+                (F.col("id") % n_keys).alias("k"),
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000) + (F.col("id") / n_keys).cast("long") * 3600
+                ).alias("start"),
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000) + (F.col("id") / n_keys).cast("long") * 3600 + 1800
+                ).alias("end"),
+            )
+            .localCheckpoint()
+        )
+        expect = ev.filter(
+            F.expr("pmod(unix_seconds(ts) - 1700000000, 3600)") <= 1800
+        ).count()
+
+        def run():
+            got = interval_join(ev, iv, on=["k"], bucket_seconds=3600).count()
+            assert got == expect, (got, expect)
+
+        times[scale] = _time(
+            f"interval join ({scale} events x {n_keys * (span_s // 3600) // 1000}k intervals)",
+            run,
+            repeats=2 if scale == "50M" else 3,
+        )
+    import math
+
+    exp = math.log(times["50M"] / times["5M"]) / math.log(10)
+    _emit(f"  interval-join scaling exponent (5M -> 50M events): {exp:.2f}")
+
+
+def probe_itemsets_xl(spark) -> None:
+    """VERDICT r9 #3 (pair-fan-out family): the basket-keyed pair join
+    behind q_pipeline_itemsets at 1M vs 10M baskets (7 items each from
+    a catalog scaling with basket count, so per-item margins stay
+    bounded). The pair fan-out is C(7,2)=21 per basket by
+    construction — the probe asserts the exact total pair count
+    Sum_b C(k_b, 2) from a separate per-basket aggregate, then checks
+    the measured exponent log(t2/t1)/log(10) stays ~1: basket-keyed
+    generation is linear where an item-keyed self-join would square
+    the hot items."""
+    times = {}
+    for scale, n_baskets in {"1M": 1_000_000, "10M": 10_000_000}.items():
+        n_parts = n_baskets // 5
+        items = (
+            spark.range(n_baskets * 7)
+            .select(
+                (F.col("id") / 7).cast("long").alias("bkt"),
+                F.expr(f"pmod(xxhash64(id * 2654435761), {n_parts})").alias("part"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        per_b = items.groupBy("bkt").agg(F.count(F.lit(1)).alias("kb"))
+        expect = per_b.agg(
+            F.sum(F.col("kb") * (F.col("kb") - 1) / 2).cast("long").alias("p")
+        ).collect()[0]["p"]
+
+        def run():
+            a, b = items.alias("a"), items.alias("b")
+            pairs = (
+                a.join(
+                    b,
+                    (F.col("a.bkt") == F.col("b.bkt"))
+                    & (F.col("a.part") < F.col("b.part")),
+                )
+                .groupBy(F.col("a.part").alias("pa"), F.col("b.part").alias("pb"))
+                .agg(F.count(F.lit(1)).alias("n_ab"))
+            )
+            got = pairs.agg(F.sum("n_ab").cast("long").alias("s")).collect()[0]["s"]
+            assert got == expect, (got, expect)
+
+        times[scale] = _time(
+            f"itemset pair join ({scale} baskets x 7 items)",
+            run,
+            repeats=2 if scale == "10M" else 3,
+        )
+    import math
+
+    exp = math.log(times["10M"] / times["1M"]) / math.log(10)
+    _emit(f"  itemset pair-join scaling exponent (1M -> 10M baskets): {exp:.2f}")
+
+
+_PROBE_LOG = __import__("os").environ.get(
+    "SPARK_GRAFT_PROBE_LOG", "/tmp/dfwb_probe_log.txt"
+)
+
+
+def _emit(line: str) -> None:
+    """Print a probe RESULT line and tee it to the append-only probe
+    log (ADVICE r8: result lines captured through ``grep -v Stage``
+    were occasionally swallowed by Spark's \r progress fragments on
+    stdout — costing a 10-minute probe rerun; the log file is immune,
+    and the probe session disables the console progress bar at the
+    source)."""
+    print(line, flush=True)
+    try:
+        with open(_PROBE_LOG, "a") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # the log is advisory; never fail a probe over it
 
 
 def _time(label: str, run, repeats: int = 3) -> float:
@@ -1756,7 +1951,7 @@ def _time(label: str, run, repeats: int = 3) -> float:
         run()
         times.append(time.monotonic() - t0)
     med = statistics.median(times)
-    print(f"{label}: warm median {med:.1f} s ({[round(t,1) for t in times]})")
+    _emit(f"{label}: warm median {med:.1f} s ({[round(t,1) for t in times]})")
     return med
 
 
@@ -1764,7 +1959,13 @@ if __name__ == "__main__":
     # the _xl probes (VERDICT r6 #4, 10x headroom) are opt-in by name —
     # they run tens of minutes and would crowd the default sweep
     which = set(sys.argv[1:]) or {"ols2", "survival", "changepoint", "rank", "minhash", "embedding", "ann", "triangles", "q1_100m", "ntile", "join_100m", "durable", "cc_chain", "kmeans", "multimodal", "pagerank_prepared", "bloom_join", "ks", "rrf", "semdedup", "rfm_chain", "session", "profile", "textmap", "langid", "pack"}
-    spark = get_spark("dfwb-scale-probe")
+    spark = get_spark(
+        "dfwb-scale-probe",
+        # no \r progress fragments on this session's stdout — result
+        # lines must survive naive pipe captures (ADVICE r8)
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    _emit(f"probe log: {_PROBE_LOG} (probes: {sorted(which)})")
     if "pagerank_xl" in which:
         probe_pagerank_xl(spark)
     if "pagerank_deep" in which:
@@ -1777,6 +1978,12 @@ if __name__ == "__main__":
         probe_embedding_xl(spark)
     if "semdedup_xl" in which:
         probe_semdedup_xl(spark)
+    if "editdist_xl" in which:
+        probe_editdist_xl(spark)
+    if "interval_xl" in which:
+        probe_interval_xl(spark)
+    if "itemsets_xl" in which:
+        probe_itemsets_xl(spark)
     if "tokenizer_ab" in which:
         probe_tokenizer_ab(spark)
     if "triangles_xl" in which:
