@@ -170,3 +170,62 @@ def test_sentinel_queries_survive_empty_tables(spark):
 
 def test_sentinel_queries_survive_skew_point_mass(spark):
     _mode_sentinel_check(spark, "skew", SKEW_SENTINELS)
+
+
+def test_mode_dirs_are_config_keyed_no_torn_reads(tmp_path):
+    """Reproduce-then-block the r8 phantom-FAIL scenario (VERDICT r8
+    #4): a sentinel run against one source used to SWAP the mode dir
+    out from under an in-flight campaign reading another source
+    (mode-only path + last-wins rename). Mode dirs are now keyed by
+    config fingerprint, so the two runs get DIFFERENT paths, the first
+    build's files survive the second build untouched, and two
+    concurrent same-config builders converge on one valid install."""
+    import threading
+
+    from tools_adversarial_replay import TABLES, build_mode_dir
+
+    root = str(tmp_path / "adv")
+    d1 = build_mode_dir("empty", root=root, src_dir="/root/testdata/sf0.001")
+    stat_before = {
+        t: os.stat(os.path.join(d1, f"{t}.parquet")).st_ino for t in TABLES
+    }
+    # the r8 tear: same mode, different source — must land elsewhere
+    d2 = build_mode_dir("empty", root=root, src_dir="/root/testdata/sf0.01")
+    assert d1 != d2
+    # d1 is untouched: same inodes, stamp still valid, parquet readable
+    for t in TABLES:
+        p = os.path.join(d1, f"{t}.parquet")
+        assert os.stat(p).st_ino == stat_before[t]
+        import pyarrow.parquet as pq
+
+        pq.read_table(p)  # no torn read
+    assert os.path.exists(os.path.join(d1, ".complete"))
+    # concurrent same-config builders racing a FRESH slot (nulls mode
+    # is not built yet under this root): one path, valid install, no
+    # leftover tmp/wreck dirs
+    paths, errs = [], []
+
+    def build():
+        try:
+            paths.append(
+                build_mode_dir(
+                    "nulls", root=root, src_dir="/root/testdata/sf0.001"
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    shutil_probe = os.path.join(root)
+    threads = [threading.Thread(target=build) for _ in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs and len(set(paths)) == 1
+    assert os.path.exists(os.path.join(paths[0], ".complete"))
+    leftovers = [
+        n
+        for n in os.listdir(shutil_probe)
+        if ".tmp." in n or ".wreck." in n
+    ]
+    assert not leftovers, leftovers

@@ -11,8 +11,11 @@ read the SAME mutated parquet, so any disagreement is a real
 cross-engine semantics divergence in our query/oracle pair — the exact
 thing the round driver would fail on if production data were hostile.
 
-Mutation modes (deterministic, seeded; written once per mode under
-/tmp/dfwb_adversarial/<mode>/ and reused):
+Mutation modes (deterministic, seeded; written once per (mode, config
+fingerprint) under /tmp/dfwb_adversarial/<mode>.<fp>/ and reused — the
+fingerprint in the path means runs against different SOURCES never
+share a dir, so a sentinel run can no longer tear an in-flight
+campaign's reads, r9):
 
 - ``nulls``: every column of every table independently gets ~8% NULLs
   (type-preserving: concat a one-null tail array and ``take`` — works
@@ -350,9 +353,21 @@ def _config_fingerprint(src: str) -> str:
 
 def build_mode_dir(mode: str, root: str = ROOT, src_dir: str | None = None) -> str:
     src = src_dir or SRC_DIR
-    out_dir = os.path.join(root, mode)
-    stamp = os.path.join(out_dir, ".complete")
     want = _config_fingerprint(src)
+    # The dir is keyed by (mode, config fingerprint), NOT by mode alone
+    # (VERDICT r8 #4 / CLAUDE.md r8 skew note b): a mode-only path made
+    # a sentinel run against one source SWAP the dir out from under an
+    # in-flight campaign reading another source — Spark reads parquet
+    # lazily, so the campaign saw a torn dir mid-query (the r8 phantom
+    # q_sim_ivf_topk FAIL). With fingerprint-keyed paths, different
+    # configs never share a path, and same-config builders produce
+    # IDENTICAL bytes, so any completed install is acceptable to every
+    # waiter. Old-config dirs are left in place (bounded: one per
+    # distinct config ever used on the box, under /tmp) — deleting them
+    # would reintroduce the torn-read window for their readers.
+    fp = f"{zlib.crc32(want.encode()):08x}"
+    out_dir = os.path.join(root, f"{mode}.{fp}")
+    stamp = os.path.join(out_dir, ".complete")
     if os.path.exists(stamp) and open(stamp).read() == want:
         return out_dir
     # build into a temp sibling and os.replace() atomically: concurrent
@@ -409,48 +424,44 @@ def build_mode_dir(mode: str, root: str = ROOT, src_dir: str | None = None) -> s
                 mut = pa.concat_tables([mut, copies])
         pq.write_table(mut, os.path.join(tmp_dir, f"{t}.parquet"))
     open(os.path.join(tmp_dir, ".complete"), "w").write(want)
-    # Swap in atomically. Two builders that both saw a stale stamp can
-    # race here: the loser's os.replace raises FileNotFoundError (the
-    # winner moved out_dir away first) or ENOTEMPTY/EEXIST (the winner
-    # already claimed the slot). On any such failure, accept the OTHER
-    # builder's completed dir if its stamp matches (true
-    # last-writer-wins either way the race lands); the temp dir is
-    # always cleaned up (ADVICE r6).
+    # Install atomically. The slot is fingerprint-keyed, so ANY dir
+    # already at out_dir is either (a) another builder's completed
+    # install of the SAME config — byte-identical, accept it — or (b) a
+    # torn leftover from a crashed builder (no valid stamp). There is
+    # no cross-config case and no move-aside window anymore (ADVICE r8:
+    # the old move-aside-then-install pair was non-atomic and a third
+    # builder could interleave between the two renames).
     import shutil
 
     try:
         try:
-            if os.path.exists(out_dir):
-                old = f"{out_dir}.old.{os.getpid()}"
-                os.replace(out_dir, old)
-                shutil.rmtree(old, ignore_errors=True)
-            os.replace(tmp_dir, out_dir)
+            os.replace(tmp_dir, out_dir)  # succeeds iff slot is free
         except OSError:
-            # The loser can land here in the winner's window between
-            # "moved out_dir aside" and "installed its tmp dir": the
-            # stamp does not exist YET. Retry the stamp check briefly,
-            # then re-attempt the install once with our own complete
-            # tmp dir before raising — never discard a finished build
-            # both threads paid for (ADVICE r7).
             import time as _time
 
-            ok = False
-            for _ in range(50):  # up to ~5 s for the winner to finish
+            for _ in range(50):  # up to ~5 s for a racing winner
                 if os.path.exists(stamp) and open(stamp).read() == want:
-                    ok = True
-                    break
+                    return out_dir  # identical content installed
                 _time.sleep(0.1)
-            if not ok:
-                # the winner installed a DIFFERENT fingerprint (the
-                # cross-source concurrent case): a bare replace onto a
-                # non-empty dir is ENOTEMPTY, so the second attempt
-                # must mirror the primary path — move the other build
-                # aside, then install ours (r8 review finding)
-                if os.path.exists(out_dir):
-                    old = f"{out_dir}.old.{os.getpid()}.retry"
-                    os.replace(out_dir, old)
-                    shutil.rmtree(old, ignore_errors=True)
-                os.replace(tmp_dir, out_dir)  # raises if truly stuck
+            # crash leftover: quarantine it (rename is atomic — any
+            # concurrent builder landing here does the same and at
+            # most one rename wins), then claim the slot
+            wreck = f"{out_dir}.wreck.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+            try:
+                os.replace(out_dir, wreck)
+                shutil.rmtree(wreck, ignore_errors=True)
+            except OSError:
+                pass  # someone else quarantined or installed first
+            try:
+                os.replace(tmp_dir, out_dir)
+            except OSError:
+                # another builder claimed the slot between our
+                # quarantine and install — theirs must be complete
+                # and identical; verify rather than assume
+                if not (
+                    os.path.exists(stamp) and open(stamp).read() == want
+                ):
+                    raise
     finally:
         shutil.rmtree(tmp_dir, ignore_errors=True)
     return out_dir
