@@ -78,6 +78,22 @@ EMPTY_SENTINELS = [
 ]
 
 
+# the r9 COMPOSED skew+extremes axis (34 convention-pinning ids at
+# BOTH source scales, 0 FAIL on first run) — each sentinel crosses the
+# two axes: huge tie groups WHOSE PEERS carry boundary values
+SKEWEX_SENTINELS = [
+    "q_win_rows_frame",         # totally-ordered ROWS frame under a
+                                # tie mass of extremes-injected values
+    "q_tpch_q16",               # NOT-IN/NULL population class under
+                                # hot keys + hostile strings
+    "q_events_rfm",             # 3-rank bucketed chain: bucket balance
+                                # under point mass + boundary values
+    "q_ml_ks_drift",            # r9 try_cast whitelist guard under
+                                # hostile source strings + skewed lang
+    "q_sim_pq_topk",            # zero-vector point mass through the
+                                # ADC shortlist rerank routing
+]
+
 # the r8 SKEW campaign (hot-key point mass on join/group keys +
 # categoricals, ~50% of rows on one existing value): 287 ids ran at
 # both source scales, TWO divergences total (q_win_rows_frame at
@@ -170,6 +186,10 @@ def test_sentinel_queries_survive_empty_tables(spark):
 
 def test_sentinel_queries_survive_skew_point_mass(spark):
     _mode_sentinel_check(spark, "skew", SKEW_SENTINELS)
+
+
+def test_sentinel_queries_survive_composed_skew_extremes(spark):
+    _mode_sentinel_check(spark, "skewex", SKEWEX_SENTINELS)
 
 
 def test_mode_dirs_are_config_keyed_no_torn_reads(tmp_path):

@@ -68,6 +68,13 @@ campaign's reads, r9):
   unless the ordering is total). Primary keys never skewed.
 - ``empty``: schema-preserving ZERO-ROW tables (the filter-pruned
   partition / empty ingest batch every 100 TB pipeline hits).
+- ``skewex``: the COMPOSED hostile axis (VERDICT r8 #6) — extremes
+  boundary values AND the skew hot-key point mass AND null injection
+  in one dataset (extremes first, then skew overwrites its columns,
+  then nulls on top). Single-axis certs can pass while the
+  composition fails (e.g. a rank tie-group made huge by skew whose
+  peers carry extremes-injected values); this mode is the cheapest
+  remaining way hostile data differs from the fixtures.
 
 Usage::
 
@@ -100,7 +107,7 @@ DUPE_RATE = 0.05
 EXTREME_RATE = 0.04
 SEED = 0x5AD1
 
-MODES = ("nulls", "dupes", "extremes", "empty", "skew")
+MODES = ("nulls", "dupes", "extremes", "empty", "skew", "skewex")
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -206,6 +213,20 @@ EXCLUDED: dict[str, str] = {
     # its one row). Not fixable in the query without abandoning the
     # single-Expand plan for a union-of-groupings rewrite that would
     # scan the fact once per grouping set at 100 TB.
+    # The composed skew+extremes mode inherits the extremes axis's
+    # injected values verbatim, so the three extremes waivers above
+    # re-fire for the same physical reasons (watermark advance by the
+    # far-future instant; 4096-char partition dirname). Mode-scoped
+    # duplicates, not new semantics.
+    "skewex:q_stream_stream_join": (
+        "same watermark late-drop class as extremes:q_stream_stream_join"
+    ),
+    "skewex:q_stream_dedup": (
+        "same watermark eviction class as extremes:q_stream_dedup"
+    ),
+    "skewex:q_scan_partitioned": (
+        "same 255-byte dirname limit as extremes:q_scan_partitioned"
+    ),
     "empty:q_agg_cube": (
         "Spark grouping-sets over an empty relation omits the () "
         "grand-total row the standard requires — engine semantics, "
@@ -395,12 +416,12 @@ def build_mode_dir(mode: str, root: str = ROOT, src_dir: str | None = None) -> s
         cols = []
         for i, name in enumerate(tab.column_names):
             col = tab.column(i)
-            if mode == "extremes" and name != KEY_COL[t]:
+            if mode in ("extremes", "skewex") and name != KEY_COL[t]:
                 erng = np.random.default_rng(
                     [SEED, 0xE7E, _stable(t), i]
                 )
                 col = _inject_extremes(col, erng.random(n) < EXTREME_RATE)
-            if mode == "skew" and name in SKEW_COLS.get(t, ()):
+            if mode in ("skew", "skewex") and name in SKEW_COLS.get(t, ()):
                 srng = np.random.default_rng(
                     [SEED, 0x5E3, _stable(t), i]
                 )
