@@ -129,7 +129,14 @@ def _sales_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_year",
         "revenue",
         prev.alias("prev_revenue"),
-        F.when(prev.isNotNull(), F.col("revenue") / prev - 1.0).alias("yoy_growth"),
+        # try_divide: a hostile year's revenue can sum to EXACTLY zero
+        # (r9 composed skew+extremes campaign — zero o_totalprice mass)
+        # and Spark ANSI division aborts where DuckDB's / is NULL; NULL
+        # propagates through "- 1.0" identically on both sides (r6
+        # extremes convention a)
+        F.when(
+            prev.isNotNull(), F.try_divide(F.col("revenue"), prev) - 1.0
+        ).alias("yoy_growth"),
     )
 
 

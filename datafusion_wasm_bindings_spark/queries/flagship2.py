@@ -715,7 +715,17 @@ def _q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+        # try_divide: zero l_quantity rows abort ANSI division where
+        # DuckDB's / is NULL (MIN then skips the NULL on both sides).
+        # Composition-only finding (r9 skewex campaign): under benign
+        # or single-axis data the broadcast join's RUNTIME FILTER on
+        # l_partkey happened to exclude every zero-quantity row before
+        # the division; the skew hot-key mass routed them through.
+        .agg(
+            F.min(
+                F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+            ).alias("cost")
+        )
     )
     p = table(spark, sf_dir, "part").filter(F.col("p_size") == 15).select("p_partkey")
     s = table(spark, sf_dir, "supplier").select(

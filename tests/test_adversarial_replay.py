@@ -92,6 +92,15 @@ SKEWEX_SENTINELS = [
                                 # hostile source strings + skewed lang
     "q_sim_pq_topk",            # zero-vector point mass through the
                                 # ADC shortlist rerank routing
+    "q_tpch_q2",                # the composition-ONLY class the full
+                                # r9 campaign found: a runtime filter
+                                # (broadcast join on l_partkey) masked
+                                # extremes' zero divisors until skew's
+                                # hot key routed them through — fixed
+                                # with try_divide (r6 conv a)
+    "q_sales_yoy",              # same class, lag-window flavor: a
+                                # hostile year's revenue sums to
+                                # exactly zero under the composed axes
 ]
 
 # the r8 SKEW campaign (hot-key point mass on join/group keys +
