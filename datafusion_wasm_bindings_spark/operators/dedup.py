@@ -320,6 +320,71 @@ def ngram_jaccard_pairs(
     return out
 
 
+def duplicated_spans(
+    documents: DataFrame,
+    *,
+    span_len: int = 20,
+    top_k: int | None = 50,
+) -> DataFrame:
+    """Exact duplicated-substring detection at fixed span granularity
+    (the Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" exact-substring class, re-expressed Spark-first):
+    every ``span_len``-character window of every document, grouped by
+    its exact text — any span occurring more than once is a duplicated
+    region's fingerprint, with its occurrence count, distinct-document
+    count, and lowest containing doc_id.
+
+    Plan: one map-side explode (positions 1..n−L+1, span via substr —
+    no UDF, whole-stage codegen) into ONE combinable groupBy(span)
+    shuffle. Honest 100 TB posture: exact L-span detection inherently
+    shuffles ~(L + 16) bytes per corpus character (~2L× the corpus) —
+    the reference systems pay suffix-array construction on dedicated
+    hosts for the same exactness. The documented scale knobs, in
+    order: (1) group on md5(span) first and re-derive text only for
+    duplicated hashes (exact_dedup's prehash rule — 16-byte keys,
+    needed once L ≫ 16); (2) a doc-frequency cut on hot spans
+    (whitespace runs, boilerplate headers — the Zipf mass that
+    dominates the shuffle, ngram_jaccard_pairs' max_doc_freq rule);
+    (3) content-defined anchor positions instead of every offset for
+    ≥-length dedup at a bounded recall loss. Population contract:
+    doc_id and text non-NULL, length ≥ span_len (adversarial r5/r7
+    conventions); both engines count substring positions in
+    CODEPOINTS, so unicode-hostile text slices identically.
+
+    Output: span, n_occurrences, n_docs, min_doc — ordered
+    (n_occurrences DESC, span ASC): span is the group key, so the
+    ordering is total (r5 LIMIT convention)."""
+    d = documents.filter(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & (F.length("text") >= span_len)
+    ).select("doc_id", "text")
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - F.lit(span_len - 1))
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        F.col("text").substr(F.col("i"), F.lit(span_len)).alias("span"),
+    )
+    dup = (
+        spans.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+    out = dup.orderBy(
+        F.col("n_occurrences").desc_nulls_last(),
+        F.col("span").asc_nulls_last(),
+    )
+    return out.limit(top_k) if top_k is not None else out
+
+
 def ngram_containment_pairs(
     documents: DataFrame,
     *,

@@ -219,6 +219,42 @@ query(
 )(_dedup_ngram)
 
 
+def _dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring fingerprints at 20-char granularity
+    (operators/dedup.duplicated_spans — the Lee et al. 2022
+    exact-substring dedup class). Top-50 most-repeated spans with
+    occurrence/document counts; total ordering via the unique span
+    group key."""
+    from datafusion_wasm_bindings_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(
+        table(spark, sf_dir, "documents"), span_len=20, top_k=50
+    )
+
+
+query(
+    "q_dedup_substring",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(text) >= 20
+    ),
+    spans AS (
+      SELECT doc_id, substring(text, CAST(i AS INT), 20) AS span
+      FROM d, unnest(generate_series(1, length(text) - 19)) AS t(i)
+    )
+    SELECT span,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM spans GROUP BY span HAVING COUNT(*) > 1
+    ORDER BY n_occurrences DESC NULLS LAST, span ASC NULLS LAST
+    LIMIT 50
+    """,
+    tags=("extension", "dedup", "text"),
+)(_dedup_substring)
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.dedup import (
         connected_components,

@@ -2178,3 +2178,32 @@ def test_balanced_write_populates_all_range_partitions(spark, sf_dir, tmp_path):
     assert len(per_file) == 8, [r.n for r in per_file]
     assert sum(r.n for r in per_file) == n_rows
     assert max(r.n for r in per_file) <= 3 * min(r.n for r in per_file)
+
+
+def test_duplicated_spans_planted(spark):
+    """duplicated_spans (exact-substring dedup class): a 20-char span
+    planted in three docs at DIFFERENT offsets is found with exact
+    occurrence/document counts; unique text yields no spans; short and
+    NULL docs are out of the population."""
+    from datafusion_wasm_bindings_spark.operators.dedup import duplicated_spans
+
+    marker = "THE-REPEATED-SPAN-XY"  # exactly 20 chars
+    assert len(marker) == 20
+    rows = [
+        (1, "aaaa " + marker + " tail one unique-1"),
+        (2, "longer prefix 2 " + marker + " t-2"),
+        (3, marker + " leading copy three"),
+        (4, "completely different text with no repeats at all 4"),
+        (5, "short"),
+        (6, None),
+        (None, marker + " null-id doc is out of the population!!"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.span: r for r in duplicated_spans(docs, span_len=20).collect()}
+    assert marker in out
+    got = out[marker]
+    assert got.n_occurrences == 3 and got.n_docs == 3 and got.min_doc == 1
+    # every reported span really occurs >1 times among non-null docs
+    assert all(r.n_occurrences > 1 for r in out.values())
+    # doc 4's unique text contributes no span
+    assert not any(r.min_doc == 4 and r.n_docs == 1 for r in out.values())
