@@ -242,11 +242,20 @@ def _pipeline_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
         )
     )
+    # o_orderstatus joins the ordering (r9, same class as
+    # q_events_markov): the run-collapse READS the status, and
+    # (odate, o_orderkey) is not total when o_orderkey is NULL — a
+    # skew-hot customer with duplicate dates makes those tie groups
+    # real and Spark's peer order there is run-nondeterministic.
     iv = scd2_intervals(
         src,
         key_cols=["o_custkey"],
         attr_col="o_orderstatus",
-        order_cols=["odate", F.col("o_orderkey").asc_nulls_last()],
+        order_cols=[
+            "odate",
+            F.col("o_orderkey").asc_nulls_last(),
+            F.col("o_orderstatus").asc_nulls_last(),
+        ],
     )
     return iv.select(
         "o_custkey",
@@ -267,9 +276,11 @@ query(
     lagged AS (
       SELECT *,
              row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY odate, o_orderkey NULLS LAST) AS rn,
+                                ORDER BY odate, o_orderkey NULLS LAST,
+                                         o_orderstatus NULLS LAST) AS rn,
              lag(o_orderstatus) OVER (PARTITION BY o_custkey
-                                      ORDER BY odate, o_orderkey NULLS LAST) AS prev
+                                      ORDER BY odate, o_orderkey NULLS LAST,
+                                               o_orderstatus NULLS LAST) AS prev
       FROM src
     ),
     runs AS (
@@ -278,7 +289,8 @@ query(
     iv AS (
       SELECT o_custkey, o_orderstatus AS status, odate AS valid_from,
              lead(odate) OVER (PARTITION BY o_custkey
-                               ORDER BY odate, o_orderkey NULLS LAST) AS valid_to
+                               ORDER BY odate, o_orderkey NULLS LAST,
+                                        o_orderstatus NULLS LAST) AS valid_to
       FROM runs
     )
     SELECT o_custkey, status, valid_from,

@@ -155,14 +155,23 @@ def _events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability divides two identical int64 counts as doubles on both
     engines (one correctly-rounded IEEE op — bit-identical)."""
     # journey order needs an event time; explicit NULLS LAST on the
-    # tie-break (engine defaults differ) — adversarial NULL replay, r5
+    # tie-break (engine defaults differ) — adversarial NULL replay, r5.
+    # event_type joins the ordering (r9): lead() READS event_type, and
+    # (ts, event_id) is not total when event_id is NULL — a skew-hot
+    # user crossed with extremes' pooled timestamps makes
+    # (ts, NULL-id) tie groups real, and Spark's peer order there is
+    # RUN-nondeterministic (observed as a one-off campaign flake).
+    # With event_type in the order, remaining ties are interchangeable
+    # for the consumed value (r8 skew convention a).
     e = (
         table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
         .select("user_id", "event_id", "ts", "event_type")
     )
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc_nulls_last()
+        F.col("ts").asc(),
+        F.col("event_id").asc_nulls_last(),
+        F.col("event_type").asc_nulls_last(),
     )
     pairs = (
         e.withColumn("dst", F.lead("event_type").over(w))
@@ -183,7 +192,8 @@ query(
       SELECT user_id, event_type AS src,
              lead(event_type) OVER (PARTITION BY user_id
                  ORDER BY CAST(ts AS TIMESTAMP) ASC,
-                          event_id ASC NULLS LAST) AS dst
+                          event_id ASC NULLS LAST,
+                          event_type ASC NULLS LAST) AS dst
       FROM events WHERE ts IS NOT NULL
     ),
     cnt AS (

@@ -361,51 +361,108 @@ sql_query(
 # variance family on small-magnitude columns, rounded (module doc)
 sql_query(
     "q_fn_stddev_var",
+    # Exact decimal-moment identity on BOTH sides (r9): the builtin
+    # stddev/variance accumulations are summation-ORDER-dependent
+    # across engines (r3 pitfall e) — the old round(builtin, 8) twin
+    # was one hostile draw away from a rounding-boundary flip (its
+    # corr/regr siblings flipped live at the r9 extremes re-cert).
+    # One shared SQL string => identical IEEE expression trees on
+    # identical exact DECIMAL sums => bit-identical doubles. The
+    # builtin functions stay exercised by
+    # tests/test_operators.py::test_builtin_moment_aggs_match_identities.
     """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(l_discount) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           round(stddev(l_discount), 8) AS sd,
-           round(stddev_pop(l_discount), 8) AS sd_pop,
-           round(variance(l_discount), 8) AS va,
-           round(var_pop(l_discount), 8) AS va_pop
-    FROM lineitem GROUP BY l_returnflag
-    """,
-    oracle="""
-    SELECT l_returnflag,
-           round(stddev_samp(l_discount), 8) AS sd,
-           round(stddev_pop(l_discount), 8) AS sd_pop,
-           round(var_samp(l_discount), 8) AS va,
-           round(var_pop(l_discount), 8) AS va_pop
-    FROM lineitem GROUP BY l_returnflag
+           -- greatest(,0): an exact-zero-variance group's identity can
+           -- float to -eps where DuckDB's sqrt ERRORS and Spark is NaN
+           -- (r6 extremes convention a); the clamp is the same double
+           -- on both sides
+           CASE WHEN n > 1
+                THEN sqrt(greatest((n * sxx - sx * sx) / n / (n - 1), 0.0)) END AS sd,
+           CASE WHEN n > 0
+                THEN sqrt(greatest((n * sxx - sx * sx) / n / n, 0.0)) END AS sd_pop,
+           CASE WHEN n > 1 THEN (n * sxx - sx * sx) / n / (n - 1) END AS va,
+           CASE WHEN n > 0 THEN (n * sxx - sx * sx) / n / n END AS va_pop
+    FROM m
     """,
     tags=("agg_fn", "stats"),
 )
 
 sql_query(
     "q_fn_corr_covar",
+    # same exact-moment treatment as q_fn_stddev_var (r9): the builtin
+    # corr/covar flipped a rounding boundary live at the extremes
+    # re-cert (cv_p 10th decimal). Pairwise-complete population filter
+    # spelled explicitly — corr/covar ignore rows where EITHER side is
+    # NULL.
     """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_discount * l_tax AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_tax * l_tax AS DECIMAL(18,6))) AS DOUBLE) AS syy
+      FROM lineitem
+      WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+      GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           round(corr(l_discount, l_tax), 8) AS c,
-           round(covar_samp(l_discount, l_tax), 10) AS cv_s,
-           round(covar_pop(l_discount, l_tax), 10) AS cv_p
-    FROM lineitem GROUP BY l_returnflag
+           CASE WHEN n > 0 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN (n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS c,
+           CASE WHEN n > 1 THEN (n * sxy - sx * sy) / n / (n - 1) END AS cv_s,
+           CASE WHEN n > 0 THEN (n * sxy - sx * sy) / n / n END AS cv_p
+    FROM m
     """,
     tags=("agg_fn", "stats"),
 )
 
 sql_query(
     "q_fn_regr",
+    # same exact-moment treatment (r9): builtin regr_sxy flipped the
+    # 6th-decimal rounding boundary live at the extremes re-cert.
+    # Identities follow the SQL-standard regr_* definitions over the
+    # pairwise-complete population (y = l_tax regressed on
+    # x = l_discount); r2 spells the standard's 3-case contract
+    # explicitly so engine edge semantics never enter.
     """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_discount * l_tax AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_tax * l_tax AS DECIMAL(18,6))) AS DOUBLE) AS syy
+      FROM lineitem
+      WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+      GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           round(regr_slope(l_tax, l_discount), 6) AS slope,
-           round(regr_intercept(l_tax, l_discount), 6) AS icept,
-           round(regr_r2(l_tax, l_discount), 6) AS r2,
-           regr_count(l_tax, l_discount) AS n,
-           round(regr_avgx(l_tax, l_discount), 8) AS ax,
-           round(regr_avgy(l_tax, l_discount), 8) AS ay,
-           round(regr_sxx(l_tax, l_discount), 6) AS sxx,
-           round(regr_syy(l_tax, l_discount), 6) AS syy,
-           round(regr_sxy(l_tax, l_discount), 6) AS sxy
-    FROM lineitem GROUP BY l_returnflag
+           CASE WHEN n > 0 AND (n * sxx - sx * sx) > 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+           CASE WHEN n > 0 AND (n * sxx - sx * sx) > 0
+                THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                END AS icept,
+           CASE WHEN n = 0 OR (n * sxx - sx * sx) <= 0 THEN NULL
+                WHEN (n * syy - sy * sy) <= 0 THEN 1.0
+                ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2,
+           n,
+           CASE WHEN n > 0 THEN sx / n END AS ax,
+           CASE WHEN n > 0 THEN sy / n END AS ay,
+           CASE WHEN n > 0 THEN (n * sxx - sx * sx) / n END AS sxx,
+           CASE WHEN n > 0 THEN (n * syy - sy * sy) / n END AS syy,
+           CASE WHEN n > 0 THEN (n * sxy - sx * sy) / n END AS sxy
+    FROM m
     """,
     tags=("agg_fn", "stats"),
 )

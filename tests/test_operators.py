@@ -2207,3 +2207,48 @@ def test_duplicated_spans_planted(spark):
     assert all(r.n_occurrences > 1 for r in out.values())
     # doc 4's unique text contributes no span
     assert not any(r.min_doc == 4 and r.n_docs == 1 for r in out.values())
+
+
+def test_builtin_moment_aggs_match_identities(spark, sf_dir):
+    """The q_fn_stddev_var / q_fn_corr_covar / q_fn_regr oracle twins
+    moved to exact decimal-moment identities in r9 (the builtins'
+    accumulation is summation-order-dependent across engines, pitfall
+    e — two rounding-boundary flips observed live at the extremes
+    re-cert). This test keeps the BUILTIN function surface exercised:
+    Spark's corr/covar/variance/regr_* agree with the identity values
+    to float tolerance on real data."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.sources.catalog import table
+
+    lineitem = table(spark, sf_dir, "lineitem")
+    r = lineitem.agg(
+        F.corr("l_discount", "l_tax").alias("c"),
+        F.covar_samp("l_discount", "l_tax").alias("cv"),
+        F.var_samp("l_discount").alias("va"),
+        F.stddev("l_discount").alias("sd"),
+        F.expr("regr_slope(l_tax, l_discount)").alias("slope"),
+        F.expr("regr_r2(l_tax, l_discount)").alias("r2"),
+        F.expr("regr_count(l_tax, l_discount)").alias("n"),
+        F.count("l_discount").alias("nx"),
+        F.sum("l_discount").alias("sx"),
+        F.sum("l_tax").alias("sy"),
+        F.sum(F.col("l_discount") * F.col("l_discount")).alias("sxx"),
+        F.sum(F.col("l_discount") * F.col("l_tax")).alias("sxy"),
+        F.sum(F.col("l_tax") * F.col("l_tax")).alias("syy"),
+    ).collect()[0]
+    n, sx, sy, sxx, sxy, syy = r.n, r.sx, r.sy, r.sxx, r.sxy, r.syy
+    import math
+
+    cov = (n * sxy - sx * sy) / n / (n - 1)
+    va = (n * sxx - sx * sx) / n / (n - 1)
+    corr = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(r.c - corr) < 1e-9
+    assert abs(r.cv - cov) < 1e-9
+    assert abs(r.va - va) < 1e-9
+    assert abs(r.sd - math.sqrt(va)) < 1e-9
+    assert abs(r.slope - slope) < 1e-9
+    assert abs(r.r2 - corr * corr) < 1e-9

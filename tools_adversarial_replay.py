@@ -253,19 +253,25 @@ def _null_out(col: pa.ChunkedArray, mask: np.ndarray) -> pa.Array:
 
 
 _EXTREME_INTS = [0, -1, 1_000_000]
-# TWO-decimal values, magnitude ≤ 250: like the real TPC-H columns,
-# any TRIPLE product (price·(1−disc)·(1+tax)) then has ≤ 6 decimals
-# AND stays under 2^53·1e-6 ≈ 9.0e9 — the zone where a double's ulp is
-# finer than the DECIMAL(18,6) grid, so the per-row casts agree across
-# engines bit-for-bit. Two earlier pools were walked back from live
-# divergences: 6-decimal inputs made midpoint PRODUCTS (pitfall h),
-# and ±999.99 put fixture_price·(1−disc)·(1+tax) ≈ 7e10 past the
-# ulp>grid threshold where Spark's shortest-repr HALF_UP and DuckDB's
-# binary-nearest legitimately land on different 6-decimal neighbors
-# (q_flagship_pricing_summary, sf0.01-source replay). Worst case now:
-# 105k fixture price × 250.99² ≈ 6.6e9 < 9.0e9. Overflow (≥1e12) is
-# an ANSI abort by DESIGN and stays excluded.
-_EXTREME_FLOATS = [0.0, -0.0, 249.99, -249.99, 0.01, -0.01]
+# TWO-decimal values, magnitude ≤ 25 (r9): like the real TPC-H
+# columns, any TRIPLE product (price·(1−disc)·(1+tax)) then has ≤ 6
+# decimals and tops out ~105k × 26² ≈ 7.1e7, and — the r9 lesson —
+# hostile GROUP SUMS / pooled cross-moments stay orders of magnitude
+# under 2^52·1e-6 ≈ 4.5e9, the zone where a double's ulp is finer
+# than half the DECIMAL(18,6) grid so decimal↔double casts are
+# bit-stable across engines. THREE earlier pools were walked back
+# from live divergences: 6-decimal inputs made midpoint PRODUCTS
+# (pitfall h); ±999.99 put per-row triple products ≈ 7e10 past the
+# ulp>grid threshold (q_flagship_pricing_summary, r6); and ±249.99 —
+# sized only against per-row terms — let (a) 28k-row hostile group
+# sums reach 1.35e10 and pooled cross-moments 8.9e9, where DuckDB's
+# DECIMAL→DOUBLE lands one ulp off Spark's (measured: sxyt
+# …c7 vs …c8, q_events_cuped), and (b) per-row terms at ~2.7e9 hit
+# the shortest-repr-vs-exact-binary midpoint window of the
+# double→DECIMAL cast (3 in 28k draws, q_flagship_pricing_summary) —
+# both at the r9 composed-mode sf0.01 replay. Overflow (≥1e12) is an
+# ANSI abort by DESIGN and stays excluded.
+_EXTREME_FLOATS = [0.0, -0.0, 24.99, -24.99, 0.01, -0.01]
 _EXTREME_STRINGS = [
     "",                      # empty — split/substr/length edges
     "   ",                   # whitespace-only — trim/token edges
