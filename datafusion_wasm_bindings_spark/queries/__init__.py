@@ -68,18 +68,20 @@ _MODULES = (
 )
 
 # Round-9 driver window (exactly 50 names, COVERAGE.md round-9 plan):
-# zero backlog again (287/287 green on the cumulative ledger), so every
-# slot is a staleness re-verify — the 38 r3-stamped ids (the scalar-fn
-# math/string/datetime/encoding block, the scan/copy/values/statements
-# source family, q_agg_order_within, q_dedup_paragraph) plus the 12
-# stalest r4-stamped ids in registration order, per the mechanical
-# oldest-first rule enforced by tests/test_window_rotation.py. The r3
+# ONE never-checked id first (q_dedup_substring, added mid-r9 — the
+# never-checked-first rule), then staleness re-verifies — the 38
+# r3-stamped ids (the scalar-fn math/string/datetime/encoding block,
+# the scan/copy/values/statements source family, q_agg_order_within,
+# q_dedup_paragraph) plus the 11 stalest r4-stamped ids in
+# registration order, per the mechanical oldest-first rule enforced by
+# tests/test_window_rotation.py. The r3
 # oracles predate the HUGEINT/ceil-floor/sign dtype-parity rules, so the
 # rotation was preceded by the conftest ORACLE_UNSAFE_TYPES + dtype
 # audit (tools_driver_sim.py over all 50). Names listed here move to the
 # FRONT of the registry in this order; everything else follows in
 # registration order.
 _WINDOW = (
+    "q_dedup_substring",
     "q_fn_math_basic",
     "q_fn_math_log_trig",
     "q_fn_math_gaps",
@@ -129,7 +131,6 @@ _WINDOW = (
     "q_pipeline_epochs",
     "q_events_props_json",
     "q_stream_session",
-    "q_pipeline_training_mix",
 )
 
 
