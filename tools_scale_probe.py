@@ -1748,6 +1748,71 @@ def probe_semdedup_xl(spark) -> None:
     _emit(f"  SemDeDup scaling exponent (500k -> 2M vectors): {exp:.2f}")
 
 
+def probe_substring_xl(spark) -> None:
+    """VERDICT r9 (registry addition q_dedup_substring): exact
+    duplicated-substring detection at 30k vs 300k synthetic docs of
+    ~290 random-hex chars (md5 chains — 20-char windows collide with
+    probability ~16^-20, so every duplicated span is the PLANTED
+    20-char uppercase marker or one of its flanked overlap windows —
+    hex context never collides). The exact-marker row's count equals
+    the planted-doc count, and every other row is provably
+    marker-overlap (contains an uppercase char) — asserted at both
+    scales. The exponent
+    log(t2/t1)/log(10) measures the single groupBy(span) shuffle
+    (~36 B per corpus char) staying linear."""
+    from datafusion_wasm_bindings_spark.operators.dedup import duplicated_spans
+
+    marker = "PLANTEDMARKERSPAN-20"
+    assert len(marker) == 20  # uppercase: disjoint from the hex context
+    times = {}
+    for scale, n in {"30k": 30_000, "300k": 300_000}.items():
+        base = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "array_join(transform(sequence(0, 8),"
+                " b -> md5(concat(CAST(id AS STRING), ':', CAST(b AS STRING)))), '')"
+            ).alias("t"),
+        )
+        docs = base.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.expr("substr(t, 1, 100)"),
+                    F.lit(marker),
+                    F.expr("substr(t, 101, length(t))"),
+                ),
+            )
+            .otherwise(F.col("t"))
+            .alias("text"),
+        ).localCheckpoint()
+        planted = n // 10  # ids 0, 10, ... — exact by construction
+
+        def run():
+            rows = duplicated_spans(docs, span_len=20, top_k=None).collect()
+            got = {r.span: r for r in rows}
+            m = got[marker]
+            assert m.n_occurrences == planted == m.n_docs
+            # every OTHER duplicated span is a marker-overlap window
+            # (shares >=1 uppercase marker char): pure-hex 20-char
+            # windows collide with probability ~16^-20
+            assert all(
+                any(c.isupper() or c == "-" for c in s) for s in got
+            ), [s for s in got if not any(c.isupper() for c in s)][:5]
+            run.n_spans = len(rows)
+
+        times[scale] = _time(
+            f"duplicated spans ({scale} docs x ~290 chars, 1 planted marker)",
+            run,
+            repeats=2 if scale == "300k" else 3,
+        )
+        _emit(f"  duplicated spans @ {scale}: {run.n_spans} (marker-overlap family)")
+    import math
+
+    exp = math.log(times["300k"] / times["30k"]) / math.log(10)
+    _emit(f"  substring-dedup scaling exponent (30k -> 300k docs): {exp:.2f}")
+
+
 def probe_editdist_xl(spark) -> None:
     """VERDICT r9 #3 (pair-fan-out family): editdist_join at 30k vs
     300k distinct words (lengths 5-12 over a 12-letter alphabet, plus
@@ -1978,6 +2043,8 @@ if __name__ == "__main__":
         probe_embedding_xl(spark)
     if "semdedup_xl" in which:
         probe_semdedup_xl(spark)
+    if "substring_xl" in which:
+        probe_substring_xl(spark)
     if "editdist_xl" in which:
         probe_editdist_xl(spark)
     if "interval_xl" in which:
