@@ -1383,3 +1383,20 @@ def test_ann_index_builds_are_shuffle_free(spark):
     p = _plan(_encode_codes(base, books, 4))
     assert "Exchange hashpartitioning" not in p, p
     assert "Window" not in p, p  # the old per-sub seeding window is gone
+
+
+def test_substring_dedup_plan_shape(spark, sf_dir):
+    """q_dedup_substring (r9): one parquet scan, map-side explode
+    (Generate) into the span projection, ONE combinable
+    groupBy(span) aggregation pair — the distinct doc-count rewrite
+    adds its Expand exchange, so at most TWO hashpartitioning
+    exchanges total — and the top-50 fuses to TakeOrdered (never a
+    global sort). No join, no cartesian, no window."""
+    df = REGISTRY["q_dedup_substring"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Generate explode" in plan or "Generate" in plan, plan
+    assert plan.count("hashpartitioning") <= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
