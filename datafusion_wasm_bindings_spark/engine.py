@@ -429,7 +429,12 @@ class SQLEngine:
             if mode == "VERBOSE":
                 # DataFusion accepts EXPLAIN VERBOSE; render the same
                 # two-row shape from the plan after the keyword
-                body = body.split(None, 1)[1]
+                parts = body.split(None, 1)
+                if len(parts) < 2:
+                    from datafusion_wasm_bindings_spark.errors import ParseError
+
+                    raise ParseError("EXPLAIN VERBOSE requires a statement")
+                body = parts[1]
             df = self._dispatch(body)
             qe = df._jdf.queryExecution()
             logical = _datafusion_style_plan(qe.optimizedPlan().toString())
