@@ -321,13 +321,13 @@ def ivf_index(
     train_sample: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF (inverted-file) coarse quantizer: mini k-means with
-    deterministic init (the ``n_centroids`` lowest vec_ids WITHIN the
-    training sample seed the centroids), Lloyd iterations over a
-    bounded deterministic TRAINING SAMPLE (the ``train_sample``
-    xxhash64-lowest vec_ids — hash order decorrelates the sample from
-    ingest-ordered ids, ADVICE r8; default max(10_000, 50·cells) —
-    standard IVF practice: the quantizer needs a distribution sketch,
-    not the corpus), then ONE full-corpus assignment pass.
+    deterministic init (the ``n_centroids`` lowest vec_ids seed the
+    centroids), Lloyd iterations over a bounded deterministic TRAINING
+    SAMPLE (the ``train_sample`` lowest vec_ids, default
+    max(10_000, 50·cells) — standard IVF practice: the quantizer needs
+    a distribution sketch, not the corpus; see the SAMPLE-ORDER CAVEAT
+    in the body for the id-correlation assumption), then ONE
+    full-corpus assignment pass.
 
     Returns ``(assignments, centroids)``:
     ``assignments``: vec_id, cell, v (array<double>) — materialized,
@@ -363,24 +363,19 @@ def ivf_index(
     # over the corpus runs ONCE, and the seed collect reads the
     # materialized 10k-row sample (r8 review finding — collect-then-
     # checkpoint ran the corpus scan twice)
-    train = (
-        base.orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(n_train)
-        .localCheckpoint(eager=True)
-    )
-    # deterministic but ID-DECORRELATED sample: ordering by a stable
-    # hash of the key (tie-broken by the key itself, a total order)
-    # keeps the build reproducible while sampling uniformly across id
-    # ranges — a raw lowest-vec_id prefix covers the tail poorly when
-    # vector content correlates with id (time-ordered ingest,
-    # per-source id blocks; ADVICE r8). SEEDS stay the n_centroids
-    # lowest vec_ids WITHIN the sample: on any corpus <= n_train the
-    # sample is the whole population and the build is bit-identical to
-    # the verified baseline, while at real scale the seeds inherit the
-    # sample's decorrelation. (An r9 farthest-point seeding experiment
-    # measured WORSE fixture recall — max-distance seeding chases
-    # outliers; a hash-prefix-seed variant also dropped recall@3 below
-    # the 2/3 contract — both reverted on measurement.)
+    train = base.orderBy("vec_id").limit(n_train).localCheckpoint(eager=True)
+    # SAMPLE-ORDER CAVEAT (ADVICE r8, resolved r9 by measurement): the
+    # deterministic lowest-vec_id prefix assumes ids are UNCORRELATED
+    # with vector content; on a corpus where content tracks id
+    # (time-ordered ingest, per-source id blocks) pass train_sample
+    # large enough to span the distribution or decorrelate ids
+    # upstream. Three decorrelation attempts were REVERTED on
+    # measurement: xxhash64-ordered sampling dropped planted-partner
+    # recall at the 400k probe (quantizer-seed lottery — q5's partner
+    # lost at 96 cells/probe 4) AND fixture recall@3 below the 2/3
+    # contract; hash-prefix seeds and farthest-point seeding both
+    # degraded fixture recall (outlier-chasing). The prefix sample is
+    # the only variant with verified recall at every scale tested.
     seeds = train.orderBy("vec_id").limit(n_centroids).collect()
     cents: list[list[float]] = [[float(x) for x in r["v"]] for r in seeds]
     spark = embeddings.sparkSession
@@ -771,9 +766,9 @@ def pq_index(
     """Product-quantization index (Jégou et al. 2011): split each
     vector into ``m_subspaces`` contiguous subvectors, learn a small
     per-subspace codebook (deterministic mini k-means over the
-    ``train_sample`` xxhash64-lowest vec_ids, default
-    max(10_000, 50·codes) — the same sample-training and
-    seed-from-sample rationale as ``ivf_index``), and encode
+    ``train_sample`` lowest vec_ids, default max(10_000, 50·codes) —
+    the same sample-training rationale and SAMPLE-ORDER CAVEAT as
+    ``ivf_index``), and encode
     the corpus as m small codes. The m×n_codes codebook replaces
     dims×8 bytes per vector with m bytes — the memory trick that makes
     billion-vector ANN fit.
@@ -816,18 +811,13 @@ def pq_index(
     spark = embeddings.sparkSession
     n_train = train_sample or max(10_000, 50 * n_codes)
     # checkpoint the sample BEFORE collecting seeds (one corpus
-    # TakeOrdered, not two — r8 review finding); hash-ordered sample
-    # for id-decorrelation, tie-broken by vec_id (ADVICE r8, same
-    # rationale as ivf_index)
-    train = (
-        base.orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(n_train)
-        .localCheckpoint(eager=True)
-    )
+    # TakeOrdered, not two — r8 review finding); lowest-vec_id prefix
+    # sample — see ivf_index's SAMPLE-ORDER CAVEAT for why the
+    # decorrelation variants were reverted on measurement
+    train = base.orderBy("vec_id").limit(n_train).localCheckpoint(eager=True)
     seeds = train.orderBy("vec_id").limit(n_codes).collect()
     # books[sub][code] = sub_len doubles; seeded from the n_codes
-    # lowest vec_ids WITHIN the hash-decorrelated sample (same
-    # fixture-identity / scale-decorrelation rationale as ivf_index)
+    # lowest vec_ids' subvectors
     books: list[list[list[float]]] = [
         [
             [float(x) for x in r["v"][i * sub_len : (i + 1) * sub_len]]
