@@ -67,70 +67,70 @@ _MODULES = (
     "analytics5",
 )
 
-# Round-9 driver window (exactly 50 names, COVERAGE.md round-9 plan):
-# ONE never-checked id first (q_dedup_substring, added mid-r9 — the
-# never-checked-first rule), then staleness re-verifies — the 38
-# r3-stamped ids (the scalar-fn math/string/datetime/encoding block,
-# the scan/copy/values/statements source family, q_agg_order_within,
-# q_dedup_paragraph) plus the 11 stalest r4-stamped ids in
-# registration order, per the mechanical oldest-first rule enforced by
-# tests/test_window_rotation.py. The r3
-# oracles predate the HUGEINT/ceil-floor/sign dtype-parity rules, so the
-# rotation was preceded by the conftest ORACLE_UNSAFE_TYPES + dtype
-# audit (tools_driver_sim.py over all 50). Names listed here move to the
-# FRONT of the registry in this order; everything else follows in
-# registration order.
+# Round-10 driver window (exactly 50 names, COVERAGE.md round-10 plan):
+# zero never-checked / non-green ids remain, so the window is pure
+# staleness re-verification — the stalest greens oldest-first per the
+# mechanical rule enforced by tests/test_window_rotation.py: the 38
+# r4-stamped ids (cluster/profile/scale/pipeline families, the fn
+# exotic-type block variant/map_ops/pandas_udaf/url_parse, the
+# ORC/text/evolution scans, TPC-H q4/q6/q7/q8/q10) then the 12
+# stalest r5-stamped ids in registration order (the remaining TPC-H
+# block). The r4 oracles predate the ceil/floor/sign dtype-parity
+# rules, so the rotation was preceded by the conftest
+# ORACLE_UNSAFE_TYPES + dtype audit (tools_driver_sim.py over all 50).
+# Names listed here move to the FRONT of the registry in this order;
+# everything else follows in registration order.
 _WINDOW = (
-    "q_dedup_substring",
-    "q_fn_math_basic",
-    "q_fn_math_log_trig",
-    "q_fn_math_gaps",
-    "q_fn_typeof_version",
-    "q_fn_string_basic",
-    "q_fn_string_pad_trim",
-    "q_fn_string_search",
-    "q_fn_unicode",
-    "q_fn_regex",
-    "q_fn_datetime_extract",
-    "q_fn_datetime_trunc_bin",
-    "q_fn_datetime_convert",
-    "q_fn_interval_arith",
-    "q_fn_to_char",
-    "q_fn_encoding",
-    "q_scan_parquet",
-    "q_scan_csv",
-    "q_scan_arrow",
-    "q_scan_json",
-    "q_values_inline",
-    "q_values_ctas",
-    "q_generate_series",
-    "q_info_schema",
-    "q_copy_parquet",
-    "q_copy_csv",
-    "q_copy_json",
-    "q_scan_partitioned",
-    "q_insert_into",
-    "q_result_table",
-    "q_result_json",
-    "q_unnest",
-    "q_multi_statement",
-    "q_cte",
-    "q_recursive_cte",
-    "q_recursive_cte_loop",
-    "q_prepared",
-    "q_ddl_view",
-    "q_agg_order_within",
-    "q_dedup_paragraph",
-    "q_sim_pq_topk",
-    "q_sim_truncation",
-    "q_text_tokens_bpe",
-    "q_text_tfidf",
-    "q_text_confusion",
-    "q_text_stats",
-    "q_pipeline_split",
-    "q_pipeline_epochs",
-    "q_events_props_json",
-    "q_stream_session",
+    "q_pipeline_training_mix",
+    "q_pipeline_pack",
+    "q_profile_columns",
+    "q_profile_columns_approx",
+    "q_events_json_quarantine",
+    "q_scale_incremental_agg",
+    "q_text_heavy_hitters",
+    "q_profile_skew",
+    "q_text_classifier",
+    "q_scale_hll_shards",
+    "q_scale_zorder",
+    "q_cluster_kmeans",
+    "q_cluster_quality",
+    "q_pipeline_upsert",
+    "q_fn_sum_avg_min_max",
+    "q_fn_weighted_percentile",
+    "q_fn_bitmap_distinct",
+    "q_fn_argminmax",
+    "q_fn_pandas_udaf",
+    "q_fn_try_arith",
+    "q_fn_url_parse",
+    "q_fn_map_ops",
+    "q_fn_variant",
+    "q_fn_collation",
+    "q_fn_stringdist",
+    "q_scan_evolution",
+    "q_scan_orc",
+    "q_scan_text",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_fn_bitwise",
+    "q_fn_array_ops",
+    "q_fn_higher_order",
+    "q_dedup_pipeline",
+    "q_dedup_containment",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q16",
 )
 
 
