@@ -229,6 +229,13 @@ def _split_exec_args(args: str) -> list[str]:
 
 _QUERY_SHAPED_RE = re.compile(r"^\s*(SELECT|WITH|VALUES|TABLE)\b", re.IGNORECASE)
 
+# EXPLAIN dispatch is separator-agnostic: 'EXPLAIN\nSELECT 1' and
+# tab-separated forms take the same DataFusion two-row branch as the
+# space-separated spelling (ADVICE r9 — literal-space startswith made
+# the result SHAPE depend on the whitespace character).
+_EXPLAIN_RE = re.compile(r"^EXPLAIN\s+", re.IGNORECASE)
+_EXPLAIN_ANALYZE_RE = re.compile(r"^EXPLAIN\s+ANALYZE\s+", re.IGNORECASE)
+
 # DataFusion PREPARE parameter type spellings → Spark cast targets
 # (same family mapping as SURVEY §1.1; unlisted spellings pass through
 # to Spark's DDL type parser, e.g. DECIMAL(p,s))
@@ -406,8 +413,10 @@ class SQLEngine:
             )
 
             forget_view_definition(m.group("name").strip('"`').split(".")[-1])
-        up = stmt.strip().upper()
-        if up.startswith("EXPLAIN ") and not up.startswith("EXPLAIN ANALYZE"):
+        stripped = stmt.strip()
+        m_analyze = _EXPLAIN_ANALYZE_RE.match(stripped)
+        m_explain = None if m_analyze else _EXPLAIN_RE.match(stripped)
+        if m_explain:
             # reference: DataFusion's EXPLAIN (inherited through the
             # binding's execute_sql pass-through, core.rs:72-80 over
             # DataFusion 45) returns a TWO-ROW relation
@@ -420,7 +429,7 @@ class SQLEngine:
             # engines' physical operators genuinely differ, and
             # inventing DataFusion physical names for Spark operators
             # would misreport what will run).
-            body = stmt.strip()[len("EXPLAIN "):]
+            body = stripped[m_explain.end():]
             mode = body.split(None, 1)[0].upper() if body.split() else ""
             if mode in ("EXTENDED", "FORMATTED", "CODEGEN", "COST"):
                 # Spark's own explain modes keep Spark's renderer —
@@ -435,6 +444,24 @@ class SQLEngine:
 
                     raise ParseError("EXPLAIN VERBOSE requires a statement")
                 body = parts[1]
+            if not _QUERY_SHAPED_RE.match(body):
+                # DataFusion's EXPLAIN only PLANS its body; dispatching
+                # a non-query body here would EXECUTE it (COPY writes
+                # files, CREATE VIEW mutates the catalog). Refuse with
+                # a typed error rather than silently running it.
+                from datafusion_wasm_bindings_spark.errors import (
+                    ParseError,
+                    PlanError,
+                )
+
+                head = body.split(None, 1)[0].upper() if body.split() else ""
+                if not head:
+                    raise ParseError("EXPLAIN requires a statement")
+                raise PlanError(
+                    "EXPLAIN supports query statements "
+                    "(SELECT/WITH/VALUES/TABLE); refusing to plan a "
+                    f"side-effecting statement: {head}"
+                )
             df = self._dispatch(body)
             qe = df._jdf.queryExecution()
             logical = _datafusion_style_plan(qe.optimizedPlan().toString())
@@ -443,12 +470,12 @@ class SQLEngine:
                 [("logical_plan", logical), ("physical_plan", physical)],
                 "plan_type string, plan string",
             )
-        if up.startswith("EXPLAIN ANALYZE "):
+        if m_analyze:
             # reference: EXPLAIN ANALYZE executes and reports metrics.
             # Spark's EXPLAIN never executes, so run the query first and
             # return the post-AQE executed plan (the plan that actually
             # ran, with runtime-chosen joins/partition counts).
-            body = stmt.strip()[len("EXPLAIN ANALYZE "):]
+            body = stripped[m_analyze.end():]
             df = self._dispatch(body)
             n = df.count()
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -456,7 +483,7 @@ class SQLEngine:
             return self.spark.createDataFrame(
                 [(line,) for line in lines], "plan string"
             )
-        if up == "SHOW ALL":
+        if stripped.upper() == "SHOW ALL":
             # reference: SHOW ALL lists datafusion.* settings via
             # information_schema.df_settings (core.rs:62); Spark's
             # equivalent listing is SET -v

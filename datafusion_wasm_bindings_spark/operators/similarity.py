@@ -568,10 +568,16 @@ def _deletion_signatures(w: F.Column, max_dist: int) -> F.Column:
     levenshtein filter downstream."""
     L = F.length(w)
     one = F.lit(1)
-    del1 = F.transform(
-        F.sequence(one, L),
-        lambda i: F.concat(w.substr(one, i - 1), w.substr(i + 1, L)),
-    )
+    # guarded like del2: sequence(1, 0) on an EMPTY word would step
+    # DOWN and fabricate index 0 (ADVICE r9 — previously only harmless
+    # by accident of substr's negative-length-to-empty behavior)
+    del1 = F.when(
+        L >= 1,
+        F.transform(
+            F.sequence(one, L),
+            lambda i: F.concat(w.substr(one, i - 1), w.substr(i + 1, L)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     sigs = F.concat(F.array(w), del1)
     if max_dist >= 2:
         # delete positions i < j; guarded — sequence(1, 0) would step

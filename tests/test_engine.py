@@ -102,6 +102,49 @@ def test_explain_verbose_and_spark_modes(engine):
     assert "logical_plan" not in out
 
 
+def test_explain_separator_agnostic(engine):
+    """ADVICE r9: the EXPLAIN branch must not depend on the whitespace
+    character after the keyword — newline/tab-separated EXPLAIN takes
+    the same DataFusion two-row branch as the space-separated form."""
+    out = engine.execute_sql("EXPLAIN\nSELECT 1 AS one")
+    assert "logical_plan" in out and "physical_plan" in out
+    out = engine.execute_sql("EXPLAIN\tSELECT 1 AS one")
+    assert "logical_plan" in out and "Projection:" in out
+    # EXPLAIN ANALYZE with a newline separator still executes+reports
+    out = engine.execute_sql("EXPLAIN ANALYZE\nSELECT 1 AS one")
+    assert "rows: 1" in out
+
+
+def test_explain_refuses_side_effecting_statements(engine, tmp_path):
+    """ADVICE r9 (medium): plain EXPLAIN only PLANS — it must not
+    execute a side-effecting body. DataFusion's EXPLAIN (core.rs
+    execute_sql pass-through) never runs the statement; previously
+    EXPLAIN COPY wrote output files and EXPLAIN CREATE VIEW mutated
+    the catalog."""
+    import pytest as _pytest
+
+    from datafusion_wasm_bindings_spark.errors import PlanError
+
+    target = tmp_path / "explain_copy_out"
+    with _pytest.raises(PlanError, match="COPY"):
+        engine.execute_sql(
+            f"EXPLAIN COPY (SELECT 1 AS one) TO '{target}' "
+            "STORED AS PARQUET"
+        )
+    assert not target.exists()  # nothing was written
+    with _pytest.raises(PlanError, match="CREATE"):
+        engine.execute_sql(
+            "EXPLAIN CREATE VIEW explain_should_not_exist AS SELECT 1"
+        )
+    assert not any(
+        t.name == "explain_should_not_exist"
+        for t in engine.spark.catalog.listTables()
+    )
+    # query-shaped bodies (WITH/VALUES/TABLE) still plan fine
+    out = engine.execute_sql("EXPLAIN WITH t AS (SELECT 1 AS x) SELECT * FROM t")
+    assert "logical_plan" in out
+
+
 def test_information_schema_tables(engine, sf_dir):
     from datafusion_wasm_bindings_spark.sources.catalog import register_tables
 

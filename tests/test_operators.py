@@ -1121,6 +1121,21 @@ def test_editdist_join_known_pairs(spark):
     assert out[("fast", "least")] == 2
     assert all(wa < wb for wa, wb in out)  # each pair exactly once
     assert not any("zzz" in p for p in out)
+    # ADVICE r9: empty-string words take the guarded del1 branch
+    # (sequence(1,0) would otherwise fabricate index 0) — the
+    # neighborhood is correct by construction, not by substr accident
+    tiny = spark.createDataFrame([("",), ("a",), ("ab",), ("b",)], "w string")
+    got = sorted(
+        (r.wa, r.wb, r.dist) for r in editdist_join(tiny, max_dist=2).collect()
+    )
+    assert got == [
+        ("", "a", 1),
+        ("", "ab", 2),
+        ("", "b", 1),
+        ("a", "ab", 1),
+        ("a", "b", 1),
+        ("ab", "b", 1),
+    ]
 
 
 def test_editdist_join_matches_naive_all_pairs(spark):

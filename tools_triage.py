@@ -4,7 +4,11 @@ the triage loop companion to tools_adversarial_replay.py.
 
 Usage::
 
-    python tools_triage.py q_fn_math_basic [/tmp/dfwb_adversarial/extremes]
+    python tools_triage.py q_fn_math_basic [mutation_dir]
+
+With no dir argument, the default is the CURRENT extremes mutation dir
+(mode dirs are keyed by config fingerprint since r9 —
+tools_adversarial_replay.build_mode_dir resolves and builds it).
 """
 
 from __future__ import annotations
@@ -23,10 +27,12 @@ def main() -> None:
     from datafusion_wasm_bindings_spark.queries.sources_q import _ensure_text_fixtures
     from datafusion_wasm_bindings_spark.session import get_spark
     from datafusion_wasm_bindings_spark.sources.catalog import TABLE_NAMES
-    from tools_adversarial_replay import _tokens
+    from tools_adversarial_replay import _tokens, build_mode_dir
 
     qid = sys.argv[1]
-    d = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dfwb_adversarial/extremes"
+    # default: the CURRENT fingerprint-keyed extremes dir (the bare
+    # mode-only path stopped existing when r9 keyed dirs by config)
+    d = sys.argv[2] if len(sys.argv) > 2 else build_mode_dir("extremes")
     _ensure_text_fixtures(d)
     spark = get_spark("dfwb-triage")
     con = duckdb.connect()
