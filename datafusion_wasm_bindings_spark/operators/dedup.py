@@ -320,6 +320,12 @@ def ngram_jaccard_pairs(
     return out
 
 
+# duplicated_spans chunk stride: every per-span substr offset is
+# bounded by _SPAN_CHUNK + span_len, independent of document width
+# (see the plan note in the docstring; r10 widerow probe)
+_SPAN_CHUNK = 512
+
+
 def duplicated_spans(
     documents: DataFrame,
     *,
@@ -334,9 +340,25 @@ def duplicated_spans(
     region's fingerprint, with its occurrence count, distinct-document
     count, and lowest containing doc_id.
 
-    Plan: one map-side explode (positions 1..n−L+1, span via substr —
-    no UDF, whole-stage codegen) into ONE combinable groupBy(span)
-    shuffle. Honest 100 TB posture: exact L-span detection inherently
+    Plan: TWO nested map-side explodes (chunks, then positions within
+    each chunk — no UDF, whole-stage codegen) into ONE combinable
+    groupBy(span) shuffle. The chunking is a row-WIDTH scale fix
+    (r10 widerow probe): Spark's substr(text, i, L) is an O(i)
+    codepoint scan, so the naive positions-explode costs O(width²)
+    per document — measured 17.6 s → 83.8 s for the SAME corpus bytes
+    when average doc width grew 2k → 20k chars (probe_widerow;
+    isolated: positional substr 79.4 s vs constant-offset 5.3 s at
+    20k width). Exploding fixed-stride chunks first bounds every
+    per-span substr offset at ``_CHUNK + L`` regardless of document
+    width; chunk extraction itself scans O(width²/_CHUNK) per doc —
+    ~500× less, and re-chunking hierarchically would cut it further
+    if multi-megabyte documents ever dominate. substr-of-substr
+    preserves codepoint indexing exactly (unicode-hostile text slices
+    identically to the single-substr form — property-tested
+    row-identical vs the naive formulation incl. supplementary-plane
+    chars).
+
+    Honest 100 TB posture: exact L-span detection inherently
     shuffles ~(L + 16) bytes per corpus character (~2L× the corpus) —
     the reference systems pay suffix-array construction on dedicated
     hosts for the same exactness. The documented scale knobs, in
@@ -359,15 +381,41 @@ def duplicated_spans(
         & F.col("text").isNotNull()
         & (F.length("text") >= span_len)
     ).select("doc_id", "text")
-    spans = d.select(
+    # chunk k (0-based) holds the S span-starts kS+1..kS+S, so it needs
+    # the S+L-1 chars from global position kS+1; the LAST chunk index
+    # is (n_starts-1) div S where n_starts = n-L+1
+    S = _SPAN_CHUNK
+    n_starts = F.length("text") - F.lit(span_len - 1)
+    chunks = d.select(
         "doc_id",
         F.explode(
-            F.sequence(F.lit(1), F.length("text") - F.lit(span_len - 1))
-        ).alias("i"),
+            F.sequence(
+                F.lit(0),
+                F.floor((n_starts - F.lit(1)) / F.lit(S)).cast("int"),
+            )
+        ).alias("k"),
         "text",
+        n_starts.alias("n_starts"),
     ).select(
         "doc_id",
-        F.col("text").substr(F.col("i"), F.lit(span_len)).alias("span"),
+        (F.col("k") * S).alias("base"),
+        F.col("text")
+        .substr((F.col("k") * S + 1).cast("int"), F.lit(S + span_len - 1))
+        .alias("chunk"),
+        "n_starts",
+    )
+    spans = chunks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(F.lit(S), F.col("n_starts") - F.col("base")).cast("int"),
+            )
+        ).alias("i"),
+        "chunk",
+    ).select(
+        "doc_id",
+        F.col("chunk").substr(F.col("i"), F.lit(span_len)).alias("span"),
     )
     dup = (
         spans.groupBy("span")

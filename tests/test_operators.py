@@ -2224,6 +2224,68 @@ def test_duplicated_spans_planted(spark):
     assert not any(r.min_doc == 4 and r.n_docs == 1 for r in out.values())
 
 
+def test_duplicated_spans_chunked_matches_naive(spark):
+    """r10 widerow fix: duplicated_spans' two-level chunked explode
+    (bounded substr offsets — positional substr is an O(offset)
+    codepoint scan, so the single-explode form was O(width²) per doc)
+    is row-identical to the naive positions-explode formulation,
+    including unicode/supplementary-plane chars and widths that land
+    exactly on / either side of the _SPAN_CHUNK boundary."""
+    import random
+
+    from datafusion_wasm_bindings_spark.operators.dedup import (
+        _SPAN_CHUNK,
+        duplicated_spans,
+    )
+
+    rng = random.Random(42)
+    alpha = list("abcX ") + ["é", "💩", "中"]
+    rows = []
+    for d in range(40):
+        n = rng.choice(
+            [0, 5, 19, 20, 21, 100, _SPAN_CHUNK, _SPAN_CHUNK + 1,
+             2 * _SPAN_CHUNK + 1, 2 * _SPAN_CHUNK + 36]
+        )
+        rows.append((d, "".join(rng.choice(alpha) for _ in range(n))))
+    rows += [(100, None), (None, "x" * 50),
+             (101, "dup-span-content-xyz!" * 5),
+             (102, "dup-span-content-xyz!" * 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def naive(documents, span_len):
+        d = documents.filter(
+            F.col("doc_id").isNotNull()
+            & F.col("text").isNotNull()
+            & (F.length("text") >= span_len)
+        ).select("doc_id", "text")
+        spans = d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - F.lit(span_len - 1))
+            ).alias("i"),
+            "text",
+        ).select(
+            "doc_id",
+            F.col("text").substr(F.col("i"), F.lit(span_len)).alias("span"),
+        )
+        return (
+            spans.groupBy("span")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+                F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                F.min("doc_id").cast("long").alias("min_doc"),
+            )
+            .filter(F.col("n_occurrences") > 1)
+        )
+
+    for span_len in (3, 20, 21):
+        got = sorted(
+            map(tuple, duplicated_spans(docs, span_len=span_len, top_k=None).collect())
+        )
+        want = sorted(map(tuple, naive(docs, span_len).collect()))
+        assert got == want, (span_len, got[:3], want[:3])
+
+
 def test_builtin_moment_aggs_match_identities(spark, sf_dir):
     """The q_fn_stddev_var / q_fn_corr_covar / q_fn_regr oracle twins
     moved to exact decimal-moment identities in r9 (the builtins'

@@ -1988,6 +1988,143 @@ def probe_itemsets_xl(spark) -> None:
     _emit(f"  itemset pair-join scaling exponent (1M -> 10M baskets): {exp:.2f}")
 
 
+def _shuffle_bytes(df) -> int:
+    """Total 'shuffle bytes written' over one fresh execution of ``df``
+    (collects it), summed across every ShuffleExchange in the executed
+    (post-AQE) plan. Reused exchanges are skipped (their metrics alias
+    the original); query stages are entered via .plan() so the wrapped
+    exchange is counted exactly once. Call on a FRESHLY-built
+    DataFrame: SQLMetrics accumulate across re-runs of one plan."""
+    df.collect()
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls.startswith("Reused"):
+            return
+        if "ShuffleExchange" in cls:
+            opt = node.metrics().get("shuffleBytesWritten")
+            if opt.isDefined():
+                total += opt.get().value()
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return total
+
+
+def _gen_wide_docs(spark, n_docs: int, n_blocks: int):
+    """n_docs documents of n_blocks*32 chars of effectively-unique text
+    (md5 blocks keyed by (doc, block) — no cross-doc span collisions,
+    so map-side combine can't hide the true span volume)."""
+    return (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(n_blocks)),
+                    lambda i: F.md5(
+                        F.concat(F.col("id").cast("string"), F.lit("-"), i.cast("string"))
+                    ),
+                ),
+            ).alias("text"),
+        )
+        .localCheckpoint()
+    )
+
+
+def probe_widerow(spark) -> None:
+    """Row-WIDTH scaling (VERDICT r9 #5): every other probe scales row
+    COUNT; this one holds corpus BYTES constant and grows average doc
+    width 10x (2,000 -> 20,000 chars), measuring wall time AND actual
+    shuffle-write bytes for the two payload-heavy dedup shapes:
+
+    - digest dedup (q_multimodal_dedup shape): md5 prehash means the
+      exchange carries 32-char digests, never payloads — shuffle bytes
+      must track ROW COUNT (so 10x width at constant corpus bytes
+      = ~10x FEWER bytes), and stay <1% of corpus bytes at both widths.
+    - duplicated_spans (q_dedup_substring shape): shuffles ~(L+16)
+      bytes per corpus CHARACTER by design — shuffle bytes must be
+      width-INVARIANT at constant corpus bytes (ratio within
+      [0.7, 1.4]), i.e. no hidden O(width) blowup per row.
+    """
+    from datafusion_wasm_bindings_spark.operators.dedup import duplicated_spans
+
+    results: dict[str, dict[str, float]] = {}
+    # ~200 MB corpus for the digest shape, ~20 MB for the span shape
+    # (spans shuffle ~36x their corpus; digests shuffle almost nothing)
+    for label, n_docs, n_blocks in (
+        ("narrow 2k-char", 100_000, 62),
+        ("wide 20k-char", 10_000, 625),
+    ):
+        docs = _gen_wide_docs(spark, n_docs, n_blocks)
+        corpus_bytes = n_docs * n_blocks * 32
+
+        def digest_df():
+            per_key = (
+                docs.select(F.md5(F.encode("text", "UTF-8")).alias("key"))
+                .groupBy("key")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            return per_key.agg(
+                F.count(F.lit(1)).alias("n_payloads"),
+                F.sum("n").alias("n_media"),
+            )
+
+        t_digest = _time(f"widerow digest dedup, {label} x {n_docs:,} docs", lambda: digest_df().collect())
+        b_digest = _shuffle_bytes(digest_df())
+
+        span_docs = _gen_wide_docs(spark, n_docs // 5, n_blocks)
+
+        def span_df():
+            return duplicated_spans(span_docs, span_len=20, top_k=50)
+
+        t_span = _time(f"widerow duplicated_spans, {label} x {n_docs // 5:,} docs", lambda: span_df().collect())
+        b_span = _shuffle_bytes(span_df())
+        span_corpus = (n_docs // 5) * n_blocks * 32
+        _emit(
+            f"  {label}: digest shuffle {b_digest:,} B "
+            f"({100.0 * b_digest / corpus_bytes:.3f}% of {corpus_bytes:,} B corpus); "
+            f"span shuffle {b_span:,} B ({b_span / span_corpus:.1f} B/char)"
+        )
+        results[label] = {
+            "t_digest": t_digest,
+            "b_digest": b_digest,
+            "t_span": t_span,
+            "b_span": b_span,
+            "corpus": corpus_bytes,
+            "span_corpus": span_corpus,
+            "n_docs": n_docs,
+        }
+        docs.unpersist()
+        span_docs.unpersist()
+
+    nar, wid = results["narrow 2k-char"], results["wide 20k-char"]
+    # digest: payload bytes never shuffle — the exchange carries a
+    # bounded per-ROW record (digest + count), independent of payload
+    # width: 10x fewer rows => fewer bytes, and <100 B/row both widths
+    assert wid["b_digest"] < nar["b_digest"], results
+    assert nar["b_digest"] < 100 * nar["n_docs"], results
+    assert wid["b_digest"] < 100 * wid["n_docs"], results
+    # spans: width-invariant shuffle per corpus byte
+    ratio = (wid["b_span"] / wid["span_corpus"]) / (nar["b_span"] / nar["span_corpus"])
+    _emit(
+        f"  span shuffle B/char ratio wide/narrow: {ratio:.2f} "
+        f"(contract [0.7, 1.4]); digest bytes wide/narrow: "
+        f"{wid['b_digest'] / nar['b_digest']:.2f} (contract < 1)"
+    )
+    assert 0.7 <= ratio <= 1.4, results
+
+
 _PROBE_LOG = __import__("os").environ.get(
     "SPARK_GRAFT_PROBE_LOG", "/tmp/dfwb_probe_log.txt"
 )
@@ -2045,6 +2182,8 @@ if __name__ == "__main__":
         probe_semdedup_xl(spark)
     if "substring_xl" in which:
         probe_substring_xl(spark)
+    if "widerow" in which:
+        probe_widerow(spark)
     if "editdist_xl" in which:
         probe_editdist_xl(spark)
     if "interval_xl" in which:
