@@ -1385,6 +1385,22 @@ def test_ann_index_builds_are_shuffle_free(spark):
     assert "Window" not in p, p  # the old per-sub seeding window is gone
 
 
+def test_multimodal_dedup_exchange_carries_digest_only(spark, sf_dir):
+    """q_multimodal_dedup (r10 widerow convention): the md5 prehash
+    means every exchange in the plan is keyed on (and carries) the
+    32-char digest — the binary media payload must never reach a
+    shuffle. The widerow probe measures the same contract in bytes
+    (36-43 B/row at any payload width); this pins the plan shape."""
+    df = REGISTRY["q_multimodal_dedup"].spark_fn(spark, sf_dir)
+    jplan = df._jdf.queryExecution().executedPlan()
+    exchanges = _find_nodes(jplan, "Exchange")
+    assert exchanges, "expected at least one exchange (groupBy key)"
+    for ex in exchanges:
+        out_cols = ex.output().mkString(", ")
+        assert "media" not in out_cols, out_cols
+        assert "text" not in out_cols, out_cols
+
+
 def test_substring_dedup_plan_shape(spark, sf_dir):
     """q_dedup_substring (r9): one parquet scan, map-side explode
     (Generate) into the span projection, ONE combinable
