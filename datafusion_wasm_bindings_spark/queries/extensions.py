@@ -1845,10 +1845,19 @@ def _pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix summary. Every stage is the operator the standalone queries
     check individually; this query checks their composition.
 
-    Scale posture: dedup is the only wide shuffle (keyed on text — at
-    100 TB pre-hash to xxhash64(text), same plan); the quality gate and
-    sampler are pure maps fused into the scan stage; the final rollup
-    shuffles ~|languages| rows after map-side partial aggregation.
+    Scale posture (r10 widerow convention): the dedup shuffle carries
+    a SLIM projection — md5(text) digest + doc_id/lang/n_chars/
+    n_tokens, ~60 B/row — never the text itself: every column the
+    pipeline consumes downstream of the scan is computable map-side,
+    so the payload stays out of the exchange entirely (the md5
+    collision-exactness assumption is q_dedup_exact's established
+    prehash rule; the oracle keeps PARTITION BY text). n_tokens is
+    computed pre-dedup for every row (one regex per corpus row — the
+    map-side CPU trade for not shuffling text); the quality FILTER
+    still applies post-dedup, preserving winner selection exactly.
+    The sampler is a pure map; the final rollup shuffles ~|languages|
+    rows after map-side partial aggregation. Plan-linted registry-wide
+    (tests/test_plans.py::test_no_payload_columns_in_exchanges).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -1860,15 +1869,23 @@ def _pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.queries._util import davg
 
     docs = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("text").orderBy("doc_id")
-    deduped = (
-        docs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.col("text")).alias("__key"),
+        F.size(tokens()).alias("n_tokens"),
     )
-    toks = F.size(tokens())
-    quality = deduped.withColumn("n_tokens", toks).filter(
-        (F.col("n_chars") >= 30) & (F.col("n_chars") <= 100000) & (toks >= 10)
+    w = Window.partitionBy("__key").orderBy("doc_id")
+    deduped = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__key")
+    )
+    quality = deduped.filter(
+        (F.col("n_chars") >= 30)
+        & (F.col("n_chars") <= 100000)
+        & (F.col("n_tokens") >= 10)
     )
     sampled = md5_stratified_sample(
         quality, "doc_id", "lang", _STRATA_FRACTIONS

@@ -872,6 +872,66 @@ def test_no_cartesian_product_anywhere_in_registry(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_no_payload_columns_in_exchanges(spark, sf_dir):
+    """Registry-wide r10 widerow lint: the raw payload columns —
+    ``text`` (documents), ``media`` (binary), ``embedding`` (vector) —
+    must never appear in a non-broadcast exchange's output. Payload
+    movers work on digests (md5/xxhash), token/shingle hashes, or
+    bounded slices; the widerow probe measures the same contract in
+    bytes (BASELINE.md r10). Broadcast exchanges are exempt (bounded
+    by the broadcast ceiling by construction); row-moving sinks and
+    streams are skipped like the other registry lints.
+
+    Allowlist (justified designs):
+    - q_dedup_minhash: the candidates-only verification SEMI-JOINS the
+      corpus against the candidate id set before shingling — when AQE
+      cannot broadcast the id set, text shuffles ONCE so that only
+      candidate docs pay shingling; shingling everything map-side to
+      avoid it would shuffle shingle arrays (≥ text size) instead.
+    """
+    import re as _re
+
+    allow = {"q_dedup_minhash"}
+    skip = (
+        "stream",
+        "q_copy",
+        "result",
+        "insert",
+        "balanced",
+        "ctas",
+        "bucketed",
+        # row movers: their OUTPUT is the (re-partitioned / sorted /
+        # sampled / chunked) corpus rows themselves — moving payload
+        # rows is the operator's contract, not an inefficiency
+        "shuffle",
+        "zorder",
+        "compaction",
+        "epochs",
+        "chunk",
+        "pack",
+        "split",
+    )
+    pat = _re.compile(r"\b(text|media|embedding)#")
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if name in allow or any(s in name for s in skip):
+            continue
+        try:
+            jplan = spec.spark_fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+        except Exception as e:  # noqa: BLE001 — surface as offender
+            offenders[name] = f"ERR {type(e).__name__}: {e}"[:120]
+            continue
+        for ex in _find_nodes(jplan, "Exchange"):
+            if "Broadcast" in ex.getClass().getSimpleName():
+                continue
+            cols = ex.output().mkString(", ")
+            hits = sorted(set(pat.findall(cols)))
+            if hits:
+                offenders[name] = f"exchange carries {hits}"
+                break
+    assert not offenders, offenders
+
+
 def test_contingency_stats_single_fact_shuffle(spark, sf_dir):
     """q_stats_entropy_mi / q_stats_chi2: ONE shuffle touches fact-table
     volume (the joint contingency aggregate, partial-agg'd map-side);
