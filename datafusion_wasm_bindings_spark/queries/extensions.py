@@ -1851,12 +1851,18 @@ def _pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline consumes downstream of the scan is computable map-side,
     so the payload stays out of the exchange entirely (the md5
     collision-exactness assumption is q_dedup_exact's established
-    prehash rule; the oracle keeps PARTITION BY text). n_tokens is
-    computed pre-dedup for every row (one regex per corpus row — the
-    map-side CPU trade for not shuffling text); the quality FILTER
-    still applies post-dedup, preserving winner selection exactly.
-    The sampler is a pure map; the final rollup shuffles ~|languages|
-    rows after map-side partial aggregation. Plan-linted registry-wide
+    prehash rule; the oracle keeps PARTITION BY text). The quality
+    filter is applied explicitly BEFORE the dedup window: it is
+    group-constant (a deterministic function of text, the partition
+    identity), so it kills or keeps WHOLE dedup groups and winner
+    selection is unchanged — Catalyst pushed this itself when the
+    partition key was raw text, but cannot infer it through the md5
+    key, so the rewrite states it. Net plan: n_chars pushed to the
+    parquet scan, sub-quality rows never shuffle, surviving rows
+    shuffle ~60 B each, and WindowGroupLimit pre-cuts duplicate
+    groups map-side before the exchange. The sampler is a pure map;
+    the final rollup shuffles ~|languages| rows after map-side
+    partial aggregation. Plan-linted registry-wide
     (tests/test_plans.py::test_no_payload_columns_in_exchanges).
     """
     from pyspark.sql import Window
@@ -1876,16 +1882,16 @@ def _pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("__key"),
         F.size(tokens()).alias("n_tokens"),
     )
-    w = Window.partitionBy("__key").orderBy("doc_id")
-    deduped = (
-        base.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__key")
-    )
-    quality = deduped.filter(
+    prefiltered = base.filter(
         (F.col("n_chars") >= 30)
         & (F.col("n_chars") <= 100000)
         & (F.col("n_tokens") >= 10)
+    )
+    w = Window.partitionBy("__key").orderBy("doc_id")
+    quality = (
+        prefiltered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__key")
     )
     sampled = md5_stratified_sample(
         quality, "doc_id", "lang", _STRATA_FRACTIONS
