@@ -228,13 +228,25 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # left-semi, no forced broadcast: AQE broadcasts when the id set is
-    # small and falls back to a shuffled semi-join when it isn't
+    # small and falls back to a shuffled semi-join when it isn't.
+    # Shingles are HASHED to 8-byte longs before the pair joins (r10
+    # widerow convention): the verification joins shuffle each
+    # candidate doc's shingle set twice (once per pair side), and a
+    # long array is ~3-5× smaller than the 3-word string shingles;
+    # |intersection|/|union| over hashed sets equals the raw-shingle
+    # Jaccard modulo xxhash64 collisions — the same collision-exactness
+    # class as the md5 prehash rule (the oracle keeps raw shingles).
     sh = (
         documents.join(cand_ids, "doc_id", "left_semi")
         .select("doc_id", tokens().alias("__toks"))
         .select(
             "doc_id",
-            F.array_distinct(word_shingles(F.col("__toks"), shingle_k)).alias("sh"),
+            F.array_distinct(
+                F.transform(
+                    word_shingles(F.col("__toks"), shingle_k),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("sh"),
         )
     )
     verified = (
