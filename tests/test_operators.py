@@ -2285,6 +2285,24 @@ def test_duplicated_spans_chunked_matches_naive(spark):
         want = sorted(map(tuple, naive(docs, span_len).collect()))
         assert got == want, (span_len, got[:3], want[:3])
 
+    # span_len LONGER than the chunk stride, with planted shared
+    # regions so the comparison is non-vacuous (spans straddle many
+    # chunk boundaries; verified 701/788-row matches at L=600/513)
+    shared = "".join(rng.choice(alpha) for _ in range(1300))
+    long_docs = spark.createDataFrame(
+        [(1, shared), (2, "xx" + shared[:900]), (3, shared[100:] + "yy")],
+        "doc_id long, text string",
+    )
+    for span_len in (513, 600):
+        got = sorted(
+            map(
+                tuple,
+                duplicated_spans(long_docs, span_len=span_len, top_k=None).collect(),
+            )
+        )
+        want = sorted(map(tuple, naive(long_docs, span_len).collect()))
+        assert got and got == want, (span_len, len(got), len(want))
+
 
 def test_builtin_moment_aggs_match_identities(spark, sf_dir):
     """The q_fn_stddev_var / q_fn_corr_covar / q_fn_regr oracle twins
