@@ -68,19 +68,22 @@ _MODULES = (
 )
 
 # Round-10 driver window (exactly 50 names, COVERAGE.md round-10 plan):
-# zero never-checked / non-green ids remain, so the window is pure
+# ONE never-checked id first (q_pipeline_split_leakage, added mid-r10
+# — the never-checked-first rule, q_dedup_substring precedent), then
 # staleness re-verification — the stalest greens oldest-first per the
 # mechanical rule enforced by tests/test_window_rotation.py: the 38
 # r4-stamped ids (cluster/profile/scale/pipeline families, the fn
 # exotic-type block variant/map_ops/pandas_udaf/url_parse, the
-# ORC/text/evolution scans, TPC-H q4/q6/q7/q8/q10) then the 12
+# ORC/text/evolution scans, TPC-H q4/q6/q7/q8/q10) then the 11
 # stalest r5-stamped ids in registration order (the remaining TPC-H
-# block). The r4 oracles predate the ceil/floor/sign dtype-parity
+# block; q_tpch_q16 returned to the pool when the never-checked id
+# took its slot). The r4 oracles predate the ceil/floor/sign dtype-parity
 # rules, so the rotation was preceded by the conftest
 # ORACLE_UNSAFE_TYPES + dtype audit (tools_driver_sim.py over all 50).
 # Names listed here move to the FRONT of the registry in this order;
 # everything else follows in registration order.
 _WINDOW = (
+    "q_pipeline_split_leakage",
     "q_pipeline_training_mix",
     "q_pipeline_pack",
     "q_profile_columns",
@@ -130,7 +133,6 @@ _WINDOW = (
     "q_tpch_q2",
     "q_tpch_q9",
     "q_tpch_q11",
-    "q_tpch_q16",
 )
 
 

@@ -219,6 +219,93 @@ query(
 )(_dedup_ngram)
 
 
+def _pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test SPLIT LEAKAGE audit (r10): near-duplicate pairs that
+    straddle a split boundary — the contamination a random split
+    inflicts when the corpus holds near-dups (a test doc whose
+    near-twin sits in train silently inflates eval). Composes two
+    certified pieces: ngram_jaccard_pairs (inverted-index blocked,
+    exact Jaccard — q_dedup_ngram_jaccard's operator and parameters)
+    and the deterministic md5 split assignment (q_pipeline_split's
+    convention), applied as a pure map to EACH pair side — zero extra
+    joins or shuffles beyond the pair generation itself. Output: one
+    row per unordered split-boundary pair (least/greatest-normalized)
+    with the leaked-pair count and the worst (max) Jaccard crossing
+    that boundary. At 100 TB the remedy this audit motivates is
+    cluster-aware splitting (assign whole near-dup CLUSTERS to one
+    split — q_dedup_clusters supplies them); this query measures how
+    much leakage the naive split has."""
+    from datafusion_wasm_bindings_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents").filter("doc_id < 200")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.9, max_doc_freq=160)
+
+    def split_of(c):
+        h = F.substring(F.md5(F.concat(c.cast("string"), F.lit("dfwb-split"))), 1, 8)
+        return (
+            F.when(h < "cccccccc", F.lit("train"))
+            .when(h < "e6666666", F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    leaks = pairs.select(
+        "jaccard",
+        split_of(F.col("id_a")).alias("sa"),
+        split_of(F.col("id_b")).alias("sb"),
+    ).filter(F.col("sa") != F.col("sb"))
+    return (
+        leaks.groupBy(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_leaked_pairs"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        .orderBy(
+            F.col("split_lo").asc_nulls_last(), F.col("split_hi").asc_nulls_last()
+        )
+    )
+
+
+# oracle: the q_dedup_ngram_jaccard pair CTEs verbatim, then the same
+# md5 split CASE applied to each pair side map-side; jaccard is an
+# exact-integer division (bit-identical both engines, the
+# q_dedup_ngram_jaccard precedent), so max_jaccard compares raw after
+# the shared round(…, 6)
+query(
+    "q_pipeline_split_leakage",
+    f"""
+    WITH {_NGRAM_PAIRS_CTES},
+    pairs AS (
+      SELECT id_a, id_b,
+             round(inter * 1.0 / (sa.n_tok + sb.n_tok - inter), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter * 1.0 / (sa.n_tok + sb.n_tok - inter) >= 0.9
+    ),
+    lab AS (
+      SELECT jaccard,
+             CASE WHEN substr(md5(CAST(id_a AS VARCHAR) || 'dfwb-split'), 1, 8) < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(CAST(id_a AS VARCHAR) || 'dfwb-split'), 1, 8) < 'e6666666' THEN 'val'
+                  ELSE 'test' END AS sa,
+             CASE WHEN substr(md5(CAST(id_b AS VARCHAR) || 'dfwb-split'), 1, 8) < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(CAST(id_b AS VARCHAR) || 'dfwb-split'), 1, 8) < 'e6666666' THEN 'val'
+                  ELSE 'test' END AS sb
+      FROM pairs
+    )
+    SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_leaked_pairs,
+           round(MAX(jaccard), 6) AS max_jaccard
+    FROM lab WHERE sa <> sb
+    GROUP BY 1, 2
+    ORDER BY split_lo ASC NULLS LAST, split_hi ASC NULLS LAST
+    """,
+    tags=("extension", "pipeline", "dedup"),
+)(_pipeline_split_leakage)
+
+
 def _dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring fingerprints at 20-char granularity
     (operators/dedup.duplicated_spans — the Lee et al. 2022
