@@ -67,72 +67,73 @@ _MODULES = (
     "analytics5",
 )
 
-# Round-10 driver window (exactly 50 names, COVERAGE.md round-10 plan):
-# ONE never-checked id first (q_pipeline_split_leakage, added mid-r10
-# — the never-checked-first rule, q_dedup_substring precedent), then
-# staleness re-verification — the stalest greens oldest-first per the
-# mechanical rule enforced by tests/test_window_rotation.py: the 38
-# r4-stamped ids (cluster/profile/scale/pipeline families, the fn
-# exotic-type block variant/map_ops/pandas_udaf/url_parse, the
-# ORC/text/evolution scans, TPC-H q4/q6/q7/q8/q10) then the 11
-# stalest r5-stamped ids in registration order (the remaining TPC-H
-# block; q_tpch_q16 returned to the pool when the never-checked id
-# took its slot). The r4 oracles predate the ceil/floor/sign dtype-parity
-# rules, so the rotation was preceded by the conftest
-# ORACLE_UNSAFE_TYPES + dtype audit (tools_driver_sim.py over all 50).
-# Names listed here move to the FRONT of the registry in this order;
-# everything else follows in registration order.
+# Round-11 driver window (exactly 50 names, COVERAGE.md round-11 plan):
+# zero never-checked / non-green ids remain, so every slot re-verifies
+# the stalest greens oldest-first (last-verified round, registration
+# order) per the mechanical rule enforced by
+# tests/test_window_rotation.py — the r5-stamped wave-4..9 block
+# (remaining TPC-H q16/q20/q21, pivot/unpivot/qualify/lateral, the
+# events funnel/retention/markov/attribution family, the pipeline
+# scd2/diff/folds/manifest ids, text bm25/normalize/perplexity/
+# pr_curve, stream_upsert, fn_udtf, union_by_name, the scale
+# compaction/balanced_write pair) then the stalest r6 greens in
+# registration order. The wave-4..9 oracles predate the r9
+# ceil/floor/sign dtype-parity and exactness-bound revisions, so the
+# rotation was preceded by the conftest ORACLE_UNSAFE_TYPES + dtype
+# audit (tools_driver_sim.py over all 50). Names listed here move to
+# the FRONT of the registry in this order; everything else follows in
+# registration order.
 _WINDOW = (
-    "q_pipeline_split_leakage",
-    "q_pipeline_training_mix",
-    "q_pipeline_pack",
-    "q_profile_columns",
-    "q_profile_columns_approx",
-    "q_events_json_quarantine",
-    "q_scale_incremental_agg",
-    "q_text_heavy_hitters",
-    "q_profile_skew",
-    "q_text_classifier",
-    "q_scale_hll_shards",
-    "q_scale_zorder",
-    "q_cluster_kmeans",
-    "q_cluster_quality",
-    "q_pipeline_upsert",
-    "q_fn_sum_avg_min_max",
-    "q_fn_weighted_percentile",
-    "q_fn_bitmap_distinct",
-    "q_fn_argminmax",
-    "q_fn_pandas_udaf",
-    "q_fn_try_arith",
-    "q_fn_url_parse",
-    "q_fn_map_ops",
-    "q_fn_variant",
-    "q_fn_collation",
-    "q_fn_stringdist",
-    "q_scan_evolution",
-    "q_scan_orc",
-    "q_scan_text",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q10",
-    "q_fn_bitwise",
-    "q_fn_array_ops",
-    "q_fn_higher_order",
-    "q_dedup_pipeline",
-    "q_dedup_containment",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q18",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_tpch_q2",
-    "q_tpch_q9",
-    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q21",
+    "q_tpch_q20",
+    "q_pivot",
+    "q_unpivot",
+    "q_qualify",
+    "q_agg_groupby_all",
+    "q_join_lateral",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_pipeline_scd2",
+    "q_scale_compaction",
+    "q_text_editdist_join",
+    "q_sample_per_key",
+    "q_graph_triangles",
+    "q_pipeline_manifest",
+    "q_text_bm25",
+    "q_profile_fk",
+    "q_profile_expectations",
+    "q_events_rolling",
+    "q_pipeline_folds",
+    "q_pipeline_diff",
+    "q_events_experiment",
+    "q_profile_histogram",
+    "q_fn_udtf",
+    "q_stream_upsert",
+    "q_pipeline_rownum",
+    "q_events_interval_merge",
+    "q_events_markov",
+    "q_events_attribution",
+    "q_clean_winsorize",
+    "q_text_normalize",
+    "q_union_by_name",
+    "q_scale_balanced_write",
+    "q_events_gapfill",
+    "q_text_pr_curve",
+    "q_pipeline_incremental_dedup",
+    "q_events_windowed_funnel",
+    "q_text_perplexity",
+    "q_graph_pagerank",
+    "q_join_inner",
+    "q_agg_groupby",
+    "q_win_ranking",
+    "q_events_active_users",
+    "q_events_rfm",
+    "q_pipeline_negatives",
+    "q_graph_bfs",
+    "q_join_spatial",
+    "q_multimodal_dedup",
+    "q_events_ewma",
 )
 
 
