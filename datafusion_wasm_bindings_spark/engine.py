@@ -228,6 +228,15 @@ def _split_exec_args(args: str) -> list[str]:
 
 
 _QUERY_SHAPED_RE = re.compile(r"^\s*(SELECT|WITH|VALUES|TABLE)\b", re.IGNORECASE)
+# EXPLAIN-body noise a valid query may legally lead with before its
+# first keyword: whitespace, -- line / /* block */ comments, and
+# opening parens (EXPLAIN (SELECT 1), EXPLAIN /* hint */ SELECT …) —
+# DataFusion plans both forms (ADVICE r10). Stripped only for the
+# SHAPE check; the dispatched body keeps them verbatim (Spark parses
+# both, verified on 4.1.2).
+_QUERY_HEAD_NOISE_RE = re.compile(
+    r"^(?:\s+|--[^\n]*(?:\n|$)|/\*.*?\*/|\()+", re.DOTALL
+)
 
 # EXPLAIN dispatch is separator-agnostic: 'EXPLAIN\nSELECT 1' and
 # tab-separated forms take the same DataFusion two-row branch as the
@@ -444,7 +453,12 @@ class SQLEngine:
 
                     raise ParseError("EXPLAIN VERBOSE requires a statement")
                 body = parts[1]
-            if not _QUERY_SHAPED_RE.match(body):
+            # shape-check past leading comments/parens a valid query
+            # may carry (ADVICE r10: EXPLAIN (SELECT 1) and
+            # EXPLAIN /* hint */ SELECT … are plannable, not
+            # side-effecting); dispatch still receives `body` verbatim
+            shape_head = _QUERY_HEAD_NOISE_RE.sub("", body)
+            if not _QUERY_SHAPED_RE.match(shape_head):
                 # DataFusion's EXPLAIN only PLANS its body; dispatching
                 # a non-query body here would EXECUTE it (COPY writes
                 # files, CREATE VIEW mutates the catalog). Refuse with
@@ -454,7 +468,11 @@ class SQLEngine:
                     PlanError,
                 )
 
-                head = body.split(None, 1)[0].upper() if body.split() else ""
+                head = (
+                    shape_head.split(None, 1)[0].upper()
+                    if shape_head.split()
+                    else ""
+                )
                 if not head:
                     raise ParseError("EXPLAIN requires a statement")
                 raise PlanError(

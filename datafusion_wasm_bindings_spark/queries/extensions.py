@@ -1938,18 +1938,25 @@ def _pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline consumes downstream of the scan is computable map-side,
     so the payload stays out of the exchange entirely (the md5
     collision-exactness assumption is q_dedup_exact's established
-    prehash rule; the oracle keeps PARTITION BY text). The quality
-    filter is applied explicitly BEFORE the dedup window: it is
-    group-constant (a deterministic function of text, the partition
-    identity), so it kills or keeps WHOLE dedup groups and winner
-    selection is unchanged — Catalyst pushed this itself when the
-    partition key was raw text, but cannot infer it through the md5
-    key, so the rewrite states it. Net plan: n_chars pushed to the
-    parquet scan, sub-quality rows never shuffle, surviving rows
-    shuffle ~60 B each, and WindowGroupLimit pre-cuts duplicate
-    groups map-side before the exchange. The sampler is a pure map;
-    the final rollup shuffles ~|languages| rows after map-side
-    partial aggregation. Plan-linted registry-wide
+    prehash rule; the oracle keeps PARTITION BY text). Only the
+    GENUINELY group-constant gate sits below the dedup window: the
+    n_tokens >= 10 cut is a deterministic function of text (the
+    partition identity), so it kills or keeps WHOLE dedup groups and
+    winner selection is unchanged — Catalyst pushed this itself when
+    the partition key was raw text, but cannot infer it through the
+    md5 key, so the rewrite states it. The STORED n_chars band is NOT
+    provably a function of text (it is a materialized column that
+    hostile data can decorrelate from the payload), so it is applied
+    AFTER the rn == 1 winner pick, exactly where the oracle applies it
+    (ADVICE r10 medium). The dedup ordering carries an explicit
+    NULLS LAST on both sides: the winner's doc_id is positionally
+    consumed by the md5 sampler, so a duplicate-text group containing
+    a NULL doc_id must pick the same winner per engine (rule r5(a)).
+    Net plan: sub-token rows never shuffle, surviving rows shuffle
+    ~60 B each, and WindowGroupLimit pre-cuts duplicate groups
+    map-side before the exchange. The sampler is a pure map; the
+    final rollup shuffles ~|languages| rows after map-side partial
+    aggregation. Plan-linted registry-wide
     (tests/test_plans.py::test_no_payload_columns_in_exchanges).
     """
     from pyspark.sql import Window
@@ -1969,15 +1976,12 @@ def _pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("__key"),
         F.size(tokens()).alias("n_tokens"),
     )
-    prefiltered = base.filter(
-        (F.col("n_chars") >= 30)
-        & (F.col("n_chars") <= 100000)
-        & (F.col("n_tokens") >= 10)
-    )
-    w = Window.partitionBy("__key").orderBy("doc_id")
+    prefiltered = base.filter(F.col("n_tokens") >= 10)
+    w = Window.partitionBy("__key").orderBy(F.col("doc_id").asc_nulls_last())
     quality = (
         prefiltered.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
+        .filter((F.col("n_chars") >= 30) & (F.col("n_chars") <= 100000))
         .drop("__rn", "__key")
     )
     sampled = md5_stratified_sample(
@@ -1998,7 +2002,7 @@ query(
     "q_pipeline_training_mix",
     """
     WITH dedup AS (
-      SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id ASC NULLS LAST) AS rn
       FROM documents
     ),
     quality AS (

@@ -145,6 +145,31 @@ def test_explain_refuses_side_effecting_statements(engine, tmp_path):
     assert "logical_plan" in out
 
 
+def test_explain_plans_parenthesized_and_commented_bodies(engine, tmp_path):
+    """ADVICE r10 (low): the side-effect guard must not reject valid
+    query bodies DataFusion plans — a parenthesized query and a body
+    led by a SQL comment both shape-check past the leading noise; the
+    guard still fires on a side-effecting head BEHIND that noise."""
+    import pytest as _pytest
+
+    from datafusion_wasm_bindings_spark.errors import PlanError
+
+    out = engine.execute_sql("EXPLAIN (SELECT 1 AS one)")
+    assert "logical_plan" in out and "physical_plan" in out
+    out = engine.execute_sql("EXPLAIN /* hint */ SELECT 1 AS one")
+    assert "logical_plan" in out
+    out = engine.execute_sql("EXPLAIN -- note\nSELECT 1 AS one")
+    assert "logical_plan" in out
+    # side effects hiding behind comments/parens are still refused
+    target = tmp_path / "explain_commented_copy_out"
+    with _pytest.raises(PlanError, match="COPY"):
+        engine.execute_sql(
+            f"EXPLAIN /* c */ COPY (SELECT 1 AS one) TO '{target}' "
+            "STORED AS PARQUET"
+        )
+    assert not target.exists()
+
+
 def test_information_schema_tables(engine, sf_dir):
     from datafusion_wasm_bindings_spark.sources.catalog import register_tables
 

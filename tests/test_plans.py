@@ -892,29 +892,43 @@ def test_no_payload_columns_in_exchanges(spark, sf_dir):
     import re as _re
 
     allow = {"q_dedup_minhash"}
-    skip = (
-        "stream",
-        "q_copy",
-        "result",
-        "insert",
-        "balanced",
-        "ctas",
-        "bucketed",
+    # EXACT id set (ADVICE r10: substring matching silently exempted
+    # new queries — q_pipeline_split_leakage matched "split" despite
+    # not being a row mover; new ids are now linted by default)
+    skip = {
+        # streaming sinks / stateful triggers
+        "q_stream_dedup",
+        "q_stream_session",
+        "q_stream_stateful_totals",
+        "q_stream_static_join",
+        "q_stream_stream_join",
+        "q_stream_upsert",
+        # sinks: write corpus rows out by contract
+        "q_copy_csv",
+        "q_copy_json",
+        "q_copy_parquet",
+        "q_result_json",
+        "q_result_table",
+        "q_insert_into",
+        "q_values_ctas",
+        "q_join_bucketed",
         # row movers: their OUTPUT is the (re-partitioned / sorted /
         # sampled / chunked) corpus rows themselves — moving payload
         # rows is the operator's contract, not an inefficiency
-        "shuffle",
-        "zorder",
-        "compaction",
-        "epochs",
-        "chunk",
-        "pack",
-        "split",
-    )
+        "q_sample_balanced",
+        "q_scale_balanced_write",
+        "q_pipeline_shuffle",
+        "q_scale_zorder",
+        "q_scale_compaction",
+        "q_pipeline_epochs",
+        "q_pipeline_chunk",
+        "q_pipeline_pack",
+        "q_pipeline_split",
+    }
     pat = _re.compile(r"\b(text|media|embedding)#")
     offenders = {}
     for name, spec in REGISTRY.items():
-        if name in allow or any(s in name for s in skip):
+        if name in allow or name in skip:
             continue
         try:
             jplan = spec.spark_fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
