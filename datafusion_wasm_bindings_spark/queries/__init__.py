@@ -68,9 +68,11 @@ _MODULES = (
 )
 
 # Round-11 driver window (exactly 50 names, COVERAGE.md round-11 plan):
-# zero never-checked / non-green ids remain, so every slot re-verifies
-# the stalest greens oldest-first (last-verified round, registration
-# order) per the mechanical rule enforced by
+# ONE never-checked id first (q_pipeline_cluster_split, added mid-r11
+# — the never-checked-first rule, q_pipeline_split_leakage precedent;
+# q_events_ewma returned to the pool to make room), then staleness
+# re-verification — the stalest greens oldest-first (last-verified
+# round, registration order) per the mechanical rule enforced by
 # tests/test_window_rotation.py — the r5-stamped wave-4..9 block
 # (remaining TPC-H q16/q20/q21, pivot/unpivot/qualify/lateral, the
 # events funnel/retention/markov/attribution family, the pipeline
@@ -84,6 +86,7 @@ _MODULES = (
 # the FRONT of the registry in this order; everything else follows in
 # registration order.
 _WINDOW = (
+    "q_pipeline_cluster_split",
     "q_tpch_q16",
     "q_tpch_q21",
     "q_tpch_q20",
@@ -133,7 +136,6 @@ _WINDOW = (
     "q_graph_bfs",
     "q_join_spatial",
     "q_multimodal_dedup",
-    "q_events_ewma",
 )
 
 

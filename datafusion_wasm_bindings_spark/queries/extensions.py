@@ -306,6 +306,143 @@ query(
 )(_pipeline_split_leakage)
 
 
+def _pipeline_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split — the REMEDY the
+    q_pipeline_split_leakage audit motivates (r10 verdict #4; Lee et
+    al. 2022 / RefinedWeb practice): assign whole near-dup CLUSTERS to
+    one split by drawing on the cluster REPRESENTATIVE (the component's
+    min doc_id), so a near-dup pair can never straddle train/eval.
+    Composes three certified pieces verbatim: ngram_jaccard_pairs
+    (q_dedup_ngram_jaccard's inverted-index blocking + parameters),
+    connected_components (q_dedup_clusters' min-label propagation),
+    and the deterministic md5 split (q_pipeline_split's thresholds),
+    then re-runs the leakage audit INSIDE the query — the
+    n_cross_split_pairs column is the paired audit and must read 0 by
+    construction (both pair members share a component, hence a
+    representative, hence a split).
+
+    Scale posture: pairs is localCheckpointed ONCE (single-scan rule —
+    it feeds both the CC rounds and the audit; without the cut the
+    audit re-runs the whole inverted-index build). comps is CC's
+    already-materialized label RDD, consumed three times for free. The
+    per-doc assignment joins the corpus against comps on doc_id —
+    digest-width rows only (doc_id/rep/split, never text; registry
+    payload lint) — and feeds exactly one consumer, so it stays lazy.
+    The audit joins the BOUNDED pair set against comps twice; the
+    1-row audit total broadcasts onto the per-split rollup (bounded
+    crossJoin, hint-safe per r5(d))."""
+    from datafusion_wasm_bindings_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs_full = table(spark, sf_dir, "documents").filter("doc_id < 200")
+    pairs = ngram_jaccard_pairs(
+        docs_full, threshold=0.9, max_doc_freq=160
+    ).localCheckpoint()
+    comps = connected_components(pairs).selectExpr(
+        "node AS doc_id", "comp AS cluster_id"
+    )
+
+    def split_of(c):
+        h = F.substring(F.md5(F.concat(c.cast("string"), F.lit("dfwb-split"))), 1, 8)
+        return (
+            F.when(h < "cccccccc", F.lit("train"))
+            .when(h < "e6666666", F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    assign = (
+        docs_full.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .withColumn("rep", F.coalesce("cluster_id", "doc_id"))
+        .withColumn("split", split_of(F.col("rep")))
+    )
+    leaked = (
+        pairs.select("id_a", "id_b")
+        .join(
+            comps.select(
+                F.col("doc_id").alias("id_a"), split_of(F.col("cluster_id")).alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            comps.select(
+                F.col("doc_id").alias("id_b"), split_of(F.col("cluster_id")).alias("sb")
+            ),
+            "id_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cross_split_pairs"))
+    )
+    return (
+        assign.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("rep").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaked))
+        .orderBy(F.col("split").asc_nulls_last())
+    )
+
+
+# oracle: the q_dedup_clusters recursive-CTE components verbatim, the
+# q_pipeline_split md5 CASE drawn on the cluster representative
+# (COALESCE(cluster_id, doc_id) — singletons represent themselves),
+# and the leakage audit re-stated over the SAME pair set; the audit
+# column must read 0 on any input (cluster-aware assignment cannot
+# leak by construction)
+query(
+    "q_pipeline_cluster_split",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter * 1.0 / (sa.n_tok + sb.n_tok - inter) >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.a, rc.r FROM edges e JOIN reach rc ON e.b = rc.node
+    ),
+    comps AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    assign AS (
+      SELECT d.doc_id,
+             COALESCE(c.cluster_id, d.doc_id) AS rep,
+             CASE WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR) || 'dfwb-split'), 1, 8) < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR) || 'dfwb-split'), 1, 8) < 'e6666666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+      LEFT JOIN comps c ON c.doc_id = d.doc_id
+    ),
+    leaked AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs p
+      JOIN comps ca ON ca.doc_id = p.id_a
+      JOIN comps cb ON cb.doc_id = p.id_b
+      WHERE (CASE WHEN substr(md5(CAST(ca.cluster_id AS VARCHAR) || 'dfwb-split'), 1, 8) < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(CAST(ca.cluster_id AS VARCHAR) || 'dfwb-split'), 1, 8) < 'e6666666' THEN 'val'
+                  ELSE 'test' END)
+         <> (CASE WHEN substr(md5(CAST(cb.cluster_id AS VARCHAR) || 'dfwb-split'), 1, 8) < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(CAST(cb.cluster_id AS VARCHAR) || 'dfwb-split'), 1, 8) < 'e6666666' THEN 'val'
+                  ELSE 'test' END)
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+           (SELECT n FROM leaked) AS n_cross_split_pairs
+    FROM assign GROUP BY split
+    ORDER BY split ASC NULLS LAST
+    """,
+    tags=("extension", "pipeline", "dedup", "sampling"),
+)(_pipeline_cluster_split)
+
+
 def _dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring fingerprints at 20-char granularity
     (operators/dedup.duplicated_spans — the Lee et al. 2022

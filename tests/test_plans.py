@@ -232,6 +232,28 @@ def test_pipeline_training_mix_plan_shape(spark, sf_dir):
     ), plan
 
 
+def test_pipeline_cluster_split_plan_shape(spark, sf_dir):
+    """Cluster-aware split (r11): (a) the near-dup pair set is
+    localCheckpointed ONCE and the CC labels are materialized RDDs, so
+    the final plan scans parquet exactly once (the doc_id-only
+    assignment projection — ReadSchema pruned to the key); (b) the
+    1-row leakage audit attaches via BroadcastNestedLoopJoin, never a
+    CartesianProduct; (c) the audit column itself reads 0 — the
+    remedy's defining contract."""
+    from datafusion_wasm_bindings_spark.queries import load_all
+
+    df = load_all()["q_pipeline_cluster_split"].spark_fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "text" not in read_schema, read_schema  # assignment is key-only
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    rows = df.collect()
+    assert rows, "expected per-split rows"
+    assert all(r["n_cross_split_pairs"] == 0 for r in rows), rows
+
+
 def test_pipeline_pack_no_per_shard_fact_window(spark, sf_dir):
     """Sequence packing (r5 migration): the per-shard running token
     offset must come from bucketed_prefix_sum — a shard-only window
