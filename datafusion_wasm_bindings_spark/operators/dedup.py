@@ -336,6 +336,15 @@ def ngram_jaccard_pairs(
 # bounded by _SPAN_CHUNK + span_len, independent of document width
 # (see the plan note in the docstring; r10 widerow probe)
 _SPAN_CHUNK = 512
+# second chunk level (r11 megadoc probe): chunk extraction itself is
+# an O(width²/_SPAN_CHUNK) positional-substr scan per doc — invisible
+# at 20k-char docs, measured 6.1× wall at 2 MB docs (constant corpus
+# bytes). Exploding _SUPER_CHUNK-char super-chunks first bounds the
+# level-1 offsets at _SUPER_CHUNK + L; the residual top-level scan is
+# O(width²/_SUPER_CHUNK) — at 64 KiB strides that term crosses the
+# level-1 cost only past ~8 MB/doc (width ≈ S2²/S1), where a third
+# level would repeat the same 3-line pattern.
+_SUPER_CHUNK = 65536
 
 
 def duplicated_spans(
@@ -352,23 +361,31 @@ def duplicated_spans(
     region's fingerprint, with its occurrence count, distinct-document
     count, and lowest containing doc_id.
 
-    Plan: TWO nested map-side explodes (chunks, then positions within
-    each chunk — no UDF, whole-stage codegen) into ONE combinable
-    groupBy(span) shuffle. The chunking is a row-WIDTH scale fix
-    (r10 widerow probe): Spark's substr(text, i, L) is an O(i)
-    codepoint scan, so the naive positions-explode costs O(width²)
-    per document — measured 17.6 s → 83.8 s for the SAME corpus bytes
-    when average doc width grew 2k → 20k chars (probe_widerow;
-    isolated: positional substr 79.4 s vs constant-offset 5.3 s at
-    20k width). Exploding fixed-stride chunks first bounds every
-    per-span substr offset at ``_CHUNK + L`` regardless of document
-    width; chunk extraction itself scans O(width²/_CHUNK) per doc —
-    ~500× less, and re-chunking hierarchically would cut it further
-    if multi-megabyte documents ever dominate. substr-of-substr
-    preserves codepoint indexing exactly (unicode-hostile text slices
-    identically to the single-substr form — property-tested
-    row-identical vs the naive formulation incl. supplementary-plane
-    chars).
+    Plan: THREE nested map-side explodes (64 KiB super-chunks, then
+    512-char chunks, then positions within each chunk — no UDF,
+    whole-stage codegen) into ONE combinable groupBy(span) shuffle.
+    The chunking is a row-WIDTH scale fix (r10 widerow probe): Spark's
+    substr(text, i, L) is an O(i) codepoint scan, so the naive
+    positions-explode costs O(width²) per document — measured
+    17.6 s → 83.8 s for the SAME corpus bytes when average doc width
+    grew 2k → 20k chars (probe_widerow; isolated: positional substr
+    79.4 s vs constant-offset 5.3 s at 20k width). Exploding
+    fixed-stride chunks first bounds every per-span substr offset at
+    ``_SPAN_CHUNK + L`` regardless of document width. The second
+    (super-chunk) level is the r11 megadoc fix: single-level chunk
+    extraction itself scans O(width²/_SPAN_CHUNK) per doc — measured
+    6.1× wall at 2 MB docs vs 20k docs at constant corpus bytes
+    (probe_megadoc: 64.7 s → 16.1 s at that point after the fix;
+    saturated 32-doc probe reads 1.07× wall at 100× width —
+    width-parity, no quadratic term left). With both levels the
+    residual per-doc scan is
+    O(width²/_SUPER_CHUNK) + O(width·_SUPER_CHUNK/_SPAN_CHUNK),
+    crossing over only past ~8 MB/doc, where a third level repeats
+    the same pattern. substr-of-substr preserves codepoint indexing
+    exactly at every level (unicode-hostile text slices identically
+    to the single-substr form — property-tested row-identical vs the
+    naive formulation incl. supplementary-plane chars and widths
+    straddling both chunk boundaries).
 
     Honest 100 TB posture: exact L-span detection inherently
     shuffles ~(L + 16) bytes per corpus character (~2L× the corpus) —
@@ -395,24 +412,55 @@ def duplicated_spans(
     ).select("doc_id", "text")
     # chunk k (0-based) holds the S span-starts kS+1..kS+S, so it needs
     # the S+L-1 chars from global position kS+1; the LAST chunk index
-    # is (n_starts-1) div S where n_starts = n-L+1
+    # is (n_starts-1) div S where n_starts = n-L+1. A THIRD explode
+    # level sits above it (r11): super-chunk j holds the M = S2/S1
+    # chunks k in [jM, (j+1)M) and needs the S2+L-1 chars from global
+    # position jS2+1 — substr-of-substr composes exactly (global char
+    # jS2 + k'S1 + i == chunk k = jM+k', offset i), so each level only
+    # adds the same L-1 overlap and the innermost arithmetic is
+    # unchanged (base stays the GLOBAL span offset).
     S = _SPAN_CHUNK
+    S2 = _SUPER_CHUNK
+    M = S2 // S
     n_starts = F.length("text") - F.lit(span_len - 1)
-    chunks = d.select(
+    supers = d.select(
         "doc_id",
         F.explode(
             F.sequence(
                 F.lit(0),
-                F.floor((n_starts - F.lit(1)) / F.lit(S)).cast("int"),
+                F.floor((n_starts - F.lit(1)) / F.lit(S2)).cast("int"),
             )
-        ).alias("k"),
+        ).alias("j"),
         "text",
         n_starts.alias("n_starts"),
     ).select(
         "doc_id",
-        (F.col("k") * S).alias("base"),
+        "j",
         F.col("text")
-        .substr((F.col("k") * S + 1).cast("int"), F.lit(S + span_len - 1))
+        .substr((F.col("j").cast("long") * S2 + 1).cast("int"), F.lit(S2 + span_len - 1))
+        .alias("super"),
+        "n_starts",
+    )
+    chunks = supers.select(
+        "doc_id",
+        "j",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.least(
+                    F.lit(M - 1).cast("long"),
+                    F.floor((F.col("n_starts") - F.lit(1)) / F.lit(S))
+                    - F.col("j").cast("long") * M,
+                ).cast("int"),
+            )
+        ).alias("kk"),
+        "super",
+        "n_starts",
+    ).select(
+        "doc_id",
+        (F.col("j").cast("long") * S2 + F.col("kk").cast("long") * S).alias("base"),
+        F.col("super")
+        .substr((F.col("kk") * S + 1).cast("int"), F.lit(S + span_len - 1))
         .alias("chunk"),
         "n_starts",
     )

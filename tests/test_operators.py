@@ -2303,6 +2303,33 @@ def test_duplicated_spans_chunked_matches_naive(spark):
         want = sorted(map(tuple, naive(long_docs, span_len).collect()))
         assert got and got == want, (span_len, len(got), len(want))
 
+    # r11 second chunk level: exercise the SUPER-chunk boundary
+    # arithmetic with the strides patched tiny (8/32), so widths on /
+    # either side of every j/kk boundary stay cheap for the naive twin
+    # — the production constants only shift where the boundaries fall,
+    # never the arithmetic (S2 is a multiple of S1 in both).
+    import datafusion_wasm_bindings_spark.operators.dedup as _dedup_mod
+
+    old_s, old_s2 = _dedup_mod._SPAN_CHUNK, _dedup_mod._SUPER_CHUNK
+    try:
+        _dedup_mod._SPAN_CHUNK, _dedup_mod._SUPER_CHUNK = 8, 32
+        srows = []
+        for d, n in enumerate([31, 32, 33, 40, 63, 64, 65, 96, 100, 129]):
+            srows.append((d, "".join(rng.choice(alpha) for _ in range(n))))
+        srows += [(900, "boundary-straddle!" * 8), (901, "boundary-straddle!" * 8)]
+        sdocs = spark.createDataFrame(srows, "doc_id long, text string")
+        for span_len in (3, 7, 9, 35):  # < S1, = S1-1, > S1, > S2
+            got = sorted(
+                map(
+                    tuple,
+                    duplicated_spans(sdocs, span_len=span_len, top_k=None).collect(),
+                )
+            )
+            want = sorted(map(tuple, naive(sdocs, span_len).collect()))
+            assert got == want, (span_len, got[:3], want[:3])
+    finally:
+        _dedup_mod._SPAN_CHUNK, _dedup_mod._SUPER_CHUNK = old_s, old_s2
+
 
 def test_builtin_moment_aggs_match_identities(spark, sf_dir):
     """The q_fn_stddev_var / q_fn_corr_covar / q_fn_regr oracle twins

@@ -2125,6 +2125,54 @@ def probe_widerow(spark) -> None:
     assert 0.7 <= ratio <= 1.4, results
 
 
+def probe_megadoc(spark) -> None:
+    """Multi-megabyte single documents (VERDICT r10 #5): widerow
+    certified width-parity up to 20k-char docs; this point holds
+    corpus bytes constant (~64 MB) and grows width 100× further
+    (20k → 2M chars/doc), with ≥32 docs at BOTH widths so neither
+    point is parallelism-starved (a 10-doc first cut read 4.3× that
+    was the 10-of-32-cores floor, not a width term). Single-level
+    chunking scans O(width²/_SPAN_CHUNK) per doc during chunk
+    EXTRACTION — measured 64.7 s vs 10.6 s at constant 20 MB corpus
+    before the r11 super-chunk level; with the second level the
+    residual top scan is O(width²/_SUPER_CHUNK) per doc and the mega
+    point must stay within 3× of the narrow wall (measured 19.5 vs
+    18.2 s warm medians = 1.07× at 100× width — width-parity; a
+    loaded-box reading of the same config reached 2.2×, still in
+    contract; stride A/B at 2 MB: S2 16k/32k/64k/128k →
+    17.8/18.6/14.9/18.6 s, 64 KiB kept)."""
+    from datafusion_wasm_bindings_spark.operators.dedup import duplicated_spans
+
+    results = {}
+    for label, n_docs, n_blocks in (
+        ("narrow 20k-char", 3200, 625),
+        ("mega 2M-char", 32, 65536),
+    ):
+        docs = _gen_wide_docs(spark, n_docs, n_blocks)
+
+        def span_df():
+            return duplicated_spans(docs, span_len=20, top_k=50)
+
+        t = _time(f"megadoc duplicated_spans, {label} x {n_docs:,} docs", lambda: span_df().collect())
+        b = _shuffle_bytes(span_df())
+        corpus = n_docs * n_blocks * 32
+        _emit(f"  {label}: {t:.1f} s, span shuffle {b:,} B ({b / corpus:.1f} B/char)")
+        results[label] = {"t": t, "b_per_char": b / corpus}
+        docs.unpersist()
+
+    ratio_t = results["mega 2M-char"]["t"] / results["narrow 20k-char"]["t"]
+    ratio_b = (
+        results["mega 2M-char"]["b_per_char"]
+        / results["narrow 20k-char"]["b_per_char"]
+    )
+    _emit(
+        f"  megadoc wall ratio mega/narrow: {ratio_t:.2f} (contract < 3); "
+        f"shuffle B/char ratio: {ratio_b:.2f} (contract [0.7, 1.4])"
+    )
+    assert ratio_t < 3.0, results
+    assert 0.7 <= ratio_b <= 1.4, results
+
+
 _PROBE_LOG = __import__("os").environ.get(
     "SPARK_GRAFT_PROBE_LOG", "/tmp/dfwb_probe_log.txt"
 )
@@ -2184,6 +2232,8 @@ if __name__ == "__main__":
         probe_substring_xl(spark)
     if "widerow" in which:
         probe_widerow(spark)
+    if "megadoc" in which:
+        probe_megadoc(spark)
     if "editdist_xl" in which:
         probe_editdist_xl(spark)
     if "interval_xl" in which:
