@@ -2173,6 +2173,125 @@ def probe_megadoc(spark) -> None:
     assert 0.7 <= ratio_b <= 1.4, results
 
 
+def _gen_clustered_docs(spark, n_docs: int):
+    """Deterministic corpus with planted near-dup CLUSTERS: the first
+    10% of doc_ids form 3-doc clusters with IDENTICAL 20-token text
+    (word-set jaccard 1.0 >= the 0.9 threshold); every other doc draws
+    a private hash-hex vocabulary, so distinct docs share NO token
+    (64-bit space — expected accidental collisions < 1e-4 at 2M docs)
+    and the inverted index generates candidate pairs ONLY inside
+    planted clusters (token doc-freq <= 3, far under the df cut)."""
+    n_clustered = n_docs // 10
+    key = (
+        F.when(
+            F.col("id") < n_clustered,
+            F.col("id") - F.pmod(F.col("id"), F.lit(3)),
+        )
+        .otherwise(F.col("id") + n_docs)
+    )
+    return (
+        spark.range(n_docs)
+        .withColumn("k", key)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(20)),
+                    lambda i: F.hex(F.xxhash64(F.col("k") * 131 + i)),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .localCheckpoint()
+    )
+
+
+def probe_clustersplit_xl(spark) -> None:
+    """q_pipeline_cluster_split's composed shape at 10x headroom
+    (r11 addition; the registered query caps the fixture at 200 docs
+    for the recursive-CTE oracle — this probe runs the SAME
+    composition, ngram_jaccard_pairs -> connected_components ->
+    representative md5 split -> in-query leakage audit, over 200k and
+    2M planted-cluster docs and reports the row-scaling exponent).
+    The audit column must read 0 at BOTH scales (cluster-aware
+    assignment cannot leak by construction) and every planted cluster
+    must be recovered (n_clusters = 0.9n singletons + n/30 triples)."""
+    from datafusion_wasm_bindings_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    def split_of(c):
+        h = F.substring(F.md5(F.concat(c.cast("string"), F.lit("dfwb-split"))), 1, 8)
+        return (
+            F.when(h < "cccccccc", F.lit("train"))
+            .when(h < "e6666666", F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    results = {}
+    for label, n_docs in (("200k", 200_000), ("2M", 2_000_000)):
+        docs = _gen_clustered_docs(spark, n_docs)
+        # ceil-divide the clustered block: a trailing partial group of
+        # 2 docs is still one planted pair -> one component
+        expect_clusters = (n_docs - n_docs // 10) + (n_docs // 10 + 2) // 3
+
+        def run(n_docs=n_docs, docs=docs, expect_clusters=expect_clusters):
+            pairs = ngram_jaccard_pairs(
+                docs, threshold=0.9, max_doc_freq=160
+            ).localCheckpoint()
+            comps = connected_components(pairs).selectExpr(
+                "node AS doc_id", "comp AS cluster_id"
+            )
+            assign = (
+                docs.select("doc_id")
+                .join(comps, "doc_id", "left")
+                .withColumn("rep", F.coalesce("cluster_id", "doc_id"))
+                .withColumn("split", split_of(F.col("rep")))
+            )
+            leaked = (
+                pairs.select("id_a", "id_b")
+                .join(
+                    comps.select(
+                        F.col("doc_id").alias("id_a"),
+                        split_of(F.col("cluster_id")).alias("sa"),
+                    ),
+                    "id_a",
+                )
+                .join(
+                    comps.select(
+                        F.col("doc_id").alias("id_b"),
+                        split_of(F.col("cluster_id")).alias("sb"),
+                    ),
+                    "id_b",
+                )
+                .filter(F.col("sa") != F.col("sb"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n_cross_split_pairs"))
+            )
+            rows = (
+                assign.groupBy("split")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.countDistinct("rep").cast("long").alias("n_clusters"),
+                )
+                .crossJoin(F.broadcast(leaked))
+                .collect()
+            )
+            assert sum(r["n_docs"] for r in rows) == n_docs, rows
+            assert all(r["n_cross_split_pairs"] == 0 for r in rows), rows
+            assert sum(r["n_clusters"] for r in rows) == expect_clusters, rows
+
+        t = _time(f"cluster split composed (pairs+CC+assign+audit), {label} docs", run)
+        results[label] = t
+        docs.unpersist()
+
+    import math
+
+    exp = math.log(results["2M"] / results["200k"]) / math.log(10)
+    _emit(f"  clustersplit_xl 10x exponent: {exp:.2f} (contract <= 1.1)")
+    assert exp <= 1.1, results
+
+
 _PROBE_LOG = __import__("os").environ.get(
     "SPARK_GRAFT_PROBE_LOG", "/tmp/dfwb_probe_log.txt"
 )
@@ -2234,6 +2353,8 @@ if __name__ == "__main__":
         probe_widerow(spark)
     if "megadoc" in which:
         probe_megadoc(spark)
+    if "clustersplit_xl" in which:
+        probe_clustersplit_xl(spark)
     if "editdist_xl" in which:
         probe_editdist_xl(spark)
     if "interval_xl" in which:
