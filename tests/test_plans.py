@@ -848,15 +848,29 @@ def test_no_cartesian_product_anywhere_in_registry(spark, sf_dir):
     is read at the returned summary, not the write."""
     import re
 
-    skip = (
-        "stream",
-        "q_copy",
-        "result",
-        "insert",
-        "balanced",
-        "ctas",
-        "bucketed",
-    )
+    # EXACT ids, never substrings (r11 convention, ADVICE r10: a
+    # substring skip silently exempts future queries — "balanced" was
+    # also catching the non-sink q_sample_balanced, which lints clean
+    # and is now covered). All skips are side-effecting (scratch
+    # writers / streaming triggers) or bucketed-scan shapes whose plan
+    # is read at the returned summary, not the write.
+    skip = {
+        "q_stream_dedup",
+        "q_stream_session",
+        "q_stream_stateful_totals",
+        "q_stream_static_join",
+        "q_stream_stream_join",
+        "q_stream_upsert",
+        "q_copy_csv",
+        "q_copy_json",
+        "q_copy_parquet",
+        "q_result_json",
+        "q_result_table",
+        "q_insert_into",
+        "q_scale_balanced_write",
+        "q_values_ctas",
+        "q_join_bucketed",
+    }
     # global windows over provably bounded inputs (see docstrings):
     bounded_global_windows = {
         "q_scale_compaction",  # file manifest (1 row/file; 1M-file probe 0.7 s)
@@ -871,7 +885,7 @@ def test_no_cartesian_product_anywhere_in_registry(spark, sf_dir):
     }
     offenders = {}
     for name, spec in REGISTRY.items():
-        if any(s in name for s in skip):
+        if name in skip:
             continue
         try:
             plan = _plan(spec.spark_fn(spark, sf_dir))
