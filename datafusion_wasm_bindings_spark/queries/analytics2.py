@@ -216,14 +216,21 @@ def _events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id; both windows share the same sort, then a
     tiny (|types|²) aggregate."""
     # journeys order by event time: NULL-ts rows excluded, NULLS LAST
-    # tie-break (adversarial NULL replay, r5)
+    # tie-break (adversarial NULL replay, r5). event_type joins the
+    # ordering because both frames READ it (r8(a) total-ordering rule,
+    # extended to the first/last_value family r11: a skewex sf0.01
+    # draw put two NULL-event_id rows at one (user_id, ts) with
+    # different event_types — Spark's peer order is RUN-
+    # nondeterministic, the q_events_markov class).
     e = (
         table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
         .select("user_id", "event_id", "ts", "event_type")
     )
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc_nulls_last()
+        F.col("ts").asc(),
+        F.col("event_id").asc_nulls_last(),
+        F.col("event_type").asc_nulls_last(),
     )
     first_touch = F.first("event_type").over(
         w.rowsBetween(Window.unboundedPreceding, 0)
@@ -247,11 +254,13 @@ query(
     WITH o AS (
       SELECT user_id, event_type,
              first_value(event_type) OVER (PARTITION BY user_id
-                 ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC NULLS LAST
+                 ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC NULLS LAST,
+                          event_type ASC NULLS LAST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch,
              last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
                OVER (PARTITION BY user_id
-                     ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC NULLS LAST
+                     ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC NULLS LAST,
+                              event_type ASC NULLS LAST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
       FROM events WHERE ts IS NOT NULL
     )

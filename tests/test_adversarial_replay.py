@@ -101,6 +101,14 @@ SKEWEX_SENTINELS = [
     "q_sales_yoy",              # same class, lag-window flavor: a
                                 # hostile year's revenue sums to
                                 # exactly zero under the composed axes
+    "q_events_attribution",     # r11 sf0.01-source find: first/last_
+                                # value frames READ event_type, which
+                                # was missing from the (ts, event_id)
+                                # ordering — two NULL-event_id rows at
+                                # one (user_id, ts) made Spark's peer
+                                # order RUN-nondeterministic (the
+                                # q_events_markov lead/lag class,
+                                # extended to the value-fn family)
 ]
 
 # the r8 SKEW campaign (hot-key point mass on join/group keys +
