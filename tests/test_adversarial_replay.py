@@ -209,6 +209,49 @@ def test_sentinel_queries_survive_composed_skew_extremes(spark):
     _mode_sentinel_check(spark, "skewex", SKEWEX_SENTINELS)
 
 
+# plan-perturbation stability sentinels (r11, tools_stability.py): the
+# positionally-consuming window/value-fn family whose output would leak
+# Spark's physical peer order if any consumed column ever left the
+# window ordering again. q_events_attribution is the live precedent —
+# its campaign FAIL flapped (an identical re-run passed), which is why
+# this check perturbs the partitioning instead of waiting for a draw.
+STABILITY_SENTINELS = [
+    "q_events_attribution",  # first/last_value frames (the r11 find)
+    "q_events_markov",       # lead(event_type) (the r9 find)
+    "q_pipeline_scd2",       # lag/lead validity chain (the r9 find)
+    "q_win_rows_frame",      # ROWS frame sum (the r8 find)
+    "q_win_value_fns",       # first/last/nth_value over supplier
+]
+
+
+def test_sentinel_queries_are_partition_invariant(spark):
+    """Run each stability sentinel at shuffle.partitions 32 and 7 on
+    the composed-hostility mutation dir and demand identical
+    canonicalized output (tools_stability.py's check, pinned on the
+    ids where order-dependence historically lived)."""
+    from tools_stability import canon
+
+    from datafusion_wasm_bindings_spark.queries import load_all
+    from datafusion_wasm_bindings_spark.queries.sources_q import _ensure_text_fixtures
+
+    mode_dir = build_mode_dir("skewex")
+    _ensure_text_fixtures(mode_dir)
+    registry = load_all()
+    bad = {}
+    for name in STABILITY_SENTINELS:
+        spec = registry[name]
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            a = canon(spec.spark_fn(spark, mode_dir).toPandas())
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            b = canon(spec.spark_fn(spark, mode_dir).toPandas())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        if not a.equals(b):
+            bad[name] = "partition-variant output"
+    assert not bad, bad
+
+
 def test_mode_dirs_are_config_keyed_no_torn_reads(tmp_path):
     """Reproduce-then-block the r8 phantom-FAIL scenario (VERDICT r8
     #4): a sentinel run against one source used to SWAP the mode dir
