@@ -45,6 +45,13 @@ from tools_adversarial_replay import _tokens  # null-unified stringify
 
 DEFAULT_PARTS = "32"
 PERTURBED_PARTS = "7"
+# third axis: shrink the scan split size so every file fans out into
+# many more input tasks — this perturbs the PARTIAL-aggregation merge
+# tree and map-side task order, which shuffle.partitions cannot reach
+# (a map-side-only plan has no exchange at all). Directly exercises
+# the decimal-exact-sum order-invariance claim.
+DEFAULT_SPLIT = str(128 * 1024 * 1024)
+PERTURBED_SPLIT = str(256 * 1024)
 
 # Outputs that are APPROXIMATE BY CONTRACT and whose sketch merge is
 # not order-invariant: a KLL/GK quantile sketch's surfaced value may
@@ -105,29 +112,32 @@ def main() -> None:
         rec: dict = {}
         try:
             spark.conf.set("spark.sql.shuffle.partitions", DEFAULT_PARTS)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", DEFAULT_SPLIT)
             a = canon(spec.spark_fn(spark, src).toPandas())
             spark.conf.set("spark.sql.shuffle.partitions", PERTURBED_PARTS)
             b = canon(spec.spark_fn(spark, src).toPandas())
-            rec["stable"] = bool(
-                len(a) == len(b)
-                and list(a.columns) == list(b.columns)
-                and a.equals(b)
-            )
-            if not rec["stable"]:
-                neq = (
-                    (a != b).any(axis=1)
-                    if len(a) == len(b) and list(a.columns) == list(b.columns)
-                    else None
+            spark.conf.set("spark.sql.shuffle.partitions", DEFAULT_PARTS)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", PERTURBED_SPLIT)
+            c = canon(spec.spark_fn(spark, src).toPandas())
+
+            def same(x, y):
+                return bool(
+                    len(x) == len(y)
+                    and list(x.columns) == list(y.columns)
+                    and x.equals(y)
                 )
+
+            rec["stable"] = same(a, b) and same(a, c)
+            if not rec["stable"]:
                 rec["detail"] = (
-                    f"rows {len(a)} vs {len(b)}"
-                    if neq is None
-                    else f"{int(neq.sum())} differing rows of {len(a)}"
+                    f"shuffle-perturb same={same(a, b)}, "
+                    f"scan-split-perturb same={same(a, c)}"
                 )
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
             rec = {"stable": False, "err": f"{type(e).__name__}: {e}"[:300]}
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", DEFAULT_PARTS)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", DEFAULT_SPLIT)
         results[name] = rec
 
     json.dump(results, open("/tmp/stability_report.json", "w"), indent=1, default=str)
@@ -137,7 +147,8 @@ def main() -> None:
     bad = {k: v for k, v in results.items() if not v["stable"] and _waiver(k) is None}
     waived = {k: _waiver(k) for k, v in results.items() if not v["stable"] and _waiver(k)}
     print(
-        f"[stability {DEFAULT_PARTS}-vs-{PERTURBED_PARTS}] "
+        f"[stability shuffle {DEFAULT_PARTS}-vs-{PERTURBED_PARTS} + "
+        f"scan-split 128M-vs-256K] "
         f"{len(results) - len(bad) - len(waived)}/{len(results)} stable, "
         f"{len(waived)} waived, {len(bad)} VARIANT  ({src})"
     )
