@@ -1,8 +1,9 @@
 """Plan-perturbation stability sweep: run every registered query's
-SPARK side twice — once at the session default
-``spark.sql.shuffle.partitions`` (32) and once at a co-prime perturbed
-setting (7) — canonicalize both results with the adversarial replay's
-null-unified tokenizer, and demand they are IDENTICAL.
+SPARK side once per physical configuration — the session defaults,
+then each perturbation axis in ``PERTURBATIONS`` (shuffle partition
+count, scan split size, AQE off) — canonicalize every result with the
+adversarial replay's null-unified tokenizer, and demand they are all
+IDENTICAL to the baseline.
 
 Why this exists (r11): the full skewex campaign at the sf0.01 source
 caught q_events_attribution producing a DIFFERENT answer run-to-run —
@@ -43,15 +44,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tools_adversarial_replay import _tokens  # null-unified stringify
 
-DEFAULT_PARTS = "32"
-PERTURBED_PARTS = "7"
-# third axis: shrink the scan split size so every file fans out into
-# many more input tasks — this perturbs the PARTIAL-aggregation merge
-# tree and map-side task order, which shuffle.partitions cannot reach
-# (a map-side-only plan has no exchange at all). Directly exercises
-# the decimal-exact-sum order-invariance claim.
-DEFAULT_SPLIT = str(128 * 1024 * 1024)
-PERTURBED_SPLIT = str(256 * 1024)
+DEFAULTS = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.adaptive.enabled": "true",
+}
+# Each axis perturbs a DIFFERENT degree of physical freedom:
+# - shuffle7: post-exchange peer order (window/agg tie exposure);
+# - split256k: map-side task order and the PARTIAL-aggregation merge
+#   tree, which shuffle.partitions cannot reach (map-side-only plans
+#   have no exchange) — exercises decimal-exact-sum order-invariance;
+# - aqe_off: join strategy selection (runtime broadcast vs sort-merge,
+#   skew-join splitting, coalesced partitions) — output must not
+#   depend on which physical join/partitioning AQE picked.
+PERTURBATIONS = [
+    ("shuffle7", {"spark.sql.shuffle.partitions": "7"}),
+    ("split256k", {"spark.sql.files.maxPartitionBytes": str(256 * 1024)}),
+    ("aqe_off", {"spark.sql.adaptive.enabled": "false"}),
+]
 
 # Outputs that are APPROXIMATE BY CONTRACT and whose sketch merge is
 # not order-invariant: a KLL/GK quantile sketch's surfaced value may
@@ -110,34 +120,36 @@ def main() -> None:
     results: dict[str, dict] = {}
     for name, spec in todo:
         rec: dict = {}
+        def same(x, y):
+            return bool(
+                len(x) == len(y)
+                and list(x.columns) == list(y.columns)
+                and x.equals(y)
+            )
+
         try:
-            spark.conf.set("spark.sql.shuffle.partitions", DEFAULT_PARTS)
-            spark.conf.set("spark.sql.files.maxPartitionBytes", DEFAULT_SPLIT)
-            a = canon(spec.spark_fn(spark, src).toPandas())
-            spark.conf.set("spark.sql.shuffle.partitions", PERTURBED_PARTS)
-            b = canon(spec.spark_fn(spark, src).toPandas())
-            spark.conf.set("spark.sql.shuffle.partitions", DEFAULT_PARTS)
-            spark.conf.set("spark.sql.files.maxPartitionBytes", PERTURBED_SPLIT)
-            c = canon(spec.spark_fn(spark, src).toPandas())
-
-            def same(x, y):
-                return bool(
-                    len(x) == len(y)
-                    and list(x.columns) == list(y.columns)
-                    and x.equals(y)
-                )
-
-            rec["stable"] = same(a, b) and same(a, c)
-            if not rec["stable"]:
-                rec["detail"] = (
-                    f"shuffle-perturb same={same(a, b)}, "
-                    f"scan-split-perturb same={same(a, c)}"
-                )
+            for k, v in DEFAULTS.items():
+                spark.conf.set(k, v)
+            base = canon(spec.spark_fn(spark, src).toPandas())
+            variant_axes = []
+            for label, confs in PERTURBATIONS:
+                for k, v in confs.items():
+                    spark.conf.set(k, v)
+                try:
+                    perturbed = canon(spec.spark_fn(spark, src).toPandas())
+                finally:
+                    for k in confs:
+                        spark.conf.set(k, DEFAULTS[k])
+                if not same(base, perturbed):
+                    variant_axes.append(label)
+            rec["stable"] = not variant_axes
+            if variant_axes:
+                rec["detail"] = f"variant under: {variant_axes}"
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
             rec = {"stable": False, "err": f"{type(e).__name__}: {e}"[:300]}
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", DEFAULT_PARTS)
-            spark.conf.set("spark.sql.files.maxPartitionBytes", DEFAULT_SPLIT)
+            for k, v in DEFAULTS.items():
+                spark.conf.set(k, v)
         results[name] = rec
 
     json.dump(results, open("/tmp/stability_report.json", "w"), indent=1, default=str)
@@ -147,8 +159,7 @@ def main() -> None:
     bad = {k: v for k, v in results.items() if not v["stable"] and _waiver(k) is None}
     waived = {k: _waiver(k) for k, v in results.items() if not v["stable"] and _waiver(k)}
     print(
-        f"[stability shuffle {DEFAULT_PARTS}-vs-{PERTURBED_PARTS} + "
-        f"scan-split 128M-vs-256K] "
+        f"[stability axes: {'+'.join(l for l, _ in PERTURBATIONS)}] "
         f"{len(results) - len(bad) - len(waived)}/{len(results)} stable, "
         f"{len(waived)} waived, {len(bad)} VARIANT  ({src})"
     )
