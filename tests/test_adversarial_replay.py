@@ -224,6 +224,24 @@ STABILITY_SENTINELS = [
 ]
 
 
+def test_stability_tool_honors_mode_scoped_waivers():
+    """tools_stability's waiver resolution: a hostile mutation dir
+    source inherits the replay campaign's mode-scoped waivers (a query
+    that deterministically aborts on that dir's data errors identically
+    at every partitioning — documented waiver, not instability); a
+    benign fixture source inherits nothing."""
+    from tools_stability import _mode_waiver
+
+    assert _mode_waiver(
+        "/tmp/dfwb_adversarial/skewex.2a8f1ec1", "q_scan_partitioned"
+    ), "skewex dir must resolve the standing dirname waiver"
+    assert (
+        _mode_waiver("/tmp/dfwb_adversarial/skewex.2a8f1ec1", "q_join_inner")
+        is None
+    )
+    assert _mode_waiver("/root/testdata/sf0.1", "q_scan_partitioned") is None
+
+
 def test_sentinel_queries_are_partition_invariant(spark):
     """Run each stability sentinel at shuffle.partitions 32 and 7 on
     the composed-hostility mutation dir and demand identical
