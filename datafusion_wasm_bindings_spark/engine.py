@@ -592,13 +592,44 @@ class SQLEngine:
             raise PlanError(f"COPY: unsupported STORED AS format: {fmt}")
         return self.spark.createDataFrame([(n,)], "count bigint")
 
+    #: Cap on bytes staged through the driver for an http(s) external
+    #: table (VERDICT r11 #5): the whole-object GET matches the
+    #: reference's store but serializes through ONE host — a multi-GB
+    #: URL must fail loudly, not silently stage. Override per engine
+    #: (``eng.http_staging_cap_bytes = …``) or via the
+    #: SPARK_GRAFT_HTTP_CAP_BYTES env var; 0/None disables the cap.
+    HTTP_STAGING_CAP_BYTES_DEFAULT = 256 * 1024 * 1024
+
+    @property
+    def http_staging_cap_bytes(self) -> int | None:
+        import os
+
+        override = getattr(self, "_http_cap_override", None)
+        if override is not None:
+            return override or None
+        env = os.environ.get("SPARK_GRAFT_HTTP_CAP_BYTES")
+        if env is not None:
+            return int(env) or None
+        return self.HTTP_STAGING_CAP_BYTES_DEFAULT
+
+    @http_staging_cap_bytes.setter
+    def http_staging_cap_bytes(self, v: int | None) -> None:
+        self._http_cap_override = v
+
     def _stage_http_object(self, url: str) -> str:
         """Download an http(s) object to a local staging file (keyed by
-        URL hash, fetched once per engine) and return its path."""
+        URL hash, fetched once per engine) and return its path.
+
+        Size-guarded: a HEAD preflight rejects objects whose declared
+        Content-Length exceeds ``http_staging_cap_bytes`` BEFORE any
+        bytes move, and the streaming download re-enforces the cap
+        byte-counted (servers may omit or lie about the header)."""
         import hashlib
         import os
         import tempfile
         import urllib.request
+
+        from datafusion_wasm_bindings_spark.errors import ExecutionError
 
         staging = os.path.join(tempfile.gettempdir(), "dfwb_http_staging")
         os.makedirs(staging, exist_ok=True)
@@ -606,13 +637,45 @@ class SQLEngine:
         dest = os.path.join(
             staging, hashlib.sha256(url.encode()).hexdigest()[:16] + "_" + suffix
         )
+        cap = self.http_staging_cap_bytes
         if not os.path.exists(dest):
             try:
-                urllib.request.urlretrieve(url, dest + ".part")  # noqa: S310
+                if cap:
+                    head = urllib.request.Request(url, method="HEAD")  # noqa: S310
+                    try:
+                        with urllib.request.urlopen(head) as resp:  # noqa: S310
+                            clen = resp.headers.get("Content-Length")
+                    except Exception:  # noqa: BLE001 — HEAD unsupported: stream-enforce below
+                        clen = None
+                    if clen is not None and int(clen) > cap:
+                        raise ExecutionError(
+                            f"HTTP object too large to stage through the driver: "
+                            f"{url} declares {int(clen)} bytes, cap is {cap} "
+                            f"(raise eng.http_staging_cap_bytes or "
+                            f"SPARK_GRAFT_HTTP_CAP_BYTES to override)"
+                        )
+                total = 0
+                with urllib.request.urlopen(url) as resp, open(  # noqa: S310
+                    dest + ".part", "wb"
+                ) as out:
+                    while chunk := resp.read(1 << 20):
+                        total += len(chunk)
+                        if cap and total > cap:
+                            raise ExecutionError(
+                                f"HTTP object exceeded the staging cap mid-download: "
+                                f"{url} passed {cap} bytes (raise "
+                                f"eng.http_staging_cap_bytes or "
+                                f"SPARK_GRAFT_HTTP_CAP_BYTES to override)"
+                            )
+                        out.write(chunk)
                 os.replace(dest + ".part", dest)
+            except ExecutionError:
+                try:
+                    os.unlink(dest + ".part")
+                except OSError:
+                    pass
+                raise
             except Exception as exc:  # noqa: BLE001 - classified below
-                from datafusion_wasm_bindings_spark.errors import ExecutionError
-
                 raise ExecutionError(f"HTTP object fetch failed for {url}: {exc}") from exc
         return dest
 

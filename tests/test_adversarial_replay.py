@@ -242,6 +242,27 @@ def test_stability_tool_honors_mode_scoped_waivers():
     assert _mode_waiver("/root/testdata/sf0.1", "q_scan_partitioned") is None
 
 
+def test_stability_waiver_covers_aborts_not_variant_output():
+    """ADVICE r11: a mode waiver documents a deterministic ABORT ('err'
+    record). The same id producing partition-VARIANT output ('detail'
+    record, no 'err') is a real finding and must NOT be waived. And the
+    unscoped EXCLUDED fallback is gone: waivers never leak across modes."""
+    from tools_adversarial_replay import EXCLUDED
+    from tools_stability import resolve_waiver
+
+    src = "/tmp/dfwb_adversarial/skewex.2a8f1ec1"
+    abort = {"stable": False, "err": "AnalysisException: dirname too long"}
+    variant = {"stable": False, "detail": "variant under: ['shuffle7']"}
+    assert resolve_waiver(src, "q_scan_partitioned", abort)
+    assert resolve_waiver(src, "q_scan_partitioned", variant) is None
+    # an unscoped key must not resolve for any mode dir (no fallback)
+    EXCLUDED["q_totally_unscoped"] = "should never fire"
+    try:
+        assert resolve_waiver(src, "q_totally_unscoped", abort) is None
+    finally:
+        del EXCLUDED["q_totally_unscoped"]
+
+
 def test_sentinel_queries_are_partition_invariant(spark):
     """Run each stability sentinel at shuffle.partitions 32 and 7 on
     the composed-hostility mutation dir and demand identical
@@ -256,6 +277,7 @@ def test_sentinel_queries_are_partition_invariant(spark):
     _ensure_text_fixtures(mode_dir)
     registry = load_all()
     bad = {}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     for name in STABILITY_SENTINELS:
         spec = registry[name]
         try:
@@ -264,7 +286,10 @@ def test_sentinel_queries_are_partition_invariant(spark):
             spark.conf.set("spark.sql.shuffle.partitions", "7")
             b = canon(spec.spark_fn(spark, mode_dir).toPandas())
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            # Restore the SESSION's value (conftest builds it at 8), not a
+            # hardcoded "32" — ADVICE r11: the leak made every later test's
+            # plan-shape/AQE assertions order-dependent on this one.
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
         if not a.equals(b):
             bad[name] = "partition-variant output"
     assert not bad, bad

@@ -388,6 +388,78 @@ def test_create_external_table_http_location(engine, sf_dir):
         srv.shutdown()
 
 
+def test_http_staging_size_cap(engine, sf_dir):
+    """VERDICT r11 #5: the driver-side HTTP staging path is
+    size-guarded. (a) A HEAD preflight rejects an object whose declared
+    Content-Length exceeds the cap BEFORE any body bytes move; (b) when
+    the server omits Content-Length (chunked), the streaming download
+    aborts byte-counted at the cap. Both raise typed ExecutionError
+    naming the cap; no .part debris survives."""
+    import glob
+    import http.server
+    import os
+    import tempfile
+    import threading
+
+    import pytest
+
+    from datafusion_wasm_bindings_spark.errors import ExecutionError
+
+    body = b"x" * (1 << 16)
+    got_body = {"head_only": True}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_HEAD(self):
+            self.send_response(200)
+            if not self.path.startswith("/nolen"):
+                self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+
+        def do_GET(self):
+            got_body["head_only"] = False
+            if self.path.startswith("/nolen"):
+                # chunked transfer: no Content-Length for the preflight
+                self.send_response(200)
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                for i in range(0, len(body), 4096):
+                    chunk = body[i : i + 4096]
+                    self.wfile.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
+                self.wfile.write(b"0\r\n\r\n")
+            else:
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    prev_cap = engine.http_staging_cap_bytes
+    try:
+        port = srv.server_address[1]
+        engine.http_staging_cap_bytes = 1024
+        # (a) declared-size rejection at HEAD time — no GET is issued
+        with pytest.raises(ExecutionError, match="too large to stage.*cap is 1024"):
+            engine._stage_http_object(f"http://127.0.0.1:{port}/big.parquet")
+        assert got_body["head_only"], "preflight must reject before any body bytes"
+        # (b) header-less stream aborts at the cap mid-download
+        with pytest.raises(ExecutionError, match="exceeded the staging cap"):
+            engine._stage_http_object(f"http://127.0.0.1:{port}/nolen.parquet")
+        staging = os.path.join(tempfile.gettempdir(), "dfwb_http_staging")
+        assert not glob.glob(os.path.join(staging, "*.part")), "no .part debris"
+        # cap disabled (None/0) → the same objects stage fine
+        engine.http_staging_cap_bytes = 0
+        p = engine._stage_http_object(f"http://127.0.0.1:{port}/big.parquet")
+        assert os.path.getsize(p) == len(body)
+        os.unlink(p)
+    finally:
+        engine.http_staging_cap_bytes = prev_cap
+        srv.shutdown()
+
+
 def test_create_external_table_with_declared_schema(engine, sf_dir, tmp_path):
     import os
 
@@ -485,7 +557,20 @@ def test_s3_live_round_trip_if_endpoint_configured(spark):
 
     endpoint = os.environ.get("SPARK_GRAFT_S3_ENDPOINT")
     if not endpoint:
-        pytest.skip("no live S3 endpoint in this environment")
+        pytest.skip(
+            "missing artifacts for a live S3 read: no hadoop-aws/"
+            "aws-sdk-bundle jar ships in this sandbox and no "
+            "SPARK_GRAFT_S3_ENDPOINT (MinIO/localstack) is configured — "
+            "set SPARK_GRAFT_S3_ENDPOINT/_BUCKET/_KEY/_SECRET and put "
+            "hadoop-aws on the classpath to activate (VERDICT r11 #4)"
+        )
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem")
+    except Exception:
+        pytest.skip(
+            "SPARK_GRAFT_S3_ENDPOINT is set but org.apache.hadoop.fs.s3a."
+            "S3AFileSystem is not on the classpath — add the hadoop-aws jar"
+        )
     from datafusion_wasm_bindings_spark.engine import SQLEngine
 
     eng = SQLEngine(spark)

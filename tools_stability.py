@@ -85,7 +85,23 @@ def _mode_waiver(src: str, name: str) -> str | None:
 
     base = os.path.basename(src.rstrip("/"))
     mode = base.split(".", 1)[0]
-    return EXCLUDED.get(f"{mode}:{name}", EXCLUDED.get(name))
+    # Mode-scoped ONLY (ADVICE r11): an unscoped fallback would let one
+    # hostile axis's waiver silently cover every other axis — and even
+    # benign sources whose dirname happens to parse to a matching mode.
+    return EXCLUDED.get(f"{mode}:{name}")
+
+
+def resolve_waiver(src: str, name: str, rec: dict) -> str | None:
+    """Full waiver resolution for one unstable record.
+
+    APPROX_ALLOW covers sketch values that may legitimately move across
+    partitionings (variant output). A replay-campaign mode waiver covers
+    DETERMINISTIC ABORTS only ('err' records, e.g. the dirname-limit
+    abort) — variant output on a waived id is a real VARIANT, never
+    silently excused (ADVICE r11)."""
+    if "err" not in rec:
+        return APPROX_ALLOW.get(name)
+    return _mode_waiver(src, name)
 
 
 def canon(pdf):
@@ -153,11 +169,13 @@ def main() -> None:
         results[name] = rec
 
     json.dump(results, open("/tmp/stability_report.json", "w"), indent=1, default=str)
-    def _waiver(k: str) -> str | None:
-        return APPROX_ALLOW.get(k) or _mode_waiver(src, k)
+    def _waiver(k: str, v: dict) -> str | None:
+        return resolve_waiver(src, k, v)
 
-    bad = {k: v for k, v in results.items() if not v["stable"] and _waiver(k) is None}
-    waived = {k: _waiver(k) for k, v in results.items() if not v["stable"] and _waiver(k)}
+    bad = {k: v for k, v in results.items() if not v["stable"] and _waiver(k, v) is None}
+    waived = {
+        k: _waiver(k, v) for k, v in results.items() if not v["stable"] and _waiver(k, v)
+    }
     print(
         f"[stability axes: {'+'.join(l for l, _ in PERTURBATIONS)}] "
         f"{len(results) - len(bad) - len(waived)}/{len(results)} stable, "
