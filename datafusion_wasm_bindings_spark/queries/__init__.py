@@ -67,75 +67,76 @@ _MODULES = (
     "analytics5",
 )
 
-# Round-11 driver window (exactly 50 names, COVERAGE.md round-11 plan):
-# ONE never-checked id first (q_pipeline_cluster_split, added mid-r11
-# — the never-checked-first rule, q_pipeline_split_leakage precedent;
-# q_events_ewma returned to the pool to make room), then staleness
-# re-verification — the stalest greens oldest-first (last-verified
-# round, registration order) per the mechanical rule enforced by
-# tests/test_window_rotation.py — the r5-stamped wave-4..9 block
-# (remaining TPC-H q16/q20/q21, pivot/unpivot/qualify/lateral, the
-# events funnel/retention/markov/attribution family, the pipeline
-# scd2/diff/folds/manifest ids, text bm25/normalize/perplexity/
-# pr_curve, stream_upsert, fn_udtf, union_by_name, the scale
-# compaction/balanced_write pair) then the stalest r6 greens in
-# registration order. The wave-4..9 oracles predate the r9
-# ceil/floor/sign dtype-parity and exactness-bound revisions, so the
-# rotation was preceded by the conftest ORACLE_UNSAFE_TYPES + dtype
+# Round-12 driver window (exactly 50 names, COVERAGE.md round-12 plan):
+# zero never-checked / non-green ids remain (290/290 cumulative-green
+# since r11), so the whole window is staleness re-verification — the
+# stalest greens oldest-first (last-verified round, registration
+# order) per the mechanical rule enforced by
+# tests/test_window_rotation.py: the r6-stamped block (the events
+# ewma/anomaly/cuped/changepoint/ltv/forecast family, the stats
+# entropy/chi2/ols2/benford/gini/kappa/survival/power suite, the ml
+# target/feature-hash/calibration/woe/auc/ks/psi encoders, pipeline
+# curation/forget/itemsets/preference_pairs, profile kanon/drift/
+# dp_counts/boxplot, sampling balanced/neyman, sales yoy/pareto,
+# rank ndcg/rrf, win_distinct_running, join_bloom,
+# text_bpe_merges, dedup_semantic) then the r7-stamped head in
+# registration order (the exact/minhash/simhash/ngram dedup quartet,
+# fn_null_handling, the three flagship headliners, project/filter).
+# Rotation preceded by the conftest ORACLE_UNSAFE_TYPES + dtype
 # audit (tools_driver_sim.py over all 50). Names listed here move to
 # the FRONT of the registry in this order; everything else follows in
 # registration order.
 _WINDOW = (
-    "q_pipeline_cluster_split",
-    "q_tpch_q16",
-    "q_tpch_q21",
-    "q_tpch_q20",
-    "q_pivot",
-    "q_unpivot",
-    "q_qualify",
-    "q_agg_groupby_all",
-    "q_join_lateral",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_pipeline_scd2",
-    "q_scale_compaction",
-    "q_text_editdist_join",
-    "q_sample_per_key",
-    "q_graph_triangles",
-    "q_pipeline_manifest",
-    "q_text_bm25",
-    "q_profile_fk",
-    "q_profile_expectations",
-    "q_events_rolling",
-    "q_pipeline_folds",
-    "q_pipeline_diff",
-    "q_events_experiment",
-    "q_profile_histogram",
-    "q_fn_udtf",
-    "q_stream_upsert",
-    "q_pipeline_rownum",
-    "q_events_interval_merge",
-    "q_events_markov",
-    "q_events_attribution",
-    "q_clean_winsorize",
-    "q_text_normalize",
-    "q_union_by_name",
-    "q_scale_balanced_write",
-    "q_events_gapfill",
-    "q_text_pr_curve",
-    "q_pipeline_incremental_dedup",
-    "q_events_windowed_funnel",
-    "q_text_perplexity",
-    "q_graph_pagerank",
-    "q_join_inner",
-    "q_agg_groupby",
-    "q_win_ranking",
-    "q_events_active_users",
-    "q_events_rfm",
-    "q_pipeline_negatives",
-    "q_graph_bfs",
-    "q_join_spatial",
-    "q_multimodal_dedup",
+    "q_events_ewma",
+    "q_pipeline_curation",
+    "q_profile_kanon",
+    "q_pipeline_forget",
+    "q_pipeline_itemsets",
+    "q_profile_drift",
+    "q_events_forecast_backtest",
+    "q_join_interval_overlap",
+    "q_sample_balanced",
+    "q_stats_entropy_mi",
+    "q_stats_chi2",
+    "q_stats_ols2",
+    "q_stats_benford",
+    "q_ml_target_encode",
+    "q_ml_feature_hash",
+    "q_stats_gini",
+    "q_events_anomaly_mad",
+    "q_rank_ndcg",
+    "q_stats_kappa",
+    "q_ml_calibration",
+    "q_stats_survival",
+    "q_events_cuped",
+    "q_ml_woe_encode",
+    "q_text_bpe_merges",
+    "q_profile_dp_counts",
+    "q_profile_boxplot",
+    "q_sales_yoy",
+    "q_sales_pareto",
+    "q_events_ltv_cohort",
+    "q_sample_neyman",
+    "q_events_changepoint",
+    "q_stats_power",
+    "q_win_distinct_running",
+    "q_join_bloom",
+    "q_pipeline_preference_pairs",
+    "q_ml_auc",
+    "q_ml_ks_drift",
+    "q_ml_psi",
+    "q_rank_rrf",
+    "q_dedup_semantic",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_fn_null_handling",
+    "q_flagship_pricing_summary",
+    "q_flagship_shipping_priority",
+    "q_flagship_local_supplier",
+    "q_project",
+    "q_filter",
 )
 
 
