@@ -64,6 +64,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # DataFrame-op call-site capture (PySpark 4 error enrichment)
+        # walks the Python stack and makes TWO extra py4j round trips
+        # per DataFrame method call. Measured r12 (guide §4: shrink the
+        # Python boundary): plan construction of the construction-heavy
+        # headliners halved — q_flagship_pricing_summary 0.185→0.075 s,
+        # q_flagship_shipping_priority 0.187→0.107 s, q_sim_topk
+        # 0.316→0.200 s per build. Costs only error-message context.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
         # default (FIXTURES.md: ns → µs policy). Read nanos as long and

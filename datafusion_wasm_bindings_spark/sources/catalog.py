@@ -44,6 +44,20 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 # last sf_dir registered per SparkSession id, to skip redundant re-reads
 _registered: dict[int, str] = {}
 
+# resolved-scan cache: (session id, sf_dir, table) → DataFrame.
+# ``spark.read.parquet`` is NOT free at plan time: on this Spark 4.1.2
+# build every call runs a 1-task footer/schema job plus the py4j
+# round-trips (measured ~40-60 ms each, r12) — a query touching six
+# tables (q_flagship_local_supplier) paid ~0.3 s of pure metadata
+# re-resolution per invocation. A DataFrame is an immutable logical
+# plan, so handing the same resolved scan back is pure metadata reuse:
+# every action still reads the parquet bytes from disk — this is NOT
+# result caching (no .cache()/persist anywhere here). Bounded: entries
+# are evicted oldest-first past _TABLE_CACHE_MAX (hostile-replay
+# campaigns walk hundreds of mutation dirs through this API).
+_table_cache: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_CACHE_MAX = 64
+
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Coerce a parquet TIMESTAMP(NANOS) column to session-tz
@@ -81,6 +95,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cheap projection; the pushdown loss on ts-filters is confined to
     this one fixture column.
     """
+    key = (id(spark), sf_dir, name)
+    cached = _table_cache.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # the driver hands us ITS SparkSession (no session.py configs);
         # on Spark 3.x the ns-timestamp column aborts the read without
@@ -93,6 +111,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_event_ts(df)
+    while len(_table_cache) >= _TABLE_CACHE_MAX:
+        _table_cache.pop(next(iter(_table_cache)))
+    _table_cache[key] = df
     return df
 
 
@@ -109,6 +130,12 @@ def register_tables(spark: SparkSession, sf_dir: str, force: bool = False) -> No
     key = id(spark)
     if not force and _registered.get(key) == sf_dir:
         return
+    if force:
+        # a forced re-registration means the caller wants fresh scans
+        # (e.g. files replaced under the same path) — drop this
+        # session+dir's resolved-scan cache entries too
+        for k in [k for k in _table_cache if k[0] == key and k[1] == sf_dir]:
+            _table_cache.pop(k, None)
     # UNCONDITIONAL UTC pin (not just when events is read): epoch
     # surfacing (unix_seconds/unix_micros over casts of DATE/TIMESTAMP
     # columns) is tz-sensitive for EVERY table, and the driver hands us
