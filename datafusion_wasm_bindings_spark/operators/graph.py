@@ -75,7 +75,20 @@ def pagerank(
     # as connected components, operators/dedup.py)
     ckpt = make_checkpointer(checkpoint_dir)
     if prepared:
-        ed = edges
+        # hint("merge"): enforce the prepared-mode contract — bucketed
+        # SMJ with NO exchange (and no broadcast BUILD) of the O(|E|)
+        # edge side. Without it the static planner broadcast-builds the
+        # EDGE table per round whenever its file-size estimate is under
+        # the auto-broadcast threshold (the checkpointed rank side has
+        # unknown stats, so it can never be the build side), paying an
+        # O(|E|) hash-relation build every iteration and silently
+        # disabling the bucketed scan ("Bucketed: false (disabled by
+        # query planner)", measured r12: round 1.18→0.96 s at sf0.1,
+        # SelectedBucketsCount 32/32 restored). A merge hint never
+        # aborts at scale — it forces exactly the strategy a
+        # past-threshold edge table gets anyway (r5 broadcast-hint rule
+        # untouched: no broadcast hints here).
+        ed = edges.hint("merge")
         nodes = ckpt(ed.select(F.col("src").alias("node")).distinct())
     else:
         e = ckpt(edges.select("src", "dst").distinct())

@@ -799,21 +799,6 @@ def pq_index(
     # either class would seed a driver TypeError (float(None)) or rank
     # FIRST in the ADC window via NULL scores — r8/r9 review findings).
     # The dim probe reads the filtered population for the same reason.
-    head = base.select(F.size("v").alias("d")).first()
-    if head is None:
-        # EMPTY corpus: no dimensionality to probe, no codebook to
-        # train — return typed empty frames so callers compose to an
-        # empty result instead of crashing (empty-mode replay r7)
-        spark = embeddings.sparkSession
-        codes = spark.createDataFrame(
-            [], "vec_id bigint, sub_id int, code int"
-        )
-        cb = spark.createDataFrame(
-            [], "sub_id int, code int, cv array<double>"
-        )
-        return codes, cb, 0
-    dim = head["d"]
-    sub_len = dim // m_subspaces
     spark = embeddings.sparkSession
     n_train = train_sample or max(10_000, 50 * n_codes)
     # checkpoint the sample BEFORE collecting seeds (one corpus
@@ -822,6 +807,22 @@ def pq_index(
     # decorrelation variants were reverted on measurement
     train = base.orderBy("vec_id").limit(n_train).localCheckpoint(eager=True)
     seeds = train.orderBy("vec_id").limit(n_codes).collect()
+    if not seeds:
+        # EMPTY corpus: no dimensionality to probe, no codebook to
+        # train — return typed empty frames so callers compose to an
+        # empty result instead of crashing (empty-mode replay r7)
+        codes = spark.createDataFrame(
+            [], "vec_id bigint, sub_id int, code int"
+        )
+        cb = spark.createDataFrame(
+            [], "sub_id int, code int, cv array<double>"
+        )
+        return codes, cb, 0
+    # dimensionality read from the seed rows already on the driver —
+    # the old separate first()-probe was one more full-plan job per
+    # index build for a value the seed collect carries anyway (r12)
+    dim = len(seeds[0]["v"])
+    sub_len = dim // m_subspaces
     # books[sub][code] = sub_len doubles; seeded from the n_codes
     # lowest vec_ids' subvectors
     books: list[list[list[float]]] = [

@@ -201,7 +201,12 @@ def _stats_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the moment sums go through the exact DECIMAL(18,6)
     recipe; the solve is identical IEEE arithmetic on identical
     aggregate doubles on both engines; coefficients are quantized."""
-    li = table(spark, sf_dir, "lineitem").select(
+    # parallel=True: 10 decimal cross-moment sums per row — the
+    # heaviest map work in the registry per row; widen behind a
+    # row-group-starved scan (guide §2.5, q_flagship_pricing_summary
+    # precedent; decimal sums are order-independent so rows are
+    # bit-identical). Measured r12: 3.17→1.70 s warm at sf0.1.
+    li = table(spark, sf_dir, "lineitem", parallel=True).select(
         "l_returnflag",
         F.col("l_quantity").alias("x1"),
         F.col("l_discount").alias("x2"),

@@ -451,8 +451,16 @@ def _dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     group key."""
     from datafusion_wasm_bindings_spark.operators.dedup import duplicated_spans
 
+    # parallel=True: the three-level span explode + span hashing is the
+    # heaviest per-row text work in the registry, and it runs entirely
+    # in the scan stage — serialized when the file layout under-splits
+    # (guide §2.5). The repartition moves each text ONCE (≤ corpus
+    # bytes, the same bytes the scan task already holds) and is a no-op
+    # at healthy row-group layouts; payload-exchange lint allowlisted
+    # with this justification. Measured r12: 5.75→1.98 s at sf0.1,
+    # rows identical.
     return duplicated_spans(
-        table(spark, sf_dir, "documents"), span_len=20, top_k=50
+        table(spark, sf_dir, "documents", parallel=True), span_len=20, top_k=50
     )
 
 
@@ -2489,8 +2497,12 @@ query(
 def _profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.profiling import profile_columns
 
+    # parallel=True: the distinct-rewrite Expand replicates the row
+    # stream 5× before aggregating — serialized inside the one task a
+    # row-group-starved scan gets (guide §2.5). Measured r12:
+    # 3.74→1.54 s at sf0.1.
     return profile_columns(
-        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "lineitem", parallel=True),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     )
 
@@ -2532,8 +2544,12 @@ def _profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_wasm_bindings_spark.operators.profiling import profile_columns
 
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    # parallel=True: same Expand-serialization remedy as
+    # q_profile_columns (guide §2.5); both of this query's aggregates
+    # (exact profile + lean HLL pass) widen behind the one-row-group
+    # scan.
     return profile_columns(
-        table(spark, sf_dir, "lineitem"), cols, approx_check=True
+        table(spark, sf_dir, "lineitem", parallel=True), cols, approx_check=True
     )
 
 

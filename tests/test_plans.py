@@ -924,10 +924,17 @@ def test_no_payload_columns_in_exchanges(spark, sf_dir):
       cannot broadcast the id set, text shuffles ONCE so that only
       candidate docs pay shingling; shingling everything map-side to
       avoid it would shuffle shingle arrays (≥ text size) instead.
+    - q_dedup_substring: catalog.table(parallel=True) — the guide-§2.5
+      unsplittable-input remedy. When the file's row-group count is
+      below session parallelism, text moves ONCE through a round-robin
+      exchange directly above the scan (≤ the corpus bytes the single
+      scan task already holds) so the three-level span explode runs
+      wide; at healthy layouts (row_groups ≥ cores) the repartition is
+      a no-op and no text exchange exists (r12, measured 5.75→1.98 s).
     """
     import re as _re
 
-    allow = {"q_dedup_minhash"}
+    allow = {"q_dedup_minhash", "q_dedup_substring"}
     # EXACT id set (ADVICE r10: substring matching silently exempted
     # new queries — q_pipeline_split_leakage matched "split" despite
     # not being a row mover; new ids are now linted by default)
