@@ -14,7 +14,7 @@ assertions in tests/test_approx.py instead.
 
 from __future__ import annotations
 
-from datafusion_wasm_bindings_spark.queries import sql_query
+from datafusion_wasm_bindings_spark.queries import query, sql_query
 from datafusion_wasm_bindings_spark.queries._util import davg_sql, dsum_sql
 
 sql_query(
@@ -96,63 +96,109 @@ sql_query(
 # masses and any sign. The join-back is NULL-SAFE (<=>) so the NULL
 # group key survives (CLAUDE.md r5 window-only-oracle rule: the oracle
 # GROUP BY keeps its NULL group).
-sql_query(
+def _fn_approx_median(spark, sf_dir):
+    """DataFrame twin of the former SQL text (r12): same expressions
+    via F.expr fragments — the decimal literals 0.52/0.48 and the CASE
+    arithmetic parse identically — but the scan comes from
+    ``table(parallel=True)`` so the exact-percentile value buffering
+    and the sketch updates run wide behind a row-group-starved layout
+    (guide §2.5). Partition-robust by construction: exact percentile is
+    partitioning-invariant, and the sketch VALUE (merge-order-
+    sensitive) feeds only the ±2 %-band boolean while the sketch's own
+    rank error is 1e-4 (default accuracy 10000). F.broadcast(a) keeps
+    the |groups|-row sketch frame the build side by contract (the old
+    /*+ BROADCAST(a) */)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.sources.catalog import table
+
+    li = table(spark, sf_dir, "lineitem", parallel=True)
+    a = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile_approx(l_extendedprice, 0.5)").alias("amed"),
+            F.expr("round(percentile(l_extendedprice, 0.5), 3)").alias("exact_med"),
+        )
+        .alias("a")
+    )
+    j = li.alias("l").join(
+        F.broadcast(a), F.expr("l.l_returnflag <=> a.l_returnflag")
+    )
+    return (
+        j.groupBy(F.col("a.l_returnflag").alias("l_returnflag"), F.col("a.exact_med").alias("exact_med"))
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN l.l_extendedprice < a.amed THEN 1 ELSE 0 END)"
+                " <= 0.52 * COUNT(l.l_extendedprice)"
+                " AND SUM(CASE WHEN l.l_extendedprice <= a.amed THEN 1 ELSE 0 END)"
+                " >= 0.48 * COUNT(l.l_extendedprice)"
+            ).alias("sketch_within_2pct")
+        )
+    )
+
+
+query(
     "q_fn_approx_median",
     """
-    WITH a AS (
-      SELECT l_returnflag,
-             percentile_approx(l_extendedprice, 0.5) AS amed,
-             round(percentile(l_extendedprice, 0.5), 3) AS exact_med
-      FROM lineitem GROUP BY l_returnflag
-    )
-    -- BROADCAST(a): see q_fn_approx_percentile — the bounded
-    -- |groups|-row sketch frame is the build side by contract
-    SELECT /*+ BROADCAST(a) */ a.l_returnflag, a.exact_med,
-           SUM(CASE WHEN l.l_extendedprice < a.amed THEN 1 ELSE 0 END)
-             <= 0.52 * COUNT(l.l_extendedprice)
-           AND SUM(CASE WHEN l.l_extendedprice <= a.amed THEN 1 ELSE 0 END)
-             >= 0.48 * COUNT(l.l_extendedprice) AS sketch_within_2pct
-    FROM lineitem l JOIN a ON l.l_returnflag <=> a.l_returnflag
-    GROUP BY a.l_returnflag, a.exact_med
-    """,
-    oracle="""
     SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.5), 3) AS exact_med,
            TRUE AS sketch_within_2pct
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg_fn", "approx"),
-)
+)(_fn_approx_median)
 
-# same rank-epsilon contract as q_fn_approx_median (see its header)
-sql_query(
+# same rank-epsilon contract as q_fn_approx_median (see its header);
+# F.broadcast(a) keeps the |groups|-row sketch frame the build side by
+# CONTRACT — the static planner otherwise picks whichever side's size
+# estimate is smaller, which at fixture scale is the raw FACT scan
+# (broadcasting the fact is exactly wrong at 100 TB)
+def _fn_approx_percentile(spark, sf_dir):
+    """DataFrame twin with a parallel scan — see _fn_approx_median."""
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.sources.catalog import table
+
+    li = table(spark, sf_dir, "lineitem", parallel=True)
+    a = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile_approx(l_extendedprice, 0.1)").alias("a10"),
+            F.expr("percentile_approx(l_extendedprice, 0.9)").alias("a90"),
+            F.expr("round(percentile(l_extendedprice, 0.1), 3)").alias("p10_exact"),
+            F.expr("round(percentile(l_extendedprice, 0.9), 3)").alias("p90_exact"),
+        )
+        .alias("a")
+    )
+    j = li.alias("l").join(
+        F.broadcast(a), F.expr("l.l_returnflag <=> a.l_returnflag")
+    )
+    return (
+        j.groupBy(
+            F.col("a.l_returnflag").alias("l_returnflag"),
+            F.col("a.p10_exact").alias("p10_exact"),
+            F.col("a.p90_exact").alias("p90_exact"),
+        )
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN l.l_extendedprice < a.a10 THEN 1 ELSE 0 END)"
+                " <= 0.12 * COUNT(l.l_extendedprice)"
+                " AND SUM(CASE WHEN l.l_extendedprice <= a.a10 THEN 1 ELSE 0 END)"
+                " >= 0.08 * COUNT(l.l_extendedprice)"
+            ).alias("p10_within_2pct"),
+            F.expr(
+                "SUM(CASE WHEN l.l_extendedprice < a.a90 THEN 1 ELSE 0 END)"
+                " <= 0.92 * COUNT(l.l_extendedprice)"
+                " AND SUM(CASE WHEN l.l_extendedprice <= a.a90 THEN 1 ELSE 0 END)"
+                " >= 0.88 * COUNT(l.l_extendedprice)"
+            ).alias("p90_within_2pct"),
+        )
+    )
+
+
+query(
     "q_fn_approx_percentile",
     """
-    WITH a AS (
-      SELECT l_returnflag,
-             percentile_approx(l_extendedprice, 0.1) AS a10,
-             percentile_approx(l_extendedprice, 0.9) AS a90,
-             round(percentile(l_extendedprice, 0.1), 3) AS p10_exact,
-             round(percentile(l_extendedprice, 0.9), 3) AS p90_exact
-      FROM lineitem GROUP BY l_returnflag
-    )
-    -- BROADCAST(a): the |groups|-row sketch frame is the build side by
-    -- CONTRACT — the static planner otherwise picks whichever side's
-    -- size estimate is smaller, which at fixture scale is the raw FACT
-    -- scan (broadcasting the fact is exactly wrong at 100 TB)
-    SELECT /*+ BROADCAST(a) */ a.l_returnflag, a.p10_exact, a.p90_exact,
-           SUM(CASE WHEN l.l_extendedprice < a.a10 THEN 1 ELSE 0 END)
-             <= 0.12 * COUNT(l.l_extendedprice)
-           AND SUM(CASE WHEN l.l_extendedprice <= a.a10 THEN 1 ELSE 0 END)
-             >= 0.08 * COUNT(l.l_extendedprice) AS p10_within_2pct,
-           SUM(CASE WHEN l.l_extendedprice < a.a90 THEN 1 ELSE 0 END)
-             <= 0.92 * COUNT(l.l_extendedprice)
-           AND SUM(CASE WHEN l.l_extendedprice <= a.a90 THEN 1 ELSE 0 END)
-             >= 0.88 * COUNT(l.l_extendedprice) AS p90_within_2pct
-    FROM lineitem l JOIN a ON l.l_returnflag <=> a.l_returnflag
-    GROUP BY a.l_returnflag, a.p10_exact, a.p90_exact
-    """,
-    oracle="""
     SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.1), 3) AS p10_exact,
            round(quantile_cont(l_extendedprice, 0.9), 3) AS p90_exact,
@@ -161,7 +207,7 @@ sql_query(
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg_fn", "approx"),
-)
+)(_fn_approx_percentile)
 
 # weighted percentile — DataFusion's approx_percentile_cont_with_weight
 # capability (SURVEY §2.4 "— (extension)"), computed EXACTLY: the p-th
