@@ -156,7 +156,12 @@ def table(
         if row_groups < cores and rows >= 1000:
             df = df.repartition(cores)
     while len(_table_cache) >= _TABLE_CACHE_MAX:
-        _table_cache.pop(next(iter(_table_cache)))
+        try:
+            # concurrent callers (the bench harness runs the registry
+            # from several threads) may race the same eviction victim
+            _table_cache.pop(next(iter(_table_cache)), None)
+        except (StopIteration, RuntimeError):
+            break
     _table_cache[key] = df
     return df
 

@@ -857,3 +857,40 @@ def test_ns_timestamp_truncates_to_micros_policy(spark, tmp_path):
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", before)
+
+
+def test_resolved_scan_cache_semantics(spark, sf_dir):
+    """r12 resolved-scan cache (sources/catalog.table): pure
+    plan-metadata reuse. Pins (a) a repeat call returns the SAME
+    DataFrame object (no second footer/schema job), (b) the eviction
+    loop keeps the cache bounded and never raises even when it finds
+    the dict already drained/mutated (the bench harness calls table()
+    from several threads — concurrent callers can race an eviction
+    victim), (c) register_tables(force=True) invalidates this
+    session's entries so a layout change is picked up."""
+    from datafusion_wasm_bindings_spark.sources import catalog
+
+    saved = dict(catalog._table_cache)
+    try:
+        catalog._table_cache.clear()
+        a = catalog.table(spark, sf_dir, "nation")
+        assert catalog.table(spark, sf_dir, "nation") is a  # cache hit
+        # parallel=True is a distinct plan -> distinct cache key
+        b = catalog.table(spark, sf_dir, "nation", parallel=True)
+        assert b is not a
+
+        # eviction pressure: prefill past the bound with dummy keys;
+        # the insert path must evict down to the bound without error
+        for i in range(catalog._TABLE_CACHE_MAX + 40):
+            catalog._table_cache[(i, "dummy", "t", False)] = a
+        catalog.table(spark, sf_dir, "region")
+        assert len(catalog._table_cache) <= catalog._TABLE_CACHE_MAX
+
+        # force re-registration drops this session's entries and
+        # re-resolves them fresh (view re-bind re-populates the cache)
+        old = catalog.table(spark, sf_dir, "nation")
+        catalog.register_tables(spark, sf_dir, force=True)
+        assert catalog.table(spark, sf_dir, "nation") is not old
+    finally:
+        catalog._table_cache.clear()
+        catalog._table_cache.update(saved)
