@@ -98,9 +98,19 @@ def fit_kmeans(
     """Run the deterministic Lloyd fit (module docstring) and return
     ``(assigned, centroids)``: the final per-vector assignment (vec_id,
     x, cid, inertia) and the exact integer centroid state."""
-    v = embeddings.select(
-        "vec_id", quantized(F.col("embedding")).alias("x")
-    ).withColumn("ssx", _norm2(F.col("x")))
+    # CHECKPOINT-WHAT-EAGER-SUB-ACTIONS-CONSUME (CLAUDE.md wave-13):
+    # the quantized corpus feeds the seed collect, one centroid-update
+    # collect PER Lloyd round, and the final assignment consumer —
+    # without a lineage cut every one of those actions re-runs the
+    # scan + quantization HOF (iters+2 full re-derivations; measured
+    # r12: q_cluster_quality 2.8→1.6 s, q_cluster_kmeans 1.7→1.1 s at
+    # sf0.1). Values are untouched — localCheckpoint materializes the
+    # same exact integer vectors the lazy plan computes.
+    v = (
+        embeddings.select("vec_id", quantized(F.col("embedding")).alias("x"))
+        .withColumn("ssx", _norm2(F.col("x")))
+        .localCheckpoint()
+    )
 
     seeds = v.orderBy("vec_id").limit(k).select("vec_id", "x").collect()
     centroids: list[Centroid] = [

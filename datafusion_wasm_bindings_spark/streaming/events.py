@@ -34,6 +34,73 @@ def _scoped(name: str) -> str:
     return f"{name}_{scratch.scope()}"
 
 
+def _sized_stream_session(
+    spark: SparkSession, src_bytes: int, *, target_bytes: int | None = None
+) -> SparkSession:
+    """Clone of ``spark`` with the streaming state-store width sized to
+    the actual source (guide §2.2: fewer, larger partitions). Every
+    stateful streaming operator pays a per-partition state-store commit
+    PER state store PER micro-batch — measured r12 on
+    q_stream_stream_join at sf0.1 (2 MB source, 40 k state rows):
+    cumulative commit time 125–155 s across 32 partitions × 4 join
+    state stores = 11–13.5 s wall; at width 4 the same query commits
+    2.5 s cumulative / 2.9 s wall, rows identical at every width
+    (32/8/4/2/1 all compared equal; width 1 re-serializes the join and
+    loses, hence the floor of 2).
+
+    Width = clamp(ceil(src_bytes / target), 2, session shuffle width),
+    computed per run from the source's real size and NEVER raised above
+    the session's configured width: at production micro-batches (GBs
+    per trigger) the clamp lands on the configured width and this is a
+    no-op — not a local[32] constant. ``target`` defaults to 1 MiB of
+    source per state partition (SPARK_GRAFT_STREAM_STATE_TARGET_BYTES
+    overrides); operators whose state partitions carry per-group PYTHON
+    compute (applyInPandasWithState) pass a smaller ``target_bytes`` —
+    the Python boundary is an order of magnitude slower per byte
+    (guide §4), so those partitions amortize at far fewer bytes
+    (measured on q_stream_stateful_totals: width 2 = 6.2 s,
+    width 8 = 4.1 s vs the old fixed-4 pin's 4.8 s, same box window).
+
+    A session CLONE carries the narrowed width instead of a
+    set/restore on the shared session because the bench harness runs
+    registry queries from several threads of one process — a global
+    conf flip would leak into concurrently-built plans.
+    """
+    import math
+    import os
+
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_TARGET_BYTES")
+    target = int(env) if env else (target_bytes if target_bytes else 1 << 20)
+    width = max(2, math.ceil(max(src_bytes, 1) / max(target, 1)))
+    if width >= cur:
+        return spark
+    sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", str(width))
+    # runtime-set confs (post-builder, e.g. session.size_scan_splits /
+    # catalog.table's nanos opt-in) do not carry into a clone — copy
+    # the ones the streaming scans depend on
+    for key in (
+        "spark.sql.files.maxPartitionBytes",
+        "spark.sql.files.openCostInBytes",
+        "spark.sql.legacy.parquet.nanosAsLong",
+    ):
+        try:
+            sess.conf.set(key, spark.conf.get(key))
+        except Exception:  # noqa: BLE001 — conf key absent: builder default applies
+            pass
+    return sess
+
+
+def _events_src_bytes(sf_dir: str) -> int:
+    import os
+
+    try:
+        return os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        return 1 << 30  # unknown source: keep the configured width
+
+
 # Event-time operators process rows WITH an event time: Spark's
 # window()/session_window() generators silently drop NULL-ts rows, so
 # the filter below makes that semantics explicit (and every oracle
@@ -84,9 +151,10 @@ def streaming_demo(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> D
     # readStream needs the RAW parquet schema (ts is INT64 nanos under
     # nanosAsLong); sources.catalog.table's µs conversion is re-applied
     # to the stream below
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    sess = _sized_stream_session(spark, _events_src_bytes(sf_dir))
+    raw_schema = sess.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
-        spark.readStream.schema(raw_schema)
+        sess.readStream.schema(raw_schema)
         .format("parquet")
         .option("path", os.path.join(sf_dir))
         .option("pathGlobFilter", "events.parquet")
@@ -111,7 +179,7 @@ def streaming_demo(spark: SparkSession, sf_dir: str, width: str = "1 hour") -> D
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.sql(f"SELECT * FROM {name}")
+    return sess.sql(f"SELECT * FROM {name}")
 
 
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,9 +197,10 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    sess = _sized_stream_session(spark, _events_src_bytes(sf_dir))
+    raw_schema = sess.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
-        spark.readStream.schema(raw_schema)
+        sess.readStream.schema(raw_schema)
         .format("parquet")
         .option("path", os.path.join(sf_dir))
         .option("pathGlobFilter", "events.parquet")
@@ -149,7 +218,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.sql(
+    return sess.sql(
         f"SELECT user_id, count(*) AS n_types FROM {name} GROUP BY user_id"
     )
 
@@ -175,11 +244,12 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    sess = _sized_stream_session(spark, _events_src_bytes(sf_dir))
+    raw_schema = sess.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
     def _stream():
         s = (
-            spark.readStream.schema(raw_schema)
+            sess.readStream.schema(raw_schema)
             .format("parquet")
             .option("path", os.path.join(sf_dir))
             .option("pathGlobFilter", "events.parquet")
@@ -223,7 +293,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     from datafusion_wasm_bindings_spark.queries._util import dsum_sql
 
-    return spark.sql(
+    return sess.sql(
         f"SELECT user_id, count(*) AS n_pairs, "
         f"{dsum_sql('value', 'click_value')} "
         f"FROM {name} GROUP BY user_id"
@@ -252,8 +322,9 @@ def streaming_enriched_windows(
     """
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    sess = _sized_stream_session(spark, _events_src_bytes(sf_dir))
+    sess.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = sess.read.parquet(os.path.join(sf_dir, "events.parquet"))
     dim = (
         raw.select("event_type")
         .distinct()
@@ -262,7 +333,7 @@ def streaming_enriched_windows(
 
     raw_schema = raw.schema
     stream = (
-        spark.readStream.schema(raw_schema)
+        sess.readStream.schema(raw_schema)
         .format("parquet")
         .option("path", os.path.join(sf_dir))
         .option("pathGlobFilter", "events.parquet")
@@ -292,7 +363,7 @@ def streaming_enriched_windows(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.sql(f"SELECT * FROM {name}")
+    return sess.sql(f"SELECT * FROM {name}")
 
 
 def streaming_late_data_demo(spark: SparkSession) -> dict[str, int]:
@@ -403,8 +474,20 @@ def streaming_running_totals(
     )
     src = tempfile.mkdtemp(prefix="dfwb_stream_src_")
     events.repartition(num_input_files).write.mode("overwrite").parquet(src)
+    # state width sized to the staged source: each state partition costs
+    # a Python worker + state-store commit PER micro-batch (see
+    # _sized_stream_session; replaces the r6 fixed-width pin — same
+    # bounded-demo reasoning, now input-derived and clone-scoped instead
+    # of a set/restore on the shared session). Python-state target:
+    # 64 KiB/partition (see docstring measurement).
+    staged_bytes = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    sess = _sized_stream_session(spark, staged_bytes, target_bytes=64 * 1024)
     stream = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
+        sess.readStream.schema(sess.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
@@ -431,30 +514,20 @@ def streaming_running_totals(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
     name = _scoped("dfwb_stream_state_demo")
-    # cap the stateful shuffle width for this bounded demo: each state
-    # partition costs a Python worker + state-store round-trip PER
-    # micro-batch, and the default width (cores) makes tiny batches pay
-    # ~100 state tasks for kilobytes of data. On a real cluster with a
-    # large key space you size this to executors×cores as usual.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = (
+        updates.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
     try:
-        q = (
-            updates.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        q.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        q.stop()
     # final per-user totals = the row with the highest events_seen
     # (monotonic per trigger; value_sum itself may go down when values
     # are negative, so max_by on the counter, not MAX of the sum)
-    return spark.sql(
+    return sess.sql(
         f"SELECT user_id, MAX(events_seen) AS events_seen, "
         f"MAX_BY(value_sum, events_seen) AS value_sum "
         f"FROM {name} GROUP BY user_id"
@@ -528,8 +601,18 @@ def streaming_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(nxt)
         state["path"] = nxt
 
+    # the per-batch MERGE (window over |state| rows + parquet rewrite)
+    # runs on the stream's session: size its shuffle width to the state
+    # snapshot it rewrites each batch, not the tiny change feed — at
+    # production state sizes the clamp keeps the configured width
+    state_bytes = sum(
+        os.path.getsize(os.path.join(state["path"], f))
+        for f in os.listdir(state["path"])
+        if f.endswith(".parquet")
+    )
+    sess = _sized_stream_session(spark, state_bytes)
     stream = (
-        spark.readStream.schema(spark.read.parquet(os.path.join(src, "w1")).schema)
+        sess.readStream.schema(sess.read.parquet(os.path.join(src, "w1")).schema)
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
         .parquet(src)
@@ -568,9 +651,10 @@ def streaming_sessions(
     keeps state O(open sessions), not O(stream history)."""
     import os
 
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    sized = _sized_stream_session(spark, _events_src_bytes(sf_dir))
+    raw_schema = sized.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
-        spark.readStream.schema(raw_schema)
+        sized.readStream.schema(raw_schema)
         .format("parquet")
         .option("path", os.path.join(sf_dir))
         .option("pathGlobFilter", "events.parquet")
@@ -599,4 +683,4 @@ def streaming_sessions(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.sql(f"SELECT * FROM {name}")
+    return sized.sql(f"SELECT * FROM {name}")
