@@ -169,17 +169,39 @@ def sql_query(
     *,
     headline: bool = False,
     tags: tuple[str, ...] = (),
+    parallel_tables: tuple[str, ...] = (),
 ) -> None:
     """Register a query whose Spark side is a SQL string.
 
     ``oracle="same"`` (default) reuses the identical text for DuckDB —
     valid only where the dialects agree; pass an explicit string where
     they diverge, or None for rows-only.
+
+    ``parallel_tables`` names fact tables whose scan should widen when
+    the fixture layout serializes it (catalog.table(parallel=True),
+    r12 guide §2.5): the Spark side runs the SAME SQL text over a
+    scoped temp view of the widened scan — the expression tree the r9
+    shared-string convention relies on is untouched (only the scan
+    node under it changes), and the ORACLE text keeps the original
+    table name. Opt in only on measured wins (decimal-moment
+    aggregates: q_fn_corr_covar 1.76→0.97 s at sf0.1); the exchange
+    is a no-op at healthy row-group layouts by construction.
     """
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_tables(spark, sf_dir)
-        return spark.sql(sql)
+        text = sql
+        if parallel_tables:
+            import re
+
+            from datafusion_wasm_bindings_spark import scratch
+            from datafusion_wasm_bindings_spark.sources.catalog import table as _table
+
+            for t in parallel_tables:
+                view = f"{t}_par_{scratch.scope()}"
+                _table(spark, sf_dir, t, parallel=True).createOrReplaceTempView(view)
+                text = re.sub(rf"\b{t}\b", view, text)
+        return spark.sql(text)
 
     import sys as _sys
 

@@ -437,6 +437,9 @@ sql_query(
            CASE WHEN n > 0 THEN (n * sxx - sx * sx) / n / n END AS va_pop
     FROM m
     """,
+    # parallel_tables measured FLAT here (0.90→0.96 s): one column's
+    # 2 decimal sums don't amortize the exchange — only the 6-sum
+    # two-column siblings below widen (r12)
     tags=("agg_fn", "stats"),
 )
 
@@ -469,6 +472,7 @@ sql_query(
     FROM m
     """,
     tags=("agg_fn", "stats"),
+    parallel_tables=("lineitem",),
 )
 
 sql_query(
@@ -511,6 +515,7 @@ sql_query(
     FROM m
     """,
     tags=("agg_fn", "stats"),
+    parallel_tables=("lineitem",),
 )
 
 # --- bitmap aggregates: exact mergeable distinct -----------------------------------
