@@ -39,7 +39,27 @@ _IDS = (
     "q_text_perplexity",           # vocab LM probs join (was hinted)
     "q_pipeline_itemsets",         # per-item margin joins (was hinted)
     "q_pipeline_forget",           # delete-list anti/semi join (was hinted)
+    "q_fn_corr_covar",             # r12 widened-scan decimal moments (parallel_tables)
 )
+
+
+def test_sql_query_parallel_tables_matches_plain_scan(spark, sf_dir):
+    """r12 sql_query(parallel_tables=...): the Spark side runs the SAME
+    SQL text over a temp view of the width-adapted scan. Contract:
+    (a) the ORACLE string keeps the plain table reference (no scoped
+    view name leaks into what DuckDB runs), and (b) executing the
+    widened form yields rows bit-identical to the plain-scan SQL —
+    the repartition is a pure physical change."""
+    from datafusion_wasm_bindings_spark.sources.catalog import register_tables
+
+    for qid in ("q_fn_corr_covar", "q_fn_regr"):
+        spec = REGISTRY[qid]
+        assert "FROM lineitem" in spec.oracle, qid
+        assert "_par_" not in spec.oracle, qid
+        register_tables(spark, sf_dir)
+        widened = _canon(spec.spark_fn(spark, sf_dir).collect())
+        plain = _canon(spark.sql(spec.oracle).collect())
+        assert widened == plain, qid
 
 
 def _canon(rows):
