@@ -2374,3 +2374,24 @@ def test_builtin_moment_aggs_match_identities(spark, sf_dir):
     assert abs(r.sd - math.sqrt(va)) < 1e-9
     assert abs(r.slope - slope) < 1e-9
     assert abs(r.r2 - corr * corr) < 1e-9
+
+
+def test_fit_kmeans_checkpoints_quantized_corpus(spark, sf_dir):
+    """r12 (wave-13 checkpoint rule): fit_kmeans localCheckpoints the
+    quantized corpus ONCE; the seed collect, every per-round centroid
+    collect, and the returned assignment all read the materialized RDD
+    instead of re-deriving the scan+quantization lineage. Evidence
+    mirror of plans/r12/q_cluster_kmeans_{before,after}.txt: the
+    assignment's plan must contain NO parquet scan, only the
+    checkpoint's ExistingRDD."""
+    from datafusion_wasm_bindings_spark.operators.clustering import fit_kmeans
+    from datafusion_wasm_bindings_spark.sources.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    assigned, cents = fit_kmeans(emb, k=2, iters=1)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert cents and assigned.count() > 0

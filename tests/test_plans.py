@@ -1574,3 +1574,42 @@ def test_no_row_at_a_time_python_udfs_in_package():
             # allow pandas_udf (matched via lookbehind exclusion of '_')
             offenders.append((str(p), src[: m.start()].count("\n") + 1))
     assert not offenders, offenders
+
+
+def test_pagerank_prepared_round_join_never_broadcast_builds_edges(
+    spark, tmp_path
+):
+    """r12 fix: with broadcast at DEFAULTS the static planner used to
+    broadcast-BUILD the O(|E|) edge table each round (BroadcastHashJoin
+    Inner BuildLeft over the file scan — the checkpointed rank side has
+    unknown stats and can never be the build side), silently disabling
+    the bucketed scan. The merge hint in prepared mode pins the
+    documented round shape: every Inner equi-join in the final round's
+    plan is a SortMergeJoin over the still-bucketed edge scan
+    (plans/r12/q_graph_pagerank_{before,after}.txt)."""
+    from pyspark.sql import functions as F  # noqa: F401 — parity with siblings
+
+    from datafusion_wasm_bindings_spark.operators.graph import (
+        pagerank,
+        prepare_pagerank_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [(i % 13, (i * 3 + 1) % 13) for i in range(200)], "src long, dst long"
+    )
+    buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    prep = prepare_pagerank_edges(
+        spark, edges, "bkt_pr_hint", buckets=buckets, path=str(tmp_path / "pr")
+    )
+    try:
+        plan = _plan(pagerank(prep, iters=1, prepared=True))
+        inner_joins = [
+            ln for ln in plan.splitlines() if "Join" in ln and "Inner" in ln
+        ]
+        assert inner_joins, plan
+        assert all("SortMergeJoin" in ln for ln in inner_joins), plan
+        assert "BroadcastHashJoin" not in "".join(inner_joins), plan
+        assert "Bucketed: true" in plan, plan
+        assert "disabled by query planner" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_pr_hint")

@@ -240,3 +240,65 @@ def test_stateful_checkpoint_restart_resumes_state(spark, sf_dir, tmp_path):
     for u, (n, s) in got.items():
         assert n == want[u][0], (u, n, want[u][0])
         assert abs(s - want[u][1]) < 1e-6, u
+
+
+def test_sized_stream_session_width_clamp(spark):
+    """r12 streaming-state-width internals: the clone's shuffle width is
+    clamp(ceil(src_bytes/target), 2, session width), computed from the
+    real source size — a no-op (same session object) at or past the
+    configured width, a floor of 2 below it, env-overridable target,
+    and the shared session's own conf is never touched."""
+    import os
+
+    from datafusion_wasm_bindings_spark.streaming.events import _sized_stream_session
+
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert cur >= 4, "conftest builds the session at width 8"
+
+    # at/past the configured width: NO clone — the production regime
+    assert _sized_stream_session(spark, cur * (1 << 20)) is spark
+
+    # tiny source: clone at the floor of 2; the shared session untouched
+    sized = _sized_stream_session(spark, 1)
+    assert sized is not spark
+    assert sized.conf.get("spark.sql.shuffle.partitions") == "2"
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == cur
+
+    # interior: ceil(3 MiB / 1 MiB default target) = 3
+    assert (
+        _sized_stream_session(spark, 3 * (1 << 20) - 1).conf.get(
+            "spark.sql.shuffle.partitions"
+        )
+        == "3"
+    )
+
+    # per-operator target_bytes (the applyInPandasWithState knob)
+    assert (
+        _sized_stream_session(spark, 256 * 1024, target_bytes=64 * 1024).conf.get(
+            "spark.sql.shuffle.partitions"
+        )
+        == "4"
+    )
+
+    # env override beats both the default and the explicit target
+    os.environ["SPARK_GRAFT_STREAM_STATE_TARGET_BYTES"] = str(1 << 30)
+    try:
+        assert (
+            _sized_stream_session(spark, 5 << 20, target_bytes=64 * 1024).conf.get(
+                "spark.sql.shuffle.partitions"
+            )
+            == "2"
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_STREAM_STATE_TARGET_BYTES"]
+
+    # the clone carries the runtime-set confs the streaming scans need
+    for key in (
+        "spark.sql.files.maxPartitionBytes",
+        "spark.sql.legacy.parquet.nanosAsLong",
+    ):
+        try:
+            want = spark.conf.get(key)
+        except Exception:
+            continue
+        assert sized.conf.get(key) == want, key
