@@ -67,76 +67,74 @@ _MODULES = (
     "analytics5",
 )
 
-# Round-12 driver window (exactly 50 names, COVERAGE.md round-12 plan):
-# zero never-checked / non-green ids remain (290/290 cumulative-green
-# since r11), so the whole window is staleness re-verification — the
-# stalest greens oldest-first (last-verified round, registration
-# order) per the mechanical rule enforced by
-# tests/test_window_rotation.py: the r6-stamped block (the events
-# ewma/anomaly/cuped/changepoint/ltv/forecast family, the stats
-# entropy/chi2/ols2/benford/gini/kappa/survival/power suite, the ml
-# target/feature-hash/calibration/woe/auc/ks/psi encoders, pipeline
-# curation/forget/itemsets/preference_pairs, profile kanon/drift/
-# dp_counts/boxplot, sampling balanced/neyman, sales yoy/pareto,
-# rank ndcg/rrf, win_distinct_running, join_bloom,
-# text_bpe_merges, dedup_semantic) then the r7-stamped head in
-# registration order (the exact/minhash/simhash/ngram dedup quartet,
-# fn_null_handling, the three flagship headliners, project/filter).
-# Rotation preceded by the conftest ORACLE_UNSAFE_TYPES + dtype
-# audit (tools_driver_sim.py over all 50). Names listed here move to
-# the FRONT of the registry in this order; everything else follows in
-# registration order.
+# Round-13 driver window (exactly 50 names, COVERAGE.md round-13 plan):
+# zero never-checked / non-green ids remain (290/290 cumulative-green),
+# so the whole window is staleness re-verification — the stalest
+# greens oldest-first (last-verified round, registration order) per
+# the mechanical rule enforced by tests/test_window_rotation.py: the
+# r7-stamped SURVEY §2 relational/join/agg/window/setop/sort block
+# (predicates/like/case/cast, scalar_subquery/exists_in, the seven
+# join variants + theta/residual/using, the agg global/having/
+# distinct/grouping-sets/rollup/cube/filter-clause suite, the window
+# lag-lead/value-fns/agg-over/frames/named family, union/intersect/
+# except incl. ALL forms, distinct/distinct_on/sort/limit_offset/
+# topk) then the r8-stamped dedup-cluster pair, dedup_embedding, the
+# sim topk/lsh/ivf trio, and the text tokens/quality/langid/
+# repetition quartet. Rotation preceded by the conftest
+# ORACLE_UNSAFE_TYPES + dtype audit (tools_driver_sim.py over all
+# 50). Names listed here move to the FRONT of the registry in this
+# order; everything else follows in registration order.
 _WINDOW = (
-    "q_events_ewma",
-    "q_pipeline_curation",
-    "q_profile_kanon",
-    "q_pipeline_forget",
-    "q_pipeline_itemsets",
-    "q_profile_drift",
-    "q_events_forecast_backtest",
-    "q_join_interval_overlap",
-    "q_sample_balanced",
-    "q_stats_entropy_mi",
-    "q_stats_chi2",
-    "q_stats_ols2",
-    "q_stats_benford",
-    "q_ml_target_encode",
-    "q_ml_feature_hash",
-    "q_stats_gini",
-    "q_events_anomaly_mad",
-    "q_rank_ndcg",
-    "q_stats_kappa",
-    "q_ml_calibration",
-    "q_stats_survival",
-    "q_events_cuped",
-    "q_ml_woe_encode",
-    "q_text_bpe_merges",
-    "q_profile_dp_counts",
-    "q_profile_boxplot",
-    "q_sales_yoy",
-    "q_sales_pareto",
-    "q_events_ltv_cohort",
-    "q_sample_neyman",
-    "q_events_changepoint",
-    "q_stats_power",
-    "q_win_distinct_running",
-    "q_join_bloom",
-    "q_pipeline_preference_pairs",
-    "q_ml_auc",
-    "q_ml_ks_drift",
-    "q_ml_psi",
-    "q_rank_rrf",
-    "q_dedup_semantic",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_fn_null_handling",
-    "q_flagship_pricing_summary",
-    "q_flagship_shipping_priority",
-    "q_flagship_local_supplier",
-    "q_project",
-    "q_filter",
+    "q_predicates",
+    "q_like_ilike",
+    "q_case",
+    "q_cast",
+    "q_scalar_subquery",
+    "q_exists_in",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_theta",
+    "q_join_residual",
+    "q_join_using",
+    "q_agg_global",
+    "q_agg_having",
+    "q_agg_distinct",
+    "q_agg_grouping_sets",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_filter_clause",
+    "q_win_lag_lead",
+    "q_win_value_fns",
+    "q_win_agg_over",
+    "q_win_rows_frame",
+    "q_win_range_frame",
+    "q_win_groups_frame",
+    "q_win_named",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_intersect_all",
+    "q_except_all",
+    "q_distinct",
+    "q_distinct_on",
+    "q_sort",
+    "q_limit_offset",
+    "q_topk",
+    "q_dedup_clusters",
+    "q_dedup_clusters_star",
+    "q_dedup_embedding",
+    "q_sim_topk",
+    "q_sim_lsh_topk",
+    "q_sim_ivf_topk",
+    "q_text_tokens",
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_repetition",
 )
 
 
