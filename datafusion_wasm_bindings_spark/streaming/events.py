@@ -84,6 +84,11 @@ def _sized_stream_session(
         "spark.sql.files.maxPartitionBytes",
         "spark.sql.files.openCostInBytes",
         "spark.sql.legacy.parquet.nanosAsLong",
+        # the UNCONDITIONAL-UTC rule: under the DRIVER's session the
+        # UTC pin is runtime-set (register_tables), so a clone would
+        # revert to the JVM tz and any tz-sensitive streaming surface
+        # would drift from the UTC-naive oracle (ADVICE r12)
+        "spark.sql.session.timeZone",
     ):
         try:
             sess.conf.set(key, spark.conf.get(key))

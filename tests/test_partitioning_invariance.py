@@ -66,6 +66,32 @@ def _canon(rows):
     return sorted(tuple(r) for r in rows)
 
 
+def test_swap_table_refs_masks_literals_and_comments():
+    """r13 hardening (ADVICE r12): sql_query(parallel_tables=...) must
+    rewrite only real table references — a table name inside a string
+    literal, '' escape, -- line comment, or /* block */ comment stays
+    byte-identical, and word-boundary matching still skips prefixed
+    names (lineitem_ext)."""
+    from datafusion_wasm_bindings_spark.queries import _swap_table_refs
+
+    sql = (
+        "SELECT 'lineitem' AS lbl, 'it''s lineitem' AS esc, l_orderkey\n"
+        "-- lineitem mentioned in a comment\n"
+        "/* block: lineitem */\n"
+        "FROM lineitem JOIN lineitem_ext ON 1=1 WHERE x = 'FROM lineitem'"
+    )
+    out = _swap_table_refs(sql, "lineitem", "lineitem_par_42")
+    assert "FROM lineitem_par_42 JOIN" in out
+    assert "'lineitem'" in out                      # literal untouched
+    assert "'it''s lineitem'" in out                # escaped literal untouched
+    assert "-- lineitem mentioned in a comment" in out
+    assert "/* block: lineitem */" in out
+    assert "lineitem_ext" in out                    # word boundary respected
+    assert "'FROM lineitem'" in out                 # literal containing keyword
+    # exactly one real reference was swapped
+    assert out.count("lineitem_par_42") == 1
+
+
 def test_results_invariant_to_shuffle_partitions_and_aqe(spark, sf_dir):
     base_parts = spark.conf.get("spark.sql.shuffle.partitions")
     base_aqe = spark.conf.get("spark.sql.adaptive.enabled")

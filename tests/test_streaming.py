@@ -302,3 +302,24 @@ def test_sized_stream_session_width_clamp(spark):
         except Exception:
             continue
         assert sized.conf.get(key) == want, key
+
+
+def test_sized_stream_session_clone_carries_runtime_timezone(spark):
+    """r13 hardening (ADVICE r12): the sized clone must copy a
+    RUNTIME-set spark.sql.session.timeZone — under the driver's session
+    the UTC pin comes from register_tables at runtime, and newSession()
+    does not inherit runtime confs, so a clone without the copy would
+    revert to the JVM tz and drift any tz-sensitive streaming surface
+    away from the UTC-naive oracle."""
+    from datafusion_wasm_bindings_spark.streaming.events import _sized_stream_session
+
+    before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        sized = _sized_stream_session(spark, 1)
+        assert sized is not spark
+        assert sized.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        # the shared session's own conf is untouched by the clone
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)
