@@ -290,6 +290,48 @@ def _nearest_idx(sv, cb_arr, ss_arr, n: int):
     )["i"]
 
 
+def _argmin_idx_driver(
+    v: list[float], cents: list[list[float]], css: list[float]
+) -> int:
+    """Driver twin of ``_nearest_idx`` for ONE vector: same score
+    d = css[i] − 2.0·(left-fold dot), same total order (a NULL score —
+    any length mismatch, mirroring zip_with's null padding — sorts
+    FIRST; NaN sorts GREATEST, Java Double semantics; ties break to the
+    LOWEST index). Every add/multiply replays the Spark expression's
+    IEEE sequence, so the picked index is bit-for-bit the one
+    ``_nearest_idx`` returns (pinned by
+    tests/test_operators.py::test_driver_lloyd_fit_matches_spark_fit)."""
+    import math
+
+    best = None
+    for i, cv in enumerate(cents):
+        if len(cv) != len(v):
+            # zip_with pads the shorter array with NULL → NULL dot →
+            # NULL score; struct ordering puts NULL first (smallest)
+            key = (0, False, 0.0, i)
+        else:
+            acc = 0.0
+            for a, b in zip(v, cv):
+                acc = acc + a * b
+            d = css[i] - 2.0 * acc
+            key = (1, math.isnan(d), d, i)
+        if best is None or key < best:
+            best = key
+    return best[3]
+
+
+def _avg_update_driver(
+    sums: dict, counts: dict, key: tuple, dim: int, x: float
+) -> None:
+    """One avg-accumulation step with Spark Sum semantics: the first
+    value is ASSIGNED (buffer starts null), later values added — keeps
+    ±0.0 signs exactly as Spark's Sum does."""
+    k = (*key, dim)
+    prev = sums.get(k)
+    sums[k] = x if prev is None else prev + x
+    counts[k] = counts.get(k, 0) + 1
+
+
 def _assign_cells(base: DataFrame, cents: list[list[float]]) -> DataFrame:
     """Nearest-centroid assignment as a PURE MAP: the centroid matrix
     (cells × dims doubles + per-cell ‖c‖²) rides in as a ONE-ROW
@@ -359,11 +401,17 @@ def ivf_index(
     # driver TypeError (float(None)) or rank FIRST downstream via NULL
     # scores under ASC NULLS FIRST — r8/r9 review findings)
     n_train = train_sample or max(10_000, 50 * n_centroids)
-    # checkpoint the sample BEFORE collecting seeds: the TakeOrdered
-    # over the corpus runs ONCE, and the seed collect reads the
-    # materialized 10k-row sample (r8 review finding — collect-then-
-    # checkpoint ran the corpus scan twice)
-    train = base.orderBy("vec_id").limit(n_train).localCheckpoint(eager=True)
+    # ONE corpus TakeOrdered collects the WHOLE bounded train sample to
+    # the driver (r13 job fold, guide §1.2/§5): the sample is
+    # driver-scale state BY DESIGN (standard IVF practice — the
+    # quantizer needs a distribution sketch, not the corpus), so the
+    # seed pick and every Lloyd round now run as driver code instead of
+    # one Spark job each (was: checkpoint job + seeds job + a
+    # collect per Lloyd round). The driver fit replays the Spark
+    # expressions' exact IEEE sequences (_argmin_idx_driver /
+    # _avg_update_driver) and is order-deterministic (TakeOrdered's
+    # vec_id total order), pinned bit-identical to the Spark-side fit
+    # by tests/test_operators.py::test_driver_lloyd_fit_matches_spark_fit.
     # SAMPLE-ORDER CAVEAT (ADVICE r8, resolved r9 by measurement): the
     # deterministic lowest-vec_id prefix assumes ids are UNCORRELATED
     # with vector content; on a corpus where content tracks id
@@ -376,8 +424,11 @@ def ivf_index(
     # contract; hash-prefix seeds and farthest-point seeding both
     # degraded fixture recall (outlier-chasing). The prefix sample is
     # the only variant with verified recall at every scale tested.
-    seeds = train.orderBy("vec_id").limit(n_centroids).collect()
-    cents: list[list[float]] = [[float(x) for x in r["v"]] for r in seeds]
+    train_rows: list[list[float]] = [
+        [float(x) for x in r["v"]]
+        for r in base.orderBy("vec_id").limit(n_train).collect()
+    ]
+    cents: list[list[float]] = [list(v) for v in train_rows[:n_centroids]]
     spark = embeddings.sparkSession
     if not cents:
         # EMPTY corpus: typed empty index (empty-mode replay r7 — never
@@ -388,20 +439,22 @@ def ivf_index(
         empty_c = spark.createDataFrame([], "cell bigint, cv array<double>")
         return empty_a, empty_c
     for _ in range(lloyd_iters):
-        assigned = _assign_cells(train, cents)
-        # element-wise mean per cell: (cell, dim) partial sums — shuffle
-        # bytes ∝ cells × dims × partitions; collected driver-side into
-        # the next round's broadcast state (cells × dims doubles);
-        # cells that drop empty are re-indexed positionally
-        rows = (
-            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
+        # element-wise mean per cell over the driver-held sample —
+        # identical accumulation order to the old Spark collect (the
+        # checkpointed TakeOrdered sample was one vec_id-sorted
+        # partition, so Spark's per-group avg consumed values in
+        # exactly this row order); cells that drop empty are re-indexed
+        # positionally as before
+        css = [float(sum(x * x for x in cv)) for cv in cents]
+        sums: dict[tuple[int, int], float] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for v in train_rows:
+            cell = _argmin_idx_driver(v, cents, css)
+            for dim, x in enumerate(v):
+                _avg_update_driver(sums, counts, (cell,), dim, x)
         by_cell: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(r["m"])
+        for (cell, dim), s in sums.items():
+            by_cell.setdefault(cell, {})[dim] = s / counts[(cell, dim)]
         cents = [
             [dims[i] for i in sorted(dims)]
             for _, dims in sorted(by_cell.items())
@@ -801,13 +854,18 @@ def pq_index(
     # The dim probe reads the filtered population for the same reason.
     spark = embeddings.sparkSession
     n_train = train_sample or max(10_000, 50 * n_codes)
-    # checkpoint the sample BEFORE collecting seeds (one corpus
-    # TakeOrdered, not two — r8 review finding); lowest-vec_id prefix
-    # sample — see ivf_index's SAMPLE-ORDER CAVEAT for why the
-    # decorrelation variants were reverted on measurement
-    train = base.orderBy("vec_id").limit(n_train).localCheckpoint(eager=True)
-    seeds = train.orderBy("vec_id").limit(n_codes).collect()
-    if not seeds:
+    # ONE corpus TakeOrdered collects the bounded train sample to the
+    # driver (r13 job fold — see ivf_index for the full rationale and
+    # the SAMPLE-ORDER CAVEAT): seeds, dimensionality, and every Lloyd
+    # round are now driver code (was: checkpoint job + seeds job + a
+    # join+explode+avg collect per Lloyd round). Bit-identical to the
+    # Spark-side fit — pinned by tests/test_operators.py::
+    # test_driver_lloyd_fit_matches_spark_fit.
+    train_rows: list[list[float]] = [
+        [float(x) for x in r["v"]]
+        for r in base.orderBy("vec_id").limit(n_train).collect()
+    ]
+    if not train_rows:
         # EMPTY corpus: no dimensionality to probe, no codebook to
         # train — return typed empty frames so callers compose to an
         # empty result instead of crashing (empty-mode replay r7)
@@ -818,43 +876,38 @@ def pq_index(
             [], "sub_id int, code int, cv array<double>"
         )
         return codes, cb, 0
-    # dimensionality read from the seed rows already on the driver —
+    # dimensionality read from the sample rows already on the driver —
     # the old separate first()-probe was one more full-plan job per
-    # index build for a value the seed collect carries anyway (r12)
-    dim = len(seeds[0]["v"])
+    # index build for a value the sample carries anyway (r12)
+    dim = len(train_rows[0])
     sub_len = dim // m_subspaces
     # books[sub][code] = sub_len doubles; seeded from the n_codes
     # lowest vec_ids' subvectors
     books: list[list[list[float]]] = [
         [
-            [float(x) for x in r["v"][i * sub_len : (i + 1) * sub_len]]
-            for r in seeds
+            list(v[i * sub_len : (i + 1) * sub_len])
+            for v in train_rows[:n_codes]
         ]
         for i in range(m_subspaces)
     ]
     for _ in range(lloyd_iters):
-        assigned = _encode_codes(train, books, sub_len).join(
-            train.select("vec_id", "v"), "vec_id"
-        )
-        rows = (
-            assigned.select(
-                "sub_id",
-                "code",
-                F.posexplode(
-                    F.slice(
-                        F.col("v"), F.col("sub_id") * sub_len + 1, F.lit(sub_len)
-                    )
-                ).alias("dim", "x"),
-            )
-            .groupBy("sub_id", "code", "dim")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
+        # per-(sub, code, dim) mean over the driver-held sample — same
+        # encounter order (vec_id-sorted rows) and IEEE sequences as
+        # the old Spark join+posexplode+avg collect
+        css = [
+            [float(sum(x * x for x in cv)) for cv in book] for book in books
+        ]
+        sums: dict[tuple[int, int, int], float] = {}
+        counts: dict[tuple[int, int, int], int] = {}
+        for v in train_rows:
+            for si in range(m_subspaces):
+                sv = v[si * sub_len : (si + 1) * sub_len]
+                ci = _argmin_idx_driver(sv, books[si], css[si])
+                for d, x in enumerate(sv):
+                    _avg_update_driver(sums, counts, (si, ci), d, x)
         upd: dict[tuple[int, int], dict[int, float]] = {}
-        for r in rows:
-            upd.setdefault((int(r["sub_id"]), int(r["code"])), {})[
-                int(r["dim"])
-            ] = float(r["m"])
+        for (si, ci, d), s in sums.items():
+            upd.setdefault((si, ci), {})[d] = s / counts[(si, ci, d)]
         for (si, ci), dims in upd.items():
             books[si][ci] = [dims[d] for d in sorted(dims)]
         # (sub, code) cells with no members keep their previous

@@ -2395,3 +2395,160 @@ def test_fit_kmeans_checkpoints_quantized_corpus(spark, sf_dir):
     assert "Scan parquet" not in plan, plan
     assert "ExistingRDD" in plan, plan
     assert cents and assigned.count() > 0
+
+
+def test_driver_lloyd_fit_matches_spark_fit(spark, sf_dir):
+    """r13 job fold: ivf_index / pq_index now fit Lloyd on the DRIVER
+    over the one-collect train sample (3 Spark jobs -> 1 per build).
+    Contract: the fitted state is BIT-IDENTICAL to the old Spark-side
+    fit (checkpointed TakeOrdered sample + _assign_cells/_encode_codes
+    + posexplode avg collects) — asserted here by replaying the old
+    path inline on the real fixture corpus and comparing every double
+    by its IEEE bit pattern."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from datafusion_wasm_bindings_spark.operators.similarity import (
+        _assign_cells,
+        _encode_codes,
+        ivf_index,
+        nonzero_vectors,
+        pq_index,
+    )
+    from datafusion_wasm_bindings_spark.sources.catalog import table
+
+    def bits(vals):
+        return [struct.pack("<d", float(x)) for x in vals]
+
+    emb = table(spark, sf_dir, "embeddings")
+    n_cent, n_codes, m_sub, iters = 8, 8, 4, 2
+
+    # --- IVF: old Spark-side fit, replayed inline
+    base = nonzero_vectors(emb).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).filter(F.col("v").isNotNull() & ~F.exists("v", lambda x: x.isNull()))
+    n_train = max(10_000, 50 * n_cent)
+    train = base.orderBy("vec_id").limit(n_train).localCheckpoint(eager=True)
+    seeds = train.orderBy("vec_id").limit(n_cent).collect()
+    cents = [[float(x) for x in r["v"]] for r in seeds]
+    for _ in range(iters):
+        rows = (
+            _assign_cells(train, cents)
+            .select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(r["m"])
+        cents = [[d[i] for i in sorted(d)] for _, d in sorted(by_cell.items())]
+
+    _, centroids = ivf_index(nonzero_vectors(emb), n_centroids=n_cent, lloyd_iters=iters)
+    got = {int(r["cell"]): list(r["cv"]) for r in centroids.collect()}
+    assert sorted(got) == list(range(len(cents)))
+    for cell, cv in enumerate(cents):
+        assert bits(got[cell]) == bits(cv), f"IVF centroid {cell} diverged"
+
+    # --- PQ: old Spark-side fit, replayed inline
+    pbase = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).filter(F.col("v").isNotNull() & ~F.exists("v", lambda x: x.isNull()))
+    ptrain = pbase.orderBy("vec_id").limit(max(10_000, 50 * n_codes)).localCheckpoint(
+        eager=True
+    )
+    pseeds = ptrain.orderBy("vec_id").limit(n_codes).collect()
+    dim = len(pseeds[0]["v"])
+    sub_len = dim // m_sub
+    books = [
+        [[float(x) for x in r["v"][i * sub_len : (i + 1) * sub_len]] for r in pseeds]
+        for i in range(m_sub)
+    ]
+    for _ in range(iters):
+        rows = (
+            _encode_codes(ptrain, books, sub_len)
+            .join(ptrain.select("vec_id", "v"), "vec_id")
+            .select(
+                "sub_id",
+                "code",
+                F.posexplode(
+                    F.slice(F.col("v"), F.col("sub_id") * sub_len + 1, F.lit(sub_len))
+                ).alias("dim", "x"),
+            )
+            .groupBy("sub_id", "code", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        upd = {}
+        for r in rows:
+            upd.setdefault((int(r["sub_id"]), int(r["code"])), {})[int(r["dim"])] = float(
+                r["m"]
+            )
+        for (si, ci), dims in upd.items():
+            books[si][ci] = [dims[d] for d in sorted(dims)]
+
+    _, cb, got_sub_len = pq_index(emb, m_subspaces=m_sub, n_codes=n_codes, lloyd_iters=iters)
+    assert got_sub_len == sub_len
+    got_books = {}
+    for r in cb.collect():
+        got_books[(int(r["sub_id"]), int(r["code"]))] = list(r["cv"])
+    for si, book in enumerate(books):
+        for ci, cv in enumerate(book):
+            assert bits(got_books[(si, ci)]) == bits(cv), f"PQ book ({si},{ci}) diverged"
+
+
+def test_argmin_idx_driver_edge_semantics():
+    """The driver argmin twin's corner cases, matched to _nearest_idx /
+    Spark struct ordering: NaN scores sort GREATEST (non-NaN wins);
+    all-NaN ties break to the lowest index; a length-mismatched
+    centroid (zip_with null padding -> NULL score) sorts FIRST."""
+    from datafusion_wasm_bindings_spark.operators.similarity import (
+        _argmin_idx_driver,
+    )
+
+    nan = float("nan")
+    # css chosen so d = css - 2*dot; vectors crafted per case
+    v = [1.0, 0.0]
+    # non-NaN beats NaN even at a higher index
+    cents = [[nan, 0.0], [1.0, 0.0]]
+    css = [nan, 1.0]
+    assert _argmin_idx_driver(v, cents, css) == 1
+    # all-NaN -> lowest index
+    assert _argmin_idx_driver(v, [[nan, 0.0], [nan, 0.0]], [nan, nan]) == 0
+    # length mismatch (NULL score) sorts before any real score
+    assert _argmin_idx_driver(v, [[0.0, 0.0], [5.0]], [0.0, 25.0]) == 1
+    # plain tie -> lowest index
+    assert _argmin_idx_driver(v, [[0.5, 0.5], [0.5, 0.5]], [0.5, 0.5]) == 0
+
+
+def test_ann_index_build_job_count(spark):
+    """r13 job fold: an ivf_index / pq_index build runs at most THREE
+    Spark jobs — one collect of the bounded train sample, one eager
+    checkpoint of the full-corpus assignment/encode, plus (AQE) the
+    broadcast-materialization job of the centroid/codebook matrix
+    inside the final assignment. The old shape ran 5+ with
+    lloyd_iters=2 (sample checkpoint + seeds collect + one
+    collect per Lloyd round + final checkpoint); the fold is the
+    win, so pin the ceiling."""
+    from datafusion_wasm_bindings_spark.operators.similarity import (
+        ivf_index,
+        pq_index,
+    )
+
+    rows = [(i, [float(i % 7), float(i % 5), float(i % 3), 1.0]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    sc = spark.sparkContext
+    for label, build in (
+        ("ivf", lambda: ivf_index(emb, n_centroids=2, lloyd_iters=2)),
+        ("pq", lambda: pq_index(emb, m_subspaces=2, n_codes=2, lloyd_iters=2)),
+    ):
+        group = f"jobcount_{label}"
+        sc.setJobGroup(group, label)
+        try:
+            build()
+        finally:
+            sc.setJobGroup(None, None)
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        assert n_jobs <= 3, f"{label} index build ran {n_jobs} jobs, expected <= 3"
