@@ -285,12 +285,26 @@ def kmeans_quality(
     more per-cluster aggregate; the pair matrix is k² rows."""
     assigned, centroids = fit_kmeans(embeddings, k=k, iters=iters)
     spark = embeddings.sparkSession
-    si = assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        (
-            F.sum(F.sqrt(F.col("inertia")).cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("s_mean"),
+    # SINGLE-SCAN RULE (CLAUDE.md wave-13, r13 fix): si feeds THREE
+    # consumers below — the sa and sb broadcast builds and the final
+    # join — and each consumer's plan branch re-ran the corpus-sized
+    # assignment+aggregate from the checkpointed fit input (measured
+    # at sf0.1: the formatted plan shrank 16 HashAggregate nodes → 4,
+    # warm wall 17.0 → 3.4 s median-of-3; job count unchanged at 13 —
+    # the win is each broadcast job reading k rows instead of the
+    # corpus). si is k rows — the localCheckpoint materializes the
+    # same exact decimal-sum values once and every consumer reads the
+    # k-row RDD.
+    si = (
+        assigned.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            (
+                F.sum(F.sqrt(F.col("inertia")).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("s_mean"),
+        )
+        .localCheckpoint(eager=True)
     )
     # The k×k centroid-pair distance matrix is computed DRIVER-SIDE in
     # exact Python ints + one nearest-double conversion per term: the

@@ -1132,6 +1132,11 @@ def test_r4_window_extension_plan_shapes(spark, sf_dir):
     # corpus-independent)
     p = _plan(REGISTRY["q_cluster_quality"].spark_fn(spark, sf_dir))
     assert "Scan ExistingRDD" in p and p.count("BroadcastNestedLoopJoin") <= 1, p
+    # r13 single-scan rule: the per-cluster S_i aggregate is
+    # checkpointed k-row state — WITHOUT the cut the corpus-sized
+    # aggregate is replicated under each broadcast build and the plan
+    # carries 16 HashAggregate nodes (measured; 4 after)
+    assert p.count("HashAggregate") <= 6, p.count("HashAggregate")
 
 
 def test_no_low_cardinality_fact_windows(spark, sf_dir):
