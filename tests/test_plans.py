@@ -1394,8 +1394,12 @@ def test_bfs_cc_prepared_edges_identity_and_bucketed_scan(spark, sf_dir, tmp_pat
         # label side pays its own exchanges (distinct + join
         # repartition here; one per round in the real operator) — the
         # point is the EDGE side: its bucketed scan must sit directly
-        # under the join's Sort with no exchange between
-        assert "Exchange" not in plan.split("SortMergeJoin", 1)[1].split("Sort ", 2)[1], plan
+        # under the SMJ with NEITHER an exchange NOR a sort between
+        # (r13: write_bucketed's one-file-per-bucket layout + the
+        # bucketedTableScan.outputOrdering conf make the scan's sortBy
+        # order visible, so the edge-side Sort is gone too)
+        edge_side = plan.split("SortMergeJoin", 1)[1].split("FileScan parquet", 1)[0]
+        assert "Exchange" not in edge_side and "Sort " not in edge_side, plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_bfs_edges")
